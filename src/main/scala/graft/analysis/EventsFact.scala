@@ -1,0 +1,59 @@
+package graft.analysis
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adapter from the driver's `events` table (TESTDATA.md) to the
+  * reference-shaped fact table (country, antigen, year, coverage_pct).
+  *
+  * Role mapping per FIXTURES.md: user cohort (user_id % 10) ≈ country,
+  * event_type ≈ antigen, day-of-month ≈ year (the sf events span one
+  * month), per-cell mean value ≈ coverage_pct. This gives every
+  * downstream reference-parity operator a real multi-series input with
+  * enough points per window for the t-test path.
+  *
+  * coverage_pct is computed as an EXACT mean — the values are summed as
+  * DECIMAL (order-independent) and divided by the count — so both
+  * engines produce bitwise-identical doubles. A plain double `avg`
+  * differs across engines in the last ulp (accumulation order), and the
+  * event values are quantized, which makes `round(avg, k)` land exactly
+  * on half-way ties that Spark and DuckDB resolve differently.
+  */
+object EventsFact {
+
+  /** The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects by default; read it as long nanos and rebuild a
+    * (UTC) timestamp at microsecond precision. Integer `div` — a double
+    * division would lose precision above 2^53 ns. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  def fact(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(
+        concat(lit("cohort_"), (col("user_id") % 10).cast("string")).as("country"),
+        col("event_type").as("antigen"),
+        dayofmonth(col("ts")).as("year"))
+      .agg((sum(col("value").cast("decimal(18,6)")).cast("double") / count(col("value")))
+        .as("coverage_pct"))
+
+  /** The oracle-side equivalent of [[fact]], as a DuckDB CTE body. */
+  val factSql: String =
+    """SELECT 'cohort_' || CAST(user_id % 10 AS VARCHAR) AS country,
+      |       event_type AS antigen,
+      |       CAST(date_part('day', ts) AS INTEGER) AS year,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS coverage_pct
+      |FROM events
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Prefix a per-query oracle SQL with the shared fact CTE. */
+  def withFactCte(body: String): String =
+    s"WITH fact AS (\n$factSql\n)\n$body"
+}
