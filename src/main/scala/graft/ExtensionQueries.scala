@@ -1,9 +1,340 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.analysis.EventsFact
+import graft.ext.{Dedup, Multimodal, Similarity, SimHash64, TextAnalysis}
 
-/** North-star extension operators (dedup / similarity / text analysis)
-  * — filled in incrementally; see graft.ext. */
+/** North-star extension operators (SURVEY §7.2 M5): dedup, similarity
+  * search, text analysis, multimodal plumbing, streaming. Oracles
+  * mirror the Spark expression shape op-for-op (same IEEE evaluation
+  * order) so per-row doubles compare exactly; only genuinely
+  * order-jittery values (list_sum accumulation) are rounded.
+  */
 object ExtensionQueries {
-  val all: Seq[Q] = Seq()
+
+  private val stopsSql = TextAnalysis.englishStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** DuckDB mirror of TextAnalysis.tokens. */
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private def stopCountSql(stops: Seq[String]): String = {
+    val lst = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"len(list_filter($toksSql, t -> list_contains($lst, t)))"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Text stats: token/char counts, quality score, fingerprint — all
+    // per-row codegen'd expressions (no UDF, no shuffle).
+    Q("q26_text_stats",
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  len(list_distinct($toksSql)) AS n_distinct_tokens,
+         |  length(text) AS n_chars_utf,
+         |  0.3 * least(1.0, CAST(len($toksSql) AS DOUBLE) / 64.0)
+         |    + 0.3 * least(1.0, (CAST(${stopCountSql(TextAnalysis.englishStopwords)} AS DOUBLE)
+         |        / CAST(len($toksSql) AS DOUBLE)) * 4.0)
+         |    + 0.2 * (CAST(len(list_distinct($toksSql)) AS DOUBLE) / CAST(len($toksSql) AS DOUBLE))
+         |    + 0.2 * (1.0 - least(1.0,
+         |        (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |          / CAST(length(text) AS DOUBLE)) * 10.0)) AS quality,
+         |  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Oracle assumes non-empty text (documents are); the library
+      // functions themselves guard n=0.
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.distinctTokenCount(col("text")).as("n_distinct_tokens"),
+          length(col("text")).as("n_chars_utf"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic (stopword density argmax).
+    Q("q27_lang_id", ExtensionOracles.langId) { (s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup: fingerprint → canonical id per group.
+    Q("q28_exact_dedup",
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint,
+        |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+        |FROM fp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.exactDuplicates(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    },
+
+    // MinHash signatures (md5-keyed, engine-reproducible): first 4
+    // signature elements surfaced for the oracle.
+    Q("q29_minhash_signature", ExtensionOracles.minhashSignature) { (s, dir) =>
+      val sh = Dedup.shingles(col("text"), 3)
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("sig", Dedup.minhashSignature(sh, 4))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("h0"),
+          element_at(col("sig"), 2).as("h1"),
+          element_at(col("sig"), 3).as("h2"),
+          element_at(col("sig"), 4).as("h3"))
+        .orderBy("doc_id")
+    },
+
+    // LSH near-duplicate pairs with exact shingle-Jaccard verification.
+    // Synthetic docs have no near-dups at default threshold — the
+    // operator's positive path is exercised in DedupSpec; here the
+    // oracle confirms the full pipeline (including "no false
+    // positives") end-to-end.
+    Q("q30_minhash_pairs", ExtensionOracles.minhashPairs) { (s, dir) =>
+      Dedup.nearDuplicatePairs(s.read.parquet(s"$dir/documents.parquet"),
+          minJaccard = 0.4)
+        .orderBy("a_id", "b_id")
+    },
+
+    // Pairwise character-3-gram Jaccard on a bounded slice (exact
+    // quadratic verification kernel; LSH is the scale path).
+    Q("q31_ngram_jaccard", ExtensionOracles.ngramJaccard) { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 15)
+      val a = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+      val b = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(Dedup.ngramJaccard(col("a_text"), col("b_text"), 3), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // SimHash via the custom Catalyst expression — cross-engine hash
+    // parity is impossible by construction (murmur3 lanes), so this is
+    // a rows-level check here and property-tested in DedupSpec.
+    Q.noOracle("q32_simhash") { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val sig = SimHash64(TextAnalysis.tokens(col("text")))
+      docs.select(col("doc_id"), sig.as("simhash"))
+        .withColumn("bits", bit_count(col("simhash")))
+        .orderBy("doc_id")
+    },
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    Q("q33_cosine_topk", ExtensionOracles.cosineTopK) { (s, dir) =>
+      Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L, 20)
+    },
+
+    // LSH-bucketed ANN — scale path; recall vs brute force is asserted
+    // in SimilaritySpec, bucket determinism here (rows-only).
+    Q.noOracle("q34_ann_lsh") { (s, dir) =>
+      Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L, 20, numPlanes = 4)
+    },
+
+    // Per-label embedding stats (exact decimal-accumulated mean norm).
+    Q("q35_embedding_label_stats", ExtensionOracles.labelStats) { (s, dir) =>
+      Similarity.labelStats(s.read.parquet(s"$dir/embeddings.parquet"))
+    },
+
+    // Multimodal: binary payload + metadata through the partition-
+    // batched decode (stub codec, real plumbing).
+    Q.noOracle("q36_multimodal_features") { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val assets = Multimodal.assetsFromBinary(docs, "doc_id", "text", "image")
+      Multimodal.extractFeatures(assets).toDF().orderBy("asset_id")
+    },
+
+    // Structured Streaming: event-time windowed aggregation with
+    // watermark, run to completion over the parquet source; oracle is
+    // the equivalent batch query (stream/batch equivalence).
+    Q("q37_stream_daily_counts",
+      """SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS mean_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, dir) =>
+      graft.streaming.EventsStream.dailyTypeCounts(s, dir)
+        .orderBy("day", "event_type")
+    },
+
+    // BPE-ish regex tokenizer counts.
+    Q("q38_bpe_tokens",
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]+')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokensBpeIsh(col("text"))).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Welch t-test via the typed Aggregator (partial-mergeable custom
+    // aggregate) — t/df checked against the relational oracle formula.
+    Q("q39_welch_aggregator", ExtensionOracles.welchAggregator) { (s, dir) =>
+      import s.implicits._
+      import graft.stats.{WelchIn, WelchTTest}
+      val w = CoreParityQueries.W
+      val fact = EventsFact.fact(s, dir)
+      val typed = fact
+        .filter(col("year").between(w.beforeLo, w.beforeHi) ||
+          col("year").between(w.afterLo, w.afterHi))
+        .select(col("country"), col("antigen"),
+          col("coverage_pct").as("value"),
+          col("year").between(w.afterLo, w.afterHi).as("after"))
+        .as[(String, String, Double, Boolean)]
+      typed
+        .groupByKey { case (c, a, _, _) => (c, a) }
+        .mapValues { case (_, _, v, after) => WelchIn(v, after) }
+        .agg(WelchTTest.toColumn)
+        .map { case ((c, a), r) =>
+          (c, a, r.n_before, r.n_after,
+            r.t_stat.map(t => math.rint(t * 1e4) / 1e4),
+            r.welch_df.map(d => math.rint(d * 1e4) / 1e4))
+        }
+        .toDF("country", "antigen", "n_before", "n_after", "t_stat", "welch_df")
+        .orderBy("country", "antigen")
+    },
+  )
+}
+
+/** Long/programmatic oracle SQL for the extension queries. */
+object ExtensionOracles {
+
+  val langId: String = {
+    val scores = TextAnalysis.stopwordsByLang.map { case (lang, stops) =>
+      val lst = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+      lang -> s"(CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))"
+    }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    // mirror the Scala foldRight: first language in list order that
+    // attains the max (and is > 0) wins
+    val caseChain = scores.map { case (lang, sc) =>
+      s"WHEN $sc > 0 AND $sc = best THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |scored AS (SELECT doc_id, lang, toks, $best AS best FROM t)
+       |SELECT doc_id, lang, CASE $caseChain ELSE 'und' END AS lang_pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of Dedup.shingles over a token-list expression. */
+  private def shinglesOf(toks: String): String =
+    s"""CASE WHEN len($toks) >= 3
+       |  THEN list_transform(generate_series(1, len($toks) - 2),
+       |         i -> array_to_string(($toks)[i:i+2], ' '))
+       |  ELSE [] END""".stripMargin
+
+  val minhashSignature: String = {
+    val hs = (0 until 4).map { i =>
+      s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS h$i"
+    }.mkString(",\n  ")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |s AS (SELECT doc_id, ${shinglesOf("toks")} AS sh FROM t)
+       |SELECT doc_id,
+       |  $hs
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  val minhashPairs: String = {
+    val hs = (0 until 16).map { i =>
+      s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS h$i"
+    }.mkString(", ")
+    val bandDefs = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"md5($parts) AS band$b"
+    }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+       |         regexp_split_to_array(trim(text), '\\s+') AS rawtoks
+       |  FROM documents),
+       |s AS (SELECT doc_id, toks, ${shinglesOf("rawtoks")} AS sh FROM t),
+       |sig AS (SELECT doc_id, toks, $hs FROM s),
+       |withbands AS (SELECT doc_id, toks, $bandDefs FROM sig),
+       |banded AS (
+       |  SELECT doc_id, toks, unnest([band0, band1, band2, band3]) AS band
+       |  FROM withbands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.toks AS a_toks, b.toks AS b_toks
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id,
+       |  CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) /
+       |    CAST(len(list_distinct(a_toks || b_toks)) AS DOUBLE) AS jaccard
+       |FROM cand
+       |WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) /
+       |    CAST(len(list_distinct(a_toks || b_toks)) AS DOUBLE) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  val ngramJaccard: String = {
+    def grams(t: String) =
+      s"""(CASE WHEN length(norm_$t) >= 3
+         |  THEN list_distinct(list_transform(generate_series(1, length(norm_$t) - 2),
+         |         i -> substring(norm_$t, i, 3)))
+         |  ELSE [] END)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents WHERE doc_id < 15),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.norm AS norm_a, b.norm AS norm_b
+       |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+       |g AS (SELECT a_id, b_id, ${grams("a")} AS ga, ${grams("b")} AS gb FROM p)
+       |SELECT a_id, b_id,
+       |  CASE WHEN len(list_distinct(ga || gb)) > 0
+       |    THEN round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+       |           CAST(len(list_distinct(ga || gb)) AS DOUBLE), 6)
+       |    ELSE 0.0 END AS jaccard
+       |FROM g ORDER BY a_id, b_id""".stripMargin
+  }
+
+  val cosineTopK: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id, e.label,
+      |  round(
+      |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+      |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))), 6) AS sim
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY sim DESC, e.vec_id
+      |LIMIT 20""".stripMargin
+
+  val labelStats: String =
+    """WITH n AS (
+      |  SELECT label,
+      |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+      |  FROM embeddings)
+      |SELECT label, count(*) AS n,
+      |  CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / count(norm) AS avg_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  val welchAggregator: String = {
+    val w = CoreParityQueries.W
+    val beforeCase = s"CASE WHEN year BETWEEN ${w.beforeLo} AND ${w.beforeHi} THEN coverage_pct END"
+    val afterCase = s"CASE WHEN year BETWEEN ${w.afterLo} AND ${w.afterHi} THEN coverage_pct END"
+    EventsFact.withFactCte(
+      s"""SELECT country, antigen, n_before, n_after,
+         |  CASE WHEN n_before > 1 AND n_after > 1 THEN
+         |    round((mean_before - mean_after) / sqrt(var_before/n_before + var_after/n_after), 4)
+         |  END AS t_stat,
+         |  CASE WHEN n_before > 1 AND n_after > 1 THEN
+         |    round(pow(var_before/n_before + var_after/n_after, 2) /
+         |      (pow(var_before/n_before, 2)/(n_before-1) + pow(var_after/n_after, 2)/(n_after-1)), 4)
+         |  END AS welch_df
+         |FROM (
+         |  SELECT country, antigen,
+         |    count($beforeCase) AS n_before, count($afterCase) AS n_after,
+         |    avg($beforeCase) AS mean_before, avg($afterCase) AS mean_after,
+         |    var_samp($beforeCase) AS var_before, var_samp($afterCase) AS var_after
+         |  FROM fact GROUP BY country, antigen)
+         |ORDER BY country, antigen""".stripMargin)
+  }
 }

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, per the north star:
+  *   - [[bruteForceTopK]]: exact cosine top-k. One narrow pass + a
+  *     TakeOrderedAndProject — at 100 TB this is the per-partition-
+  *     top-k + k-row driver merge plan, never a full sort.
+  *   - [[withLshBuckets]] / [[annTopK]]: random-hyperplane LSH. The
+  *     signature is a per-row expression over deterministic
+  *     (seed-derived) planes; ANN probes only the query's bucket —
+  *     the scale path that turns a corpus scan into a bucket lookup
+  *     (paired with bucket-partitioned storage).
+  *
+  * All vector math uses `zip_with`/`aggregate` higher-order functions:
+  * codegen'd, sequential (deterministic) accumulation, no UDF.
+  */
+object Similarity {
+
+  /** Elementwise dot product; fold is left-to-right ⇒ deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, null when either vector has zero norm (ANSI-safe). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom > 0, dot(a, b) / denom)
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact cosine top-k against the embedding of `queryVecId` (looked
+    * up from the same table and broadcast as a single-row build side). */
+  def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = broadcast(emb.filter(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("qvec")))
+    emb.crossJoin(q)
+      .filter(col("vec_id") =!= queryVecId)
+      .withColumn("sim", round(cosine(asDouble(col("embedding")), col("qvec")), 6))
+      .select("vec_id", "label", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 over
+    * (plane, dim) — reproducible across runs/sessions, no RNG state). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      val x = splitmix64(seed + p.toLong * 65537L + d.toLong)
+      // 53 uniform bits → [0,1) → [-1, 1); uniform (not gaussian) is
+      // fine for sign-LSH — only the plane's direction matters
+      (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+  private def splitmix64(in: Long): Long = {
+    var z = in + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Sign-LSH bucket id: bit p = sign(v · plane_p). 2^numPlanes buckets. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def withLshBuckets(emb: DataFrame, numPlanes: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame =
+    emb.withColumn("bucket", lshBucket(asDouble(col("embedding")), hyperplanes(numPlanes, dim, seed)))
+
+  /** ANN top-k: exact cosine, but only within the query's LSH bucket.
+    * Trades recall (tested in SimilaritySpec) for a 2^planes-fold
+    * candidate reduction; at scale the bucket column is the partition
+    * key, so this is a single-partition read instead of a corpus scan. */
+  def annTopK(emb: DataFrame, queryVecId: Long, k: Int,
+              numPlanes: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val bucketed = withLshBuckets(emb, numPlanes, seed, dim)
+    val q = broadcast(bucketed.filter(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("qvec"), col("bucket").as("qbucket")))
+    bucketed.join(q, col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= queryVecId)
+      .withColumn("sim", round(cosine(asDouble(col("embedding")), col("qvec")), 6))
+      .select("vec_id", "label", "bucket", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-label embedding stats: count + exact mean L2 norm (norms are
+    * per-row deterministic; the mean uses decimal accumulation — see
+    * [[graft.analysis.CoverageQueries.exactAvg]]). */
+  def labelStats(emb: DataFrame): DataFrame =
+    emb.withColumn("norm", l2Norm(asDouble(col("embedding"))))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        graft.analysis.CoverageQueries.exactAvg(col("norm")).as("avg_norm"))
+      .orderBy("label")
+}

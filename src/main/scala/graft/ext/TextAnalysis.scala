@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, fingerprinting. All
+  * per-row expressions built from codegen'd built-ins — no UDFs on the
+  * hot path — so at 100 TB these run inside whole-stage codegen with
+  * zero shuffles (embarrassingly parallel over document partitions).
+  *
+  * Extension surface beyond the reference (north star in BASELINE.json);
+  * the reference's own scalar functions are the degenerate cases
+  * (`/root/reference/streamlit_app.py:82-87` string munging).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the BPE-ish regex variant is
+    * [[tokensBpeIsh]]). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** GPT-2-style pretokenizer approximation: splits out word pieces,
+    * numbers, and punctuation runs as separate tokens. */
+  def tokensBpeIsh(text: Column): Column =
+    // contractions | words | numbers | non-space punct runs
+    regexp_extract_all(text, lit("'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Count of tokens that are in `stops` (occurrence count, not
+    * distinct — quality scoring wants density). */
+  def stopwordCount(text: Column, stops: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stops: _*)))
+
+  /** Punctuation characters per character. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", ""))
+
+  /** Heuristic quality score in [0,1] — length saturation, stopword
+    * density, lexical diversity, punctuation sanity. The exact weights
+    * are engine-defined (documented here), not from the reference. All
+    * ratios guarded for empty input (ANSI division). */
+  def qualityScore(text: Column, stops: Seq[String] = englishStopwords): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = least(lit(1.0), n / lit(64.0))
+    val stopRatio = when(n > 0, stopwordCount(text, stops).cast("double") / n).otherwise(lit(0.0))
+    val stopScore = least(lit(1.0), stopRatio * lit(4.0))
+    val diversity = when(n > 0, distinctTokenCount(text).cast("double") / n).otherwise(lit(0.0))
+    val punctRatio = when(length(text) > 0,
+      punctCount(text).cast("double") / length(text).cast("double")).otherwise(lit(0.0))
+    lit(0.3) * lenScore + lit(0.3) * stopScore + lit(0.2) * diversity +
+      lit(0.2) * (lit(1.0) - least(lit(1.0), punctRatio * lit(10.0)))
+  }
+
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+
+  /** Tiny per-language function-word lists for the n-gram/stopword
+    * language-ID heuristic. Public common-word lists. */
+  val stopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> englishStopwords,
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "en", "que"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "en", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "ist", "den", "von", "mit"),
+  )
+
+  /** Stopword-density language ID: score each language by function-word
+    * hits per token, pick the max (ties broken by list order, 'und' for
+    * unknown when no list scores > 0). Cheap, shuffle-free, and the
+    * standard first-pass filter in web-scale corpus pipelines. */
+  def langIdHeuristic(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val scores = stopwordsByLang.map { case (lang, stops) =>
+      lang -> when(n > 0, stopwordCount(text, stops).cast("double") / n).otherwise(lit(0.0))
+    }
+    // best = first language achieving the maximum score
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc > 0 && sc === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Normalized-text fingerprint: lowercase, squeeze whitespace, md5.
+    * md5 (not xxhash64) so external engines reproduce it byte-for-byte;
+    * see [[Dedup]] for the throughput-oriented variant. */
+  def fingerprint(text: Column): Column =
+    md5(normalize(text).cast("binary"))
+
+  def normalize(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** All stats as one projection over a `text` column. */
+  def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_distinct_tokens", distinctTokenCount(t))
+      .withColumn("n_chars", length(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langIdHeuristic(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

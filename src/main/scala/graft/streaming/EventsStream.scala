@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming over the events table — the engine's
+  * incremental-ingest surface. The reference is strictly batch
+  * (weekly full reload, SURVEY §2.10); this is the extension for
+  * continuous arrival: file-source stream → event-time windowed
+  * aggregation with a watermark → sink.
+  *
+  * Batch/stream equivalence is the correctness contract: the same
+  * windowed aggregation run as a batch query over the same files must
+  * produce the same rows (checked by the q-entry's DuckDB oracle and
+  * StreamingSpec).
+  */
+object EventsStream {
+
+  /** Parquet stores ts as TIMESTAMP(NANOS) — streaming reads it as
+    * long (nanosAsLong) and rebuilds a microsecond timestamp. */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** Daily per-type counts/sums as a streaming aggregation. Runs the
+    * stream to completion over the available files (AvailableNow) and
+    * returns the final result — which equals the batch answer. */
+  def dailyTypeCounts(spark: SparkSession, sfDir: String, queryName: String = "daily_counts"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source wants a directory; select just the events
+    // table out of the shared sf dir with a glob filter.
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,6)")).cast("double") / count(col("value"))).as("mean_value"))
+      .select(
+        col("window.start").cast("date").cast("string").as("day"),
+        col("event_type"), col("n"), col("mean_value"))
+    // Complete mode: emit every window each trigger — append mode would
+    // hold back the newest (still-open) window at end-of-input.
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Positive-path tests for the dedup stack on crafted near/exact dups
+  * (the synthetic corpus has none at default thresholds). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  private val nearDup = base.replace("lazy", "sleepy") // 1-token edit
+  private val unrelated = "completely different words about database engines and spark query planning with columns"
+
+  private def docs = Seq(
+    (0L, base), (1L, base.toUpperCase), (2L, "  " + base + "  "),
+    (3L, nearDup), (4L, unrelated),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: case/whitespace-normalized fingerprint groups") {
+    val r = Dedup.exactDuplicates(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(r(0) == (0L, false)) // canonical
+    assert(r(1) == (0L, true))  // case-normalized dup
+    assert(r(2) == (0L, true))  // whitespace-normalized dup
+    assert(r(3) == (3L, false))
+    assert(r(4) == (4L, false))
+  }
+
+  test("minhash LSH finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.nearDuplicatePairs(docs, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), s"expected near-dup pair, got $pairs")
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated doc must not pair")
+  }
+
+  test("shingles: k-grams in order; short docs yield empty") {
+    val r = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1) == Seq())
+  }
+
+  test("simhash: near-dups are close in Hamming distance, unrelated far") {
+    val sigs = docs
+      .select(col("doc_id"), SimHash64(TextAnalysis.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0), sigs(3)) <= 12, s"near-dup hamming ${ham(sigs(0), sigs(3))}")
+    assert(ham(sigs(0), sigs(4)) > 12, s"unrelated hamming ${ham(sigs(0), sigs(4))}")
+    assert(sigs(0) == sigs(2), "whitespace-only difference: identical tokens → identical simhash")
+  }
+
+  test("simhash expression works inside whole-stage codegen plans") {
+    val n = docs.withColumn("sig", SimHash64(TextAnalysis.tokens(col("text"))))
+      .filter(col("sig") =!= 0L).count()
+    assert(n == 5)
+  }
+
+  test("ngram jaccard: 1 for identical, 0 for disjoint, monotone") {
+    val r = Seq(
+      (base, base),
+      (base, nearDup),
+      (base, unrelated),
+      ("xyz", "abc"),
+    ).toDF("a", "b")
+      .select(Dedup.ngramJaccard(col("a"), col("b")).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(r(0) == 1.0)
+    assert(r(1) > 0.7 && r(1) < 1.0)
+    assert(r(3) == 0.0)
+    assert(r(2) < r(1))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: known vectors") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0), 1.0),
+      (Array(1.0, 0.0), Array(0.0, 1.0), 0.0),
+      (Array(1.0, 0.0), Array(-1.0, 0.0), -1.0),
+      (Array(3.0, 4.0), Array(3.0, 4.0), 1.0),
+    ).toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("want")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("cosine: zero vector yields null, not an ANSI error") {
+    val r = Seq((Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("brute-force top-k is ordered and excludes the query") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val top = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+    assert(top.length == 10)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val sims = top.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "descending")
+  }
+
+  test("LSH ANN: same-bucket recall vs brute force is substantial") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    // Uniform-random embeddings are LSH's worst case (no cluster
+    // structure) — with 1 plane (~half the corpus probed) expect at
+    // least a third of the true neighbors back.
+    val ann = Similarity.annTopK(emb, 0L, 10, numPlanes = 1).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall (ann=$ann exact=$exact)")
+    // every ANN hit must come from the probed bucket — verified by
+    // construction (join on bucket); sanity: results are non-empty
+    assert(ann.nonEmpty)
+  }
+
+  test("hyperplanes are deterministic across calls") {
+    val a = Similarity.hyperplanes(4, 8)
+    val b = Similarity.hyperplanes(4, 8)
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+    assert(a.flatten.forall(v => v >= -1.0 && v < 1.0))
+  }
+
+  test("label stats cover all labels with positive norms") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val stats = Similarity.labelStats(emb).collect()
+    assert(stats.length == emb.select("label").distinct().count())
+    assert(stats.forall(_.getDouble(2) > 0))
+  }
+}
