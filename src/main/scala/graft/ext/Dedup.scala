@@ -26,6 +26,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  /** Ensure CPU-heavy per-row work is spread across the cluster: a
+    * small/compacted source can arrive as 1-2 scan partitions, which
+    * would serialize the expensive shingle+hash map phase onto one
+    * core. On a real multi-file 100 TB scan this is a no-op. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact duplicates via normalized fingerprint: every doc labeled
     * with its group's canonical (min) id. One shuffle on the 128-bit
     * fingerprint — maximally parallel, skew-free. */
@@ -74,9 +83,48 @@ object Dedup {
         (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*).cast("binary"))
     }: _*)
 
+  /** MinHash signatures via explode + grouped min — the scale path.
+    *
+    * The per-row HOF form ([[minhashSignature]]) is fine for a handful
+    * of hashes, but Spark's interpreted lambda evaluation re-evaluates
+    * the child expression per element, so inlining it `numHashes` times
+    * (as any downstream projection will, e.g. band keys) re-tokenizes
+    * the document numHashes × numShingles times. Exploding shingles to
+    * rows instead keeps every hash inside whole-stage codegen (one
+    * codegen'd md5 per (i, shingle)) and the `groupBy(id).agg(min…)`
+    * is partial-aggregated map-side, so the shuffle carries only one
+    * 16-element partial signature per (partition, id) — this is the
+    * plan that survives 100 TB. Values are bit-identical to
+    * [[minhashSignature]] (same keyed digest, same lexicographic min).
+    *
+    * Returns (id, h0 … h{numHashes-1}); docs with < k tokens have no
+    * shingles and drop out (they cannot minhash — route them through
+    * [[exactDuplicates]] instead).
+    */
+  def minhashSignatureAgg(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      numHashes: Int = 16): DataFrame = {
+    val spread = fanOut(docs)
+    val exploded = spread.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), k)).as("shingle"))
+    val mins = (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i")
+    }
+    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
   /** Near-duplicate candidate pairs via MinHash LSH, verified with
     * exact Jaccard on distinct token sets. Returns (a_id, b_id,
-    * jaccard) with a_id < b_id, one row per pair. */
+    * jaccard) with a_id < b_id, one row per pair.
+    *
+    * Shuffle discipline: the band self-join carries ONLY (band, id) —
+    * token payloads are re-attached to the (tiny) verified candidate
+    * set afterwards, so no document content is duplicated through the
+    * widest shuffle. Band keys are 16-byte digests ⇒ uniform, skew-free
+    * partitioning. */
   def nearDuplicatePairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -85,18 +133,20 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
-    val sigs = docs
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("toks", array_distinct(TextAnalysis.tokens(col("text"))))
-      .withColumn("sig", minhashSignature(shingles(col("text"), k), numHashes))
-      .withColumn("band", explode(bandKeys(col("sig"), bands, numHashes / bands)))
-      .select("id", "toks", "band")
-    val a = sigs.select(col("band"), col("id").as("a_id"), col("toks").as("a_toks"))
-    val b = sigs.select(col("band"), col("id").as("b_id"), col("toks").as("b_toks"))
-    a.join(b, Seq("band"))
+    val sig = minhashSignatureAgg(docs, idCol, textCol, k, numHashes)
+    val sigArr = array((0 until numHashes).map(i => col(s"h$i")): _*)
+    val banded = sig
+      .select(col("id"), explode(bandKeys(sigArr, bands, numHashes / bands)).as("band"))
+    val cand = banded.select(col("band"), col("id").as("a_id"))
+      .join(banded.select(col("band"), col("id").as("b_id")), Seq("band"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_toks", "b_toks")
+      .select("a_id", "b_id")
       .distinct() // same pair can collide in several bands
+    val toks = docs.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+    cand
+      .join(toks.select(col("id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
+      .join(toks.select(col("id").as("b_id"), col("toks").as("b_toks")), Seq("b_id"))
       .withColumn("jaccard",
         size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
           size(array_union(col("a_toks"), col("b_toks"))).cast("double"))
