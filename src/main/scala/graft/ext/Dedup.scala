@@ -137,10 +137,21 @@ object Dedup {
     val sigArr = array((0 until numHashes).map(i => col(s"h$i")): _*)
     val banded = sig
       .select(col("id"), explode(bandKeys(sigArr, bands, numHashes / bands)).as("band"))
-    val cand = banded.select(col("band"), col("id").as("a_id"))
-      .join(banded.select(col("band"), col("id").as("b_id")), Seq("band"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
+    // Bucket-local pair generation instead of a band self-join: a
+    // self-join would duplicate the whole signature-computation subtree
+    // (both join inputs re-derive it) and shuffle every row twice.
+    // Grouping ids per bucket computes signatures once; bucket sizes
+    // are collision counts (tiny by construction — identical docs
+    // belong in exactDuplicates first), so the per-bucket quadratic
+    // expansion is bounded and the lambda work is over materialized
+    // attributes, not re-evaluated subtrees.
+    val ids = array_sort(collect_set(col("id")))
+    val cand = banded.groupBy("band").agg(ids.as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct() // same pair can collide in several bands
     val toks = docs.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
