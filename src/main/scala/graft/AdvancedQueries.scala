@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analysis.EventsFact
+import graft.ext.{AsOfJoin, Sessionize, Similarity}
+
+/** Advanced relational/temporal operators beyond the reference's
+  * surface (SURVEY §7.2 M4/M5 breadth): as-of join, sessionization,
+  * range (band) join, embedding near-dup. Oracles mirror the Spark
+  * shape op-for-op; timestamps compare as epoch micros (both engines
+  * floor-truncate the parquet nanos).
+  */
+object AdvancedQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // As-of join: each purchase attached to the user's most recent
+    // signup at-or-before it (inclusive), NULL when none precedes.
+    // DuckDB's native ASOF JOIN is the oracle for our union+window plan.
+    Q("q40_asof_join",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT DISTINCT user_id, ts AS sts, epoch_us(ts) AS signup_us
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  s.signup_us,
+        |  epoch_us(p.ts) - s.signup_us AS gap_us
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.sts
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = EventsFact.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sts"), unix_micros(col("ts")).as("signup_us"))
+        .distinct()
+      AsOfJoin.asOf(purchases, signups, Seq("user_id"), "ts", "sts", Seq("signup_us"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("asof_signup_us").as("signup_us"),
+          (unix_micros(col("ts")) - col("asof_signup_us")).as("gap_us"))
+        .orderBy("event_id")
+    },
+
+    // Gap sessionization (1-day gap): per-user ordered window boundary
+    // flags + running sum, then one grouped agg per session.
+    Q("q41_sessionization",
+      """WITH e AS (
+        |  SELECT user_id, ts, epoch_us(ts) // 1000000 AS sec FROM events),
+        |m AS (
+        |  SELECT user_id, ts, sec,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts) > 86400
+        |      THEN 1 ELSE 0 END AS boundary
+        |  FROM e),
+        |x AS (
+        |  SELECT user_id, ts, sec,
+        |    sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        |  max(sec) - min(sec) AS duration_s
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+      Sessionize.sessions(EventsFact.events(s, dir), "user_id", "ts", gapSeconds = 86400)
+        .select(
+          col("user_id"), col("session_idx"), col("n_events"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("duration_s"))
+        .orderBy("user_id", "session_idx")
+    },
+
+    // Range (band) join: fact column joined into a bounded interval dim
+    // — broadcast the dim, inequality predicate, aggregate per band.
+    Q("q42_range_join",
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('low', 1, 10), ('mid', 11, 30), ('high', 31, 50))
+        |SELECT band, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
+        |GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bands = broadcast(Seq(("low", 1, 10), ("mid", 11, 30), ("high", 31, 50))
+        .toDF("band", "lo", "hi"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .join(bands, col("l_quantity").between(col("lo"), col("hi")))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy("band")
+    },
+
+    // Embedding-cosine near-dup triage: the closest pair within every
+    // label block (exact blocked pairwise cosine; synthetic data has no
+    // pairs above a real dup threshold — the thresholded operator is
+    // Similarity.nearDupPairs, property-tested in SimilaritySpec).
+    Q("q43_embedding_neardup", AdvancedOracles.embeddingNearDup) { (s, dir) =>
+      Similarity.closestPairPerBlock(s.read.parquet(s"$dir/embeddings.parquet"), "label")
+        .orderBy("block")
+    },
+  )
+}
+
+object AdvancedOracles {
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)),
+       |  i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)))""".stripMargin
+
+  val embeddingNearDup: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+       |p AS (
+       |  SELECT a.label AS block, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${dotSql("a.embedding", "b.embedding")} /
+       |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+       |       sqrt(${dotSql("b.embedding", "b.embedding")})) AS sim
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+       |r AS (
+       |  SELECT block, a_id, b_id, sim,
+       |    row_number() OVER (PARTITION BY block ORDER BY sim DESC, a_id, b_id) AS rn,
+       |    count(*) OVER (PARTITION BY block) AS n_pairs
+       |  FROM p)
+       |SELECT block, a_id, b_id, round(sim, 6) AS sim, n_pairs
+       |FROM r WHERE rn = 1 ORDER BY block""".stripMargin
+}

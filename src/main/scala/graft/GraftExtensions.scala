@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.ext.SimHash64
+import graft.stats.{TCdf, TPpf}
+
+/** The engine as an installable Spark extension: register with
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `SparkSession.builder.withExtensions(new GraftExtensions)`), or
+  * on an already-running session with `GraftExtensions.install(spark)`.
+  * Either way the engine's native expressions become SQL functions —
+  * the SURVEY §7.3 "(c)" integration path, so a SQL-only user of the
+  * library needs no Scala imports:
+  *
+  *   - `simhash64(tokens)`    — 64-bit SimHash of a string array
+  *     ([[graft.ext.SimHash64]])
+  *   - `t_cdf(x, df)`         — Student-t CDF ([[graft.stats.TCdf]])
+  *   - `t_ppf(p, df)`         — Student-t quantile ([[graft.stats.TPpf]])
+  *
+  * All three are native codegen'd `Expression`s, not UDFs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "misc_funcs", "", "", "built-in")
+
+  import graft.stats.TDistExpression.toDouble
+
+  /** The SQL function surface, shared by the extensions path (new
+    * session) and [[install]] (existing session). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash fingerprint of an array<string>"),
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("t_cdf"),
+      info("t_cdf", "t_cdf(x, df) - Student-t cumulative distribution function"),
+      (children: Seq[Expression]) => TCdf(toDouble(children(0)), toDouble(children(1)))),
+    (FunctionIdentifier("t_ppf"),
+      info("t_ppf", "t_ppf(p, df) - Student-t quantile (inverse CDF)"),
+      (children: Seq[Expression]) => TPpf(toDouble(children(0)), toDouble(children(1)))),
+  )
+
+  /** Register the SQL functions on an existing session (notebooks,
+    * shells — anywhere the builder config is already out of reach). */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
+}

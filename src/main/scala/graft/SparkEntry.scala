@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val registry: Seq[Q] =
-    CoreParityQueries.all ++ RelationalQueries.all ++ ExtensionQueries.all
+    CoreParityQueries.all ++ RelationalQueries.all ++ ExtensionQueries.all ++
+      AdvancedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full before/after campaign analysis (means, CI, Welch t/p, verdict)

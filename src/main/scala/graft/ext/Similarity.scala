@@ -38,10 +38,12 @@ object Similarity {
     * up from the same table and broadcast as a single-row build side). */
   def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val q = broadcast(emb.filter(col("vec_id") === queryVecId)
-      .select(asDouble(col("embedding")).as("qvec")))
+      .select(unitVec(asDouble(col("embedding"))).as("qunit")))
     emb.crossJoin(q)
       .filter(col("vec_id") =!= queryVecId)
-      .withColumn("sim", round(cosine(asDouble(col("embedding")), col("qvec")), 6))
+      // query side normalized once at broadcast; corpus side once per
+      // row — each row's sim is then a single codegen-friendly fold
+      .withColumn("sim", round(dot(unitVec(asDouble(col("embedding"))), col("qunit")), 6))
       .select("vec_id", "label", "sim")
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
@@ -82,14 +84,67 @@ object Similarity {
               numPlanes: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame = {
     val bucketed = withLshBuckets(emb, numPlanes, seed, dim)
     val q = broadcast(bucketed.filter(col("vec_id") === queryVecId)
-      .select(asDouble(col("embedding")).as("qvec"), col("bucket").as("qbucket")))
+      .select(unitVec(asDouble(col("embedding"))).as("qunit"), col("bucket").as("qbucket")))
     bucketed.join(q, col("bucket") === col("qbucket"))
       .filter(col("vec_id") =!= queryVecId)
-      .withColumn("sim", round(cosine(asDouble(col("embedding")), col("qvec")), 6))
+      .withColumn("sim", round(dot(unitVec(asDouble(col("embedding"))), col("qunit")), 6))
       .select("vec_id", "label", "bucket", "sim")
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Embedding-cosine near-duplicate pairs within blocks: exact cosine
+    * over a blocked self-join, keeping pairs at/above `minCosine`.
+    * Blocking (label, LSH bucket from [[withLshBuckets]], shard key …)
+    * is what bounds the quadratic term at scale — the block self-join
+    * shuffles once on the block key and each block expands locally.
+    * For unblocked corpora, feed `withLshBuckets` output and block on
+    * `bucket`. */
+  /** Unit-normalize a vector column; null for zero-norm vectors (so
+    * downstream cosine keeps the "undefined" semantics of [[cosine]]). */
+  def unitVec(vec: Column): Column = {
+    val n = l2Norm(vec)
+    when(n > 0, transform(vec, x => x / n))
+  }
+
+  def nearDupPairs(
+      emb: DataFrame,
+      blockCol: String,
+      minCosine: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // Normalize ONCE per vector before the pair expansion: cosine of
+    // unit vectors is a single dot product, so each of the O(pairs)
+    // evaluations does one fold instead of recomputing both operand
+    // norms (higher-order-fn lambdas are interpreted — tripling the
+    // per-pair work is very visible at scale).
+    val unit = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
+      unitVec(asDouble(col(vecCol))).as("unit"))
+    val a = unit.select(col("block"), col("id").as("a_id"), col("unit").as("a_unit"))
+    val b = unit.select(col("block"), col("id").as("b_id"), col("unit").as("b_unit"))
+    a.join(b, Seq("block"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", dot(col("a_unit"), col("b_unit")))
+      .filter(col("sim") >= minCosine)
+      .select(col("block"), col("a_id"), col("b_id"), col("sim"))
+  }
+
+  /** The single most-similar pair per block — argmax over the blocked
+    * pair set (near-dup triage view: "how close is the closest pair in
+    * every block"). */
+  def closestPairPerBlock(
+      emb: DataFrame,
+      blockCol: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    nearDupPairs(emb, blockCol, minCosine = -1.0, idCol, vecCol)
+      .groupBy("block")
+      .agg(
+        max_by(struct(col("a_id"), col("b_id"), col("sim")), col("sim")).as("best"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("block"), col("best.a_id").as("a_id"),
+        col("best.b_id").as("b_id"),
+        round(col("best.sim"), 6).as("sim"), col("n_pairs"))
 
   /** Per-label embedding stats: count + exact mean L2 norm (norms are
     * per-row deterministic; the mean uses decimal accumulation — see
