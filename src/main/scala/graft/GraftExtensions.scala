@@ -50,6 +50,9 @@ object GraftExtensions {
     (FunctionIdentifier("t_ppf"),
       info("t_ppf", "t_ppf(p, df) - Student-t quantile (inverse CDF)"),
       (children: Seq[Expression]) => TPpf(toDouble(children(0)), toDouble(children(1)))),
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two array<double> vectors"),
+      (children: Seq[Expression]) => graft.ext.DotProduct(children(0), children(1))),
   )
 
   /** Register the SQL functions on an existing session (notebooks,

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product; fold is left-to-right ⇒ deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Elementwise dot product — the native [[DotProduct]] expression
+    * (left-to-right accumulation ⇒ deterministic, codegen'd; the HOF
+    * `aggregate(zip_with(...))` form computes the identical value but
+    * interprets a boxed lambda per element). */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
