@@ -239,34 +239,46 @@ object ExtensionOracles {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirrors Dedup.minhashSignatureAggFast + nearDuplicatePairs: one
+    * md5 per shingle (60-bit hex-prefix base), 16 affine lanes mod
+    * 2^31−1 with the engine's exact splitmix-derived constants, banded
+    * md5 bucket keys, bucket candidates, exact token-Jaccard verify. */
   val minhashPairs: String = {
-    val hs = (0 until 16).map { i =>
-      s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS h$i"
+    val P = graft.ext.Dedup.MinhashP
+    val lanes = graft.ext.Dedup.affineParams(16).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * base + $b) % $P) AS h$i"
     }.mkString(", ")
     val bandDefs = (0 until 4).map { b =>
-      val parts = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      val parts = (0 until 4).map(r => s"h${b * 4 + r}::VARCHAR").mkString(" || '|' || ")
       s"md5($parts) AS band$b"
     }.mkString(", ")
     s"""WITH t AS (
-       |  SELECT doc_id,
-       |         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,
-       |         regexp_split_to_array(trim(text), '\\s+') AS rawtoks
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS rawtoks
        |  FROM documents),
-       |s AS (SELECT doc_id, toks, ${shinglesOf("rawtoks")} AS sh FROM t),
-       |sig AS (SELECT doc_id, toks, $hs FROM s),
-       |withbands AS (SELECT doc_id, toks, $bandDefs FROM sig),
+       |s AS (SELECT doc_id, ${shinglesOf("rawtoks")} AS sh FROM t),
+       |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+       |bs AS (SELECT doc_id,
+       |         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $P AS base
+       |       FROM ex),
+       |sig AS (SELECT doc_id, $lanes FROM bs GROUP BY doc_id),
+       |withbands AS (SELECT doc_id, $bandDefs FROM sig),
        |banded AS (
-       |  SELECT doc_id, toks, unnest([band0, band1, band2, band3]) AS band
+       |  SELECT doc_id, unnest([band0, band1, band2, band3]) AS band
        |  FROM withbands),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.toks AS a_toks, b.toks AS b_toks
-       |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |tok AS (
+       |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+       |  FROM documents)
        |SELECT a_id, b_id,
-       |  CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) /
-       |    CAST(len(list_distinct(a_toks || b_toks)) AS DOUBLE) AS jaccard
+       |  CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+       |    CAST(len(list_distinct(ta.toks || tb.toks)) AS DOUBLE) AS jaccard
        |FROM cand
-       |WHERE CAST(len(list_intersect(a_toks, b_toks)) AS DOUBLE) /
-       |    CAST(len(list_distinct(a_toks || b_toks)) AS DOUBLE) >= 0.4
+       |JOIN tok ta ON ta.doc_id = a_id
+       |JOIN tok tb ON tb.doc_id = b_id
+       |WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+       |    CAST(len(list_distinct(ta.toks || tb.toks)) AS DOUBLE) >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
   }
 

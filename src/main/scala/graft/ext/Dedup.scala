@@ -116,6 +116,51 @@ object Dedup {
     exploded.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Modulus for the affine minhash lanes: 2^31 − 1 (Mersenne). Keeps
+    * every product a_i · (base mod P) < 2^62 — no overflow under ANSI. */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic affine-lane parameters (a_i ∈ [1, P), b_i ∈ [0, P)),
+    * splitmix64-derived so any engine can inline the same literals. */
+  def affineParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (splitmix64(0xA11CEL + i) & Long.MaxValue) % (MinhashP - 1) + 1
+      val b = (splitmix64(0xB0BL + i) & Long.MaxValue) % MinhashP
+      (a, b)
+    }
+
+  private def splitmix64(in: Long): Long = {
+    var z = in + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Production signature: ONE md5 per shingle (a 60-bit base drawn
+    * from its hex prefix), then `numHashes` affine lanes
+    * h_i = (a_i · base + b_i) mod 2^31−1 — the classic universal-hash
+    * minhash family. 16× less hashing than [[minhashSignatureAgg]]'s
+    * keyed-digest-per-lane form at identical LSH behavior, and still
+    * bit-reproducible in any engine that can parse hex (the q30 oracle
+    * mirrors it in DuckDB). Same explode + map-side-combined grouped
+    * min plan shape. Returns (id, h0 … h{n−1}) as longs. */
+  def minhashSignatureAggFast(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      numHashes: Int = 16): DataFrame = {
+    val exploded = fanOut(docs).select(col(idCol).as("id"),
+      explode(shingles(col(textCol), k)).as("shingle"))
+      .withColumn("base",
+        conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % MinhashP)
+    val mins = affineParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("base") + lit(b)) % MinhashP).as(s"h$i")
+    }
+    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
   /** Near-duplicate candidate pairs via MinHash LSH, verified with
     * exact Jaccard on distinct token sets. Returns (a_id, b_id,
     * jaccard) with a_id < b_id, one row per pair.
@@ -133,10 +178,15 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
-    val sig = minhashSignatureAgg(docs, idCol, textCol, k, numHashes)
-    val sigArr = array((0 until numHashes).map(i => col(s"h$i")): _*)
+    val sig = minhashSignatureAggFast(docs, idCol, textCol, k, numHashes)
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
+        .cast("binary"))
+    }
     val banded = sig
-      .select(col("id"), explode(bandKeys(sigArr, bands, numHashes / bands)).as("band"))
+      .select(col("id"), explode(array(bandCols: _*)).as("band"))
     // Bucket-local pair generation instead of a band self-join: a
     // self-join would duplicate the whole signature-computation subtree
     // (both join inputs re-derive it) and shuffle every row twice.
