@@ -19,9 +19,10 @@ object CoreParityQueries {
   private val beforeCase = s"CASE WHEN year BETWEEN ${W.beforeLo} AND ${W.beforeHi} THEN coverage_pct END"
   private val afterCase = s"CASE WHEN year BETWEEN ${W.afterLo} AND ${W.afterHi} THEN coverage_pct END"
 
-  /** DuckDB spelling of [[graft.analysis.CoverageQueries.exactAvg]]. */
+  /** DuckDB spelling of [[graft.analysis.CoverageQueries.exactAvg]]:
+    * same floor-quantized integer accumulation, same division order. */
   private def exactAvgSql(e: String): String =
-    s"CAST(sum(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE) / count($e)"
+    s"CAST(sum(CAST(floor(($e) * 1000000.0) AS BIGINT)) AS DOUBLE) / count($e) / 1000000.0"
 
   val all: Seq[Q] = Seq(
 

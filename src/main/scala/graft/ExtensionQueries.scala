@@ -325,7 +325,7 @@ object ExtensionOracles {
       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
       |  FROM embeddings)
       |SELECT label, count(*) AS n,
-      |  CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / count(norm) AS avg_norm
+      |  CAST(sum(CAST(floor(norm * 1000000.0) AS BIGINT)) AS DOUBLE) / count(norm) / 1000000.0 AS avg_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin
 
   val welchAggregator: String = {

@@ -9,8 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Float discipline (so cross-engine hash comparison is stable):
   *   - per-row arithmetic: left exact (IEEE ops are order-free);
   *   - double aggregates (avg/var/t): rounded to 4 decimals;
-  *   - double sums: accumulated as DECIMAL (exact, order-free) and cast
-  *     back to double;
+  *   - double sums over RAW decimal-quantized inputs (prices,
+  *     quantities — values sitting on their own decimal grid):
+  *     accumulated as DECIMAL (exact, order-free) and cast back;
+  *   - means over DERIVED doubles (quotients, sqrt — anything off-grid):
+  *     floor-quantized integer accumulation
+  *     ([[graft.analysis.CoverageQueries.exactAvg]]) — a DECIMAL cast
+  *     is NOT safe there: a quotient S/n sits exactly on a .5 rounding
+  *     boundary whenever n is even, and engines disagree on half-way
+  *     rounding (Spark HALF_UP on the exact binary value, DuckDB
+  *     nearest-even on the scaled double). floor has no half-way case.
+  *     Found by running the oracle diff at sf0.1: ~50 groups × even n
+  *     hit real boundary flips that sf0.01 never exposed.
   *   - sort keys: never nullable (Spark sorts NULLS FIRST, DuckDB
   *     NULLS LAST).
   */

@@ -18,14 +18,20 @@ import graft.stats.StudentT
   */
 object CoverageQueries {
 
-  /** Exact (order-independent) mean of a double column: accumulate as
-    * DECIMAL, divide by count. Bitwise-reproducible across engines and
-    * partitionings — a plain double `avg` is not, because FP addition
-    * is non-associative. Quantizes inputs at 1e-6 (documented operator
-    * semantics). NULL (not an error) on empty input: sum is NULL iff
-    * count is 0, and NULL/0 is NULL even under ANSI. */
+  /** Exact (order-independent) mean of a double column: quantize each
+    * value at 1e-6 via `floor(x·1e6)` into a long, sum exactly, divide
+    * back. Bitwise-reproducible across engines and partitionings — a
+    * plain double `avg` is not (FP addition is non-associative), and a
+    * DECIMAL *cast* is not either when the input is a derived quotient:
+    * x = S/n lands exactly on .5e-7 rounding boundaries whenever n is
+    * even, and engines disagree on half-way rounding (Spark HALF_UP on
+    * the exact binary expansion, DuckDB nearest-even on the scaled
+    * double). `floor` has no half-way case: the product x·1e6 is one
+    * IEEE op (identical everywhere), floor of it is exact. NULL (not an
+    * error) on empty input: sum is NULL iff count is 0, and NULL/0 is
+    * NULL even under ANSI. Domain: |x| < 2^53/1e6 ≈ 9e9. */
   def exactAvg(c: Column): Column =
-    sum(c.cast("decimal(18,6)")).cast("double") / count(c)
+    sum(floor(c * lit(1e6))).cast("double") / count(c) / lit(1e6)
 
   /** Filtered ordered series — S2/P1/P2/L1
     * (`/root/reference/etl_pipeline.py:109-118`). Catalyst pushes both

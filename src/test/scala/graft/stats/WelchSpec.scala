@@ -88,7 +88,10 @@ class WelchSpec extends SparkSpec {
     assert(rel.keySet == typed.keySet)
     assert(rel.nonEmpty, "expected at least one testable series at sf0.001")
     rel.foreach { case (k, (t, df)) =>
-      assert(math.abs(typed(k)._1 - t) < 1e-8, s"$k t")
+      // relational means are floor-quantized at 1e-6 (exactAvg's
+      // cross-engine discipline); the typed aggregator keeps full
+      // double means — t shifts by O(quantization / stderr) ≈ 1e-5
+      assert(math.abs(typed(k)._1 - t) < 1e-4, s"$k t")
       assert(math.abs(typed(k)._2 - df) < 1e-8, s"$k df")
     }
   }
