@@ -91,4 +91,37 @@ class IngestSpec extends SparkSpec {
     assert(w.beforeLo == 1995 && w.beforeHi == 1999)
     assert(w.afterLo == 2000 && w.afterHi == 2003)
   }
+
+  test("CSV sink writes a single headered file; names sanitize") {
+    val out = Files.createTempDirectory("graft_csv_out").toString + "/series"
+    val tidy = WideCsvIngest.tidy(WideCsvIngest.readWideCsv(spark, golden))
+    WideCsvIngest.writeCsv(tidy.select("year", "coverage_pct"), out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1, "coalesce(1) must yield exactly one csv part")
+    val lines = Files.readAllLines(files.head.toPath)
+    assert(lines.get(0) == "year,coverage_pct" && lines.size() == 6)
+    assert(WideCsvIngest.sanitizeName("Congo / Kinshasa x") == "Congo_-_Kinshasa_x")
+  }
+
+  test("end-to-end golden: wide CSV through ETL to before/after stats") {
+    // 4 points before year 2000, 4 at/after — means 10.5 and 20.5
+    val rows = (1996 to 2003).map { y =>
+      val v = if (y < 2000) 10.0 + (y - 1996) * 0.25 else 20.0 + (y - 2000) * 0.25
+      s"S,$y,$v"
+    }.mkString("\n")
+    val csv = writeCsv(s"entity,year,coverage__x\n$rows\n")
+    val fact = WideCsvIngest.tidy(WideCsvIngest.readWideCsv(spark, csv))
+    val w = CampaignWindow(2000, 4, 3)
+    val r = graft.analysis.CoverageQueries
+      .beforeAfterFull(fact, w).collect().head
+    assert(r.getAs[Long]("n_before") == 4 && r.getAs[Long]("n_after") == 4)
+    assert(math.abs(r.getAs[Double]("mean_before") - 10.375) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mean_after") - 20.375) < 1e-9)
+    assert(math.abs(r.getAs[Double]("diff") - 10.0) < 1e-9)
+    // Welch by hand: var_samp = 0.3125/3 each side, se = sqrt(2v/4),
+    // t = -10/0.2282177... = -43.8178046...; df = 6 (equal sides)
+    assert(math.abs(r.getAs[Double]("t_stat") - -43.81780460041329) < 1e-9)
+    assert(r.getAs[Double]("p_value") < 1e-6)
+    assert(r.getAs[String]("verdict") == "significant_increase")
+  }
 }
