@@ -1,0 +1,86 @@
+package graft.ingest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.analysis.CoverageQueries
+import graft.model.CampaignWindow
+
+/** The reference's CLI entry point (`python etl_pipeline.py [--country
+  * --antigen --start-year --pre-years --post-years]`,
+  * `/root/reference/etl_pipeline.py:183-195`) as a spark-submit main:
+  * ETL always runs (staged wide CSV → tidy fact published as sorted
+  * parquet, replacing the SQLite db); the before/after analysis runs
+  * when a country+antigen selection is given, emitting the series CSV
+  * artifact and the stats summary the reference prints/plots.
+  *
+  * Usage:
+  * {{{
+  * spark-submit --class graft.ingest.EtlCli <jar> \
+  *   --source /staging/owid_wide.csv --out /warehouse/vaccination \
+  *   [--country India --antigen dtp3 \
+  *    --start-year 2000 --pre-years 5 --post-years 5]
+  * }}}
+  */
+object EtlCli {
+
+  final case class Config(
+      source: String = "",
+      out: String = "",
+      country: Option[String] = None,
+      antigen: Option[String] = None,
+      startYear: Int = 2000,
+      preYears: Int = 5,
+      postYears: Int = 5)
+
+  def parse(args: List[String], c: Config = Config()): Config = args match {
+    case "--source" :: v :: rest => parse(rest, c.copy(source = v))
+    case "--out" :: v :: rest => parse(rest, c.copy(out = v))
+    case "--country" :: v :: rest => parse(rest, c.copy(country = Some(v)))
+    case "--antigen" :: v :: rest => parse(rest, c.copy(antigen = Some(v)))
+    case "--start-year" :: v :: rest => parse(rest, c.copy(startYear = v.toInt))
+    case "--pre-years" :: v :: rest => parse(rest, c.copy(preYears = v.toInt))
+    case "--post-years" :: v :: rest => parse(rest, c.copy(postYears = v.toInt))
+    case Nil => c
+    case other => throw new IllegalArgumentException(s"unknown argument: ${other.head}")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parse(args.toList)
+    require(c.source.nonEmpty && c.out.nonEmpty, "--source and --out are required")
+    val spark = SparkSession.builder()
+      .appName("graft-etl")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    run(spark, c)
+  }
+
+  /** Separated from main for tests; returns the analysis row (if any). */
+  def run(spark: SparkSession, c: Config): Option[org.apache.spark.sql.Row] = {
+    // E1 steps 1-5: extract (pre-staged), validate, transform, load.
+    val raw = WideCsvIngest.readWideCsv(spark, c.source)
+    raw.write.mode("overwrite").parquet(s"${c.out}/owid_raw")
+    val fact = WideCsvIngest.tidy(raw)
+    WideCsvIngest.writeFact(fact, s"${c.out}/immunization")
+    println(s"[etl] published ${c.out}/immunization")
+
+    // E1 steps 6-9 when a selection is given.
+    for (country <- c.country; antigen <- c.antigen) yield {
+      val published = spark.read.parquet(s"${c.out}/immunization")
+      val series = CoverageQueries.seriesOf(published, country, antigen)
+      if (series.isEmpty)
+        throw new IllegalArgumentException(
+          s"no data for country=$country antigen=$antigen")
+      val artifact = s"${c.out}/coverage_${WideCsvIngest.sanitizeName(country)}_" +
+        WideCsvIngest.sanitizeName(antigen)
+      WideCsvIngest.writeCsv(series, artifact)
+      val w = CampaignWindow(c.startYear, c.preYears, c.postYears)
+      val row = CoverageQueries.beforeAfterFull(published, w)
+        .filter(col("country") === country && col("antigen") === antigen)
+        .collect().head
+      println(f"[analysis] $country/$antigen n=${row.getAs[Long]("n_before")}+" +
+        f"${row.getAs[Long]("n_after")} diff=${row.getAs[Double]("diff")}%.3f " +
+        f"verdict=${row.getAs[String]("verdict")}")
+      row
+    }
+  }
+}
