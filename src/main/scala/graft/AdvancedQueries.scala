@@ -99,6 +99,25 @@ object AdvancedQueries {
       Similarity.closestPairPerBlock(s.read.parquet(s"$dir/embeddings.parquet"), "label")
         .orderBy("block")
     },
+
+    // SimHash banded near-dup pairs (pigeonhole Hamming search). The
+    // murmur3-based fingerprint has no DuckDB twin by construction —
+    // DedupSpec proves banded == brute-force XOR-popcount instead; rows
+    // here are the synthetic corpus' exact-duplicate groups (hamming 0).
+    Q.noOracle("q44_simhash_neardup") { (s, dir) =>
+      graft.ext.Dedup.simhashNearDupPairs(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // IVF ANN: spherical-k-means cells, 3-of-8 probe. Training is
+    // DataFrame Lloyd iterations (only the k x dim centroid matrix
+    // reaches the driver); IvfSpec proves nProbe=k == brute force and
+    // recall at narrow probes.
+    Q.noOracle("q45_ann_ivf") { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val centroids = graft.ext.Ivf.centroidsFor(emb, dir, k = 8, iters = 3)
+      graft.ext.Ivf.topK(emb, 0L, 20, centroids, nProbe = 3)
+    },
   )
 }
 

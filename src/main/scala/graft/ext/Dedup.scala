@@ -215,6 +215,43 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** SimHash near-duplicate pairs: docs whose 64-bit [[SimHash64]]
+    * fingerprints differ in ≤ `maxHamming` bits (Charikar/Manku web-dedup
+    * semantics). Pigeonhole banding makes it sub-quadratic: split the
+    * fingerprint into `maxHamming + 1` bands — any pair within the
+    * Hamming budget must agree exactly on ≥ 1 band, so candidates come
+    * from per-band bucket groups (same bucket-local pair expansion as
+    * the MinHash path — no self-join, signatures computed once) and are
+    * verified with one XOR popcount. */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, "maxHamming out of range")
+    val bands = maxHamming + 1
+    val bandBits = 64 / bands
+    val sig = fanOut(docs).select(col(idCol).as("id"),
+      SimHash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      // band key = (band index, that band's bit slice)
+      struct(lit(b).as("b"),
+        col("sig").bitwiseAND(lit(((1L << bandBits) - 1) << (b * bandBits))).as("bits"))
+    }
+    val banded = sig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("band"))
+    val cand = banded.groupBy("band")
+      .agg(array_sort(collect_set(struct(col("id"), col("sig")))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + lit(2), size(col("members")) - i - lit(1)),
+          y => struct(x.getField("id").as("a_id"), y.getField("id").as("b_id"),
+            x.getField("sig").as("a_sig"), y.getField("sig").as("b_sig")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"),
+        bit_count(col("p.a_sig").bitwiseXOR(col("p.b_sig"))).as("hamming"))
+      .distinct()
+    cand.filter(col("hamming") <= maxHamming)
+  }
+
   /** Character n-gram Jaccard similarity of two text columns — the
     * verification kernel, exposed standalone (A/B similarity without
     * LSH). */

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the second scale
+  * path next to sign-LSH ([[Similarity.annTopK]]): partition the corpus
+  * into k spherical-k-means cells, search only the `nProbe` cells whose
+  * centroids are closest to the query.
+  *
+  * Training is Lloyd iterations expressed as DataFrame jobs: assign =
+  * per-row argmax of `k` codegen'd dot products against broadcast
+  * centroids; update = per-cell dimension means via posexplode +
+  * grouped avg. Only the k×dim centroid matrix ever reaches the driver
+  * (that is the IVF contract — the index itself stays distributed; at
+  * rest, `cell` is the partition key so a probe is an nProbe-partition
+  * read, not a corpus scan).
+  *
+  * Determinism: init picks the k lowest vec_ids; every subsequent step
+  * is a deterministic plan, so the index is reproducible run-to-run.
+  */
+object Ivf {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Argmax cell id for a unit vector against broadcast centroids. */
+  private def cellOf(unit: Column, centroids: Array[Array[Double]]): Column = {
+    val dots = array(centroids.map(c =>
+      Similarity.dot(unit, array(c.map(lit): _*))): _*)
+    // array_position is 1-based; ties resolve to the lowest cell id
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Unit-normalized corpus projection: (vec_id, label, unit). */
+  private def unitized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      Similarity.unitVec(asDouble(col("embedding"))).as("unit"))
+
+  /** Memoized training per (session, key): an IVF index is a
+    * build-once artifact (at rest it is the `cell` partition layout +
+    * the k×dim centroid matrix); queries only probe it. Mirrors
+    * [[graft.analysis.EventsFact.fact]]'s cache layer. */
+  def centroidsFor(emb: DataFrame, key: String, k: Int, iters: Int): Array[Array[Double]] =
+    trainedCache.getOrElseUpdate((emb.sparkSession, key, k, iters),
+      trainCentroids(emb, k, iters))
+
+  private val trainedCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), Array[Array[Double]]]
+
+  /** Train spherical k-means centroids (unit-normalized). */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val units = unitized(emb).filter(col("unit").isNotNull)
+    // deterministic seed: the k lowest vec_ids
+    var centroids: Array[Array[Double]] = units.orderBy("vec_id").limit(k)
+      .select("unit").collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = units.withColumn("cell", cellOf(col("unit"), centroids))
+      val dimMeans = assigned
+        .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .collect()
+      val byCell = dimMeans.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val mean = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+            val norm = math.sqrt(mean.map(x => x * x).sum)
+            if (norm > 0) mean.map(_ / norm) else centroids(c) // empty-ish cell keeps its centroid
+          case None => centroids(c)
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Corpus with its IVF cell assignment (the at-rest partition key). */
+  def withCells(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    unitized(emb).withColumn("cell", cellOf(col("unit"), centroids))
+
+  /** ANN top-k: exact cosine, restricted to the `nProbe` cells whose
+    * centroids are closest to the query vector. nProbe = k degenerates
+    * to exact brute force. */
+  def topK(emb: DataFrame, queryVecId: Long, topK: Int,
+           centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val cells = withCells(emb, centroids)
+    val qRow = cells.filter(col("vec_id") === queryVecId)
+      .select("unit").head()
+    val qUnit = qRow.getSeq[Double](0).toArray
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qUnit).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val qCol = array(qUnit.map(lit): _*)
+    cells
+      .filter(col("cell").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= queryVecId)
+      .withColumn("sim", round(Similarity.dot(col("unit"), qCol), 6))
+      .select("vec_id", "label", "cell", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+}

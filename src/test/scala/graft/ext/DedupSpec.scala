@@ -73,4 +73,25 @@ class DedupSpec extends SparkSpec {
     assert(r(3) == 0.0)
     assert(r(2) < r(1))
   }
+
+  test("simhash banded near-dup pairs equal brute-force hamming pairs") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      // add guaranteed near-dups: two exact copies of doc 0's text
+      .union(spark.read.parquet(s"${sf()}/documents.parquet")
+        .filter(col("doc_id") < 2)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    val got = Dedup.simhashNearDupPairs(docs, maxHamming = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all pairs with XOR popcount <= 3
+    val sigs = docs.select(col("doc_id").as("id"),
+      SimHash64(TextAnalysis.tokens(col("text"))).as("sig"))
+    val brute = sigs.alias("a").crossJoin(sigs.alias("b"))
+      .filter(col("a.id") < col("b.id") &&
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"banded=$got brute=$brute")
+    assert(got.contains((0L, 10000L)) && got.contains((1L, 10001L)),
+      "exact copies must be found (hamming 0)")
+  }
 }
