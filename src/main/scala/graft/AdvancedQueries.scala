@@ -118,6 +118,25 @@ object AdvancedQueries {
       val centroids = graft.ext.Ivf.centroidsFor(emb, dir, k = 8, iters = 3)
       graft.ext.Ivf.topK(emb, 0L, 20, centroids, nProbe = 3)
     },
+
+    // Grouped top-k via the custom LogicalPlan/Strategy/SparkPlan
+    // operator (bounded per-key heaps — no per-group sort). Same
+    // semantics as q19's window formulation, same DuckDB oracle shape:
+    // the physical plan differs, the rows must not.
+    Q("q46_topk_custom_plan",
+      EventsFact.withFactCte(
+        """SELECT country, antigen, year, coverage_pct FROM (
+          |  SELECT *, row_number() OVER
+          |    (PARTITION BY country, antigen ORDER BY coverage_pct DESC, year) AS rn
+          |  FROM fact)
+          |WHERE rn <= 3 ORDER BY country, antigen, coverage_pct DESC, year""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.Column
+      graft.plans.TopKPerKey.topKPerKey(
+          EventsFact.fact(s, dir), Seq("country", "antigen"),
+          "coverage_pct", descending = true, k = 3, tiebreakCols = Seq("year"))
+        .select("country", "antigen", "year", "coverage_pct")
+        .orderBy(col("country"), col("antigen"), col("coverage_pct").desc, col("year"))
+    },
   )
 }
 

@@ -26,8 +26,11 @@ import graft.stats.{TCdf, TPpf}
   * All three are native codegen'd `Expression`s, not UDFs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // the custom grouped-top-k physical operator (graft.plans)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {

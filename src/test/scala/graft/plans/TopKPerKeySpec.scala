@@ -1,0 +1,50 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom exec equals the window row_number formulation") {
+    val fact = graft.analysis.EventsFact.fact(spark, sf())
+    val got = TopKPerKey.topKPerKey(fact, Seq("country", "antigen"),
+        "coverage_pct", descending = true, k = 3, tiebreakCols = Seq("year"))
+      .select("country", "antigen", "year", "coverage_pct")
+      .orderBy(col("country"), col("antigen"), col("coverage_pct").desc, col("year"))
+      .collect().toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("country", "antigen")
+      .orderBy(col("coverage_pct").desc, col("year"))
+    val want = fact.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("country", "antigen", "year", "coverage_pct")
+      .orderBy(col("country"), col("antigen"), col("coverage_pct").desc, col("year"))
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("the plan is the custom exec with one exchange and NO sort") {
+    val fact = graft.analysis.EventsFact.factUncached(spark, sf())
+    val df = TopKPerKey.topKPerKey(fact, Seq("country", "antigen"),
+      "coverage_pct", descending = true, k = 3, tiebreakCols = Seq("year"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey ["), s"custom exec missing:\n$plan")
+    assert(!plan.contains("Window"), s"should not fall back to Window:\n$plan")
+    assert(!plan.contains("\nSort") && !plan.contains("+- Sort"),
+      s"per-group sort should not appear:\n$plan")
+  }
+
+  test("keys smaller than k, duplicates, and empty input behave") {
+    val tiny = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 5.0))
+      .toDF("key", "year", "v")
+    val got = TopKPerKey.topKPerKey(tiny, Seq("key"), "v", descending = true,
+        k = 3, tiebreakCols = Seq("year"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 5.0)))
+    val empty = TopKPerKey.topKPerKey(tiny.filter(col("v") > 100),
+      Seq("key"), "v", descending = true, k = 3)
+    assert(empty.count() == 0)
+    intercept[IllegalArgumentException](
+      TopKPerKey.topKPerKey(tiny, Seq("nope"), "v", descending = true, k = 1))
+  }
+}
