@@ -170,6 +170,28 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus-curation capstone: the composed training-data pipeline —
+    // exact-dedup (keep canonical docs), quality gate, language gate,
+    // then per-language volume/token/quality stats. One declarative
+    // plan: fingerprint window + per-row expressions + one aggregate;
+    // the whole pipeline is a single pass over the corpus plus the
+    // dedup shuffle.
+    Q("q47_corpus_pipeline", ExtensionOracles.corpusPipeline) { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val kept = Dedup.exactDuplicates(docs)
+        .filter(!col("is_duplicate"))
+        .join(docs, Seq("doc_id"))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+      kept.groupBy("lang_pred")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          graft.analysis.CoverageQueries.exactAvg(col("quality")).as("avg_quality"))
+        .orderBy("lang_pred")
+    },
+
     // Welch t-test via the typed Aggregator (partial-mergeable custom
     // aggregate) — t/df checked against the relational oracle formula.
     Q("q39_welch_aggregator", ExtensionOracles.welchAggregator) { (s, dir) =>
@@ -201,6 +223,62 @@ object ExtensionQueries {
 
 /** Long/programmatic oracle SQL for the extension queries. */
 object ExtensionOracles {
+
+  /** Per-row quality mirror of TextAnalysis.qualityScore over `text`
+    * (same shape as the q26 oracle, factored for reuse). */
+  private val qualitySql: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val stops = graft.ext.TextAnalysis.englishStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    val stopCount = s"len(list_filter($toks, t -> list_contains($stops, t)))"
+    s"""0.3 * least(1.0, CAST(len($toks) AS DOUBLE) / 64.0)
+       |  + 0.3 * least(1.0, (CAST($stopCount AS DOUBLE) / CAST(len($toks) AS DOUBLE)) * 4.0)
+       |  + 0.2 * (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE))
+       |  + 0.2 * (1.0 - least(1.0,
+       |      (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+       |        / CAST(length(text) AS DOUBLE)) * 10.0))""".stripMargin
+  }
+
+  /** lang_pred mirror of TextAnalysis.langIdHeuristic over a `toks`
+    * column (first language in list order attaining the positive max). */
+  private val langPredSql: String = {
+    val scores = graft.ext.TextAnalysis.stopwordsByLang.map { case (lang, stops) =>
+      val lst = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+      lang -> s"(CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))"
+    }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val caseChain = scores.map { case (lang, sc) =>
+      s"WHEN $sc > 0 AND $sc = $best THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $caseChain ELSE 'und' END"
+  }
+
+  val corpusPipeline: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id,
+       |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM documents),
+       |keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+       |    FROM fp)
+       |  WHERE is_canonical),
+       |t AS (
+       |  SELECT d.doc_id, d.text,
+       |    regexp_split_to_array(trim(d.text), '\\s+') AS toks
+       |  FROM documents d JOIN keep USING (doc_id)),
+       |scored AS (
+       |  SELECT doc_id, text, toks,
+       |    $qualitySql AS quality,
+       |    $langPredSql AS lang_pred
+       |  FROM t),
+       |kept AS (
+       |  SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred <> 'und')
+       |SELECT lang_pred, count(*) AS n_docs,
+       |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CAST(floor(quality * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |    / count(quality) / 1000000.0 AS avg_quality
+       |FROM kept GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
 
   val langId: String = {
     val scores = TextAnalysis.stopwordsByLang.map { case (lang, stops) =>
