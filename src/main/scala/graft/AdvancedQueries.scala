@@ -137,6 +137,39 @@ object AdvancedQueries {
         .select("country", "antigen", "year", "coverage_pct")
         .orderBy(col("country"), col("antigen"), col("coverage_pct").desc, col("year"))
     },
+
+    // Exact interpolated percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`: same linear-interpolation definition;
+    // rounded at 4dp — inputs are 2dp prices).
+    Q("q48_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag")
+    },
+
+    // Histogram: fixed-width bins via floor division (width_bucket has
+    // no DuckDB twin; the arithmetic form is engine-portable and stays
+    // in codegen). One partial-aggregated shuffle for any bin count.
+    Q("q49_histogram",
+      """SELECT CAST(floor(l_quantity / 10.0) AS INTEGER) AS bin,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(floor(col("l_quantity") / 10.0).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .orderBy("bin")
+    },
   )
 }
 
