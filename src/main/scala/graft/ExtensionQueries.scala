@@ -192,6 +192,39 @@ object ExtensionQueries {
         .orderBy("lang_pred")
     },
 
+    // PII scrubbing: the redaction pass over text columns. DuckDB's
+    // RE2-style engine mirrors the patterns (no lookarounds used).
+    Q("q50_pii_scrub",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition quality signal (duplicate word-3-gram fraction).
+    Q("q51_repetition",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, ${ExtensionOracles.shinglesOfPublic("toks")} AS sh FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN len(sh) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+         |    ELSE 0.0 END AS repetition
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionScore(col("text")).as("repetition"))
+        .orderBy("doc_id")
+    },
+
     // Welch t-test via the typed Aggregator (partial-mergeable custom
     // aggregate) — t/df checked against the relational oracle formula.
     Q("q39_welch_aggregator", ExtensionOracles.welchAggregator) { (s, dir) =>
@@ -299,6 +332,8 @@ object ExtensionOracles {
   }
 
   /** DuckDB mirror of Dedup.shingles over a token-list expression. */
+  def shinglesOfPublic(toks: String): String = shinglesOf(toks)
+
   private def shinglesOf(toks: String): String =
     s"""CASE WHEN len($toks) >= 3
        |  THEN list_transform(generate_series(1, len($toks) - 2),

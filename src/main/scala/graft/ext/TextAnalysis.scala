@@ -91,6 +91,30 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
 
+  /** PII scrubbing: mask emails, international-ish phone numbers, and
+    * IPv4 addresses (the standard pre-training redaction pass). Pure
+    * regexp_replace chain — per-row, codegen'd, order matters (emails
+    * first so phone patterns cannot eat their digits). */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email,
+      "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>")
+    regexp_replace(phone,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+  }
+
+  /** Repetition score: fraction of word 3-grams that are repeats of an
+    * earlier 3-gram in the same doc (Gopher/C4-style quality signal —
+    * high values mean boilerplate/spam). 0 for docs too short to have
+    * a 3-gram. */
+  def repetitionScore(text: Column, k: Int = 3): Column = {
+    val sh = Dedup.shingles(text, k)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** All stats as one projection over a `text` column. */
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
