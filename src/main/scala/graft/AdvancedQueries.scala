@@ -156,6 +156,27 @@ object AdvancedQueries {
         .orderBy("l_returnflag")
     },
 
+    // CUBE: all 2^n grouping combinations in one Expand+aggregate pass
+    // (completes §2.5's multidimensional set next to q20's ROLLUP).
+    Q("q52_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
     // Histogram: fixed-width bins via floor division (width_bucket has
     // no DuckDB twin; the arithmetic form is engine-portable and stays
     // in codegen). One partial-aggregated shuffle for any bin count.
