@@ -12,8 +12,6 @@ import graft.ext.{Dedup, Multimodal, Similarity, SimHash64, TextAnalysis}
   */
 object ExtensionQueries {
 
-  private val stopsSql = TextAnalysis.englishStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-
   /** DuckDB mirror of TextAnalysis.tokens. */
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
 
