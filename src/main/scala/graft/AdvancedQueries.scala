@@ -156,6 +156,24 @@ object AdvancedQueries {
         .orderBy("l_returnflag")
     },
 
+    // Edit-distance similarity on a bounded pair slice: levenshtein is
+    // native (codegen'd) in Spark and identically defined in DuckDB.
+    // O(len^2) per pair — strictly a verification/short-string kernel;
+    // the scale paths are the hash-based families (q30/q44).
+    Q("q53_edit_distance",
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS dist
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 10 AND b.doc_id < 10
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 10)
+      val a = docs.select(col("doc_id").as("a_id"), substring(col("text"), 1, 80).as("a_t"))
+      val b = docs.select(col("doc_id").as("b_id"), substring(col("text"), 1, 80).as("b_t"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), levenshtein(col("a_t"), col("b_t")).as("dist"))
+        .orderBy("a_id", "b_id")
+    },
+
     // CUBE: all 2^n grouping combinations in one Expand+aggregate pass
     // (completes §2.5's multidimensional set next to q20's ROLLUP).
     Q("q52_cube",
