@@ -41,7 +41,12 @@ case class TopKPerKeyNode(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // two-phase like an aggregate: a map-side partial top-k runs
+      // before the exchange (any global per-key top-k row is also in
+      // its partition's per-key top-k), so a hot key ships at most
+      // k rows per input partition instead of all of them
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -50,14 +55,20 @@ case class TopKPerKeyExec(
     keys: Seq[Attribute],
     order: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** One hash exchange on the keys; Catalyst inserts it (or reuses an
-    * existing compatible partitioning). */
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
+  /** Final phase: one hash exchange on the keys (Catalyst inserts it,
+    * or reuses a compatible partitioning). Partial phase: runs on
+    * whatever partitioning the child has. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output

@@ -29,6 +29,12 @@ class TopKPerKeySpec extends SparkSpec {
       "coverage_pct", descending = true, k = 3, tiebreakCols = Seq("year"))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey ["), s"custom exec missing:\n$plan")
+    assert(plan.contains("TopKPerKeyPartial ["),
+      s"map-side partial top-k missing:\n$plan")
+    // partial runs BELOW the exchange (shuffles at most k rows per
+    // key per input partition), final above it
+    assert(plan.indexOf("TopKPerKeyPartial") > plan.indexOf("Exchange"),
+      s"partial phase must be below the exchange:\n$plan")
     assert(!plan.contains("Window"), s"should not fall back to Window:\n$plan")
     assert(!plan.contains("\nSort") && !plan.contains("+- Sort"),
       s"per-group sort should not appear:\n$plan")
