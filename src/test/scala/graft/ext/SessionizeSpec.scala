@@ -34,4 +34,27 @@ class SessionizeSpec extends SparkSpec {
       .count()
     assert(overlaps == 0)
   }
+
+  test("agrees with Spark's native session_window aggregation") {
+    // session_window merges while gap < g (strict); Sessionize merges
+    // while gap <= g. Identical unless an inter-event gap equals g
+    // exactly — assert that precondition, then require equality.
+    val gap = 86400L
+    val ev = graft.analysis.EventsFact.events(spark, sf())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val exactTies = ev
+      .withColumn("gap_s", col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .filter(col("gap_s") === gap).count()
+    assert(exactTies == 0, "testdata has an exact-gap tie; pick another gap")
+    val native = ev
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gap seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val ours = Sessionize.sessions(ev, "user_id", "ts", gap)
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(ours == native)
+  }
 }
