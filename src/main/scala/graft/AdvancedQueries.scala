@@ -156,6 +156,37 @@ object AdvancedQueries {
         .orderBy("l_returnflag")
     },
 
+    // Bivariate stats per group: corr/covariance between price and
+    // discount (identical streaming co-moment definitions in both
+    // engines; rounded at 4 — co-moments are order-jittery like var).
+    Q("q54_corr_covar",
+      """SELECT l_returnflag,
+        |  round(corr(l_extendedprice, l_discount), 4) AS price_disc_corr,
+        |  round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar,
+        |  round(stddev_samp(l_extendedprice), 4) AS price_sd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_extendedprice"), col("l_discount")), 4).as("price_disc_corr"),
+          round(covar_samp(col("l_extendedprice"), col("l_discount")), 4).as("price_disc_covar"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("price_sd"))
+        .orderBy("l_returnflag")
+    },
+
+    // Ordered string aggregation (deterministic: sort the collected
+    // set, then join — engine-portable without relying on either
+    // engine's listagg ordering rules).
+    Q("q55_string_agg",
+      """SELECT n_regionkey AS regionkey,
+        |  array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      s.read.parquet(s"$dir/nation.parquet")
+        .groupBy(col("n_regionkey").as("regionkey"))
+        .agg(array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"))
+        .orderBy("regionkey")
+    },
+
     // Edit-distance similarity on a bounded pair slice: levenshtein is
     // native (codegen'd) in Spark and identically defined in DuckDB.
     // O(len^2) per pair — strictly a verification/short-string kernel;
