@@ -54,8 +54,8 @@ object AdvancedQueries {
         |  FROM e),
         |x AS (
         |  SELECT user_id, ts, sec,
-        |    sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         |  FROM m)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,

@@ -21,6 +21,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = pd.to_numeric(df[c])
             except (ValueError, TypeError):
                 df[c] = df[c].astype(str)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")  # width is hash-neutral; int-vs-float is not
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -56,6 +58,14 @@ def main(sf_dir, out_dir):
             continue
         if len(g) != len(w):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(g)} duck={len(w)}"
+            continue
+        # the driver hashes raw value bytes, so a dtype divergence
+        # (e.g. DuckDB widening sum(INT) to HUGEINT -> object/float)
+        # fails there even when values agree — catch it here too
+        dt = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+              if str(g[c].dtype) != str(w[c].dtype)]
+        if dt:
+            results[name] = f"DTYPE_MISMATCH {dt}"
             continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
