@@ -29,10 +29,15 @@ object Dedup {
   /** Ensure CPU-heavy per-row work is spread across the cluster: a
     * small/compacted source can arrive as 1-2 scan partitions, which
     * would serialize the expensive shingle+hash map phase onto one
-    * core. On a real multi-file 100 TB scan this is a no-op. */
+    * core. Decided from `inputFiles` (plan metadata — converting to
+    * RDD to count partitions would force a second physical planning
+    * of the subtree and defeat AQE reuse): a source with at least
+    * `defaultParallelism` files already fans out at scan time, so a
+    * real multi-file 100 TB scan skips the shuffle entirely; only
+    * few-file / in-memory inputs pay one round-robin repartition. */
   private def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.inputFiles.length >= target) df else df.repartition(target)
   }
 
   /** Exact duplicates via normalized fingerprint: every doc labeled
@@ -177,7 +182,8 @@ object Dedup {
       k: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 256): DataFrame = {
     val sig = minhashSignatureAggFast(docs, idCol, textCol, k, numHashes)
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
@@ -190,18 +196,36 @@ object Dedup {
     // Bucket-local pair generation instead of a band self-join: a
     // self-join would duplicate the whole signature-computation subtree
     // (both join inputs re-derive it) and shuffle every row twice.
-    // Grouping ids per bucket computes signatures once; bucket sizes
-    // are collision counts (tiny by construction — identical docs
-    // belong in exactDuplicates first), so the per-bucket quadratic
-    // expansion is bounded and the lambda work is over materialized
-    // attributes, not re-evaluated subtrees.
+    // Grouping ids per bucket computes signatures once and the lambda
+    // work runs over materialized attributes, not re-evaluated subtrees.
+    //
+    // Degenerate-bucket guard: a hot band key (boilerplate shingles,
+    // near-empty docs sharing a signature prefix) can put millions of
+    // ids in ONE bucket — collect_set would build one giant array row
+    // and the pair expansion would go quadratic in a single task. Both
+    // window aggregates below spill (WindowExec buffers rows on disk),
+    // so sizing every bucket is safe; buckets over `maxBucket` degrade
+    // to STAR pairing (every member vs the bucket's min id): O(n) rows
+    // per hot bucket instead of O(n²), and — since all members stay
+    // connected through the canonical member — identical connected
+    // components for dedup grouping. The pairwise *listing* inside an
+    // oversized bucket is intentionally partial; audit hot bands with
+    // [[bandBucketStats]] before relying on exhaustive pair output.
+    val byBand = Window.partitionBy("band")
+    val stats = banded
+      .withColumn("bucket_n", count(lit(1)).over(byBand))
+      .withColumn("bucket_min", min(col("id")).over(byBand))
     val ids = array_sort(collect_set(col("id")))
-    val cand = banded.groupBy("band").agg(ids.as("ids"))
-      .filter(size(col("ids")) > 1)
+    val smallPairs = stats.filter(col("bucket_n").between(2, maxBucket))
+      .groupBy("band").agg(ids.as("ids"))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
           y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
+    val starPairs = stats
+      .filter(col("bucket_n") > maxBucket && col("id") =!= col("bucket_min"))
+      .select(col("bucket_min").as("a_id"), col("id").as("b_id"))
+    val cand = smallPairs.union(starPairs)
       .distinct() // same pair can collide in several bands
     val toks = docs.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
@@ -227,7 +251,8 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "maxHamming out of range")
     val bands = maxHamming + 1
     val bandBits = 64 / bands
@@ -239,17 +264,59 @@ object Dedup {
         col("sig").bitwiseAND(lit(((1L << bandBits) - 1) << (b * bandBits))).as("bits"))
     }
     val banded = sig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("band"))
-    val cand = banded.groupBy("band")
+    // Same degenerate-bucket guard as [[nearDuplicatePairs]]: buckets
+    // over maxBucket (e.g. the all-zero band of boilerplate/empty docs)
+    // degrade to star pairing against the bucket's min member — O(n)
+    // per hot bucket, identical connected components, partial pairwise
+    // listing (each star pair is still Hamming-verified, so no false
+    // positives are introduced).
+    val byBand = Window.partitionBy("band")
+    val stats = banded
+      .withColumn("bucket_n", count(lit(1)).over(byBand))
+      .withColumn("bucket_min", min(struct(col("id"), col("sig"))).over(byBand))
+    val smallPairs = stats.filter(col("bucket_n").between(2, maxBucket))
+      .groupBy("band")
       .agg(array_sort(collect_set(struct(col("id"), col("sig")))).as("members"))
-      .filter(size(col("members")) > 1)
       .select(explode(flatten(transform(col("members"), (x, i) =>
         transform(slice(col("members"), i + lit(2), size(col("members")) - i - lit(1)),
           y => struct(x.getField("id").as("a_id"), y.getField("id").as("b_id"),
             x.getField("sig").as("a_sig"), y.getField("sig").as("b_sig")))))).as("p"))
       .select(col("p.a_id"), col("p.b_id"),
         bit_count(col("p.a_sig").bitwiseXOR(col("p.b_sig"))).as("hamming"))
-      .distinct()
-    cand.filter(col("hamming") <= maxHamming)
+    val starPairs = stats
+      .filter(col("bucket_n") > maxBucket && col("id") =!= col("bucket_min.id"))
+      .select(col("bucket_min.id").as("a_id"), col("id").as("b_id"),
+        bit_count(col("bucket_min.sig").bitwiseXOR(col("sig"))).as("hamming"))
+    smallPairs.union(starPairs).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Diagnostic: per-band bucket sizes above `threshold`, largest
+    * first. Run this when exhaustive pair listing matters — buckets
+    * past [[nearDuplicatePairs]]'s `maxBucket` are star-paired (their
+    * members stay in one connected component but not every intra-bucket
+    * pair is listed), and a persistently hot band usually means
+    * boilerplate text that should be routed through
+    * [[exactDuplicates]] first. */
+  def bandBucketStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Int = 256): DataFrame = {
+    val sig = minhashSignatureAggFast(docs, idCol, textCol, k, numHashes)
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
+        .cast("binary"))
+    }
+    sig.select(explode(array(bandCols: _*)).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > threshold)
+      .orderBy(col("bucket_n").desc)
   }
 
   /** Character n-gram Jaccard similarity of two text columns — the

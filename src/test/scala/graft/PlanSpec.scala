@@ -65,6 +65,22 @@ class PlanSpec extends SparkSpec {
     assert(!agg.toString.contains("Window"), s"KPIs should not use a window:\n$agg")
   }
 
+  test("near-dup fan-out decides from plan metadata, not an RDD probe") {
+    // fanOut must not convert to RDD (that forces a second physical
+    // planning of the subtree and defeats AQE reuse). Constructing the
+    // near-dup plan therefore must not run any Spark job.
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    docs.schema // schema inference may run its own job; exclude it
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = graft.ext.Dedup.nearDuplicatePairs(docs)
+    df.queryExecution.executedPlan // force full physical planning
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "planning the near-dup query ran Spark jobs")
+    // single-file test input still fans out to defaultParallelism
+    assert(physical(df).contains("REPARTITION_BY_NUM"),
+      "few-file input should round-robin repartition before the explode")
+  }
+
   test("text analysis is expression-only: no UDFs, single-pass, no extra shuffle") {
     val q26 = SparkEntry.queries("q26_text_stats")(spark, sf())
     val plan = physical(q26)

@@ -74,6 +74,47 @@ class DedupSpec extends SparkSpec {
     assert(r(2) < r(1))
   }
 
+  test("degenerate corpus: 10k identical-signature docs star-pair, no quadratic blowup") {
+    // All 10k docs share every band key -> one hot bucket per band.
+    // Uncapped, this would expand ~50M pairs inside one task; capped,
+    // it degrades to star pairing: n-1 pairs, all through the min id,
+    // one connected component — same dedup grouping as brute force.
+    val n = 10000
+    val hot = spark.range(n).select(col("id").as("doc_id"), lit(base).as("text"))
+    val pairs = Dedup.nearDuplicatePairs(hot, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == n - 1, s"expected star pairing, got ${pairs.length} pairs")
+    assert(pairs.forall(_._1 == 0L), "every member must connect to the canonical id")
+    assert(pairs.map(_._2).toSet == (1L until n).toSet)
+
+    val sim = Dedup.simhashNearDupPairs(hot, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sim.length == n - 1, s"expected star pairing, got ${sim.length} pairs")
+    assert(sim.forall(_._1 == 0L))
+  }
+
+  test("hot bucket does not disturb small-bucket pairs (mixed corpus)") {
+    val n = 600 // > maxBucket=256 hot group, plus the crafted near-dups
+    val boiler = "standard legal disclaimer text repeated verbatim across every scraped page footer today"
+    val hot = spark.range(n)
+      .select((col("id") + 100).as("doc_id"), lit(boiler).as("text"))
+    val pairs = Dedup.nearDuplicatePairs(docs.union(hot), minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), s"near-dup pair lost in mixed corpus: $pairs")
+    // hot group stays one component through its canonical member
+    val hotPairs = pairs.filter { case (a, b) => a >= 100 || b >= 100 }
+    assert(hotPairs.forall(_._1 == 100L), s"hot bucket must star-pair: $hotPairs")
+    assert(hotPairs.map(_._2) == (101L until 100 + n).toSet)
+  }
+
+  test("band bucket stats surface hot bands") {
+    val hot = spark.range(500).select(col("id").as("doc_id"), lit(base).as("text"))
+    val stats = Dedup.bandBucketStats(hot, threshold = 256).collect()
+    assert(stats.nonEmpty && stats.forall(_.getLong(1) == 500L))
+    val quiet = Dedup.bandBucketStats(docs, threshold = 256).collect()
+    assert(quiet.isEmpty)
+  }
+
   test("simhash banded near-dup pairs equal brute-force hamming pairs") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       // add guaranteed near-dups: two exact copies of doc 0's text
