@@ -93,8 +93,11 @@ object ExtensionQueries {
     // oracle confirms the full pipeline (including "no false
     // positives") end-to-end.
     Q("q30_minhash_pairs", ExtensionOracles.minhashPairs) { (s, dir) =>
-      Dedup.nearDuplicatePairs(s.read.parquet(s"$dir/documents.parquet"),
-          minJaccard = 0.4)
+      Dedup.nearDuplicatePairsFromSignatures(
+          Dedup.signaturesFor(s, dir),
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", numHashes = 16, bands = 4,
+          minJaccard = 0.4, maxBucket = 256)
         .orderBy("a_id", "b_id")
     },
 

@@ -183,8 +183,25 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       minJaccard: Double = 0.5,
-      maxBucket: Int = 256): DataFrame = {
-    val sig = minhashSignatureAggFast(docs, idCol, textCol, k, numHashes)
+      maxBucket: Int = 256): DataFrame =
+    nearDuplicatePairsFromSignatures(
+      minhashSignatureAggFast(docs, idCol, textCol, k, numHashes),
+      docs, idCol, textCol, numHashes, bands, minJaccard, maxBucket)
+
+  /** [[nearDuplicatePairs]] over a precomputed signature frame
+    * ((id, h0 … h{n−1}), e.g. [[signaturesFor]]'s persisted one) so
+    * repeated near-dup queries over the same corpus skip the dominant
+    * shingle+hash pass — the engine-layer analog of the reference's
+    * result cache (`/root/reference/streamlit_app.py:99,111`). */
+  def nearDuplicatePairsFromSignatures(
+      sig: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      minJaccard: Double,
+      maxBucket: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|",
@@ -290,6 +307,34 @@ object Dedup {
     smallPairs.union(starPairs).distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  private val sigCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
+
+  /** Memoized persisted signature frame for a documents parquet dir —
+    * one row of (id, h0 … h{n−1}) longs per doc, orders of magnitude
+    * smaller than the corpus, so MEMORY_AND_DISK holds at any scale
+    * the signature aggregation itself holds. Mirrors
+    * [[graft.analysis.EventsFact.fact]]'s (session, dir) memoization
+    * (the reference's TTL'd result cache, `streamlit_app.py:99,111`);
+    * refresh via [[invalidateSignatures]]. */
+  def signaturesFor(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      k: Int = 3,
+      numHashes: Int = 16): DataFrame =
+    sigCache.getOrElseUpdate((spark, sfDir, k, numHashes),
+      minhashSignatureAggFast(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k, numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop the persisted signatures for a dir (the refresh path). */
+  def invalidateSignatures(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    sigCache.filterInPlace { case ((s, d, _, _), df) =>
+      val stale = (s eq spark) && d == sfDir
+      if (stale) df.unpersist()
+      !stale
+    }
 
   /** Diagnostic: per-band bucket sizes above `threshold`, largest
     * first. Run this when exhaustive pair listing matters — buckets

@@ -30,10 +30,12 @@ object EtlCli {
       antigen: Option[String] = None,
       startYear: Int = 2000,
       preYears: Int = 5,
-      postYears: Int = 5)
+      postYears: Int = 5,
+      url: Option[String] = None)
 
   def parse(args: List[String], c: Config = Config()): Config = args match {
     case "--source" :: v :: rest => parse(rest, c.copy(source = v))
+    case "--url" :: v :: rest => parse(rest, c.copy(url = Some(v)))
     case "--out" :: v :: rest => parse(rest, c.copy(out = v))
     case "--country" :: v :: rest => parse(rest, c.copy(country = Some(v)))
     case "--antigen" :: v :: rest => parse(rest, c.copy(antigen = Some(v)))
@@ -46,7 +48,8 @@ object EtlCli {
 
   def main(args: Array[String]): Unit = {
     val c = parse(args.toList)
-    require(c.source.nonEmpty && c.out.nonEmpty, "--source and --out are required")
+    require((c.source.nonEmpty || c.url.nonEmpty) && c.out.nonEmpty,
+      "--source or --url, and --out, are required")
     val spark = SparkSession.builder()
       .appName("graft-etl")
       .config("spark.sql.session.timeZone", "UTC")
@@ -56,8 +59,18 @@ object EtlCli {
 
   /** Separated from main for tests; returns the analysis row (if any). */
   def run(spark: SparkSession, c: Config): Option[org.apache.spark.sql.Row] = {
-    // E1 steps 1-5: extract (pre-staged), validate, transform, load.
-    val raw = WideCsvIngest.readWideCsv(spark, c.source)
+    // E1 step 1: extract. With --url this is the reference's network GET
+    // (60 s timeout, raise on non-2xx — etl_pipeline.py:28-31,51-52)
+    // into `<out>/staging/owid_wide.csv`; --source reads a pre-staged file.
+    val source = c.url match {
+      case Some(u) =>
+        val staged = if (c.source.nonEmpty) c.source
+                     else s"${c.out}/staging/owid_wide.csv"
+        HttpStaging.fetchToStaging(u, staged)
+      case None => c.source
+    }
+    // E1 steps 2-5: validate, transform, load.
+    val raw = WideCsvIngest.readWideCsv(spark, source)
     raw.write.mode("overwrite").parquet(s"${c.out}/owid_raw")
     val fact = WideCsvIngest.tidy(raw)
     WideCsvIngest.writeFact(fact, s"${c.out}/immunization")

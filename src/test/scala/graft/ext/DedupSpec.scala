@@ -115,6 +115,23 @@ class DedupSpec extends SparkSpec {
     assert(quiet.isEmpty)
   }
 
+  test("signature frame memoizes per (session, dir) and invalidates") {
+    val a = Dedup.signaturesFor(spark, sf())
+    assert(Dedup.signaturesFor(spark, sf()) eq a, "second call must hit the cache")
+    assert(a.storageLevel.useMemory, "cached frame must be persisted")
+    // cached path produces the same pairs as the one-shot path
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val direct = Dedup.nearDuplicatePairs(docs, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cached = Dedup.nearDuplicatePairsFromSignatures(
+        a, docs, "doc_id", "text", 16, 4, 0.4, 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cached == direct)
+    Dedup.invalidateSignatures(spark, sf())
+    assert(!(Dedup.signaturesFor(spark, sf()) eq a), "invalidate must evict")
+    Dedup.invalidateSignatures(spark, sf())
+  }
+
   test("simhash banded near-dup pairs equal brute-force hamming pairs") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       // add guaranteed near-dups: two exact copies of doc 0's text

@@ -37,4 +37,44 @@ class EtlCliSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       EtlCli.run(spark, EtlCli.Config(csv.toString, out, Some("Nowhere"), Some("x"))))
   }
+
+  test("--url fetches to staging then runs the full pipeline; non-2xx aborts") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val body = {
+      val rows = (1996 to 2003).map(y => s"S,$y,${10.0 + y - 1996}").mkString("\n")
+      s"entity,year,coverage__x\n$rows\n".getBytes("UTF-8")
+    }
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/wide.csv", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        x.sendResponseHeaders(200, body.length.toLong)
+        x.getResponseBody.write(body); x.close()
+      }
+    })
+    server.createContext("/missing.csv", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        x.sendResponseHeaders(404, -1); x.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val out = Files.createTempDirectory("graft_cli_http").resolve("warehouse").toString
+
+      // E1/E4 entry parity: extract is a real GET, then validate/transform/load.
+      val row = EtlCli.run(spark, EtlCli.Config(out = out,
+        url = Some(s"$base/wide.csv"),
+        country = Some("S"), antigen = Some("x"),
+        startYear = 2000, preYears = 4, postYears = 3)).get
+      assert(row.getAs[String]("verdict") == "significant_increase")
+      assert(Files.exists(java.nio.file.Path.of(s"$out/staging/owid_wide.csv")))
+      assert(spark.read.parquet(s"$out/immunization").count() == 8)
+
+      // raise_for_status parity: non-2xx throws, no partial staging file left
+      val out2 = Files.createTempDirectory("graft_cli_http404").resolve("w").toString
+      intercept[java.io.IOException](
+        EtlCli.run(spark, EtlCli.Config(out = out2, url = Some(s"$base/missing.csv"))))
+      assert(!Files.exists(java.nio.file.Path.of(s"$out2/staging/owid_wide.csv")))
+    } finally server.stop(0)
+  }
 }
