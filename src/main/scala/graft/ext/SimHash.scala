@@ -2,10 +2,10 @@ package graft.ext
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
@@ -21,9 +21,15 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * docs differ in few bits (Hamming distance ≤ 3 is the usual web
   * threshold).
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  // getUTF8String on a non-string array segfault-class-misreads; demand
+  // array<string> at analysis (castable inputs are upgraded, the rest
+  // rejected before execution).
+  // (return type inferred — AbstractDataType is private[sql] in Spark 4)
+  override def inputTypes = Seq(ArrayType(StringType))
 
   override def nullSafeEval(input: Any): Any =
     SimHash64.hashTokens(input.asInstanceOf[ArrayData])

@@ -1,10 +1,10 @@
 package graft.ext
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Dot product of two `array<double>` columns as a native Catalyst
   * expression (SURVEY §7.3 preference (b)).
@@ -21,10 +21,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * treated as 0 contribution (embeddings never contain them — the
   * guard keeps the expression total rather than throwing mid-scan).
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
+
+  // Analysis-time contract: ArrayData.getDouble reads 8-byte lanes, so a
+  // raw array<float>/array<int> child would return garbage widths. The
+  // implicit-cast variant upgrades castable inputs (array<float> — the
+  // shipped embeddings element type — widens to array<double>) and fails
+  // analysis, not runtime, for the rest.
+  // (return type inferred — AbstractDataType is private[sql] in Spark 4)
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val r = DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -54,4 +54,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val fns = spark.sql("SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
     assert(Set("simhash64", "t_cdf", "t_ppf").subsetOf(fns))
   }
+
+  test("vec_dot implicit-casts array<float>/array<int> and rejects non-castable input") {
+    // float input (the shipped embeddings element type) widens to double
+    // at analysis instead of misreading 4-byte lanes as 8-byte doubles
+    val f = spark.sql(
+      """SELECT vec_dot(array(cast(1.5 as float), cast(2.0 as float)),
+        |               array(cast(2.0 as float), cast(3.0 as float))) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(f == 1.5 * 2.0 + 2.0 * 3.0)
+    val i = spark.sql("SELECT vec_dot(array(1, 2), array(3, 4)) AS d").head().getDouble(0)
+    assert(i == 11.0)
+    // a non-array input fails analysis, not runtime
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT vec_dot(map('a', 1.0), map('a', 1.0))").head())
+  }
+
+  test("simhash64 rejects non-array-of-string input at analysis") {
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT simhash64(map('a', 'b'))").head())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT simhash64('not an array')").head())
+  }
 }
