@@ -42,6 +42,35 @@ object AdvancedQueries {
         .orderBy("event_id")
     },
 
+    // As-of join with a max-staleness tolerance (feature-store
+    // variant): a signup older than 7 days no longer qualifies — the
+    // match is NULLed, not re-matched. Oracle: DuckDB ASOF + gap
+    // filter (the match itself is unchanged; only its visibility is).
+    Q("q56_asof_tolerance",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT DISTINCT user_id, ts AS sts, epoch_us(ts) AS signup_us
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  CASE WHEN epoch_us(p.ts) - s.signup_us <= 604800000000
+        |       THEN s.signup_us END AS signup_us
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.sts
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = EventsFact.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sts"), unix_micros(col("ts")).as("signup_us"))
+        .distinct()
+      AsOfJoin.asOf(purchases, signups, Seq("user_id"), "ts", "sts", Seq("signup_us"),
+          tolerance = Some(expr("INTERVAL 7 DAYS")))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("asof_signup_us").as("signup_us"))
+        .orderBy("event_id")
+    },
+
     // Gap sessionization (1-day gap): per-user ordered window boundary
     // flags + running sum, then one grouped agg per session.
     Q("q41_sessionization",

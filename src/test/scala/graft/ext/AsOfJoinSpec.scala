@@ -31,6 +31,36 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("matched right row is attributed atomically — its NULL payload fields survive") {
+    val left = Seq(("k1", 20L, "l")).toDF("key", "t", "tag")
+    // the match at rt=15 has x NULL / y set; the older row at rt=10 has
+    // both set. A per-column carry would resurrect x="old_x" — the
+    // struct carry must report (NULL, "new_y") from the SAME row.
+    val right = Seq(
+      ("k1", 10L, Option("old_x"), Option("old_y")),
+      ("k1", 15L, Option.empty[String], Option("new_y")),
+    ).toDF("key", "rt", "x", "y")
+    val row = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt", Seq("x", "y"))
+      .select("asof_x", "asof_y").head()
+    assert(row.isNullAt(0), "matched row's NULL field must not be back-filled")
+    assert(row.getString(1) == "new_y")
+  }
+
+  test("tolerance nulls matches older than the max staleness") {
+    val left = Seq(("k1", 18L, "near"), ("k1", 30L, "stale"), ("k1", 5L, "none"))
+      .toDF("key", "t", "tag")
+    val right = Seq(("k1", 15L, "r")).toDF("key", "rt", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "t", "rt", Seq("rv"),
+        tolerance = Some(lit(5L)))
+      .select("tag", "asof_rv")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(out == Set(
+      ("near", Some("r")),  // 18 <= 15 + 5
+      ("stale", None),      // 30 > 15 + 5: matched but too stale → NULL
+      ("none", None),       // nothing at or before 5
+    ))
+  }
+
   test("as-of join against events equals a per-row subquery check") {
     val ev = graft.analysis.EventsFact.events(spark, sf())
     val purchases = ev.filter(col("event_type") === "purchase")
