@@ -47,6 +47,14 @@ object Ivf {
   private val trainedCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), Array[Array[Double]]]
 
+  /** Drop every trained index for (session, key) — the refresh path
+    * after the underlying corpus at `key` changes (mirrors
+    * [[graft.analysis.EventsFact.invalidate]] and
+    * [[Dedup.invalidateSignatures]]; without it [[centroidsFor]] would
+    * silently serve stale centroids forever). */
+  def invalidate(spark: org.apache.spark.sql.SparkSession, key: String): Unit =
+    trainedCache.filterInPlace { case ((s, k2, _, _), _) => !((s eq spark) && k2 == key) }
+
   /** Train spherical k-means centroids (unit-normalized). */
   def trainCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     val units = unitized(emb).filter(col("unit").isNotNull)

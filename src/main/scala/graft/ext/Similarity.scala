@@ -142,7 +142,11 @@ object Similarity {
     nearDupPairs(emb, blockCol, minCosine = -1.0, idCol, vecCol)
       .groupBy("block")
       .agg(
-        max_by(struct(col("a_id"), col("b_id"), col("sim")), col("sim")).as("best"),
+        // deterministic argmax: exact-sim ties (duplicated vectors)
+        // break to the lowest (a_id, b_id), matching the q43 oracle's
+        // ORDER BY sim DESC, a_id, b_id — structs compare field-by-field
+        max_by(struct(col("a_id"), col("b_id"), col("sim")),
+          struct(col("sim"), (-col("a_id")).as("na"), (-col("b_id")).as("nb"))).as("best"),
         count(lit(1)).as("n_pairs"))
       .select(col("block"), col("best.a_id").as("a_id"),
         col("best.b_id").as("b_id"),

@@ -27,6 +27,18 @@ class IvfSpec extends SparkSpec {
     assert(all == brute)
   }
 
+  test("centroid cache memoizes per (session, key) and invalidates") {
+    val a = Ivf.centroidsFor(emb, "spec_key", k = 4, iters = 1)
+    assert(Ivf.centroidsFor(emb, "spec_key", k = 4, iters = 1) eq a,
+      "second call must hit the cache")
+    Ivf.invalidate(spark, "spec_key")
+    val b = Ivf.centroidsFor(emb, "spec_key", k = 4, iters = 1)
+    assert(!(b eq a), "invalidate must force a retrain")
+    assert(b.map(_.toSeq).toSeq == a.map(_.toSeq).toSeq,
+      "deterministic training: retrained values identical")
+    Ivf.invalidate(spark, "spec_key")
+  }
+
   test("narrow probe keeps useful recall at a fraction of the scan") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -46,6 +46,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("closest pair per block breaks exact-sim ties to the lowest ids") {
+    // three identical vectors in one block: every pair has sim = 1.0
+    // exactly; the argmax must deterministically pick (1, 2) — the
+    // q43 oracle's ORDER BY sim DESC, a_id, b_id tiebreak
+    val emb = Seq(
+      ("b0", 3L, Array(1.0, 2.0)),
+      ("b0", 1L, Array(1.0, 2.0)),
+      ("b0", 2L, Array(1.0, 2.0)),
+    ).toDF("blk", "vec_id", "embedding")
+    val best = Similarity.closestPairPerBlock(emb, "blk").head()
+    assert((best.getAs[Long]("a_id"), best.getAs[Long]("b_id")) == (1L, 2L))
+    assert(best.getAs[Long]("n_pairs") == 3L)
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)
