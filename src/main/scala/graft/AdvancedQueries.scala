@@ -186,20 +186,23 @@ object AdvancedQueries {
     },
 
     // Bivariate stats per group: corr/covariance between price and
-    // discount (identical streaming co-moment definitions in both
-    // engines; rounded at 4 — co-moments are order-jittery like var).
+    // discount. Exact decimal-accumulated co-moments (ExactMoments):
+    // both inputs are 2-decimal-quantized money/ratio columns, so the
+    // quantized moments ARE the true moments, order-independent and
+    // bitwise-mirrored — no rounding bridge.
     Q("q54_corr_covar",
-      """SELECT l_returnflag,
-        |  round(corr(l_extendedprice, l_discount), 4) AS price_disc_corr,
-        |  round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar,
-        |  round(stddev_samp(l_extendedprice), 4) AS price_sd
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      s"""SELECT l_returnflag,
+         |  ${graft.stats.ExactMoments.exactCorrSql("l_extendedprice", "l_discount")} AS price_disc_corr,
+         |  ${graft.stats.ExactMoments.exactCovarSql("l_extendedprice", "l_discount")} AS price_disc_covar,
+         |  ${graft.stats.ExactMoments.exactStddevSql("l_extendedprice")} AS price_sd
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import graft.stats.ExactMoments
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag")
         .agg(
-          round(corr(col("l_extendedprice"), col("l_discount")), 4).as("price_disc_corr"),
-          round(covar_samp(col("l_extendedprice"), col("l_discount")), 4).as("price_disc_covar"),
-          round(stddev_samp(col("l_extendedprice")), 4).as("price_sd"))
+          ExactMoments.exactCorr(col("l_extendedprice"), col("l_discount")).as("price_disc_corr"),
+          ExactMoments.exactCovar(col("l_extendedprice"), col("l_discount")).as("price_disc_covar"),
+          ExactMoments.exactStddev(col("l_extendedprice")).as("price_sd"))
         .orderBy("l_returnflag")
     },
 

@@ -72,35 +72,37 @@ object CoreParityQueries {
     // A8 — Welch t statistic + Welch–Satterthwaite df, fully relational
     // (DuckDB can check the arithmetic; the p-value is covered by
     // q06 + unit tests since no SQL oracle has the t CDF).
+    // Unrounded: exact decimal-accumulated means AND variances make
+    // t/df fixed IEEE op chains over identical integers — the oracle
+    // mirrors every op (incl. x*x instead of pow), so the hash matches
+    // bit-for-bit with no rounding bridge.
     Q("q05_welch_relational",
       cte(s"""SELECT country, antigen, n_before, n_after,
-             |  mean_before, mean_after,
-             |  CASE WHEN n_before > 1 THEN round(var_before, 4) END AS var_before,
-             |  CASE WHEN n_after > 1 THEN round(var_after, 4) END AS var_after,
+             |  mean_before, mean_after, var_before, var_after,
              |  CASE WHEN n_before > 1 AND n_after > 1 THEN
-             |    round((mean_before - mean_after) / sqrt(var_before/n_before + var_after/n_after), 4)
+             |    (mean_before - mean_after) / sqrt(var_before/n_before + var_after/n_after)
              |  END AS t_stat,
              |  CASE WHEN n_before > 1 AND n_after > 1 THEN
-             |    round(pow(var_before/n_before + var_after/n_after, 2) /
-             |      (pow(var_before/n_before, 2)/(n_before-1) + pow(var_after/n_after, 2)/(n_after-1)), 4)
+             |    ((var_before/n_before + var_after/n_after) * (var_before/n_before + var_after/n_after)) /
+             |      ((var_before/n_before) * (var_before/n_before) / (n_before-1)
+             |        + (var_after/n_after) * (var_after/n_after) / (n_after-1))
              |  END AS welch_df
              |FROM (
              |  SELECT country, antigen,
              |    count($beforeCase) AS n_before, count($afterCase) AS n_after,
              |    ${exactAvgSql(beforeCase)} AS mean_before,
              |    ${exactAvgSql(afterCase)} AS mean_after,
-             |    var_samp($beforeCase) AS var_before, var_samp($afterCase) AS var_after
+             |    ${graft.stats.ExactMoments.exactVarSql(beforeCase)} AS var_before,
+             |    ${graft.stats.ExactMoments.exactVarSql(afterCase)} AS var_after
              |  FROM fact GROUP BY country, antigen)
              |ORDER BY country, antigen""".stripMargin)) { (s, dir) =>
-      val w = CoverageQueries.welchRelational(EventsFact.fact(s, dir), W)
-      w.select(
-        col("country"), col("antigen"), col("n_before"), col("n_after"),
-        col("mean_before"), col("mean_after"),
-        when(col("n_before") > 1, round(col("var_before"), 4)).as("var_before"),
-        when(col("n_after") > 1, round(col("var_after"), 4)).as("var_after"),
-        round(col("t_stat"), 4).as("t_stat"),
-        round(col("welch_df"), 4).as("welch_df"),
-      ).orderBy("country", "antigen")
+      CoverageQueries.welchRelational(EventsFact.fact(s, dir), W)
+        .select(
+          col("country"), col("antigen"), col("n_before"), col("n_after"),
+          col("mean_before"), col("mean_after"),
+          col("var_before"), col("var_after"),
+          col("t_stat"), col("welch_df"),
+        ).orderBy("country", "antigen")
     },
 
     // A7/A8/F8 — full analysis incl. CI half-widths, p-value, and the

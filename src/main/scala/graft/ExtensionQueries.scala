@@ -227,10 +227,12 @@ object ExtensionQueries {
     },
 
     // Welch t-test via the typed Aggregator (partial-mergeable custom
-    // aggregate) — t/df checked against the relational oracle formula.
+    // aggregate). The exact-sum lane (WelchExactTTest) accumulates
+    // integer sums of the quantized values, so t/df are bitwise equal
+    // to the relational oracle formula — compared UNROUNDED.
     Q("q39_welch_aggregator", ExtensionOracles.welchAggregator) { (s, dir) =>
       import s.implicits._
-      import graft.stats.{WelchIn, WelchTTest}
+      import graft.stats.{WelchExactTTest, WelchIn}
       val w = CoreParityQueries.W
       val fact = EventsFact.fact(s, dir)
       val typed = fact
@@ -243,11 +245,9 @@ object ExtensionQueries {
       typed
         .groupByKey { case (c, a, _, _) => (c, a) }
         .mapValues { case (_, _, v, after) => WelchIn(v, after) }
-        .agg(WelchTTest.toColumn)
+        .agg(WelchExactTTest.toColumn)
         .map { case ((c, a), r) =>
-          (c, a, r.n_before, r.n_after,
-            r.t_stat.map(t => math.rint(t * 1e4) / 1e4),
-            r.welch_df.map(d => math.rint(d * 1e4) / 1e4))
+          (c, a, r.n_before, r.n_after, r.t_stat, r.welch_df)
         }
         .toDF("country", "antigen", "n_before", "n_after", "t_stat", "welch_df")
         .orderBy("country", "antigen")
@@ -442,24 +442,32 @@ object ExtensionOracles {
       |  CAST(sum(CAST(floor(norm * 1000000.0) AS BIGINT)) AS DOUBLE) / count(norm) / 1000000.0 AS avg_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  /** Unrounded mirror of WelchExactTTest: exact quantized means/vars
+    * (ExactMoments formulas), then the identical IEEE t/df op chains
+    * (x*x, never pow). */
   val welchAggregator: String = {
     val w = CoreParityQueries.W
     val beforeCase = s"CASE WHEN year BETWEEN ${w.beforeLo} AND ${w.beforeHi} THEN coverage_pct END"
     val afterCase = s"CASE WHEN year BETWEEN ${w.afterLo} AND ${w.afterHi} THEN coverage_pct END"
+    def exactAvgSql(e: String): String =
+      s"CAST(sum(CAST(floor(($e) * 1000000.0) AS BIGINT)) AS DOUBLE) / count($e) / 1000000.0"
     EventsFact.withFactCte(
       s"""SELECT country, antigen, n_before, n_after,
          |  CASE WHEN n_before > 1 AND n_after > 1 THEN
-         |    round((mean_before - mean_after) / sqrt(var_before/n_before + var_after/n_after), 4)
+         |    (mean_before - mean_after) / sqrt(var_before/n_before + var_after/n_after)
          |  END AS t_stat,
          |  CASE WHEN n_before > 1 AND n_after > 1 THEN
-         |    round(pow(var_before/n_before + var_after/n_after, 2) /
-         |      (pow(var_before/n_before, 2)/(n_before-1) + pow(var_after/n_after, 2)/(n_after-1)), 4)
+         |    ((var_before/n_before + var_after/n_after) * (var_before/n_before + var_after/n_after)) /
+         |      ((var_before/n_before) * (var_before/n_before) / (n_before-1)
+         |        + (var_after/n_after) * (var_after/n_after) / (n_after-1))
          |  END AS welch_df
          |FROM (
          |  SELECT country, antigen,
          |    count($beforeCase) AS n_before, count($afterCase) AS n_after,
-         |    avg($beforeCase) AS mean_before, avg($afterCase) AS mean_after,
-         |    var_samp($beforeCase) AS var_before, var_samp($afterCase) AS var_after
+         |    ${exactAvgSql(beforeCase)} AS mean_before,
+         |    ${exactAvgSql(afterCase)} AS mean_after,
+         |    ${graft.stats.ExactMoments.exactVarSql(beforeCase)} AS var_before,
+         |    ${graft.stats.ExactMoments.exactVarSql(afterCase)} AS var_after
          |  FROM fact GROUP BY country, antigen)
          |ORDER BY country, antigen""".stripMargin)
   }

@@ -97,8 +97,11 @@ object CoverageQueries {
       count(when(inAfter(w), v)).as("n_after"),
       exactAvg(when(inBefore(w), v)).as("mean_before"),
       exactAvg(when(inAfter(w), v)).as("mean_after"),
-      var_samp(when(inBefore(w), v)).as("var_before"),
-      var_samp(when(inAfter(w), v)).as("var_after"),
+      // exact decimal-accumulated variance (NULL at n<2): with exact
+      // means AND vars, t/df are fixed IEEE op chains over identical
+      // inputs — bitwise-mirrorable, no rounding bridge needed
+      graft.stats.ExactMoments.exactVar(when(inBefore(w), v)).as("var_before"),
+      graft.stats.ExactMoments.exactVar(when(inAfter(w), v)).as("var_after"),
     ).withColumn("t_stat",
       when(col("n_before") > 1 && col("n_after") > 1,
         StudentT.welchT(col("mean_before"), col("var_before"), col("n_before"),

@@ -37,11 +37,15 @@ object StudentT extends Serializable {
   def ciHalfWidth(sem: Column, n: Column, conf: Double = 0.95): Column =
     tInv(lit((1.0 + conf) / 2.0), n.cast("double") - lit(1.0)) * sem
 
-  /** Welch–Satterthwaite degrees of freedom from per-side (var_samp, n). */
+  /** Welch–Satterthwaite degrees of freedom from per-side (var_samp, n).
+    * Spelled with plain multiplication, not pow: x*x is one IEEE op in
+    * every engine, while pow(x, 2) may route through exp/log — the
+    * mirrored DuckDB oracle uses the identical x*x form. */
   def welchDf(v1: Column, n1: Column, v2: Column, n2: Column): Column = {
     val a = v1 / n1
     val b = v2 / n2
-    pow(a + b, 2) / (pow(a, 2) / (n1 - lit(1)) + pow(b, 2) / (n2 - lit(1)))
+    val se2 = a + b
+    se2 * se2 / (a * a / (n1 - lit(1)) + b * b / (n2 - lit(1)))
   }
 
   /** Welch t statistic from per-side (mean, var_samp, n). */

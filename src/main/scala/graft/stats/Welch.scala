@@ -95,3 +95,86 @@ object WelchTTest extends Aggregator[WelchIn, WelchBuf, WelchOut] {
   override def bufferEncoder: Encoder[WelchBuf] = Encoders.product[WelchBuf]
   override def outputEncoder: Encoder[WelchOut] = Encoders.product[WelchOut]
 }
+
+/** Exact-lane buffer: per side n, Σq (q = floor(x·1e6), a long) and
+  * Σq²·1e-12 held as a BigDecimal (exact; the 1e-12 scaling keeps the
+  * value inside the product-encoder's DECIMAL(38,18) — integer part
+  * bound ~1e20, i.e. Σx² < 1e20, ample for percent/price-scale data). */
+final case class WelchExactBuf(
+    nB: Long, s1B: Long, s2B: BigDecimal,
+    nA: Long, s1A: Long, s2A: BigDecimal)
+
+/** [[WelchTTest]]'s bitwise-reproducible sibling: instead of Welford/
+  * Chan double moments it accumulates EXACT integer sums of the
+  * floor-quantized values ([[graft.stats.ExactMoments]] discipline).
+  * Merging integer sums is trivially associative AND exact, so the
+  * result is identical under any partitioning — and identical to the
+  * relational/DuckDB formula applied to the same integers, which makes
+  * the t/df outputs oracle-checkable with no rounding bridge (q39).
+  *
+  * Trade-off vs [[WelchTTest]]: values are read on the 1e-6 grid
+  * (exact for data quantized at ≤6 decimals; a documented 1e-6
+  * truncation otherwise) and the domain is |x| < 9e9, Σx² < 1e20.
+  * All BigDecimal arithmetic goes through the java.math API — scala's
+  * operators apply MathContext.DECIMAL128 (34 digits) and could round. */
+object WelchExactTTest extends Aggregator[WelchIn, WelchExactBuf, WelchOut] {
+
+  private val Zero = BigDecimal(java.math.BigDecimal.ZERO)
+
+  override def zero: WelchExactBuf = WelchExactBuf(0L, 0L, Zero, 0L, 0L, Zero)
+
+  private def addExact(x: BigDecimal, y: BigDecimal): BigDecimal =
+    BigDecimal(x.bigDecimal.add(y.bigDecimal))
+
+  /** q²·1e-12, exactly (movePointLeft is a scale shift, no rounding). */
+  private def sqScaled(q: Long): BigDecimal = {
+    val j = java.math.BigDecimal.valueOf(q)
+    BigDecimal(j.multiply(j).movePointLeft(12))
+  }
+
+  override def reduce(b: WelchExactBuf, in: WelchIn): WelchExactBuf = {
+    val q = math.floor(in.value * 1e6).toLong
+    if (in.after) b.copy(nA = b.nA + 1, s1A = b.s1A + q, s2A = addExact(b.s2A, sqScaled(q)))
+    else b.copy(nB = b.nB + 1, s1B = b.s1B + q, s2B = addExact(b.s2B, sqScaled(q)))
+  }
+
+  override def merge(x: WelchExactBuf, y: WelchExactBuf): WelchExactBuf =
+    WelchExactBuf(
+      x.nB + y.nB, x.s1B + y.s1B, addExact(x.s2B, y.s2B),
+      x.nA + y.nA, x.s1A + y.s1A, addExact(x.s2A, y.s2A))
+
+  /** Mirrors exactAvg: toDouble(Σq) / n / 1e6, same op order. */
+  private def meanOf(n: Long, s1: Long): Option[Double] =
+    if (n > 0) Some(s1.toDouble / n / 1e6) else None
+
+  /** Mirrors ExactMoments.exactVar: toDouble(n·Σq² − (Σq)²) / n / (n−1) / 1e12. */
+  private def varOf(n: Long, s1: Long, s2: BigDecimal): Option[Double] =
+    if (n > 1) {
+      val s2q = s2.bigDecimal.movePointRight(12) // Σq², exact integer
+      val s1j = java.math.BigDecimal.valueOf(s1)
+      val num = s2q.multiply(java.math.BigDecimal.valueOf(n)).subtract(s1j.multiply(s1j))
+      Some(num.doubleValue / n / (n - 1) / 1e12)
+    } else None
+
+  override def finish(b: WelchExactBuf): WelchOut = {
+    val meanB = meanOf(b.nB, b.s1B)
+    val meanA = meanOf(b.nA, b.s1A)
+    val varB = varOf(b.nB, b.s1B, b.s2B)
+    val varA = varOf(b.nA, b.s1A, b.s2A)
+    val test = for { vb <- varB; va <- varA; mb <- meanB; ma <- meanA } yield {
+      // the same IEEE op chains as StudentT.welchT / welchDf
+      val a = vb / b.nB
+      val c = va / b.nA
+      val t = (mb - ma) / math.sqrt(a + c)
+      val se2 = a + c
+      val df = se2 * se2 / (a * a / (b.nB - 1) + c * c / (b.nA - 1))
+      val p = 2.0 * (1.0 - new TDistribution(df).cumulativeProbability(math.abs(t)))
+      (t, df, p)
+    }
+    WelchOut(b.nB, b.nA, meanB, meanA, varB, varA,
+      test.map(_._1), test.map(_._2), test.map(_._3))
+  }
+
+  override def bufferEncoder: Encoder[WelchExactBuf] = Encoders.product[WelchExactBuf]
+  override def outputEncoder: Encoder[WelchOut] = Encoders.product[WelchOut]
+}

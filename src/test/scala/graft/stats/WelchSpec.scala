@@ -67,6 +67,23 @@ class WelchSpec extends SparkSpec {
     }
   }
 
+  private def typedResults(agg: org.apache.spark.sql.TypedColumn[WelchIn, WelchOut])
+      : Map[(String, String), (Double, Double)] = {
+    val w = graft.CoreParityQueries.W
+    val fact = graft.analysis.EventsFact.fact(spark, sf())
+    fact
+      .filter(col("year").between(w.beforeLo, w.beforeHi) || col("year").between(w.afterLo, w.afterHi))
+      .select(col("country"), col("antigen"), col("coverage_pct"),
+        col("year").between(w.afterLo, w.afterHi).as("after"))
+      .as[(String, String, Double, Boolean)]
+      .groupByKey { case (c, a, _, _) => (c, a) }
+      .mapValues { case (_, _, v, af) => WelchIn(v, af) }
+      .agg(agg)
+      .collect().collect { case ((c, a), out) if out.t_stat.isDefined =>
+        (c, a) -> (out.t_stat.get, out.welch_df.get)
+      }.toMap
+  }
+
   test("agrees with the relational formulation on the events fact") {
     val w = graft.CoreParityQueries.W
     val fact = graft.analysis.EventsFact.fact(spark, sf())
@@ -74,25 +91,42 @@ class WelchSpec extends SparkSpec {
       .filter(col("t_stat").isNotNull)
       .select("country", "antigen", "t_stat", "welch_df")
       .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
-    val typed = fact
-      .filter(col("year").between(w.beforeLo, w.beforeHi) || col("year").between(w.afterLo, w.afterHi))
-      .select(col("country"), col("antigen"), col("coverage_pct"),
-        col("year").between(w.afterLo, w.afterHi).as("after"))
-      .as[(String, String, Double, Boolean)]
-      .groupByKey { case (c, a, _, _) => (c, a) }
-      .mapValues { case (_, _, v, af) => WelchIn(v, af) }
-      .agg(WelchTTest.toColumn)
-      .collect().collect { case ((c, a), out) if out.t_stat.isDefined =>
-        (c, a) -> (out.t_stat.get, out.welch_df.get)
-      }.toMap
-    assert(rel.keySet == typed.keySet)
     assert(rel.nonEmpty, "expected at least one testable series at sf0.001")
+
+    // exact lane: same quantized integers, same IEEE op chains ⇒
+    // bitwise-equal t and df, no tolerance at all
+    val exact = typedResults(WelchExactTTest.toColumn)
+    assert(rel.keySet == exact.keySet)
     rel.foreach { case (k, (t, df)) =>
-      // relational means are floor-quantized at 1e-6 (exactAvg's
-      // cross-engine discipline); the typed aggregator keeps full
-      // double means — t shifts by O(quantization / stderr) ≈ 1e-5
-      assert(math.abs(typed(k)._1 - t) < 1e-4, s"$k t")
-      assert(math.abs(typed(k)._2 - df) < 1e-8, s"$k df")
+      assert(exact(k)._1 == t, s"$k t (exact lane must match bitwise)")
+      assert(exact(k)._2 == df, s"$k df (exact lane must match bitwise)")
     }
+
+    // Welford lane: full-double moments vs the relational quantized
+    // ones — t shifts by O(quantization / stderr) ≈ 1e-5
+    val welford = typedResults(WelchTTest.toColumn)
+    assert(rel.keySet == welford.keySet)
+    rel.foreach { case (k, (t, df)) =>
+      assert(math.abs(welford(k)._1 - t) < 1e-4, s"$k t")
+      assert(math.abs(welford(k)._2 - df) < 1e-4, s"$k df")
+    }
+  }
+
+  test("exact lane is partition-invariant BITWISE and honors the n<2 guard") {
+    def run(a: Seq[Double], b: Seq[Double], parts: Int): WelchOut = {
+      val data = a.map(WelchIn(_, after = false)) ++ b.map(WelchIn(_, after = true))
+      spark.createDataset(data).repartition(parts)
+        .groupByKey(_ => 1).agg(WelchExactTTest.toColumn)
+        .collect().head._2
+    }
+    val rng = new scala.util.Random(7)
+    val a = Seq.fill(25)(rng.nextDouble() * 200 - 100)
+    val b = Seq.fill(31)(rng.nextDouble() * 200 - 50)
+    val r1 = run(a, b, 1)
+    val r9 = run(a, b, 9)
+    assert(r1.t_stat.get == r9.t_stat.get, "bitwise partition invariance (t)")
+    assert(r1.welch_df.get == r9.welch_df.get, "bitwise partition invariance (df)")
+    assert(r1.var_before.get == r9.var_before.get)
+    assert(run(Seq(1.0), Seq(2.0, 3.0), 2).t_stat.isEmpty, "n<2 guard")
   }
 }
