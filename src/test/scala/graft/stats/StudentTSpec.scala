@@ -34,6 +34,71 @@ class StudentTSpec extends SparkSpec {
     assert(r(3) < 1e-10)
   }
 
+  test("t CDF matches arbitrary-precision ground truth at hostile dfs and deep tails") {
+    // (x, df, P(T<=x)) computed with mpmath at 40 digits (regularized
+    // incomplete beta) — stronger reference than scipy's own doubles.
+    // dfs: cauchy (1), fractional (1.5, 4.5), small (2), moderate (30),
+    // near-normal (1e6); x spans deep left tail to deep right tail.
+    val cases: Seq[(Double, Double, Double)] = Seq(
+      (-30.0, 1.0, 0.010606402405535423),
+      (-8.0, 1.0, 0.039583424160565542),
+      (-3.5, 1.0, 0.088585532782904749),
+      (-1.0, 1.0, 0.25),
+      (-0.2, 1.0, 0.43716704181099882),
+      (0.7, 1.0, 0.69440011221421479),
+      (2.0, 1.0, 0.85241638234956673),
+      (12.0, 1.0, 0.97353532394041012),
+      (50.0, 1.0, 0.99363465089902720),
+      (-30.0, 1.5, 0.0022928211614897026),
+      (-8.0, 1.5, 0.016459175470453411),
+      (-1.0, 1.5, 0.22556768363835516),
+      (2.0, 1.5, 0.88790583482197447),
+      (12.0, 1.5, 0.99097898536298607),
+      (-30.0, 2.0, 0.00055463134097982946),
+      (-3.5, 2.0, 0.036413675027234668),
+      (2.0, 2.0, 0.90824829046386302),
+      (50.0, 2.0, 0.99980011992005596),
+      (-30.0, 4.5, 1.1719871493942603e-6),
+      (-8.0, 4.5, 0.00039804739408227024),
+      (-1.0, 4.5, 0.18400254194009429),
+      (2.0, 4.5, 0.94587104640943749),
+      (12.0, 4.5, 0.99993108401173363),
+      (-30.0, 30.0, 3.1258958153044440e-24),
+      (-8.0, 30.0, 3.1329112378503795e-9),
+      (-3.5, 30.0, 0.00073840371882212653),
+      (2.0, 30.0, 0.97268747751850845),
+      (5.0, 30.0, 0.99998835165726650),
+      (-8.0, 1e6, 6.2275317166012598e-16),
+      (-3.5, 1e6, 0.00023263919684051749),
+      (-1.0, 1e6, 0.15865537491678906),
+      (2.0, 1e6, 0.97724973307434040),
+      (5.0, 1e6, 0.99999971330010646),
+    )
+    cases.foreach { case (x, df, want) =>
+      val got = TMath.cdf(x, df)
+      val absErr = math.abs(got - want)
+      val relErr = absErr / want
+      // near-0/near-1 region: absolute ≤ 1e-12; tails below 1e-12:
+      // commons-math3's continued fraction must keep relative accuracy
+      assert(absErr <= 1e-12 || relErr <= 1e-9,
+        s"cdf($x, df=$df): got $got want $want (abs $absErr rel $relErr)")
+    }
+    // symmetry identity everywhere on the grid
+    cases.foreach { case (x, df, want) =>
+      val s = TMath.cdf(x, df) + TMath.cdf(-x, df)
+      assert(math.abs(s - 1.0) < 1e-12, s"symmetry at ($x, $df): $s")
+    }
+  }
+
+  test("t PPF round-trips the CDF at hostile dfs including fractional") {
+    for (df <- Seq(1.0, 1.5, 4.5, 30.0, 1e6); p <- Seq(1e-10, 1e-4, 0.3, 0.975, 1 - 1e-10)) {
+      val x = TMath.ppf(p, df)
+      val back = TMath.cdf(x, df)
+      assert(math.abs(back - p) <= 1e-9 || math.abs(back - p) / p <= 1e-6,
+        s"ppf/cdf roundtrip p=$p df=$df: x=$x back=$back")
+    }
+  }
+
   test("CI half-width: null when n<2, positive and shrinking in n") {
     val df = Seq((1.0, 1L), (1.0, 5L), (1.0, 50L)).toDF("sem", "n")
       .select(StudentT.ciHalfWidth(col("sem"), col("n")).as("ci")).collect()
