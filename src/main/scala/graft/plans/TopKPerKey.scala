@@ -51,6 +51,23 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
+/** Memory contract (the operator's 100 TB rationale depends on it):
+  *
+  *   - PARTIAL phase (pre-exchange) sees every key in every partition,
+  *     so its heap map is bounded explicitly: when it reaches
+  *     `graft.topk.maxPartialKeys` distinct keys (default 65536) the
+  *     current heaps are emitted and the map cleared. Sound because a
+  *     row in the global top-k of its key is in the top-k of ANY
+  *     segment containing it — flushing only forwards extra rows for
+  *     the final phase to prune. Worst case the partial degrades to a
+  *     pass-through, never to an OOM.
+  *   - FINAL phase (post-exchange) holds one ≤k-row heap per distinct
+  *     key of its partition: memory ≈ (distinct keys / shuffle
+  *     partitions) · k · rowsize. A flush is NOT sound here (output
+  *     must be exact), so extreme key cardinality is provisioned by
+  *     raising spark.sql.shuffle.partitions, exactly like Spark's own
+  *     hash aggregate provisions its fallback.
+  */
 case class TopKPerKeyExec(
     keys: Seq[Attribute],
     order: Seq[SortOrder],
@@ -75,32 +92,60 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val isPartial = partial
+    val maxPartialKeys = conf.getConfString("graft.topk.maxPartialKeys", "65536").toInt
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
       val ordering = GenerateOrdering.generate(sortOrder, schema)
       // head of each queue = the WORST row currently kept (reverse order)
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var pq = heaps.get(key)
-        if (pq == null) {
-          pq = new java.util.PriorityQueue[InternalRow](limit + 1, ordering.reversed())
-          heaps.put(key.copy(), pq)
+
+      def drain(): Iterator[InternalRow] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        heaps.values().forEach { pq =>
+          val rows = pq.toArray(new Array[InternalRow](pq.size()))
+          java.util.Arrays.sort(rows, ordering)
+          out ++= rows
         }
-        if (pq.size() < limit) pq.add(row.copy())
-        else if (ordering.compare(row, pq.peek()) < 0) { // better than worst kept
-          pq.poll()
-          pq.add(row.copy())
+        heaps.clear()
+        out.iterator
+      }
+
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+
+        private def fill(): Unit = {
+          while (!pending.hasNext && (iter.hasNext || !heaps.isEmpty)) {
+            if (!iter.hasNext) pending = drain()
+            else {
+              var flushed = false
+              while (!flushed && iter.hasNext) {
+                val row = iter.next()
+                val key = keyProj(row)
+                var pq = heaps.get(key)
+                if (pq == null) {
+                  // partial-phase memory bound: emit and restart rather
+                  // than grow past the cap (see the class scaladoc)
+                  if (isPartial && heaps.size() >= maxPartialKeys) {
+                    pending = drain()
+                    flushed = true
+                  }
+                  pq = new java.util.PriorityQueue[InternalRow](limit + 1, ordering.reversed())
+                  heaps.put(key.copy(), pq)
+                }
+                if (pq.size() < limit) pq.add(row.copy())
+                else if (ordering.compare(row, pq.peek()) < 0) { // better than worst kept
+                  pq.poll()
+                  pq.add(row.copy())
+                }
+              }
+            }
+          }
         }
+
+        override def hasNext: Boolean = { fill(); pending.hasNext }
+        override def next(): InternalRow = { fill(); pending.next() }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values().forEach { pq =>
-        val rows = pq.toArray(new Array[InternalRow](pq.size()))
-        java.util.Arrays.sort(rows, ordering)
-        out ++= rows
-      }
-      out.iterator
     }, preservesPartitioning = true)
   }
 

@@ -23,6 +23,22 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("partial-phase key cap: results identical under a pathological cap of 2") {
+    // 250 distinct keys against maxPartialKeys=2 forces a flush every
+    // few rows in the partial phase — output must not change (any
+    // global top-k row is in the top-k of every segment containing it)
+    val df = (0 until 1000).map(i => (i % 250, i)).toDF("key", "v").repartition(4)
+    def run(): Seq[(Int, Int)] =
+      TopKPerKey.topKPerKey(df, Seq("key"), "v", descending = true, k = 2)
+        .select("key", "v").orderBy("key", "v")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val unbounded = run()
+    spark.conf.set("graft.topk.maxPartialKeys", "2")
+    try assert(run() == unbounded, "flush-capped partial must be lossless")
+    finally spark.conf.unset("graft.topk.maxPartialKeys")
+    assert(unbounded.size == 500, "2 rows per each of 250 keys")
+  }
+
   test("the plan is the custom exec with one exchange and NO sort") {
     val fact = graft.analysis.EventsFact.factUncached(spark, sf())
     val df = TopKPerKey.topKPerKey(fact, Seq("country", "antigen"),
