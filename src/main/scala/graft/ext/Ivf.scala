@@ -55,30 +55,50 @@ object Ivf {
   def invalidate(spark: org.apache.spark.sql.SparkSession, key: String): Unit =
     trainedCache.filterInPlace { case ((s, k2, _, _), _) => !((s eq spark) && k2 == key) }
 
-  /** Train spherical k-means centroids (unit-normalized). */
-  def trainCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    val units = unitized(emb).filter(col("unit").isNotNull)
-    // deterministic seed: the k lowest vec_ids
-    var centroids: Array[Array[Double]] = units.orderBy("vec_id").limit(k)
-      .select("unit").collect().map(_.getSeq[Double](0).toArray)
-    for (_ <- 0 until iters) {
-      val assigned = units.withColumn("cell", cellOf(col("unit"), centroids))
-      val dimMeans = assigned
-        .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg("v").as("m"))
-        .collect()
-      val byCell = dimMeans.groupBy(_.getInt(0))
-      centroids = centroids.indices.map { c =>
-        byCell.get(c) match {
-          case Some(rows) =>
-            val mean = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-            val norm = math.sqrt(mean.map(x => x * x).sum)
-            if (norm > 0) mean.map(_ / norm) else centroids(c) // empty-ish cell keeps its centroid
-          case None => centroids(c)
-        }
-      }.toArray
-    }
-    centroids
+  /** Train spherical k-means centroids (unit-normalized).
+    *
+    * Training reads a bounded deterministic sample (`maxTrainRows`,
+    * selected by a uniform hash of vec_id — scale-independent and
+    * reproducible): k-means cell boundaries converge on a sample long
+    * before they converge on the corpus, and at 100 TB a full-corpus
+    * Lloyd pass per iteration would dominate the whole index build.
+    * Search quality is unaffected — [[withCells]] still assigns EVERY
+    * corpus row to its nearest centroid. The sample is persisted for
+    * the duration of training (each iteration runs 1 assign+update
+    * job over it) and released after. */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int,
+                     maxTrainRows: Int = 8192): Array[Array[Double]] = {
+    val allUnits = unitized(emb).filter(col("unit").isNotNull)
+    val total = allUnits.count()
+    val sampled =
+      if (total <= maxTrainRows) allUnits
+      else allUnits.filter( // keep ≈maxTrainRows by uniform hash of the id
+        pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+          lit(math.ceil(maxTrainRows.toDouble / total * 1000000L).toLong))
+    val units = sampled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic seed: the k lowest vec_ids of the sample
+      var centroids: Array[Array[Double]] = units.orderBy("vec_id").limit(k)
+        .select("unit").collect().map(_.getSeq[Double](0).toArray)
+      for (_ <- 0 until iters) {
+        val assigned = units.withColumn("cell", cellOf(col("unit"), centroids))
+        val dimMeans = assigned
+          .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(avg("v").as("m"))
+          .collect()
+        val byCell = dimMeans.groupBy(_.getInt(0))
+        centroids = centroids.indices.map { c =>
+          byCell.get(c) match {
+            case Some(rows) =>
+              val mean = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+              val norm = math.sqrt(mean.map(x => x * x).sum)
+              if (norm > 0) mean.map(_ / norm) else centroids(c) // empty-ish cell keeps its centroid
+            case None => centroids(c)
+          }
+        }.toArray
+      }
+      centroids
+    } finally units.unpersist()
   }
 
   /** Corpus with its IVF cell assignment (the at-rest partition key). */
