@@ -26,6 +26,33 @@ object Multimodal {
       byte_entropy: Double,
       frame_count: Int)
 
+  /** The codec seam: a real decoder (JNI/FFI image/audio library)
+    * drops in behind this trait without touching the plan.
+    *
+    * Lifecycle per PARTITION (not per row): `open()` once before the
+    * first batch — native contexts, model weights, scratch buffers;
+    * `close()` exactly once when the task ends, including failure and
+    * early-termination paths (registered as a task-completion
+    * listener, the only hook that survives a `limit` downstream).
+    * `decodeBatch` receives at most `batchSize` assets at a time so a
+    * vectorizing codec amortizes its per-call overhead — the same
+    * batch shape `mapInPandas`/Arrow would hand a Python decoder. */
+  trait MediaCodec extends Serializable {
+    def open(): Unit = ()
+    def close(): Unit = ()
+    def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] =
+      batch.map { case (id, mt, bytes) => decode(id, mt, bytes) }
+    def decode(assetId: Long, mediaType: String, payload: Array[Byte]): MediaFeatures
+  }
+
+  /** The in-repo deterministic stub codec (no media libraries ship in
+    * this environment): byte-level "features" standing in for decoded
+    * pixels/samples. */
+  object StubCodec extends MediaCodec {
+    override def decode(assetId: Long, mediaType: String, payload: Array[Byte]): MediaFeatures =
+      decodeStub(assetId, mediaType, payload)
+  }
+
   /** STUB decode: deterministic features from raw bytes. A real
     * implementation decodes pixels/samples here; signature and batch
     * shape are what matter. */
@@ -65,8 +92,14 @@ object Multimodal {
   /** Decode/feature-extract over partition-batched rows. Repartitions
     * by asset_id so decode work spreads across executors regardless of
     * how few input files there are (binary blobs make row-group
-    * boundaries coarse). */
-  def extractFeatures(assets: DataFrame, parallelism: Int = 0): Dataset[MediaFeatures] = {
+    * boundaries coarse). The codec is opened once per partition,
+    * fed `batchSize`-asset batches, and closed on task completion
+    * (success, failure, or early termination alike). */
+  def extractFeatures(
+      assets: DataFrame,
+      codec: MediaCodec = StubCodec,
+      parallelism: Int = 0,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     val parts = if (parallelism > 0) parallelism
@@ -76,8 +109,10 @@ object Multimodal {
       .repartition(parts, col("asset_id"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition codec init would go here (amortized once)
-        rows.map { case (id, mt, bytes) => decodeStub(id, mt, bytes) }
+        codec.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
+        rows.grouped(batchSize).flatMap(batch => codec.decodeBatch(batch))
       }
   }
 

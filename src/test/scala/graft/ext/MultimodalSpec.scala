@@ -39,4 +39,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == 4)
     assert(out.count() == docs.count())
   }
+
+  test("codec lifecycle: open per partition, bounded batches, close always runs") {
+    CountingCodec.reset()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val assets = Multimodal.assetsFromBinary(docs, "doc_id", "text", "image")
+    val viaTrait = Multimodal.extractFeatures(assets, CountingCodec,
+        parallelism = 4, batchSize = 8)
+      .collect().map(m => m.asset_id -> m.byte_entropy).toMap
+    assert(CountingCodec.opens.get() == 4, "one open per partition")
+    assert(CountingCodec.closes.get() == 4, "close must run for every task")
+    assert(CountingCodec.maxBatch.get() <= 8, "batches bounded by batchSize")
+    assert(CountingCodec.batches.get() >= (docs.count() / 8).toInt, "work arrived in batches")
+    // decoding through the trait produces the stub path's features
+    val direct = Multimodal.extractFeatures(assets, parallelism = 4)
+      .collect().map(m => m.asset_id -> m.byte_entropy).toMap
+    assert(viaTrait == direct)
+    // close still runs when the consumer stops early (limit)
+    CountingCodec.reset()
+    Multimodal.extractFeatures(assets, CountingCodec, parallelism = 2).limit(3).collect()
+    assert(CountingCodec.closes.get() == CountingCodec.opens.get(),
+      "early termination must still close every opened codec")
+  }
+}
+
+/** Spec fake: counts lifecycle calls through static (JVM-singleton)
+  * state — local mode shares the JVM, so executor-side increments are
+  * visible to the driver assertions. */
+object CountingCodec extends Multimodal.MediaCodec {
+  import java.util.concurrent.atomic.AtomicInteger
+  val opens = new AtomicInteger
+  val closes = new AtomicInteger
+  val batches = new AtomicInteger
+  val maxBatch = new AtomicInteger
+  def reset(): Unit = Seq(opens, closes, batches, maxBatch).foreach(_.set(0))
+  override def open(): Unit = opens.incrementAndGet()
+  override def close(): Unit = closes.incrementAndGet()
+  override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[Multimodal.MediaFeatures] = {
+    batches.incrementAndGet()
+    maxBatch.updateAndGet(m => math.max(m, batch.size))
+    super.decodeBatch(batch)
+  }
+  override def decode(assetId: Long, mediaType: String, payload: Array[Byte]): Multimodal.MediaFeatures =
+    Multimodal.StubCodec.decode(assetId, mediaType, payload)
 }
