@@ -83,9 +83,9 @@ object EtlCli {
       if (series.isEmpty)
         throw new IllegalArgumentException(
           s"no data for country=$country antigen=$antigen")
-      val artifact = s"${c.out}/coverage_${WideCsvIngest.sanitizeName(country)}_" +
+      val stem = s"${WideCsvIngest.sanitizeName(country)}_" +
         WideCsvIngest.sanitizeName(antigen)
-      WideCsvIngest.writeCsv(series, artifact)
+      WideCsvIngest.writeCsv(series, s"${c.out}/coverage_$stem")
       val w = CampaignWindow(c.startYear, c.preYears, c.postYears)
       val row = CoverageQueries.beforeAfterFull(published, w)
         .filter(col("country") === country && col("antigen") === antigen)
@@ -93,6 +93,22 @@ object EtlCli {
       println(f"[analysis] $country/$antigen n=${row.getAs[Long]("n_before")}+" +
         f"${row.getAs[Long]("n_after")} diff=${row.getAs[Double]("diff")}%.3f " +
         f"verdict=${row.getAs[String]("verdict")}")
+
+      // E1 step 10: presentation artifacts (S7) — the reference's PNG
+      // plot (etl_pipeline.py:156-172) and 2-page PDF policy report
+      // (report_generator.py). Driver-side rendering of the bounded,
+      // already-aggregated series + stats row.
+      val pts = series.collect()
+        .map(r => (r.getAs[Number](0).intValue, r.getAs[Number](1).doubleValue)).toSeq
+      def opt(name: String): Option[Double] =
+        if (row.isNullAt(row.fieldIndex(name))) None else Some(row.getAs[Double](name))
+      graft.report.PngChart.writeCoveragePlot(pts, country, antigen,
+        c.startYear, c.preYears, c.postYears, s"${c.out}/plot_$stem.png")
+      graft.report.PdfReport.writeReport(pts, country, antigen,
+        c.startYear, c.preYears, c.postYears,
+        graft.report.PdfReport.Stats(opt("mean_before"), opt("mean_after"), opt("p_value")),
+        s"${c.out}/report_$stem.pdf")
+      println(s"[artifacts] ${c.out}/plot_$stem.png ${c.out}/report_$stem.pdf")
       row
     }
   }

@@ -32,6 +32,10 @@ class EtlCliSpec extends SparkSpec {
     assert(row.getAs[String]("verdict") == "significant_increase")
     assert(new java.io.File(s"$out/coverage_S_x").listFiles()
       .exists(_.getName.endsWith(".csv")))
+    // S7 presentation artifacts: the reference's plot + 2-page report
+    assert(Files.exists(dir.resolve("warehouse/plot_S_x.png")))
+    val pdf = Files.readAllBytes(dir.resolve("warehouse/report_S_x.pdf"))
+    assert(new String(pdf, 0, 8, "ISO-8859-1").startsWith("%PDF-"))
 
     // unknown selection aborts like the reference's empty-series guard
     intercept[IllegalArgumentException](
