@@ -179,9 +179,7 @@ object ExtensionQueries {
     // dedup shuffle.
     Q("q47_corpus_pipeline", ExtensionOracles.corpusPipeline) { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val kept = Dedup.exactDuplicates(docs)
-        .filter(!col("is_duplicate"))
-        .join(docs, Seq("doc_id"))
+      val kept = Dedup.keepCanonical(docs)
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col("text")))
         .filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")

@@ -52,6 +52,20 @@ object Dedup {
       .select(col(idCol), col("fingerprint"), col("canonical_id"), col("is_duplicate"))
   }
 
+  /** Corpus filtered to canonical docs (lowest id per fingerprint),
+    * all columns kept. ONE shuffle: the window on fingerprint carries
+    * the payload through — strictly better at scale than
+    * [[exactDuplicates]]-then-join-back, which pays a narrow shuffle
+    * AND a full join shuffle of the same rows (the union+window as-of
+    * join argument, `AsOfJoin.scala`, applied to dedup). */
+  def keepCanonical(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy("fingerprint")
+    docs.withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("canonical_id"))
+      .drop("fingerprint", "canonical_id")
+  }
+
   /** Word k-shingles. Guarded: Spark's `sequence(1, n)` runs DESCENDING
     * for n<1, so short docs get an explicit empty array. */
   def shingles(text: Column, k: Int = 3): Column = {

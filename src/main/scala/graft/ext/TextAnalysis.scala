@@ -25,31 +25,38 @@ object TextAnalysis {
     // contractions | words | numbers | non-space punct runs
     regexp_extract_all(text, lit("'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** All token-level counters now read from ONE [[TextProfile]] scan
+    * per row: the counters below are field projections of the same
+    * deterministic expression, so Catalyst's subexpression elimination
+    * collapses any combination of them (q26's five outputs, q47's
+    * quality+lang+tokens) into a single byte-level pass — versus one
+    * regex tokenization + interpreted lambda per counter before. */
+  def tokenCount(text: Column): Column = TextProfile.profile(text)("n_tokens")
 
-  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+  def distinctTokenCount(text: Column): Column = TextProfile.profile(text)("n_distinct")
 
   /** Count of tokens that are in `stops` (occurrence count, not
-    * distinct — quality scoring wants density). */
+    * distinct — quality scoring wants density). HOF formulation kept
+    * for ad-hoc lists; the profiled langs use [[TextProfile]]. */
   def stopwordCount(text: Column, stops: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stops: _*)))
 
   /** Punctuation characters per character. */
-  def punctCount(text: Column): Column =
-    length(regexp_replace(text, "[^.,;:!?]", ""))
+  def punctCount(text: Column): Column = TextProfile.profile(text)("n_punct")
 
   /** Heuristic quality score in [0,1] — length saturation, stopword
     * density, lexical diversity, punctuation sanity. The exact weights
     * are engine-defined (documented here), not from the reference. All
     * ratios guarded for empty input (ANSI division). */
-  def qualityScore(text: Column, stops: Seq[String] = englishStopwords): Column = {
-    val n = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column = {
+    val p = TextProfile.profile(text)
+    val n = p("n_tokens").cast("double")
     val lenScore = least(lit(1.0), n / lit(64.0))
-    val stopRatio = when(n > 0, stopwordCount(text, stops).cast("double") / n).otherwise(lit(0.0))
+    val stopRatio = when(n > 0, p("stop_hits")(0).cast("double") / n).otherwise(lit(0.0))
     val stopScore = least(lit(1.0), stopRatio * lit(4.0))
-    val diversity = when(n > 0, distinctTokenCount(text).cast("double") / n).otherwise(lit(0.0))
-    val punctRatio = when(length(text) > 0,
-      punctCount(text).cast("double") / length(text).cast("double")).otherwise(lit(0.0))
+    val diversity = when(n > 0, p("n_distinct").cast("double") / n).otherwise(lit(0.0))
+    val punctRatio = when(p("n_chars") > 0,
+      p("n_punct").cast("double") / p("n_chars").cast("double")).otherwise(lit(0.0))
     lit(0.3) * lenScore + lit(0.3) * stopScore + lit(0.2) * diversity +
       lit(0.2) * (lit(1.0) - least(lit(1.0), punctRatio * lit(10.0)))
   }
@@ -71,9 +78,10 @@ object TextAnalysis {
     * unknown when no list scores > 0). Cheap, shuffle-free, and the
     * standard first-pass filter in web-scale corpus pipelines. */
   def langIdHeuristic(text: Column): Column = {
-    val n = tokenCount(text).cast("double")
-    val scores = stopwordsByLang.map { case (lang, stops) =>
-      lang -> when(n > 0, stopwordCount(text, stops).cast("double") / n).otherwise(lit(0.0))
+    val p = TextProfile.profile(text)
+    val n = p("n_tokens").cast("double")
+    val scores = stopwordsByLang.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> when(n > 0, p("stop_hits")(i).cast("double") / n).otherwise(lit(0.0))
     }
     // best = first language achieving the maximum score
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))

@@ -56,4 +56,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3) != r(0))
     assert(r(0).matches("[0-9a-f]{32}"))
   }
+
+  test("TextProfile matches the HOF built-in formulation bit-for-bit") {
+    // hostile whitespace: tabs/newlines (leading/trailing empty-field
+    // semantics of split(trim(s), "\\s+")), empty, all-space, unicode
+    val hostile = Seq(
+      "plain words here", "", "   ", "\tleading tab", "trailing tab\t",
+      "a\t\tb\nc", "one", ". , ; : ! ?", "héllo wörld héllo",
+      "the of to and the the", "le la les de et", "  padded  ")
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("text")).limit(300)
+      .union(hostile.toDF("text"))
+    // legacy formulations, inlined (what TextAnalysis used pre-profile)
+    def toks(t: org.apache.spark.sql.Column) = split(trim(t), "\\s+")
+    val legacy = docs.select(
+      size(toks(col("text"))).as("n"),
+      size(array_distinct(toks(col("text")))).as("d"),
+      length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("p"),
+      size(filter(toks(col("text")),
+        t => t.isin(TextAnalysis.englishStopwords: _*))).as("en"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val profiled = docs.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.distinctTokenCount(col("text")).as("d"),
+      TextAnalysis.punctCount(col("text")).as("p"),
+      TextProfile.profile(col("text"))("stop_hits")(0).as("en"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(profiled.toSeq == legacy.toSeq)
+  }
+
+  test("TextProfile appears once per projection (subexpression-eliminated)") {
+    val docs = Seq(("x", "the quick brown fox")).toDF("doc_id", "text")
+    val plan = docs.select(
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langIdHeuristic(col("text")).as("l"),
+      TextAnalysis.tokenCount(col("text")).as("n"))
+      .queryExecution.executedPlan
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(plan)
+    val computeCalls = "graft\\.ext\\.TextProfile\\.compute".r.findAllIn(codegen).size
+    assert(computeCalls <= 2, // subexpr-eliminated: 1 shared eval (+1 in the subexpr function def)
+      s"expected one shared TextProfile evaluation, found $computeCalls:\n" +
+        codegen.take(2000))
+  }
 }
