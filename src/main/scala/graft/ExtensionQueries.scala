@@ -272,7 +272,8 @@ object ExtensionOracles {
 
   /** lang_pred mirror of TextAnalysis.langIdHeuristic over a `toks`
     * column (first language in list order attaining the positive max). */
-  private val langPredSql: String = {
+  /** lang_pred over a `toks` column — shared with PipelineQueries. */
+  val langPredSql: String = {
     val scores = graft.ext.TextAnalysis.stopwordsByLang.map { case (lang, stops) =>
       val lst = stops.map(s => s"'$s'").mkString("[", ", ", "]")
       lang -> s"(CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))"

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Curation, TextAnalysis}
+import graft.plans.TopKPerKey
+
+/** Corpus-curation breadth beyond dedup/quality (round-2 additions):
+  * benchmark decontamination, deterministic stratified sampling, and
+  * per-language vocabulary top-k through the custom TopKPerKey plan.
+  */
+object PipelineQueries {
+
+  /** DuckDB word-k-gram list over a `toks` column (k generalization of
+    * ExtensionOracles' 3-shingle mirror; DuckDB slices are inclusive). */
+  private def gramsSql(toks: String, k: Int): String =
+    s"""CASE WHEN len($toks) >= $k
+       |  THEN list_transform(generate_series(1, len($toks) - ${k - 1}),
+       |         i -> array_to_string(($toks)[i:i+${k - 1}], ' '))
+       |  ELSE [] END""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Benchmark decontamination: docs in the training split sharing
+    // any word 8-gram with the eval split (doc_id % 7 == 0 plays the
+    // benchmark role). Eval gram set broadcast; training text never
+    // shuffles.
+    Q("q57_decontamination",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(${gramsSql("toks", 8)}) AS gram FROM t),
+         |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+         |tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0)
+         |SELECT doc_id, count(DISTINCT gram) AS n_hits
+         |FROM tg JOIN eg USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Curation.contaminated(
+          train = docs.filter(col("doc_id") % 7 =!= 0),
+          eval = docs.filter(col("doc_id") % 7 === 0),
+          k = 8)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sample: per-language keep-thresholds on
+    // a hash of the id — reproducible across engines/cluster sizes,
+    // so the oracle checks the EXACT sampled row set, not just counts.
+    Q("q58_stratified_sample", {
+      val pred = Curation.stratifiedSampleSql("lang",
+        Map("en" -> 200000, "fr" -> 500000), 800000, "doc_id")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $pred
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Curation.stratifiedSample(
+          s.read.parquet(s"$dir/documents.parquet"),
+          labelCol = "lang",
+          thresholds = Map("en" -> 200000, "fr" -> 500000),
+          defaultThreshold = 800000)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary per predicted language: token frequencies through the
+    // custom two-phase TopKPerKey plan (no per-group sort, ≤ k rows
+    // per key cross the exchange) — vs the oracle's row_number window.
+    Q("q59_vocab_topk",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |scored AS (SELECT doc_id, toks, ${ExtensionOracles.langPredSql} AS lang_pred FROM t),
+         |e AS (SELECT lang_pred, unnest(toks) AS token FROM scored),
+         |c AS (SELECT lang_pred, token, count(*) AS cnt FROM e GROUP BY 1, 2),
+         |r AS (SELECT lang_pred, token, cnt,
+         |        row_number() OVER (PARTITION BY lang_pred ORDER BY cnt DESC, token) AS rn
+         |      FROM c)
+         |SELECT lang_pred, token, cnt FROM r WHERE rn <= 5
+         |ORDER BY lang_pred, cnt DESC, token""".stripMargin) { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val counts = docs
+        .select(TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("lang_pred", "token")
+        .agg(count(lit(1)).as("cnt"))
+      TopKPerKey.topKPerKey(counts, Seq("lang_pred"), "cnt",
+          descending = true, k = 5, tiebreakCols = Seq("token"))
+        .orderBy(col("lang_pred"), col("cnt").desc, col("token"))
+    },
+  )
+}

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline needs beyond
+  * dedup/quality: benchmark decontamination and deterministic
+  * stratified sampling. Both are shuffle-disciplined and oracle-
+  * mirrorable (no RNG — sampling keys off a cryptographic hash of the
+  * row id, so any engine reproduces the same sample).
+  */
+object Curation {
+
+  /** Benchmark decontamination: training docs that share any word
+    * `k`-gram with the eval corpus (the standard pre-training hygiene
+    * pass — eval text leaking into training data inflates scores).
+    * Returns (idCol, n_hits = distinct shared grams), contaminated
+    * docs only; anti-join against it to clean.
+    *
+    * Scale shape: the eval side is a benchmark — tiny relative to the
+    * corpus — so its distinct gram set is BROADCAST; the training side
+    * streams through one explode + hash semi-match + per-doc count,
+    * never shuffling the text itself. A hot gram ("the the the")
+    * cannot skew: the broadcast side is distinct, and the count
+    * aggregates per doc id. */
+  def contaminated(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8): DataFrame = {
+    val evalGrams = eval
+      .select(explode(Dedup.shingles(col(textCol), k)).as("gram"))
+      .distinct()
+    val trainGrams = train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
+    trainGrams
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(idCol)
+      .agg(count_distinct(col("gram")).as("n_hits"))
+  }
+
+  /** Deterministic stratified sample: keep a row iff
+    * `md5(id) mod 1e6 < threshold(label)` — per-label integer
+    * thresholds out of 1,000,000 (e.g. 200000 = 20%). Hash-keyed, so
+    * the sample is reproducible across runs, engines, and cluster
+    * sizes (unlike `sample()`/RAND), stable under repartitioning, and
+    * exactly mirrorable in SQL. The md5-hex-prefix → BIGINT bridge is
+    * the cross-engine-verified lane from the minhash oracle. */
+  def stratifiedSample(
+      df: DataFrame,
+      labelCol: String,
+      thresholds: Map[String, Int],
+      defaultThreshold: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+    val thresholdCol = thresholds.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultThreshold)) { case (acc, (label, t)) =>
+        when(col(labelCol) === label, lit(t)).otherwise(acc)
+      }
+    df.filter(bucket < thresholdCol)
+  }
+
+  /** The [[stratifiedSample]] predicate's DuckDB spelling, for oracles
+    * and external verification. */
+  def stratifiedSampleSql(
+      labelExpr: String,
+      thresholds: Map[String, Int],
+      defaultThreshold: Int,
+      idExpr: String): String = {
+    val cases = thresholds.toSeq.sortBy(_._1).reverse
+      .foldLeft(defaultThreshold.toString) { case (acc, (label, t)) =>
+        s"CASE WHEN ($labelExpr) = '$label' THEN $t ELSE $acc END"
+      }
+    s"(('0x' || substring(md5(CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT % 1000000) < ($cases)"
+  }
+}

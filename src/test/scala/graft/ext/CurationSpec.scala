@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontamination flags exactly the docs sharing a k-gram with eval") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta suffix"), // contains the 6-gram
+      (2L, "alpha beta gamma delta epsilon"),                          // only 5 shared tokens
+      (3L, "completely unrelated text with other words here"),
+    ).toDF("doc_id", "text")
+    val hits = Curation.contaminated(train, eval, k = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(1L))
+    assert(hits(1L) == 1L) // one distinct shared 6-gram
+    // the clean split: anti-join removes exactly the flagged docs
+    val clean = train.join(Curation.contaminated(train, eval, k = 6),
+      Seq("doc_id"), "left_anti").select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("eval gram set is broadcast (training text never shuffles for the match)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = Curation.contaminated(
+        docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast match:\n$plan")
+  }
+
+  test("stratified sample: deterministic, label-thresholded, exact-mirrorable") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val thresholds = Map("en" -> 200000, "fr" -> 500000)
+    def run() = Curation.stratifiedSample(docs, "lang", thresholds, 800000)
+      .select("doc_id").as[Long].collect().toSet
+    val s1 = run()
+    assert(run() == s1, "hash-keyed sample must be identical across runs")
+    // repartitioning must not change membership (unlike sample())
+    val s2 = Curation.stratifiedSample(docs.repartition(7), "lang", thresholds, 800000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == s1)
+    // per-label keep rates approximate the thresholds (md5 is uniform)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Curation.stratifiedSample(docs, "lang", thresholds, 800000)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (lang, n) =>
+      val want = thresholds.getOrElse(lang, 800000) / 1000000.0
+      val got = kept.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(got - want) < 0.25, s"$lang keep rate $got vs $want (n=$n)")
+    }
+  }
+}
