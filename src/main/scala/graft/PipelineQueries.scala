@@ -84,5 +84,31 @@ object PipelineQueries {
           descending = true, k = 5, tiebreakCols = Seq("token"))
         .orderBy(col("lang_pred"), col("cnt").desc, col("token"))
     },
+
+    // Near-dup clusters: connected components over the minhash pair
+    // graph (A~B, B~C ⇒ {A,B,C} even without an A~C edge) — iterative
+    // min-label propagation vs DuckDB's recursive-CTE closure over
+    // the SAME pair query q30 verifies.
+    Q("q60_neardup_components",
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT a_id, b_id FROM (${ExtensionOracles.minhashPairs})),
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |cc AS (
+         |  SELECT DISTINCT src AS id, src AS label FROM sym
+         |  UNION
+         |  SELECT s.src AS id, cc.label FROM cc JOIN sym s ON cc.id = s.dst
+         |)
+         |SELECT id, CAST(min(label) AS BIGINT) AS component
+         |FROM cc GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      val pairs = graft.ext.Dedup.nearDuplicatePairsFromSignatures(
+          graft.ext.Dedup.signaturesFor(s, dir),
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", numHashes = 16, bands = 4,
+          minJaccard = 0.4, maxBucket = 256)
+        .select("a_id", "b_id")
+      graft.ext.Components.connectedComponents(pairs)
+        .orderBy("id")
+    },
   )
 }

@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step that
+  * turns near-duplicate PAIRS ([[Dedup.nearDuplicatePairs]],
+  * [[Similarity.nearDupPairs]]) into duplicate CLUSTERS, so "keep one
+  * canonical doc per group of mutual near-dups" becomes a groupBy on
+  * the component id. Pairs alone under-dedup: A~B and B~C puts A and C
+  * in the same cluster even when the A~C similarity missed the
+  * threshold.
+  *
+  * Algorithm: iterative min-label propagation. Each node starts
+  * labeled with its own id; every round each node takes the min of its
+  * label and its neighbors' labels; stop when no label changes.
+  * Rounds = graph diameter, and near-dup clusters are shallow (dozens
+  * of docs, diameter ≤ a few hops), so 3–5 rounds settle real corpora.
+  * Each round is one shuffle-join + aggregate; the label frame is
+  * localCheckpoint()ed per round to truncate lineage (an iterative
+  * plan otherwise re-derives every prior round on each action — the
+  * classic Spark iteration trap).
+  */
+object Components {
+
+  /** @param edges (aCol, bCol) undirected pairs, ids long
+    * @return (id, component) — component = min node id reachable */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src").as("nid"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel") < col("label")).as("changed"))
+        .localCheckpoint()
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.select("id", "label")
+      i += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Cluster view of a pair list: every node with its component plus
+    * the cluster's canonical (minimum) id — groupBy-ready. */
+  def nearDupClusters(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .select(col("id"), col("component"))
+}
