@@ -90,6 +90,23 @@ object PipelineQueries {
         .orderBy(col("lang_pred"), col("cnt").desc, col("token"))
     },
 
+    // Exact-size per-key sample: 3 docs per language, ranked by
+    // md5(id) — deterministic, and through the TopKPerKey plan (≤ k
+    // rows per key per partition cross the exchange; no global sort).
+    Q("q61_sample_per_key",
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hsh FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hsh, doc_id) AS rn
+        |      FROM h)
+        |SELECT lang, doc_id FROM r WHERE rn <= 3
+        |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      Curation.sampleKPerKey(
+          s.read.parquet(s"$dir/documents.parquet"), Seq("lang"), k = 3)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    },
+
     // Near-dup clusters: connected components over the minhash pair
     // graph (A~B, B~C ⇒ {A,B,C} even without an A~C edge) — iterative
     // min-label propagation vs DuckDB's recursive-CTE closure over

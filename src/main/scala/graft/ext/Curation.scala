@@ -64,6 +64,25 @@ object Curation {
     df.filter(bucket < thresholdCol)
   }
 
+  /** Deterministic uniform k-sample PER KEY: rank rows within each key
+    * by md5(id) and keep the k smallest — reproducible "random"
+    * sampling with an exact per-key size, where [[stratifiedSample]]
+    * gives an exact per-key RATE. Runs through the custom two-phase
+    * [[graft.plans.TopKPerKey]] plan, so a hot key ships ≤ k rows per
+    * input partition and nothing is ever fully sorted — at 100 TB this
+    * is the difference between a sample and a global shuffle. */
+  def sampleKPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      k: Int,
+      idCol: String = "doc_id"): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+        df.withColumn("_sample_rank",
+          md5(col(idCol).cast("string").cast("binary"))),
+        keyCols, "_sample_rank", descending = false, k,
+        tiebreakCols = Seq(idCol))
+      .drop("_sample_rank")
+
   /** The [[stratifiedSample]] predicate's DuckDB spelling, for oracles
     * and external verification. */
   def stratifiedSampleSql(

@@ -31,6 +31,25 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast match:\n$plan")
   }
 
+  test("per-key k-sample: exact size per key, deterministic, custom-plan") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val sample = Curation.sampleKPerKey(docs, Seq("lang"), k = 3)
+    val sizes = sample.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val available = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    available.foreach { case (lang, n) =>
+      assert(sizes(lang) == math.min(3L, n), s"$lang: ${sizes.get(lang)} of $n")
+    }
+    val ids = sample.select("doc_id").as[Long].collect().toSet
+    assert(Curation.sampleKPerKey(docs.repartition(5), Seq("lang"), k = 3)
+      .select("doc_id").as[Long].collect().toSet == ids,
+      "hash-ranked sample must be partition-invariant")
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"must run through the custom plan:\n$plan")
+    assert(!plan.contains("Window"), "no row_number fallback")
+  }
+
   test("stratified sample: deterministic, label-thresholded, exact-mirrorable") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val thresholds = Map("en" -> 200000, "fr" -> 500000)
