@@ -56,6 +56,11 @@ object GraftExtensions {
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double> vectors"),
       (children: Seq[Expression]) => graft.ext.DotProduct(children(0), children(1))),
+    (FunctionIdentifier("text_profile"),
+      info("text_profile",
+        "text_profile(text) - struct(n_tokens, n_distinct, n_punct, n_chars, stop_hits) in one scan"),
+      (children: Seq[Expression]) =>
+        graft.ext.TextProfile(children.head, graft.ext.TextAnalysis.stopwordsByLang)),
   )
 
   /** Register the SQL functions on an existing session (notebooks,

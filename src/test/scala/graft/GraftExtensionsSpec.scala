@@ -55,6 +55,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(Set("simhash64", "t_cdf", "t_ppf").subsetOf(fns))
   }
 
+  test("text_profile is callable from SQL") {
+    val r = spark.sql(
+      """SELECT p.n_tokens, p.n_distinct, p.stop_hits[0] AS en_hits
+        |FROM (SELECT text_profile('the quick the fox') AS p)""".stripMargin).head()
+    assert(r.getInt(0) == 4, "n_tokens")
+    assert(r.getInt(1) == 3, "n_distinct")
+    assert(r.getInt(2) == 2, "en stopword hits ('the' twice)")
+  }
+
   test("vec_dot implicit-casts array<float>/array<int> and rejects non-castable input") {
     // float input (the shipped embeddings element type) widens to double
     // at analysis instead of misreading 4-byte lanes as 8-byte doubles
