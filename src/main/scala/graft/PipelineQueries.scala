@@ -107,6 +107,19 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // PQ ANN: product-quantized codes + ADC scan. Training/codebooks
+    // aren't SQL-mirrorable (like IVF q45) → rows-only driver check;
+    // PqSpec proves recall vs exact L2 and training determinism.
+    Q.noOracle("q62_ann_pq") { (s, dir) =>
+      import graft.ext.Pq
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val books = Pq.train(emb)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      Pq.topK(Pq.withCodes(emb, books).filter(col("vec_id") =!= 0L), books, q, 20)
+        .select(col("vec_id"), col("label"), round(col("pq_dist"), 6).as("pq_dist"))
+    },
+
     // Near-dup clusters: connected components over the minhash pair
     // graph (A~B, B~C ⇒ {A,B,C} even without an A~C edge) — iterative
     // min-label propagation vs DuckDB's recursive-CTE closure over

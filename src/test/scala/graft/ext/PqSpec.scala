@@ -1,0 +1,54 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+  private lazy val books = Pq.train(emb, m = 8, k = 16, iters = 10)
+
+  test("codebooks: m subspaces × k centroids × dsub dims, deterministic") {
+    assert(books.length == 8)
+    assert(books.forall(_.length == 16))
+    assert(books.forall(_.forall(_.length == 64 / 8)))
+    val again = Pq.train(emb, m = 8, k = 16, iters = 10)
+    assert(books.flatten.flatten.toSeq == again.flatten.flatten.toSeq,
+      "hash-sampled training must be reproducible")
+  }
+
+  test("codes compress the vector 8:1 in arity and reconstruct coarsely") {
+    val coded = Pq.withCodes(emb, books)
+    val row = coded.select("pq_code").head()
+    val code = row.getSeq[Int](0)
+    assert(code.length == 8, "one code per subspace")
+    assert(code.forall(c => c >= 0 && c < 16))
+    assert(coded.count() == emb.count())
+  }
+
+  test("ADC top-k recall vs exact L2 brute force") {
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    // exact L2 top-10 (excluding the query itself)
+    val exact = emb.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        val d = v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+        (r.getLong(0), d)
+      }
+      .sortBy(_._2).take(10).map(_._1).toSet
+    val coded = Pq.withCodes(emb, books).filter(col("vec_id") =!= 0L)
+    val ann = Pq.topK(coded, books, q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    // uniform-random embeddings are the worst case for PQ; at 8×16
+    // codes expect a solid fraction of the true neighbors back
+    assert(recall >= 0.3, s"recall@10 was $recall (ann=$ann exact=$exact)")
+    // and the scored frame only needed codes, not embeddings
+    val plan = Pq.topK(coded.select("vec_id", "pq_code"), books, q, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+  }
+}
