@@ -107,6 +107,24 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // Stream-stream interval join (purchase attribution): both sides
+    // watermarked, event time bounded in BOTH directions so join
+    // state expires — run to completion it equals the batch join,
+    // which DuckDB replays directly.
+    Q("q63_stream_interval_join",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  epoch_us(s.sts) AS signup_us
+        |FROM p JOIN s ON p.user_id = s.user_id
+        |  AND p.ts >= s.sts AND p.ts <= s.sts + INTERVAL 7 DAY
+        |ORDER BY event_id, signup_us""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamJoin.purchaseAttribution(s, dir,
+          s"attrib_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+        .orderBy("event_id", "signup_us")
+    },
+
     // PQ ANN: product-quantized codes + ADC scan. Training/codebooks
     // aren't SQL-mirrorable (like IVF q45) → rows-only driver check;
     // PqSpec proves recall vs exact L2 and training determinism.

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-stream event-time interval join: every purchase matched to
+  * ALL of the same user's signups in the preceding 7 days — the
+  * attribution-window join, as two live streams (vs [[graft.ext.AsOfJoin]]
+  * which is the batch most-recent-only variant).
+  *
+  * State boundedness is the whole design: BOTH sides carry a
+  * watermark and the join condition bounds event time in BOTH
+  * directions (`s_ts <= p_ts <= s_ts + 7d`), which is exactly what
+  * lets Spark expire buffered rows — a signup older than
+  * watermark − 7d can never match again and is dropped from the state
+  * store. Without the range bound the state grows forever; with it,
+  * state ≈ 7 days of signups + the watermark delay of purchases,
+  * independent of stream length. Inner-join results emit as soon as
+  * both sides arrive (no watermark holdback — that's outer-join
+  * semantics), so running the stream to completion equals the batch
+  * join, which is what the DuckDB oracle checks.
+  */
+object StreamJoin {
+
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  def purchaseAttribution(
+      spark: SparkSession,
+      sfDir: String,
+      queryName: String = "purchase_attribution"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String): DataFrame =
+      spark.readStream
+        .schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .filter(col("event_type") === tpe)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = side("purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = side("signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        unix_micros(col("s_ts")).as("signup_us"))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
