@@ -107,6 +107,64 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // TF-IDF top terms per document: explode → tf → df join → idf
+    // score → custom TopKPerKey. ln() is transcendental (libm last-bit
+    // risk across engines) so tfidf rounds at 6dp — the rank key is
+    // the ROUNDED value on both sides, keeping order deterministic.
+    Q("q65_tfidf_topterms",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN idf USING (token) CROSS JOIN n),
+        |r AS (SELECT doc_id, token, tf, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        |      FROM scored)
+        |SELECT doc_id, token, tf, tfidf FROM r WHERE rn <= 3
+        |ORDER BY doc_id, tfidf DESC, token""".stripMargin) { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val total = docs.select(count(lit(1)).as("n_docs"))
+      val scored = tf.join(idf, Seq("token"))
+        .crossJoin(broadcast(total))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      TopKPerKey.topKPerKey(scored, Seq("doc_id"), "tfidf",
+          descending = true, k = 3, tiebreakCols = Seq("token"))
+        .select("doc_id", "token", "tf", "tfidf")
+        .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+    },
+
+    // Exact simple linear regression per group: price ~ quantity.
+    // Slope/R² are ratios of the SAME exact integer numerators as
+    // covariance/variance (the quantization scale cancels), so the
+    // comparison is UNROUNDED like q05/q39/q54.
+    Q("q64_linear_regression", {
+      import graft.stats.ExactMoments._
+      s"""SELECT l_returnflag,
+         |  ${exactSlopeSql("l_extendedprice", "l_quantity")} AS slope,
+         |  ${exactInterceptSql("l_extendedprice", "l_quantity")} AS intercept,
+         |  ${exactR2Sql("l_extendedprice", "l_quantity")} AS r2
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }) { (s, dir) =>
+      import graft.stats.ExactMoments
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+          ExactMoments.exactSlope(col("l_extendedprice"), col("l_quantity")).as("slope"),
+          ExactMoments.exactIntercept(col("l_extendedprice"), col("l_quantity")).as("intercept"),
+          ExactMoments.exactR2(col("l_extendedprice"), col("l_quantity")).as("r2"))
+        .orderBy("l_returnflag")
+    },
+
     // Stream-stream interval join (purchase attribution): both sides
     // watermarked, event time bounded in BOTH directions so join
     // state expires — run to completion it equals the batch join,

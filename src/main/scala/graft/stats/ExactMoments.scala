@@ -97,6 +97,64 @@ object ExactMoments {
         sqrt(varNum(px).cast("double") * varNum(py).cast("double")))
   }
 
+  /** Exact simple linear regression of y on x — the numerators are the
+    * same exact integers as covariance/variance, and the 1/(n(n−1)1e12)
+    * scale CANCELS in slope and R², so both are pure ratios of exactly-
+    * equal values (bitwise cross-engine, like exactCorr):
+    *
+    *   slope     = Nxy / Nxx
+    *   intercept = mean_y − slope · mean_x   (exactAvg means)
+    *   r²        = Nxy² / (Nxx · Nyy)
+    */
+  def exactSlope(y: Column, x: Column): Column = {
+    val (px, py) = pairMask(x, y)
+    when(count(px) > 1 && varNum(px) > 0,
+      covNum(x, y).cast("double") / varNum(px).cast("double"))
+  }
+
+  def exactIntercept(y: Column, x: Column): Column = {
+    val (px, py) = pairMask(x, y)
+    val meanX = sum(qd(px)).cast("double") / count(px) / lit(1e6)
+    val meanY = sum(qd(py)).cast("double") / count(px) / lit(1e6)
+    when(count(px) > 1 && varNum(px) > 0, meanY - exactSlope(y, x) * meanX)
+  }
+
+  def exactR2(y: Column, x: Column): Column = {
+    val (px, py) = pairMask(x, y)
+    val nxy = covNum(x, y).cast("double")
+    when(count(px) > 1 && varNum(px) > 0 && varNum(py) > 0,
+      nxy * nxy / (varNum(px).cast("double") * varNum(py).cast("double")))
+  }
+
+  def exactSlopeSql(y: String, x: String): String = {
+    val px = s"CASE WHEN ($y) IS NOT NULL THEN ($x) END"
+    val py = s"CASE WHEN ($x) IS NOT NULL THEN ($y) END"
+    val num = s"count($px) * sum(${qdSql(px)} * ${qdSql(py)}) - sum(${qdSql(px)}) * sum(${qdSql(py)})"
+    s"""CASE WHEN count($px) > 1 AND ${varNumSql(px)} > 0 THEN
+       |    CAST($num AS DOUBLE) / CAST(${varNumSql(px)} AS DOUBLE)
+       |  END""".stripMargin
+  }
+
+  def exactInterceptSql(y: String, x: String): String = {
+    val px = s"CASE WHEN ($y) IS NOT NULL THEN ($x) END"
+    val py = s"CASE WHEN ($x) IS NOT NULL THEN ($y) END"
+    val meanX = s"CAST(sum(${qdSql(px)}) AS DOUBLE) / count($px) / 1000000.0"
+    val meanY = s"CAST(sum(${qdSql(py)}) AS DOUBLE) / count($px) / 1000000.0"
+    s"""CASE WHEN count($px) > 1 AND ${varNumSql(px)} > 0 THEN
+       |    $meanY - (${exactSlopeSql(y, x)}) * $meanX
+       |  END""".stripMargin
+  }
+
+  def exactR2Sql(y: String, x: String): String = {
+    val px = s"CASE WHEN ($y) IS NOT NULL THEN ($x) END"
+    val py = s"CASE WHEN ($x) IS NOT NULL THEN ($y) END"
+    val num = s"count($px) * sum(${qdSql(px)} * ${qdSql(py)}) - sum(${qdSql(px)}) * sum(${qdSql(py)})"
+    s"""CASE WHEN count($px) > 1 AND ${varNumSql(px)} > 0 AND ${varNumSql(py)} > 0 THEN
+       |    CAST($num AS DOUBLE) * CAST($num AS DOUBLE) /
+       |      (CAST(${varNumSql(px)} AS DOUBLE) * CAST(${varNumSql(py)} AS DOUBLE))
+       |  END""".stripMargin
+  }
+
   /** DuckDB mirrors. `x`/`y` must be plain column names or parenthesized
     * expressions; the pair mask is written out with CASE. */
   def exactCovarSql(x: String, y: String): String = {
