@@ -43,6 +43,15 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("hot cluster: one giant star component converges in few rounds") {
+    // 5k nodes all attached to hub 0 — the degenerate everything-is-a-
+    // dup corpus. One round of propagation must settle it (diameter 2).
+    val edges = (1L to 5000L).map(i => (0L, i))
+    val comp = run(edges)
+    assert(comp.size == 5001)
+    assert(comp.values.forall(_ == 0L), "all nodes label to the hub's min id")
+  }
+
   test("near-dup pairs from the corpus cluster transitively") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val pairs = Dedup.nearDuplicatePairs(docs, minJaccard = 0.4)
