@@ -107,6 +107,34 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // Data mixing: downsample sources to target proportions (60/25/15
+    // en/fr/zh here; de+es dropped), keeping the corpus as large as the
+    // binding source allows. Thresholds derive from per-source counts
+    // with identical IEEE ops in both engines, then the hash-threshold
+    // filter — the oracle checks the EXACT mixed row set.
+    Q("q66_mix_proportions",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |p AS (SELECT lang,
+        |        CASE lang WHEN 'en' THEN 0.6 WHEN 'fr' THEN 0.25 WHEN 'zh' THEN 0.15
+        |          ELSE 0.0 END AS prop
+        |      FROM c),
+        |s AS (SELECT min(n / prop) AS scale FROM c JOIN p USING (lang)
+        |      WHERE prop > 0 AND n > 0),
+        |t AS (SELECT c.lang,
+        |        CAST(floor(least(1.0, p.prop * s.scale / c.n) * 1000000.0) AS BIGINT) AS threshold
+        |      FROM c JOIN p USING (lang) CROSS JOIN s)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+        |      < t.threshold
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Curation.mixToProportions(
+          s.read.parquet(s"$dir/documents.parquet"),
+          sourceCol = "lang",
+          targetProps = Map("en" -> 0.6, "fr" -> 0.25, "zh" -> 0.15))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // TF-IDF top terms per document: explode → tf → df join → idf
     // score → custom TopKPerKey. ln() is transcendental (libm last-bit
     // risk across engines) so tfidf rounds at 6dp — the rank key is

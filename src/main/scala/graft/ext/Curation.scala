@@ -83,6 +83,47 @@ object Curation {
         tiebreakCols = Seq(idCol))
       .drop("_sample_rank")
 
+  /** Mixture reweighting ("data mixing"): downsample sources so the
+    * output corpus matches `targetProps` (e.g. 60% web / 30% code /
+    * 10% books) while keeping it as LARGE as possible — the binding
+    * source (smallest n_s/p_s) is kept whole and every other source
+    * downsamples to match. Two passes: a count per source (one tiny
+    * aggregate), then the [[stratifiedSample]] hash-threshold filter
+    * with computed thresholds — so the result is deterministic,
+    * repartition-invariant, and engine-mirrorable like every other
+    * sampler here.
+    *
+    * Threshold math (mirrored in [[mixToProportionsThresholds]]):
+    * scale = min_s(n_s / p_s); keep_s = p_s · scale;
+    * threshold_s = floor(keep_s / n_s · 1e6) out of 1e6.
+    */
+  def mixToProportions(
+      df: DataFrame,
+      sourceCol: String,
+      targetProps: Map[String, Double],
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(sourceCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresholds = mixToProportionsThresholds(counts, targetProps)
+    stratifiedSample(df, sourceCol, thresholds, defaultThreshold = 0, idCol)
+  }
+
+  /** The per-source thresholds (of 1e6) for [[mixToProportions]] —
+    * separated so oracles can compute the identical integers. Sources
+    * absent from `targetProps` get 0 (dropped). */
+  def mixToProportionsThresholds(
+      counts: Map[String, Long],
+      targetProps: Map[String, Double]): Map[String, Int] = {
+    val scale = targetProps.collect {
+      case (s, p) if p > 0 && counts.getOrElse(s, 0L) > 0 => counts(s) / p
+    }.min
+    targetProps.map { case (s, p) =>
+      val n = counts.getOrElse(s, 0L)
+      val frac = if (n == 0) 0.0 else p * scale / n
+      s -> math.floor(math.min(1.0, frac) * 1e6).toInt
+    }
+  }
+
   /** The [[stratifiedSample]] predicate's DuckDB spelling, for oracles
     * and external verification. */
   def stratifiedSampleSql(

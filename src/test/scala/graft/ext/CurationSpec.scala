@@ -50,6 +50,28 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no row_number fallback")
   }
 
+  test("data mixing: output proportions track targets, binding source kept whole") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val targets = Map("en" -> 0.6, "fr" -> 0.25, "zh" -> 0.15)
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresholds = Curation.mixToProportionsThresholds(counts, targets)
+    // the binding source (min n/p) is kept whole
+    val binding = targets.keys.minBy(s => counts(s) / targets(s))
+    assert(thresholds(binding) == 1000000, s"binding source $binding must keep all rows")
+    val mixed = Curation.mixToProportions(docs, "lang", targets)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // untargeted sources dropped entirely
+    assert(!mixed.contains("de") && !mixed.contains("es"))
+    // realized mix within hash-sampling noise of the target proportions
+    val total = mixed.values.sum.toDouble
+    targets.foreach { case (lang, p) =>
+      val got = mixed.getOrElse(lang, 0L) / total
+      assert(math.abs(got - p) < 0.12, s"$lang: got $got want $p")
+    }
+  }
+
   test("stratified sample: deterministic, label-thresholded, exact-mirrorable") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val thresholds = Map("en" -> 200000, "fr" -> 500000)
