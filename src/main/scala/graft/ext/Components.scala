@@ -24,14 +24,21 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** @param edges (aCol, bCol) undirected pairs, ids long
+    * @param maxIter hard round cap; label propagation needs rounds =
+    *                graph diameter, so if this binds the result would
+    *                be SILENTLY split — the loop THROWS instead
     * @return (id, component) — component = min node id reachable */
   def connectedComponents(
       edges: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
+    // checkpoint the symmetrized edges ONCE: each round joins against
+    // them, and without this the (possibly expensive — minhash banding,
+    // Jaccard verify) edge subtree would re-execute every iteration
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -52,6 +59,11 @@ object Components {
       labels = updated.select("id", "label")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the " +
+          s"graph has a component of diameter > $maxIter; raise maxIter " +
+          "(a silently split clustering would under-dedup)")
     labels.withColumnRenamed("label", "component")
   }
 

@@ -114,9 +114,13 @@ object Curation {
   def mixToProportionsThresholds(
       counts: Map[String, Long],
       targetProps: Map[String, Double]): Map[String, Int] = {
-    val scale = targetProps.collect {
+    val scales = targetProps.collect {
       case (s, p) if p > 0 && counts.getOrElse(s, 0L) > 0 => counts(s) / p
-    }.min
+    }
+    // no targeted source present in the corpus ⇒ empty mix (the SQL
+    // formulation's NULL scale → zero rows), not an empty.min crash
+    if (scales.isEmpty) return targetProps.map { case (s, _) => s -> 0 }
+    val scale = scales.min
     targetProps.map { case (s, p) =>
       val n = counts.getOrElse(s, 0L)
       val frac = if (n == 0) 0.0 else p * scale / n

@@ -29,15 +29,31 @@ object Dedup {
   /** Ensure CPU-heavy per-row work is spread across the cluster: a
     * small/compacted source can arrive as 1-2 scan partitions, which
     * would serialize the expensive shingle+hash map phase onto one
-    * core. Decided from `inputFiles` (plan metadata — converting to
-    * RDD to count partitions would force a second physical planning
-    * of the subtree and defeat AQE reuse): a source with at least
-    * `defaultParallelism` files already fans out at scan time, so a
-    * real multi-file 100 TB scan skips the shuffle entirely; only
-    * few-file / in-memory inputs pay one round-robin repartition. */
+    * core. Decided from `inputFiles` plan metadata (converting to RDD
+    * to count partitions would force a second physical planning of the
+    * subtree and defeat AQE reuse). File COUNT alone under-estimates —
+    * 8 compacted 1 GB files still split into ~64 scan partitions via
+    * maxPartitionBytes — so for few-file sources the split count is
+    * estimated from file sizes (≤ `target` driver-side FS lookups,
+    * only on the already-small branch); a shuffle of a multi-GB corpus
+    * is only paid when the scan genuinely cannot fan out. */
   private def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length >= target) df
+    else if (files.isEmpty) df.repartition(target) // in-memory input
+    else {
+      val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val estimatedSplits = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val len = try p.getFileSystem(hconf).getFileStatus(p).getLen
+                  catch { case _: java.io.IOException => 0L }
+        math.max(1L, (len + maxSplit - 1) / maxSplit)
+      }.sum
+      if (estimatedSplits >= target) df else df.repartition(target)
+    }
   }
 
   /** Exact duplicates via normalized fingerprint: every doc labeled
@@ -236,12 +252,20 @@ object Dedup {
     // and the pair expansion would go quadratic in a single task. Both
     // window aggregates below spill (WindowExec buffers rows on disk),
     // so sizing every bucket is safe; buckets over `maxBucket` degrade
-    // to STAR pairing (every member vs the bucket's min id): O(n) rows
-    // per hot bucket instead of O(n²), and — since all members stay
-    // connected through the canonical member — identical connected
-    // components for dedup grouping. The pairwise *listing* inside an
-    // oversized bucket is intentionally partial; audit hot bands with
-    // [[bandBucketStats]] before relying on exhaustive pair output.
+    // to STAR pairing (every member vs the bucket's min id): O(n)
+    // CANDIDATES per hot bucket instead of O(n²). Contract of the
+    // degraded mode: candidates still pass the minJaccard verify, so
+    // inside a capped bucket BOTH the pair listing AND connectivity
+    // are partial — two members that near-dup each other but not the
+    // bucket-min member lose their edge (no O(n)-output scheme can
+    // emit verified pairs AND guarantee full connectivity; a
+    // degenerate bucket's true pair set IS quadratic). In the capped
+    // regime the result is a documented approximation that also
+    // diverges from the uncapped DuckDB oracle; the verify corpora
+    // stay under `maxBucket` (q30/q44/q60 green), and production runs
+    // should audit hot bands with [[bandBucketStats]] — raise
+    // `maxBucket` (or pre-filter boilerplate) where exhaustive output
+    // matters.
     val byBand = Window.partitionBy("band")
     val stats = banded
       .withColumn("bucket_n", count(lit(1)).over(byBand))

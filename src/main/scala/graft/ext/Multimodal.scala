@@ -92,12 +92,19 @@ object Multimodal {
   /** Decode/feature-extract over partition-batched rows. Repartitions
     * by asset_id so decode work spreads across executors regardless of
     * how few input files there are (binary blobs make row-group
-    * boundaries coarse). The codec is opened once per partition,
-    * fed `batchSize`-asset batches, and closed on task completion
-    * (success, failure, or early termination alike). */
+    * boundaries coarse).
+    *
+    * The codec is created PER TASK via `codecFactory` — concurrent
+    * tasks in one executor JVM must not share a codec instance, or one
+    * task's completion listener would close() the native context other
+    * tasks are still decoding with. Each task's instance is opened
+    * before its first batch, fed `batchSize`-asset batches, and closed
+    * on task completion (success, failure, or early termination
+    * alike). Stateless codecs (like [[StubCodec]]) may safely return a
+    * shared singleton from the factory. */
   def extractFeatures(
       assets: DataFrame,
-      codec: MediaCodec = StubCodec,
+      codecFactory: () => MediaCodec = () => StubCodec,
       parallelism: Int = 0,
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = assets.sparkSession
@@ -109,6 +116,7 @@ object Multimodal {
       .repartition(parts, col("asset_id"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
+        val codec = codecFactory()
         codec.open()
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))

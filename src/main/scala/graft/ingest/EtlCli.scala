@@ -50,6 +50,8 @@ object EtlCli {
     val c = parse(args.toList)
     require((c.source.nonEmpty || c.url.nonEmpty) && c.out.nonEmpty,
       "--source or --url, and --out, are required")
+    require(c.source.isEmpty || c.url.isEmpty,
+      "--source and --url are mutually exclusive (a fetch would overwrite the pre-staged file)")
     val spark = SparkSession.builder()
       .appName("graft-etl")
       .config("spark.sql.session.timeZone", "UTC")
@@ -63,10 +65,7 @@ object EtlCli {
     // (60 s timeout, raise on non-2xx — etl_pipeline.py:28-31,51-52)
     // into `<out>/staging/owid_wide.csv`; --source reads a pre-staged file.
     val source = c.url match {
-      case Some(u) =>
-        val staged = if (c.source.nonEmpty) c.source
-                     else s"${c.out}/staging/owid_wide.csv"
-        HttpStaging.fetchToStaging(u, staged)
+      case Some(u) => HttpStaging.fetchToStaging(u, s"${c.out}/staging/owid_wide.csv")
       case None => c.source
     }
     // E1 steps 2-5: validate, transform, load.

@@ -33,7 +33,12 @@ object HttpStaging {
       .timeout(Duration.ofSeconds(timeoutSeconds))
       .GET()
       .build()
-    val response = client.send(request, HttpResponse.BodyHandlers.ofFile(target))
+    // TRUNCATE_EXISTING: a re-fetch over an existing staging file must
+    // not leave the old body's tail when the new one is shorter
+    val response = client.send(request, HttpResponse.BodyHandlers.ofFile(target,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
     if (response.statusCode() / 100 != 2) {
       Files.deleteIfExists(target)
       throw new java.io.IOException(

@@ -52,10 +52,22 @@ object PdfReport {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
+  /** Locale-invariant number formatting: PDF operands must use '.'
+    * decimal separators regardless of the JVM default locale (the f
+    * interpolator is locale-sensitive — a comma-decimal locale would
+    * corrupt every content stream). */
+  private def fmtR(pattern: String, args: Any*): String =
+    String.format(java.util.Locale.ROOT, pattern,
+      args.map(_.asInstanceOf[Object]): _*)
+
   private def text(x: Double, y: Double, size: Double, s: String,
                    bold: Boolean = false, rgb: (Double, Double, Double) = (0, 0, 0)): String = {
     val font = if (bold) "/F2" else "/F1"
-    f"BT ${rgb._1}%.3f ${rgb._2}%.3f ${rgb._3}%.3f rg $font ${size}%.1f Tf ${x}%.1f ${y}%.1f Td (${esc(s)}) Tj ET\n"
+    // user text must NOT enter the format pattern (a literal '%' in the
+    // string would be read as a specifier) — concatenate around it
+    fmtR("BT %.3f %.3f %.3f rg ", rgb._1, rgb._2, rgb._3) + font +
+      fmtR(" %.1f Tf %.1f %.1f Td ", size, x, y) +
+      "(" + esc(s) + ") Tj ET\n"
   }
 
   private def coverContent(country: String, antigen: String, today: java.time.LocalDate): String = {
@@ -89,10 +101,10 @@ object PdfReport {
         s"$campaignStart with windows of $preYears years before and $postYears years after.",
       rgb = slate); y -= 14
     val diff = for (b <- stats.avgBefore; a <- stats.avgAfter) yield a - b
-    def fmt(o: Option[Double], p: String = "%.1f"): String = o.map(v => p.format(v)).getOrElse("N/A")
+    def fmt(o: Option[Double], p: String = "%.1f"): String = o.map(v => fmtR(p, v)).getOrElse("N/A")
     sb ++= text(47, y, 10,
       s"Before mean is ${fmt(stats.avgBefore)}%, after mean is ${fmt(stats.avgAfter)}%, " +
-        s"difference is ${diff.map(d => f"$d%+.1f").getOrElse("N/A")} percentage points, " +
+        s"difference is ${diff.map(d => fmtR("%+.1f", d)).getOrElse("N/A")} percentage points, " +
         s"and p-value is ${fmt(stats.pValue, "%.4f")}.",
       rgb = slate); y -= 26
 
@@ -100,7 +112,7 @@ object PdfReport {
     sb ++= text(47, y, 14, "Coverage trend chart", bold = true, navy); y -= 10
     val (cx, cw, ch) = (47.0, PW - 94, 150.0)
     val cy = y - ch
-    sb ++= f"0.9 0.9 0.9 RG 0.8 w $cx%.1f $cy%.1f $cw%.1f $ch%.1f re S\n"
+    sb ++= fmtR("0.9 0.9 0.9 RG 0.8 w %.1f %.1f %.1f %.1f re S\n", cx, cy, cw, ch)
     if (series.nonEmpty) {
       val years = series.map(_._1)
       val xLo = math.min(years.min, campaignStart - preYears)
@@ -109,31 +121,32 @@ object PdfReport {
       def py(v: Double) = cy + v / 100.0 * ch
       val pts = series.map { case (yr, v) => (px(yr), py(v)) }
       sb ++= "0.039 0.122 0.267 RG 1.2 w\n"
-      sb ++= f"${pts.head._1}%.1f ${pts.head._2}%.1f m " +
-        pts.tail.map { case (x, yy) => f"$x%.1f $yy%.1f l" }.mkString(" ") + " S\n"
+      sb ++= fmtR("%.1f %.1f m ", pts.head._1, pts.head._2) +
+        pts.tail.map { case (x, yy) => fmtR("%.1f %.1f l", x, yy) }.mkString(" ") + " S\n"
       // markers: tiny filled squares (circles need bezier; squares suffice)
       sb ++= "0.039 0.122 0.267 rg\n"
-      pts.foreach { case (x, yy) => sb ++= f"${x - 1.5}%.1f ${yy - 1.5}%.1f 3 3 re f\n" }
+      pts.foreach { case (x, yy) => sb ++= fmtR("%.1f %.1f 3 3 re f\n", x - 1.5, yy - 1.5) }
       // dashed red campaign line
-      sb ++= f"0.784 0.220 0.165 RG [3 3] 0 d ${px(campaignStart)}%.1f $cy%.1f m ${px(campaignStart)}%.1f ${cy + ch}%.1f l S [] 0 d\n"
+      sb ++= fmtR("0.784 0.220 0.165 RG [3 3] 0 d %.1f %.1f m %.1f %.1f l S [] 0 d\n",
+        px(campaignStart), cy, px(campaignStart), cy + ch)
     }
     y = cy - 26
 
     // data table: header + top 20 rows, grid-ruled
     sb ++= text(47, y, 14, "Data table (top 20 rows)", bold = true, navy); y -= 16
-    val rows = ("year", "coverage_pct") +: series.take(20).map { case (yr, v) => (yr.toString, f"$v%.2f") }
+    val rows = ("year", "coverage_pct") +: series.take(20).map { case (yr, v) => (yr.toString, fmtR("%.2f", v)) }
     val (colW, rowH) = (90.0, 13.0)
     rows.zipWithIndex.foreach { case ((c1, c2), i) =>
       val ry = y - i * rowH
       if (i == 0) { // header band, navy fill + white text
-        sb ++= f"0.039 0.122 0.267 rg 47 ${ry - 3.5}%.1f ${2 * colW}%.1f $rowH%.1f re f\n"
+        sb ++= fmtR("0.039 0.122 0.267 rg 47 %.1f %.1f %.1f re f\n", ry - 3.5, 2 * colW, rowH)
         sb ++= text(52, ry, 8.5, c1, bold = true, (1, 1, 1))
         sb ++= text(52 + colW, ry, 8.5, c2, bold = true, (1, 1, 1))
       } else {
         sb ++= text(52, ry, 8.5, c1, rgb = slate)
         sb ++= text(52 + colW, ry, 8.5, c2, rgb = slate)
       }
-      sb ++= f"0.886 0.902 0.925 RG 0.25 w 47 ${ry - 3.5}%.1f ${2 * colW}%.1f $rowH%.1f re S\n"
+      sb ++= fmtR("0.886 0.902 0.925 RG 0.25 w 47 %.1f %.1f %.1f re S\n", ry - 3.5, 2 * colW, rowH)
     }
     y -= rows.size * rowH + 18
 
@@ -172,7 +185,7 @@ object PdfReport {
     }
     val xrefAt = out.size()
     w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
-    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    offsets.foreach(o => w(fmtR("%010d 00000 n \n", o)))
     w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n" + "%%EOF\n")
     out.toByteArray
   }

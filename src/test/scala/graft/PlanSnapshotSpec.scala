@@ -55,6 +55,10 @@ class PlanSnapshotSpec extends SparkSpec {
   private val skipSnapshots = Set("q21_distinct_counts")
 
   test("every query's plan matches its golden snapshot") {
+    // metadata strings truncate at a RAW-width cut, so expression-id
+    // digit counts (which vary run to run) would shift the "..." point
+    // and defeat normalization — render untruncated instead
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
     Files.createDirectories(artifactDir)
     if (regen) Files.createDirectories(goldenDir)
     val dir = sf() // sf0.001 — plan shape, not data scale

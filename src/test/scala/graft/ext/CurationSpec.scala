@@ -72,6 +72,14 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("data mixing: no targeted source present yields an empty mix, not a crash") {
+    assert(Curation.mixToProportionsThresholds(
+      Map("de" -> 100L, "es" -> 50L), Map("en" -> 0.6, "fr" -> 0.4))
+      == Map("en" -> 0, "fr" -> 0))
+    val onlyDe = Seq((1L, "de"), (2L, "de")).toDF("doc_id", "lang")
+    assert(Curation.mixToProportions(onlyDe, "lang", Map("en" -> 1.0)).isEmpty)
+  }
+
   test("stratified sample: deterministic, label-thresholded, exact-mirrorable") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val thresholds = Map("en" -> 200000, "fr" -> 500000)

@@ -44,7 +44,7 @@ class MultimodalSpec extends SparkSpec {
     CountingCodec.reset()
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val assets = Multimodal.assetsFromBinary(docs, "doc_id", "text", "image")
-    val viaTrait = Multimodal.extractFeatures(assets, CountingCodec,
+    val viaTrait = Multimodal.extractFeatures(assets, () => CountingCodec,
         parallelism = 4, batchSize = 8)
       .collect().map(m => m.asset_id -> m.byte_entropy).toMap
     assert(CountingCodec.opens.get() == 4, "one open per partition")
@@ -57,7 +57,7 @@ class MultimodalSpec extends SparkSpec {
     assert(viaTrait == direct)
     // close still runs when the consumer stops early (limit)
     CountingCodec.reset()
-    Multimodal.extractFeatures(assets, CountingCodec, parallelism = 2).limit(3).collect()
+    Multimodal.extractFeatures(assets, () => CountingCodec, parallelism = 2).limit(3).collect()
     assert(CountingCodec.closes.get() == CountingCodec.opens.get(),
       "early termination must still close every opened codec")
   }

@@ -79,6 +79,18 @@ class EtlCliSpec extends SparkSpec {
       intercept[java.io.IOException](
         EtlCli.run(spark, EtlCli.Config(out = out2, url = Some(s"$base/missing.csv"))))
       assert(!Files.exists(java.nio.file.Path.of(s"$out2/staging/owid_wide.csv")))
+
+      // re-fetch truncates: a shorter upstream body must not leave the
+      // previous download's tail bytes behind
+      val staged = Files.createTempDirectory("graft_restage").resolve("s.csv").toString
+      Files.writeString(java.nio.file.Path.of(
+        HttpStaging.fetchToStaging(s"$base/wide.csv", staged)), "") // warm path exists
+      Files.writeString(java.nio.file.Path.of(staged),
+        "x" * 100000) // simulate a previous, much larger download
+      HttpStaging.fetchToStaging(s"$base/wide.csv", staged)
+      val refetched = Files.readString(java.nio.file.Path.of(staged))
+      assert(refetched.startsWith("entity,year,") && !refetched.endsWith("x"),
+        "stale tail bytes must be truncated on re-fetch")
     } finally server.stop(0)
   }
 }
