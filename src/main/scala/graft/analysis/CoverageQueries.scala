@@ -29,9 +29,14 @@ object CoverageQueries {
     * double). `floor` has no half-way case: the product x·1e6 is one
     * IEEE op (identical everywhere), floor of it is exact. NULL (not an
     * error) on empty input: sum is NULL iff count is 0, and NULL/0 is
-    * NULL even under ANSI. Domain: |x| < 2^53/1e6 ≈ 9e9. */
+    * NULL even under ANSI. Domain: |x| < 2^53/1e6 ≈ 9e9 per value; the
+    * SUM accumulates in DECIMAL(38,0) (a long sum would overflow 2^63
+    * around n·x̄·1e6 ≈ 9e18 — a few hundred million price-scale rows —
+    * where the DuckDB mirror's HUGEINT would not; the decimal→double
+    * cast is correctly-rounded like long→double, so values are
+    * unchanged where both fit). */
   def exactAvg(c: Column): Column =
-    sum(floor(c * lit(1e6))).cast("double") / count(c) / lit(1e6)
+    sum(floor(c * lit(1e6)).cast("decimal(38,0)")).cast("double") / count(c) / lit(1e6)
 
   /** Filtered ordered series — S2/P1/P2/L1
     * (`/root/reference/etl_pipeline.py:109-118`). Catalyst pushes both

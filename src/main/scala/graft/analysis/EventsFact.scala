@@ -44,9 +44,14 @@ object EventsFact {
     * orders of magnitude smaller than the raw events (one row per
     * (cohort, type, day)), so this holds at any scale the groupBy holds. */
   def fact(spark: SparkSession, sfDir: String): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir),
-      factUncached(spark, sfDir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // synchronized: TrieMap.getOrElseUpdate may race the thunk in two
+    // threads, and a losing persist() would leak executor storage with
+    // no handle to unpersist it (parallel suites / concurrent drivers)
+    cache.synchronized {
+      cache.getOrElseUpdate((spark, sfDir),
+        factUncached(spark, sfDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   def factUncached(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir)

@@ -361,10 +361,14 @@ object Dedup {
       sfDir: String,
       k: Int = 3,
       numHashes: Int = 16): DataFrame =
-    sigCache.getOrElseUpdate((spark, sfDir, k, numHashes),
-      minhashSignatureAggFast(
-        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k, numHashes)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // synchronized like EventsFact.fact: a racing getOrElseUpdate thunk
+    // would leak the losing persist()
+    sigCache.synchronized {
+      sigCache.getOrElseUpdate((spark, sfDir, k, numHashes),
+        minhashSignatureAggFast(
+          spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k, numHashes)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** Drop the persisted signatures for a dir (the refresh path). */
   def invalidateSignatures(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =

@@ -30,11 +30,14 @@ object SkewJoin {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val probeCols = probe.columns.filterNot(_ == key).map(col)
-    // deterministic, uniform salt: hash of the probe row's payload
-    // (falls back to the key alone for key-only frames)
-    val saltSrc = if (probeCols.nonEmpty) probeCols.toSeq else Seq(col(key))
-    val salted = probe.withColumn("_salt", pmod(hash(saltSrc: _*), lit(salts)))
+    // Per-ROW salt, not a payload hash: a hot key whose rows share the
+    // same payload (duplicates, low-cardinality columns) would hash to
+    // ONE salt and stay in one partition — paying the build-side ×S
+    // replication for zero spreading. rand(seed) is evaluated per row
+    // and is deterministic per (partition, row-offset), so retries
+    // re-derive the same salt; any salt assignment joins correctly
+    // because the build side is replicated to every salt.
+    val salted = probe.withColumn("_salt", (rand(42) * salts).cast("int"))
     val replicated = build
       .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, salted("_salt") === replicated("_salt") &&

@@ -54,24 +54,35 @@ object WideCsvIngest {
     * `etl_pipeline.py:75`), dedup on the composite PK. */
   def tidy(raw: DataFrame, yearLo: Int = 1980, yearHi: Int = 2100): DataFrame = {
     val cols = resolveColumns(raw)
-    raw
-      .unpivot(
+    tidyColumns(
+      raw.unpivot(
         Array(col(cols.entity).as("country"), col(cols.year).as("year")),
         cols.coverage.map(col).toArray,
-        "antigen", "coverage_pct")
-      // pandas melt keeps NaN then the explicit dropna removes them
-      // (etl_pipeline.py:73); Spark unpivot already drops NULL values,
-      // but entity/year NULLs still need the drop for parity.
-      .withColumn("year", col("year").cast("int"))
-      .withColumn("coverage_pct", col("coverage_pct").cast("double"))
-      .na.drop("any")
-      .filter(col("year").between(yearLo, yearHi))
-      .withColumn("antigen", regexp_replace(col("antigen"), "^" + CoveragePrefix, ""))
+        "antigen", "coverage_pct"),
+      yearLo, yearHi)
       .select("country", "antigen", "year", "coverage_pct")
       // SQLite PK would reject duplicate (country, antigen, year) keys;
       // Spark enforces nothing, so make the convention explicit (S5).
       .dropDuplicates("country", "antigen", "year")
   }
+
+  /** The shared unpivoted→tidy column pipeline — ONE definition for the
+    * batch ([[tidy]]) and streaming ([[graft.streaming.IncrementalIngest]])
+    * ingests, so the semantics cannot fork.
+    *
+    * pandas melt keeps NaN then the explicit dropna removes them
+    * (etl_pipeline.py:73); Spark unpivot already drops NULL values, but
+    * entity/year NULLs still need the drop for parity. The prefix strip
+    * is case-INsensitive to match [[resolveColumns]]'s case-insensitive
+    * discovery (a `Coverage__MCV1` header must yield antigen `MCV1`,
+    * not leak the prefix). */
+  private[graft] def tidyColumns(unpivoted: DataFrame, yearLo: Int, yearHi: Int): DataFrame =
+    unpivoted
+      .withColumn("year", col("year").cast("int"))
+      .withColumn("coverage_pct", col("coverage_pct").cast("double"))
+      .na.drop("any")
+      .filter(col("year").between(yearLo, yearHi))
+      .withColumn("antigen", regexp_replace(col("antigen"), "(?i)^" + CoveragePrefix, ""))
 
   /** Publish the tidy fact table as Parquet laid out for point lookups:
     * hash-distributed on country, row-groups sorted by the full PK. */

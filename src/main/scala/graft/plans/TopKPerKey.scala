@@ -164,6 +164,7 @@ object TopKPerKey {
       descending: Boolean,
       k: Int,
       tiebreakCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k (k=0 would NPE on the empty heap's peek)")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =

@@ -44,17 +44,14 @@ object IncrementalIngest {
       .schema(rawSchema)
       .option("header", "true")
       .csv(stagingDir)
-    val tidy = raw
-      .unpivot(
+    // the SAME column pipeline as the batch ingest (shared definition —
+    // a forked copy here once diverged on prefix-strip case semantics)
+    val tidy = graft.ingest.WideCsvIngest.tidyColumns(
+      raw.unpivot(
         Array(col(entityCol).as("country"), col(yearCol).as("year")),
         coverageCols.map(col).toArray,
-        "antigen", "coverage_pct")
-      .withColumn("year", col("year").cast("int"))
-      .withColumn("coverage_pct", col("coverage_pct").cast(DoubleType))
-      .na.drop("any")
-      .filter(col("year").between(1980, 2100))
-      .withColumn("antigen",
-        regexp_replace(col("antigen"), "^" + graft.ingest.WideCsvIngest.CoveragePrefix, ""))
+        "antigen", "coverage_pct"),
+      yearLo = 1980, yearHi = 2100)
     // NOTE deliberately NO streaming dropDuplicates here: a global
     // streaming dedup keeps every PK in the state store forever
     // (unbounded at 100 TB). The PK convention is enforced where it is

@@ -45,7 +45,6 @@ object SessionStream {
       events: Iterator[SessionEvent],
       state: GroupState[OpenSession],
       gapSeconds: Long): Iterator[ClosedSession] = {
-    val gapUs = gapSeconds * 1000000L
     val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
     if (state.hasTimedOut) {
       state.getOption.foreach { s =>
@@ -61,7 +60,11 @@ object SessionStream {
       sorted.foreach { e =>
         val us = micros(e.ts)
         if (cur == null) cur = OpenSession(us, us, 1L)
-        else if (us - cur.lastUs > gapUs) {
+        // second-truncated gap test — the batch Sessionize compares
+        // ts.cast(long) (epoch seconds, floor), so the stream must
+        // truncate identically or boundary gaps (e.g. 86400.8 s) would
+        // split sessions the batch keeps, breaking stream==batch parity
+        else if (us / 1000000L - cur.lastUs / 1000000L > gapSeconds) {
           closed += ClosedSession(userId, cur.startUs, cur.lastUs, cur.n)
           cur = OpenSession(us, us, 1L)
         } else cur = OpenSession(cur.startUs, math.max(cur.lastUs, us), cur.n + 1L)

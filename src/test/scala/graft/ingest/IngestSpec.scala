@@ -77,6 +77,18 @@ class IngestSpec extends SparkSpec {
     assert(tidy.collect().map(_.getInt(2)).toSet == Set(1980, 2100))
   }
 
+  test("mixed-case coverage prefix strips like discovery resolves (case-insensitive)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_case")
+    val csv = dir.resolve("mixed.csv")
+    java.nio.file.Files.writeString(csv,
+      "Entity,Year,Coverage__MCV1,COVERAGE__dtp3\nIndia,2000,70.0,85.0\n")
+    val tidy = WideCsvIngest.tidy(WideCsvIngest.readWideCsv(spark, csv.toString))
+      .collect().map(_.getString(1)).toSet
+    // discovery accepted the mixed-case headers, so the strip must too —
+    // no 'Coverage__'/'COVERAGE__' prefix may leak into the antigen key
+    assert(tidy == Set("MCV1", "dtp3"), s"got $tidy")
+  }
+
   test("write/read round trip preserves the fact table") {
     val out = Files.createTempDirectory("graft_fact").toString + "/fact"
     val tidy = WideCsvIngest.tidy(WideCsvIngest.readWideCsv(spark, golden))
