@@ -272,6 +272,17 @@ object ExtensionOracles {
 
   /** lang_pred mirror of TextAnalysis.langIdHeuristic over a `toks`
     * column (first language in list order attaining the positive max). */
+  /** Batch replay of the streaming quality gate (q67): the same
+    * scoring expressions the q26/q47 oracles verify, as a filter. */
+  lazy val streamQualityGate: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |scored AS (SELECT doc_id, $qualitySql AS quality, $langPredSql AS lang_pred FROM t)
+       |SELECT doc_id, lang_pred, quality FROM scored
+       |WHERE quality >= 0.5 AND lang_pred <> 'und'
+       |ORDER BY doc_id""".stripMargin
+
   /** lang_pred over a `toks` column — shared with PipelineQueries. */
   val langPredSql: String = {
     val scores = graft.ext.TextAnalysis.stopwordsByLang.map { case (lang, stops) =>

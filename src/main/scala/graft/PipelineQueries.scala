@@ -171,6 +171,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
     },
 
+    // Streaming quality gate: the per-row curation filter as a
+    // continuous pipeline (stateless — no watermark or store needed),
+    // equal to the batch filter run to completion; the oracle replays
+    // the same scoring SQL q26/q47 verify.
+    Q("q67_stream_quality_gate", ExtensionOracles.streamQualityGate) { (s, dir) =>
+      graft.streaming.StreamCuration.qualityGate(s, dir,
+          queryName = s"qgate_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+        .select(col("doc_id"), col("lang_pred"), col("quality"))
+        .orderBy("doc_id")
+    },
+
     // Exact simple linear regression per group: price ~ quantity.
     // Slope/R² are ratios of the SAME exact integer numerators as
     // covariance/variance (the quantization scale cancels), so the
