@@ -345,11 +345,16 @@ object ExtensionOracles {
   /** DuckDB mirror of Dedup.shingles over a token-list expression. */
   def shinglesOfPublic(toks: String): String = shinglesOf(toks)
 
-  private def shinglesOf(toks: String): String =
-    s"""CASE WHEN len($toks) >= 3
-       |  THEN list_transform(generate_series(1, len($toks) - 2),
-       |         i -> array_to_string(($toks)[i:i+2], ' '))
+  /** DuckDB mirror of Dedup.shingles for any k (DuckDB slices are
+    * inclusive) — the ONE copy of the shingle-mirror logic; q30/q44/
+    * q60 use k=3 via [[shinglesOf]], q57 uses k=8. */
+  def gramsSql(toks: String, k: Int): String =
+    s"""CASE WHEN len($toks) >= $k
+       |  THEN list_transform(generate_series(1, len($toks) - ${k - 1}),
+       |         i -> array_to_string(($toks)[i:i+${k - 1}], ' '))
        |  ELSE [] END""".stripMargin
+
+  private def shinglesOf(toks: String): String = gramsSql(toks, 3)
 
   val minhashSignature: String = {
     val hs = (0 until 4).map { i =>

@@ -10,13 +10,9 @@ import graft.plans.TopKPerKey
   */
 object PipelineQueries {
 
-  /** DuckDB word-k-gram list over a `toks` column (k generalization of
-    * ExtensionOracles' 3-shingle mirror; DuckDB slices are inclusive). */
+  /** One shared DuckDB shingle mirror for every oracle (q30/q44/q57/q60). */
   private def gramsSql(toks: String, k: Int): String =
-    s"""CASE WHEN len($toks) >= $k
-       |  THEN list_transform(generate_series(1, len($toks) - ${k - 1}),
-       |         i -> array_to_string(($toks)[i:i+${k - 1}], ' '))
-       |  ELSE [] END""".stripMargin
+    ExtensionOracles.gramsSql(toks, k)
 
   val all: Seq[Q] = Seq(
 

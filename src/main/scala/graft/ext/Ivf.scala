@@ -57,9 +57,12 @@ object Ivf {
 
   /** Train spherical k-means centroids (unit-normalized).
     *
-    * Training reads a bounded deterministic sample (`maxTrainRows`,
+    * Training reads a bounded deterministic sample (≈`maxTrainRows`,
     * selected by a uniform hash of vec_id — scale-independent and
-    * reproducible): k-means cell boundaries converge on a sample long
+    * reproducible; the hash keep-fraction floors at 1e-6, so beyond
+    * ~4e9 rows the sample grows as corpus/1e6 — still distributed, a
+    * hard limit here would coalesce the training input to one
+    * partition): k-means cell boundaries converge on a sample long
     * before they converge on the corpus, and at 100 TB a full-corpus
     * Lloyd pass per iteration would dominate the whole index build.
     * Search quality is unaffected — [[withCells]] still assigns EVERY

@@ -42,11 +42,15 @@ object Pq {
       iters: Int = 10,
       maxTrainRows: Int = 4096): Codebooks = {
     val total = emb.count()
+    // hash filter + hard limit: the ceil'd threshold floors at 1/1e6,
+    // which at extreme corpus sizes (> ~4e9 rows) would keep total/1e6
+    // rows — the limit enforces the stated driver-memory bound exactly
     val sampled =
       if (total <= maxTrainRows) emb
       else emb.filter(
         pmod(xxhash64(col(idCol)), lit(1000000L)) <
           lit(math.ceil(maxTrainRows.toDouble / total * 1000000L).toLong))
+        .limit(maxTrainRows)
     val rows = sampled.select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "empty training sample")
@@ -59,9 +63,11 @@ object Pq {
     }
   }
 
-  /** Deterministic driver-side Lloyd (seeds = first k distinct points). */
+  /** Deterministic driver-side Lloyd (seeds = first k VALUE-distinct
+    * points — Array equality is by reference, so dedupe via toSeq;
+    * duplicate seeds would freeze empty twin centroids forever). */
   private def kmeans(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
-    val distinctSeeds = points.distinct.take(k)
+    val distinctSeeds = points.map(_.toSeq).distinct.take(k).map(_.toArray)
     var centroids = Array.tabulate(math.min(k, distinctSeeds.length))(distinctSeeds(_))
     for (_ <- 0 until iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](points.head.length))

@@ -36,6 +36,8 @@ object PngChart {
       preYears: Int,
       postYears: Int,
       outPath: String): String = {
+    require(series.nonEmpty,
+      "empty series — nothing to plot (EtlCli guards this; other callers must too)")
     System.setProperty("java.awt.headless", "true")
     val img = new BufferedImage(W, H, BufferedImage.TYPE_INT_RGB)
     val g = img.createGraphics()

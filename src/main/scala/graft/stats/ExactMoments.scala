@@ -140,8 +140,11 @@ object ExactMoments {
     val py = s"CASE WHEN ($x) IS NOT NULL THEN ($y) END"
     val meanX = s"CAST(sum(${qdSql(px)}) AS DOUBLE) / count($px) / 1000000.0"
     val meanY = s"CAST(sum(${qdSql(py)}) AS DOUBLE) / count($px) / 1000000.0"
+    // parens around meanX: without them DuckDB's left-associative * /
+    // would multiply before the divides — a different IEEE op order
+    // than Spark's slope * ((sum/count)/1e6), off by an ulp
     s"""CASE WHEN count($px) > 1 AND ${varNumSql(px)} > 0 THEN
-       |    $meanY - (${exactSlopeSql(y, x)}) * $meanX
+       |    $meanY - (${exactSlopeSql(y, x)}) * ($meanX)
        |  END""".stripMargin
   }
 
