@@ -272,6 +272,9 @@ object ExtensionOracles {
 
   /** lang_pred mirror of TextAnalysis.langIdHeuristic over a `toks`
     * column (first language in list order attaining the positive max). */
+  /** The quality mirror, shared with PipelineQueries' q68 capstone. */
+  def qualitySqlPublic: String = qualitySql
+
   /** Batch replay of the streaming quality gate (q67): the same
     * scoring expressions the q26/q47 oracles verify, as a filter. */
   lazy val streamQualityGate: String =

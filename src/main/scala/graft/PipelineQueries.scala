@@ -231,6 +231,94 @@ object PipelineQueries {
         .select(col("vec_id"), col("label"), round(col("pq_dist"), 6).as("pq_dist"))
     },
 
+    // THE capstone: the full training-corpus pipeline as one composed
+    // declarative flow — near-dup components (subsumes exact dedup:
+    // identical docs pair at jaccard 1.0) → keep cluster canonicals →
+    // quality/language gate → benchmark decontamination (doc_id%7
+    // plays the eval split) → mix to target language proportions →
+    // per-language summary. Every stage is an operator whose own
+    // oracle (q60/q26/q27/q57/q66) already verifies it; this checks
+    // the COMPOSITION end-to-end against one assembled DuckDB replay.
+    Q("q68_clean_corpus", {
+      val props = Map("en" -> 0.7, "fr" -> 0.3)
+      val propCase = "CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.3 ELSE 0.0 END"
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT a_id, b_id FROM (${ExtensionOracles.minhashPairs})),
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |cc AS (
+         |  SELECT DISTINCT src AS id, src AS label FROM sym
+         |  UNION
+         |  SELECT s.src AS id, cc.label FROM cc JOIN sym s ON cc.id = s.dst
+         |),
+         |comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+         |dropped AS (SELECT id FROM comp WHERE id <> component),
+         |canon AS (SELECT d.* FROM documents d
+         |          WHERE d.doc_id NOT IN (SELECT id FROM dropped)),
+         |t AS (SELECT doc_id, text, lang,
+         |        regexp_split_to_array(trim(text), '\\s+') AS toks FROM canon),
+         |scored AS (SELECT doc_id, toks, lang,
+         |        ${ExtensionOracles.qualitySqlPublic} AS quality,
+         |        ${ExtensionOracles.langPredSql} AS lang_pred FROM t),
+         |gated AS (SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred <> 'und'),
+         |g AS (SELECT doc_id, unnest(${gramsSql("toks", 8)}) AS gram
+         |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |            FROM documents)),
+         |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram) WHERE g.doc_id % 7 <> 0),
+         |train AS (
+         |  SELECT * FROM gated WHERE doc_id % 7 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |c AS (SELECT lang, count(*) AS n FROM train GROUP BY lang),
+         |p AS (SELECT lang, $propCase AS prop FROM c),
+         |sc AS (SELECT min(n / prop) AS scale FROM c JOIN p USING (lang)
+         |       WHERE prop > 0 AND n > 0),
+         |th AS (SELECT c.lang,
+         |         CAST(floor(least(1.0, p.prop * sc.scale / c.n) * 1000000.0) AS BIGINT)
+         |           AS threshold
+         |       FROM c JOIN p USING (lang) CROSS JOIN sc),
+         |mixed AS (
+         |  SELECT tr.* FROM train tr JOIN th ON tr.lang = th.lang
+         |  WHERE (('0x' || substring(md5(CAST(tr.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |         % 1000000) < th.threshold)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CAST(floor(quality * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |    / count(quality) / 1000000.0 AS avg_quality
+         |FROM mixed GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      // near-dup clusters over the SAME verified pair query; keep only
+      // cluster canonicals (singletons never appear in the pair graph)
+      val pairs = graft.ext.Dedup.nearDuplicatePairsFromSignatures(
+          graft.ext.Dedup.signaturesFor(s, dir), docs,
+          "doc_id", "text", numHashes = 16, bands = 4,
+          minJaccard = 0.4, maxBucket = 256)
+        .select("a_id", "b_id")
+      val dropped = graft.ext.Components.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val canon = docs.join(dropped, Seq("doc_id"), "left_anti")
+      val gated = canon
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", TextAnalysis.langIdHeuristic(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang_pred") =!= "und")
+      val contaminated = Curation.contaminated(
+        train = docs.filter(col("doc_id") % 7 =!= 0),
+        eval = docs.filter(col("doc_id") % 7 === 0), k = 8)
+      val train = gated.filter(col("doc_id") % 7 =!= 0)
+        .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+      val mixed = Curation.mixToProportions(train, "lang",
+        Map("en" -> 0.5, "fr" -> 0.2, "zh" -> 0.3))
+      mixed.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          graft.analysis.CoverageQueries.exactAvg(col("quality")).as("avg_quality"))
+        .orderBy("lang")
+    },
+
     // Near-dup clusters: connected components over the minhash pair
     // graph (A~B, B~C ⇒ {A,B,C} even without an A~C edge) — iterative
     // min-label propagation vs DuckDB's recursive-CTE closure over
