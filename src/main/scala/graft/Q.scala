@@ -8,7 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Float discipline (so cross-engine hash comparison is stable):
   *   - per-row arithmetic: left exact (IEEE ops are order-free);
-  *   - double aggregates (avg/var/t): rounded to 4 decimals;
+  *   - second moments and the statistics built on them (var/cov/corr/
+  *     t/df/regression): exact decimal-integer accumulation
+  *     ([[graft.stats.ExactMoments]]) — order-independent AND
+  *     bitwise-mirrorable, so q05/q39/q54/q64 compare UNROUNDED
+  *     (round-2 upgrade; the old 4-decimal rounding bridge remains
+  *     only where a transcendental enters, e.g. q65's ln);
   *   - double sums over RAW decimal-quantized inputs (prices,
   *     quantities — values sitting on their own decimal grid):
   *     accumulated as DECIMAL (exact, order-free) and cast back;
