@@ -30,12 +30,17 @@ object Bench {
     }
     // failed queries are reported as -1 (NOT a plausible elapsed time)
     // and listed in "failed" — a crashing query must not masquerade as
-    // a fast one inside a healthy-looking total
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
+    // a fast one inside a healthy-looking total.
+    // Values are rounded to ms and the total is REPEATED as the last
+    // key: the driver keeps only the final ~2 KB of output, so with
+    // enough queries the head of this line (holding "value") is cut —
+    // the trailing "total_sec" survives any head truncation.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) f3(v) else "-1") }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}""")
     spark.stop()
   }
 }

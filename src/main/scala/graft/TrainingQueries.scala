@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{Boilerplate, Curation, Packing, Similarity}
+
+/** Round-3 training-pipeline breadth: corpus boilerplate scrubbing,
+  * sequence packing, deterministic splits/interleave, sign-bucket
+  * embedding dedup — plus engine breadth the earlier batches lacked
+  * (GROUPING SETS, RANGE-frame windows, ntile/percent_rank/cume_dist,
+  * higher-order array functions vs DuckDB's list_* lanes).
+  */
+object TrainingQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // C4-style boilerplate removal at token-span granularity: any word
+    // 5-gram appearing in ≥2 docs is boilerplate; covered tokens are
+    // removed and the doc reassembled. The oracle rebuilds the exact
+    // cleaned STRING, so reassembly order is verified, not just counts.
+    Q("q69_boilerplate_scrub",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos, toks FROM t),
+        |tok AS (SELECT doc_id, pos, toks[pos] AS token FROM pos),
+        |grams AS (SELECT doc_id, pos AS start, array_to_string(toks[pos:pos+4], ' ') AS gram
+        |          FROM pos WHERE pos + 4 <= len(toks)),
+        |bp AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT DISTINCT g.doc_id, g.start FROM grams g JOIN bp USING (gram)),
+        |removed AS (SELECT DISTINCT k.doc_id, k.pos FROM tok k
+        |            JOIN hits h ON k.doc_id = h.doc_id AND k.pos BETWEEN h.start AND h.start + 4),
+        |kept AS (SELECT k.doc_id, k.pos, k.token FROM tok k
+        |         WHERE NOT EXISTS (SELECT 1 FROM removed r
+        |                           WHERE r.doc_id = k.doc_id AND r.pos = k.pos))
+        |SELECT t.doc_id,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  COALESCE(cnt.n_kept, 0) AS n_kept,
+        |  COALESCE(cnt.cleaned, '') AS cleaned
+        |FROM t LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n_kept, string_agg(token, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY doc_id) cnt USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      Boilerplate.removeBoilerplateSpans(
+          s.read.parquet(s"$dir/documents.parquet"), k = 5, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
+    // Greedy sequence packing: consecutive docs per deterministic shard
+    // packed into 512-token sequences — a stateful per-shard scan
+    // (flatMapSortedGroups), NOT a window cumsum (greedy resets the
+    // accumulator). Oracle = recursive CTE replaying the same fold.
+    Q("q70_sequence_packing",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |o AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+        |rec AS (
+        |  SELECT shard, rn, doc_id, n, n AS acc, 0 AS seq FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.n,
+        |    CASE WHEN rec.acc + o.n > 512 THEN o.n ELSE rec.acc + o.n END,
+        |    CASE WHEN rec.acc + o.n > 512 THEN rec.seq + 1 ELSE rec.seq END
+        |  FROM rec JOIN o ON o.shard = rec.shard AND o.rn = rec.rn + 1)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(seq AS BIGINT) AS seq,
+        |  CAST(n AS INTEGER) AS n_tokens
+        |FROM rec ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Packing.packSequences(s, s.read.parquet(s"$dir/documents.parquet"),
+          budget = 512, numShards = 8)
+        .toDF()
+        .select("doc_id", "shard", "seq", "n_tokens")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic corpus shuffle + source interleave: per-source
+    // hash-rank, then round-robin across sources. Reproducible across
+    // engines/cluster sizes (hash order, no RNG). The global position
+    // here is a single-partition window — fine for a bounded head; at
+    // 100 TB assign positions per-partition (zipWithIndex-style offset
+    // sums), which preserves the same (rn, source) total order.
+    Q("q71_interleave_shuffle",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT row_number() OVER (ORDER BY rn, source, doc_id) AS position, doc_id, source
+        |FROM r ORDER BY position""".stripMargin) { (s, dir) =>
+      val perSource = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      val global = Window.orderBy("rn", "source", "doc_id")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(perSource))
+        .withColumn("position", row_number().over(global).cast("long"))
+        .select("position", "doc_id", "source")
+        .orderBy("position")
+    },
+
+    // Higher-order array functions over embeddings vs DuckDB's list_*
+    // lane: filter/transform/aggregate stay codegen'd and exact
+    // (integer-quantized sum; float comparisons on identical values).
+    Q("q72_array_functions",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000.0) AS BIGINT))) AS BIGINT) AS l1_q,
+        |  CAST(list_position(embedding, list_max(embedding)) AS INTEGER) AS amax_idx
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          aggregate(col("embedding"), lit(0L),
+            (acc, x) => acc + floor(abs(x.cast("double")) * 1000000.0).cast("long"))
+            .as("l1_q"),
+          array_position(col("embedding"), array_max(col("embedding")))
+            .cast("int").as("amax_idx"))
+        .orderBy("vec_id")
+    },
+
+    // GROUPING SETS (beyond q20's ROLLUP / q52's CUBE): explicit set
+    // list with grouping() disambiguation — SQL surface via spark.sql.
+    Q("q73_grouping_sets",
+      """SELECT
+        |  COALESCE(o_orderstatus, '<all>') AS status,
+        |  COALESCE(o_orderpriority, '<all>') AS priority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, status, priority""".stripMargin) { (s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("orders_q73")
+      s.sql(
+        """SELECT
+          |  COALESCE(o_orderstatus, '<all>') AS status,
+          |  COALESCE(o_orderpriority, '<all>') AS priority,
+          |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders_q73
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+          |ORDER BY gid, status, priority""".stripMargin)
+    },
+
+    // RANGE-frame window: per-customer trailing-30-day order count and
+    // revenue — a range frame over an integer day key (event-time
+    // rolling aggregates without a self-join). Decimal sum ⇒ exact.
+    Q("q74_rolling_window",
+      """WITH o AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |                  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |k AS (SELECT *, date_diff('day', DATE '1992-01-01', d) AS dk FROM o)
+        |SELECT o_orderkey, o_custkey,
+        |  count(*) OVER w AS n_30d,
+        |  CAST(sum(price) OVER w AS DOUBLE) AS sum_30d
+        |FROM k
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY dk
+        |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("dk").rangeBetween(-30, 0)
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date")).as("dk"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_30d"),
+          sum(col("price")).over(w).cast("double").as("sum_30d"))
+        .orderBy("o_orderkey")
+    },
+
+    // Distribution ranking functions: ntile / percent_rank / cume_dist
+    // per nation over a total (tie-broken) order — both engines compute
+    // the same integer-ratio doubles.
+    Q("q75_rank_distributions",
+      """SELECT s_suppkey, s_nationkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+      s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("s_suppkey")
+    },
+
+    // Coarse embedding dedup by natural-basis sign signature (the
+    // exactly-mirrorable lane of embedding bucketing — no pseudo-random
+    // planes to replicate).
+    Q("q76_sign_bucket_dedup",
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CASE WHEN embedding[i] > 0 THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM embeddings)
+        |SELECT sig, count(*) AS n_vecs, min(vec_id) AS canonical
+        |FROM s GROUP BY sig ORDER BY sig""".stripMargin) { (s, dir) =>
+      Similarity.signBucketDedup(
+          s.read.parquet(s"$dir/embeddings.parquet"), bits = 8)
+        .orderBy("sig")
+    },
+
+    // Deterministic train/val/test split (80/10/10): contiguous bands
+    // of the md5-mod-1e6 key — the oracle checks the EXACT assignment.
+    Q("q77_split_assignment",
+      """SELECT doc_id, lang,
+        |  CASE WHEN h < 800000 THEN 'train' WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS h
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.assignSplits(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -128,6 +128,31 @@ object Curation {
     }
   }
 
+  /** Deterministic train/val/test assignment: the same md5-mod-1e6 key
+    * as [[stratifiedSample]], carved into contiguous bands — e.g.
+    * `Seq("train" -> 800000, "val" -> 900000, "test" -> 1000000)` is an
+    * 80/10/10 split. Hash-keyed ⇒ every engine, rerun, and cluster size
+    * assigns each row to the SAME split (no RNG, no state file), rows
+    * never leak between splits when the corpus grows (a doc's band
+    * depends only on its own id), and the split is a pure per-row
+    * projection — no shuffle at any scale. */
+  def assignSplits(
+      df: DataFrame,
+      bands: Seq[(String, Int)] = Seq("train" -> 800000, "val" -> 900000, "test" -> 1000000),
+      idCol: String = "doc_id"): DataFrame = {
+    require(bands.nonEmpty && bands.last._2 == 1000000,
+      s"split bands must cover the full hash range (last bound 1000000): $bands")
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+    val splitCol = bands.init.reverse
+      .foldLeft(lit(bands.last._1)) { case (acc, (name, upper)) =>
+        when(bucket < upper, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", splitCol)
+  }
+
   /** The [[stratifiedSample]] predicate's DuckDB spelling, for oracles
     * and external verification. */
   def stratifiedSampleSql(

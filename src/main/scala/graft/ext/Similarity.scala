@@ -102,6 +102,29 @@ object Similarity {
     * shuffles once on the block key and each block expands locally.
     * For unblocked corpora, feed `withLshBuckets` output and block on
     * `bucket`. */
+  /** Natural-basis sign signature of the first `bits` vector
+    * components (bit i set ⇔ component i > 0) — SimHash with the
+    * coordinate axes as planes. Unlike [[lshBucket]] there is nothing
+    * to mirror (no pseudo-random planes), so it is exactly expressible
+    * in any SQL engine: the cross-engine-verifiable lane of embedding
+    * bucketing. */
+  def signBucket(vec: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 62, s"bits must fit a positive long: $bits")
+    (1 to bits).map { i =>
+      when(element_at(vec, i) > 0, lit(1L << (i - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Coarse embedding dedup by [[signBucket]]: group vectors sharing a
+    * sign signature, keep the lowest id as canonical. One hash shuffle
+    * on the signature; group sizes are bounded by the 2^bits fan-out
+    * (pick bits ~ log2(corpus)/2 so expected bucket size stays small). */
+  def signBucketDedup(emb: DataFrame, bits: Int = 8,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(signBucket(col(vecCol), bits).as("sig"), col(idCol))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_vecs"), min(col(idCol)).as("canonical"))
+
   /** Unit-normalize a vector column; null for zero-norm vectors (so
     * downstream cosine keeps the "undefined" semantics of [[cosine]]). */
   def unitVec(vec: Column): Column = {

@@ -103,4 +103,26 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(got - want) < 0.25, s"$lang keep rate $got vs $want (n=$n)")
     }
   }
+
+  test("split assignment is total, disjoint by construction, and growth-stable") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val assigned = Curation.assignSplits(docs)
+    assert(assigned.count() == docs.count())
+    val bySplit = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    val n = docs.count().toDouble
+    assert(math.abs(bySplit.getOrElse("train", 0L) / n - 0.8) < 0.15)
+    // growth stability: restricting the corpus never reassigns a doc
+    val small = Curation.assignSplits(docs.filter($"doc_id" < 100))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = assigned.select("doc_id", "split").as[(Long, String)].collect().toMap
+    small.foreach { case (id, s) => assert(full(id) == s, s"doc $id reassigned") }
+  }
+
+  test("split bands must cover the full hash range") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    intercept[IllegalArgumentException](
+      Curation.assignSplits(docs, bands = Seq("train" -> 800000, "val" -> 900000)))
+  }
 }

@@ -73,4 +73,28 @@ class SimilaritySpec extends SparkSpec {
     assert(stats.length == emb.select("label").distinct().count())
     assert(stats.forall(_.getDouble(2) > 0))
   }
+
+  test("sign bucket matches a driver-side recomputation and partitions invariantly") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val got = emb.select(col("vec_id"),
+        Similarity.signBucket(col("embedding"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = emb.select("vec_id", "embedding").collect().map { r =>
+      val v = r.getSeq[Float](1)
+      r.getLong(0) -> (0 until 8).map(i => if (v(i) > 0) 1L << i else 0L).sum
+    }.toMap
+    assert(got == want)
+    // dedup canonical = min id per signature, stable under repartition
+    val d1 = Similarity.signBucketDedup(emb, bits = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val d2 = Similarity.signBucketDedup(emb.repartition(7), bits = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(d1 == d2)
+    assert(d1.values.map(_._1).sum == emb.count())
+  }
+
+  test("sign bucket rejects widths that overflow a long") {
+    intercept[IllegalArgumentException](Similarity.signBucket(col("embedding"), 63))
+    intercept[IllegalArgumentException](Similarity.signBucket(col("embedding"), 0))
+  }
 }
