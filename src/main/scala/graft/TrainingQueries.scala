@@ -205,6 +205,48 @@ object TrainingQueries {
         .orderBy("sig")
     },
 
+    // Count–min heavy hitters: sketch pass (constant memory, no token
+    // shuffle) + exact verification of the candidates. The sketch
+    // counters aren't SQL-mirrorable → rows-only here; CountMinSpec
+    // proves the overestimate bounds against exact counts.
+    Q.noOracle("q78_heavy_hitters") { (s, dir) =>
+      import s.implicits._
+      import graft.ext.{CountMin, TextAnalysis}
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val cms = toks.as[String].select(CountMin.sketch()).head().counters
+      // exact top-10 (bounded collect — the L3 head contract)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(10).collect()
+      top.map { r =>
+        val t = r.getString(0)
+        (t, r.getLong(1),
+          CountMin.estimate(cms, t, CountMin.DefaultDepth, CountMin.DefaultWidth))
+      }.toSeq.toDF("token", "exact_cnt", "cms_est")
+        .orderBy(col("exact_cnt").desc, col("token"))
+    },
+
+    // Bloom-accelerated decontamination: identical RESULT to q57 (the
+    // sketch only prunes; survivors verify exactly), so the exact SQL
+    // oracle carries over — sketch-then-verify with zero correctness
+    // cost, which is the point.
+    Q("q79_bloom_decontamination",
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(${ExtensionOracles.gramsSql("toks", 8)}) AS gram FROM t),
+         |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+         |tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0)
+         |SELECT doc_id, count(DISTINCT gram) AS n_hits
+         |FROM tg JOIN eg USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Curation.contaminatedBloom(
+          train = docs.filter(col("doc_id") % 7 =!= 0),
+          eval = docs.filter(col("doc_id") % 7 === 0),
+          k = 8)
+        .orderBy("doc_id")
+    },
+
     // Deterministic train/val/test split (80/10/10): contiguous bands
     // of the md5-mod-1e6 key — the oracle checks the EXACT assignment.
     Q("q77_split_assignment",

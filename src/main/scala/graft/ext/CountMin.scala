@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Count–min sketch (Cormode & Muthukrishnan 2005) as a typed, partial-
+  * mergeable [[Aggregator]]: `depth × width` counters, each row bumps
+  * one counter per depth lane, merge is elementwise add — so the
+  * sketch builds map-side like any partial aggregate and a frequency
+  * query never shuffles the corpus.
+  *
+  * Guarantees (proved in CountMinSpec against exact counts):
+  * estimate ≥ true count (always), and estimate ≤ true + εN with
+  * probability 1−δ where ε = e/width, δ = e^−depth.
+  *
+  * At 100 TB: a token-frequency `groupBy` must shuffle every distinct
+  * token; the sketch is a constant `depth·width·8` bytes per partition
+  * merged in one reduce — the standard first pass for heavy-hitter
+  * candidates, vocabulary pruning, or stop-list discovery, with exact
+  * verification (a semi-join on the candidate set) as the second pass
+  * when exactness matters — the same sketch-then-verify shape as
+  * [[Curation.contaminatedBloom]].
+  */
+object CountMin {
+
+  final val DefaultDepth = 4
+  final val DefaultWidth = 2048
+
+  def hashLane(token: String, lane: Int, width: Int): Int = {
+    val bytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = Murmur3_x86_32.hashUnsafeBytes(bytes,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 0x9e3779b9 + lane * 0x85ebca6b)
+    java.lang.Math.floorMod(h, width)
+  }
+
+  /** Point estimate = min over lanes (each lane overestimates). */
+  def estimate(sketch: Array[Long], token: String, depth: Int, width: Int): Long = {
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = sketch(d * width + hashLane(token, d, width))
+      if (c < best) best = c
+      d += 1
+    }
+    best
+  }
+
+  /** The flattened counter matrix (row-major by depth lane). */
+  final case class CmsState(counters: Array[Long])
+
+  /** Aggregator over a string column producing the sketch. */
+  final class SketchAggregator(depth: Int = DefaultDepth, width: Int = DefaultWidth)
+      extends Aggregator[String, CmsState, CmsState] {
+    override def zero: CmsState = CmsState(new Array[Long](depth * width))
+    override def reduce(buf: CmsState, token: String): CmsState = {
+      if (token != null) {
+        var d = 0
+        while (d < depth) {
+          buf.counters(d * width + CountMin.hashLane(token, d, width)) += 1L
+          d += 1
+        }
+      }
+      buf
+    }
+    override def merge(a: CmsState, b: CmsState): CmsState = {
+      var i = 0
+      while (i < a.counters.length) { a.counters(i) += b.counters(i); i += 1 }
+      a
+    }
+    override def finish(buf: CmsState): CmsState = buf
+    override def bufferEncoder: Encoder[CmsState] = Encoders.product[CmsState]
+    override def outputEncoder: Encoder[CmsState] = Encoders.product[CmsState]
+  }
+
+  def sketch(depth: Int = DefaultDepth, width: Int = DefaultWidth): TypedColumn[String, CmsState] =
+    new SketchAggregator(depth, width).toColumn.name("cms")
+}

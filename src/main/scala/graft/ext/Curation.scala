@@ -40,6 +40,38 @@ object Curation {
       .agg(count_distinct(col("gram")).as("n_hits"))
   }
 
+  /** [[contaminated]] with a Bloom prefilter: the eval gram set is
+    * compiled into an `mBits`-bit [[Bloom]] filter probed per training
+    * gram BEFORE any join — the ~(1−fpr) of grams that can't match
+    * never reach an exchange. The surviving candidates then verify
+    * against the exact eval set, so the RESULT is identical to
+    * [[contaminated]] (same oracle) — the sketch only prunes.
+    *
+    * At 100 TB this is the difference between shipping every training
+    * gram into a join and shipping ~0.1% of them: the filter is KB-MB
+    * for any eval-set size, while a broadcast hash set grows with it.
+    */
+  def contaminatedBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8,
+      mBits: Int = 1 << 17,
+      numHashes: Int = 4): DataFrame = {
+    val evalGrams = eval
+      .select(explode(Dedup.shingles(col(textCol), k)).as("gram"))
+      .distinct()
+    val bits = Bloom.build(evalGrams, mBits, numHashes)
+    val candidates = train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
+      .filter(Bloom.mightContainCol(col("gram"), bits, numHashes))
+    candidates
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(idCol)
+      .agg(count_distinct(col("gram")).as("n_hits"))
+  }
+
   /** Deterministic stratified sample: keep a row iff
     * `md5(id) mod 1e6 < threshold(label)` — per-label integer
     * thresholds out of 1,000,000 (e.g. 200000 = 20%). Hash-keyed, so
