@@ -213,10 +213,11 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       minJaccard: Double = 0.5,
-      maxBucket: Int = 256): DataFrame =
+      maxBucket: Int = 256,
+      saltOversized: Boolean = false): DataFrame =
     nearDuplicatePairsFromSignatures(
       minhashSignatureAggFast(docs, idCol, textCol, k, numHashes),
-      docs, idCol, textCol, numHashes, bands, minJaccard, maxBucket)
+      docs, idCol, textCol, numHashes, bands, minJaccard, maxBucket, saltOversized)
 
   /** [[nearDuplicatePairs]] over a precomputed signature frame
     * ((id, h0 … h{n−1}), e.g. [[signaturesFor]]'s persisted one) so
@@ -231,7 +232,8 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       minJaccard: Double,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int,
+      saltOversized: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|",
@@ -264,8 +266,8 @@ object Dedup {
     // diverges from the uncapped DuckDB oracle; the verify corpora
     // stay under `maxBucket` (q30/q44/q60 green), and production runs
     // should audit hot bands with [[bandBucketStats]] — raise
-    // `maxBucket` (or pre-filter boilerplate) where exhaustive output
-    // matters.
+    // `maxBucket`, pre-filter boilerplate, or opt into `saltOversized`
+    // sub-bucket pairing where richer degraded output matters.
     val byBand = Window.partitionBy("band")
     val stats = banded
       .withColumn("bucket_n", count(lit(1)).over(byBand))
@@ -280,7 +282,26 @@ object Dedup {
     val starPairs = stats
       .filter(col("bucket_n") > maxBucket && col("id") =!= col("bucket_min"))
       .select(col("bucket_min").as("a_id"), col("id").as("b_id"))
-    val cand = smallPairs.union(starPairs)
+    // Opt-in richer degraded mode: salt each oversized bucket into
+    // ~bucket_n/maxBucket sub-buckets (deterministic hash of the id)
+    // and pair EXHAUSTIVELY within each — O(n·maxBucket) candidates
+    // per hot bucket instead of star's O(n), recovering the pairs two
+    // non-min members share while the star edges (still emitted)
+    // bridge sub-buckets for connectivity. Coverage is a strict
+    // superset of star mode at bounded cost; the full O(n²) listing
+    // inside one bucket remains intentionally out of reach.
+    val saltedPairs = if (!saltOversized) smallPairs.limit(0) else {
+      val nSub = ((col("bucket_n") + maxBucket - 1) / maxBucket).cast("long")
+      stats.filter(col("bucket_n") > maxBucket)
+        .withColumn("salt", pmod(xxhash64(col("id")), nSub))
+        .groupBy("band", "salt").agg(ids.as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - lit(1)),
+            y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+        .select(col("p.a_id"), col("p.b_id"))
+    }
+    val cand = smallPairs.union(starPairs).union(saltedPairs)
       .distinct() // same pair can collide in several bands
     val toks = docs.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))

@@ -93,6 +93,26 @@ class DedupSpec extends SparkSpec {
     assert(sim.forall(_._1 == 0L))
   }
 
+  test("salted sub-buckets recover member-member pairs star mode loses") {
+    // 600 identical docs: signatures collide into one hot bucket per
+    // band. Star mode only lists (min, member); salted mode adds full
+    // pairings inside each hash-salted sub-bucket at bounded cost.
+    val n = 600
+    val hot = spark.range(n).select(col("id").as("doc_id"), lit(base).as("text"))
+    val star = Dedup.nearDuplicatePairs(hot, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Dedup.nearDuplicatePairs(hot, minJaccard = 0.5, saltOversized = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star.subsetOf(salted), "salted coverage must be a strict superset of star")
+    assert(salted.size > star.size, "salting must add member-member pairs")
+    val memberPairs = salted.filter { case (a, b) => a != 0L && b != 0L }
+    assert(memberPairs.nonEmpty, "expected pairs between non-canonical members")
+    // every added pair is verified (identical docs ⇒ jaccard 1.0) and
+    // still bounded far below the quadratic listing
+    assert(salted.size.toLong < n.toLong * 300, "salted candidates must stay O(n·maxBucket)")
+    assert(memberPairs.forall { case (a, b) => a < b })
+  }
+
   test("hot bucket does not disturb small-bucket pairs (mixed corpus)") {
     val n = 600 // > maxBucket=256 hot group, plus the crafted near-dups
     val boiler = "standard legal disclaimer text repeated verbatim across every scraped page footer today"
