@@ -328,7 +328,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256,
+      saltOversized: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "maxHamming out of range")
     val bands = maxHamming + 1
     val bandBits = 64 / bands
@@ -363,7 +364,24 @@ object Dedup {
       .filter(col("bucket_n") > maxBucket && col("id") =!= col("bucket_min.id"))
       .select(col("bucket_min.id").as("a_id"), col("id").as("b_id"),
         bit_count(col("bucket_min.sig").bitwiseXOR(col("sig"))).as("hamming"))
-    smallPairs.union(starPairs).distinct()
+    // Same opt-in salted sub-bucket mode as [[nearDuplicatePairsFromSignatures]]:
+    // exhaustive pairing inside ~bucket_n/maxBucket hash-salted slices of each
+    // hot bucket — O(n·maxBucket) candidates, strict superset of star coverage.
+    val saltedPairs = if (!saltOversized) smallPairs.limit(0) else {
+      val nSub = ((col("bucket_n") + maxBucket - 1) / maxBucket).cast("long")
+      stats.filter(col("bucket_n") > maxBucket)
+        .withColumn("salt", pmod(xxhash64(col("id")), nSub))
+        .groupBy("band", "salt")
+        .agg(array_sort(collect_set(struct(col("id"), col("sig")))).as("members"))
+        .filter(size(col("members")) >= 2)
+        .select(explode(flatten(transform(col("members"), (x, i) =>
+          transform(slice(col("members"), i + lit(2), size(col("members")) - i - lit(1)),
+            y => struct(x.getField("id").as("a_id"), y.getField("id").as("b_id"),
+              x.getField("sig").as("a_sig"), y.getField("sig").as("b_sig")))))).as("p"))
+        .select(col("p.a_id"), col("p.b_id"),
+          bit_count(col("p.a_sig").bitwiseXOR(col("p.b_sig"))).as("hamming"))
+    }
+    smallPairs.union(starPairs).union(saltedPairs).distinct()
       .filter(col("hamming") <= maxHamming)
   }
 

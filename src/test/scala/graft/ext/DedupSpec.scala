@@ -113,6 +113,21 @@ class DedupSpec extends SparkSpec {
     assert(memberPairs.forall { case (a, b) => a < b })
   }
 
+  test("simhash salted sub-buckets are a strict superset of star mode") {
+    // identical docs ⇒ identical 64-bit fingerprints ⇒ one hot bucket
+    // per band; hamming 0 everywhere so every candidate survives.
+    val n = 600
+    val hot = spark.range(n).select(col("id").as("doc_id"), lit(base).as("text"))
+    val star = Dedup.simhashNearDupPairs(hot)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Dedup.simhashNearDupPairs(hot, saltOversized = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star.subsetOf(salted), "salted coverage must include all star pairs")
+    assert(salted.size > star.size, "salting must add member-member pairs")
+    assert(salted.size.toLong < n.toLong * 300, "candidates must stay O(n·maxBucket)")
+    assert(salted.forall { case (a, b) => a < b })
+  }
+
   test("hot bucket does not disturb small-bucket pairs (mixed corpus)") {
     val n = 600 // > maxBucket=256 hot group, plus the crafted near-dups
     val boiler = "standard legal disclaimer text repeated verbatim across every scraped page footer today"
