@@ -59,9 +59,15 @@ object Curation {
       k: Int = 8,
       mBits: Int = 1 << 17,
       numHashes: Int = 4): DataFrame = {
+    // persisted because it feeds TWO actions: the bloom build's
+    // position collect and the exact verify join — without it the
+    // eval-side shingle+distinct runs twice (release via unpersist()
+    // on the returned frame's parent when done; MEMORY_AND_DISK is
+    // bounded by the distinct gram set, benchmark-sized by contract)
     val evalGrams = eval
       .select(explode(Dedup.shingles(col(textCol), k)).as("gram"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bits = Bloom.build(evalGrams, mBits, numHashes)
     val candidates = train
       .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
@@ -134,10 +140,16 @@ object Curation {
       sourceCol: String,
       targetProps: Map[String, Double],
       idCol: String = "doc_id"): DataFrame = {
-    val counts = df.groupBy(sourceCol).count().collect()
+    // the per-source count collect is the operator's contract (the
+    // thresholds are |sources| integers), but it forces df's whole
+    // lineage — persist so the sampling pass reads the materialized
+    // frame instead of recomputing an arbitrarily expensive upstream
+    // pipeline (q68: dedup + components + contamination) a second time
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = cached.groupBy(sourceCol).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val thresholds = mixToProportionsThresholds(counts, targetProps)
-    stratifiedSample(df, sourceCol, thresholds, defaultThreshold = 0, idCol)
+    stratifiedSample(cached, sourceCol, thresholds, defaultThreshold = 0, idCol)
   }
 
   /** The per-source thresholds (of 1e6) for [[mixToProportions]] —
