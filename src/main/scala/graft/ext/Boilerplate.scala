@@ -34,13 +34,23 @@ import org.apache.spark.sql.functions._
   */
 object Boilerplate {
 
-  /** Returns (doc_id, n_tokens, n_kept, cleaned). */
+  /** Returns (doc_id, n_tokens, n_kept, cleaned).
+    *
+    * `broadcastDict` opts into a forced broadcast of the boilerplate
+    * dictionary. The default leaves the join strategy to the planner
+    * (`autoBroadcastJoinThreshold` / AQE's runtime stats): with
+    * `minDocs=2` on a real web corpus the shared-gram dictionary is
+    * NOT small — a hard hint would bypass the threshold and can OOM
+    * the driver, and when AQE sees it oversized the safe fallback is
+    * the shuffle join on `gram` (a 16-byte-digest-like uniform key).
+    */
   def removeBoilerplateSpans(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 5,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2,
+      broadcastDict: Boolean = false): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val toks = docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
@@ -60,7 +70,7 @@ object Boilerplate {
       .filter(col("df") >= minDocs)
       .select(col("gram"), lit(1).as("bp"))
     val marked = grams
-      .join(broadcast(boiler), Seq("gram"), "left")
+      .join(if (broadcastDict) broadcast(boiler) else boiler, Seq("gram"), "left")
       .withColumn("covered",
         max(coalesce(col("bp"), lit(0)))
           .over(byDoc.rowsBetween(-(k - 1), Window.currentRow)))

@@ -59,15 +59,17 @@ object Curation {
       k: Int = 8,
       mBits: Int = 1 << 17,
       numHashes: Int = 4): DataFrame = {
-    // persisted because it feeds TWO actions: the bloom build's
-    // position collect and the exact verify join — without it the
-    // eval-side shingle+distinct runs twice (release via unpersist()
-    // on the returned frame's parent when done; MEMORY_AND_DISK is
-    // bounded by the distinct gram set, benchmark-sized by contract)
+    // evalGrams feeds two actions (the bloom build's position collect
+    // now, the exact verify join at the caller's action) and is
+    // DELIBERATELY recomputed rather than persisted: the eval side is
+    // benchmark-sized by contract, so the second shingle+distinct pass
+    // is cheap, whereas a persist with no reachable unpersist would sit
+    // in the session's CacheManager for its lifetime and get
+    // substituted (InMemoryTableScan) into every later plan that scans
+    // the same source — cross-query plan pollution for a micro-saving.
     val evalGrams = eval
       .select(explode(Dedup.shingles(col(textCol), k)).as("gram"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bits = Bloom.build(evalGrams, mBits, numHashes)
     val candidates = train
       .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
@@ -134,22 +136,49 @@ object Curation {
     * Threshold math (mirrored in [[mixToProportionsThresholds]]):
     * scale = min_s(n_s / p_s); keep_s = p_s · scale;
     * threshold_s = floor(keep_s / n_s · 1e6) out of 1e6.
+    *
+    * Fully declarative — ONE action, no driver collect, no persist:
+    * the per-source counts, the binding scale, and the thresholds are
+    * all tiny frames inside the same plan, broadcast back onto the
+    * corpus for the keep filter. An expensive upstream (q68: dedup +
+    * components + decontamination) appears twice in the LOGICAL plan
+    * (count branch + probe branch) but its shuffle stages are
+    * identical subtrees, so ReuseExchange computes them once — unlike
+    * the collect-then-filter formulation, which pays two separate jobs
+    * or a corpus-sized persist with no release point (a leaked
+    * MEMORY_AND_DISK cache that CacheManager then splices into every
+    * unrelated plan scanning the same source).
     */
   def mixToProportions(
       df: DataFrame,
       sourceCol: String,
       targetProps: Map[String, Double],
       idCol: String = "doc_id"): DataFrame = {
-    // the per-source count collect is the operator's contract (the
-    // thresholds are |sources| integers), but it forces df's whole
-    // lineage — persist so the sampling pass reads the materialized
-    // frame instead of recomputing an arbitrarily expensive upstream
-    // pipeline (q68: dedup + components + contamination) a second time
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = cached.groupBy(sourceCol).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val thresholds = mixToProportionsThresholds(counts, targetProps)
-    stratifiedSample(cached, sourceCol, thresholds, defaultThreshold = 0, idCol)
+    // identical IEEE double ops, in the same order, as the driver-side
+    // mirror [[mixToProportionsThresholds]] (which oracles/specs use
+    // to reproduce the exact thresholds)
+    val propCol = targetProps.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (s, p)) =>
+        when(col(sourceCol) === s, lit(p)).otherwise(acc)
+      }
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("_mix_n"))
+      .withColumn("_mix_p", propCol)
+    // min_s(n_s / p_s) over targeted, non-empty sources; empty input
+    // (no targeted source present) yields a NULL scale, which nulls
+    // every threshold and keeps zero rows — the SQL mirror's semantics
+    val scale = counts.filter(col("_mix_p") > 0 && col("_mix_n") > 0)
+      .agg(min(col("_mix_n").cast("double") / col("_mix_p")).as("_mix_scale"))
+    val thresholds = counts.crossJoin(scale)
+      .select(col(sourceCol),
+        floor(least(lit(1.0), col("_mix_p") * col("_mix_scale") / col("_mix_n")) * lit(1e6))
+          .as("_mix_threshold"))
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+    df.join(broadcast(thresholds), Seq(sourceCol))
+      .filter(bucket < col("_mix_threshold"))
+      .select(df.columns.map(col): _*)
   }
 
   /** The per-source thresholds (of 1e6) for [[mixToProportions]] —
@@ -186,6 +215,12 @@ object Curation {
       idCol: String = "doc_id"): DataFrame = {
     require(bands.nonEmpty && bands.last._2 == 1000000,
       s"split bands must cover the full hash range (last bound 1000000): $bands")
+    // misordered bounds would silently misassign: the fold below keys
+    // each row to the FIRST band whose upper bound exceeds its bucket,
+    // which is only the intended band when bounds strictly increase
+    require(bands.head._2 > 0 &&
+      bands.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"split band bounds must be strictly increasing and positive: $bands")
     val bucket = pmod(
       conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
         .cast("long"),
