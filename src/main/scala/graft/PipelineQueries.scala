@@ -309,8 +309,11 @@ object PipelineQueries {
         eval = docs.filter(col("doc_id") % 7 === 0), k = 8)
       val train = gated.filter(col("doc_id") % 7 =!= 0)
         .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+      // materialize: `train` is the whole dedup→gate→decontam pipeline,
+      // which the mix's count and probe branches would otherwise both
+      // recompute (pruning defeats exchange reuse — see mixToProportions)
       val mixed = Curation.mixToProportions(train, "lang",
-        Map("en" -> 0.5, "fr" -> 0.2, "zh" -> 0.3))
+        Map("en" -> 0.5, "fr" -> 0.2, "zh" -> 0.3), materialize = true)
       mixed.groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -260,5 +260,45 @@ object TrainingQueries {
         .select("doc_id", "lang", "split")
         .orderBy("doc_id")
     },
+
+    // The exact half of the heavy-hitter pass as its own hard oracle
+    // row: global token top-10 through TakeOrderedAndProject (only 10
+    // rows ever leave the final agg). q78 keeps the CMS sketch lane
+    // (rows-only by necessity); this pins the exact lane to DuckDB.
+    Q("q80_heavy_hitters_exact",
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |e AS (SELECT unnest(toks) AS token FROM t)
+        |SELECT token, count(*) AS exact_cnt FROM e GROUP BY token
+        |ORDER BY exact_cnt DESC, token LIMIT 10""".stripMargin) { (s, dir) =>
+      import graft.ext.TextAnalysis
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+        .limit(10)
+    },
+
+    // Salted sub-bucket pairing end-to-end: collapse every doc's text
+    // to its language token (a degenerate corpus DERIVED from the real
+    // table — all docs of a language share one minhash signature, so
+    // each band bucket holds the whole language, far over maxBucket).
+    // With `saltOversized = true` the oversized buckets emit exhaustive
+    // pairs within each deterministic sub-bucket plus the star edges —
+    // so (unlike star-only mode) most docs appear as a_id with several
+    // partners. Salted candidates aren't SQL-mirrorable (xxhash64 salt)
+    // → rows-only here; DedupSpec proves salted ⊇ star coverage and
+    // pair validity.
+    Q.noOracle("q81_salted_neardup") { (s, dir) =>
+      import graft.ext.Dedup
+      val degenerate = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat_ws(" ", col("lang"), col("lang"), col("lang")).as("text"))
+      Dedup.nearDuplicatePairs(degenerate, "doc_id", "text",
+          k = 3, numHashes = 16, bands = 4, minJaccard = 0.9,
+          maxBucket = 16, saltOversized = true)
+        .groupBy("a_id").agg(count(lit(1)).as("n_partners"))
+        .orderBy("a_id")
+    },
   )
 }

@@ -40,7 +40,15 @@ object EventsFact {
     * reference's result cache (`st.cache_data(ttl=3600)`,
     * `/root/reference/streamlit_app.py:99,111`; SURVEY §4.1). The
     * reference's explicit refresh invalidation (`streamlit_app.py:
-    * 144-145`) maps to [[invalidate]]. MEMORY_AND_DISK: the fact is
+    * 144-145`) maps to [[invalidate]]. The reference's TIME-based
+    * expiry (`ttl=3600`) is deliberately NOT mirrored: it exists there
+    * because the upstream HTTP source mutates under a long-lived UI
+    * process, whereas this engine reads immutable parquet snapshots —
+    * staleness is a property of the input path, so the correct refresh
+    * trigger is explicit ([[invalidate]] on new data), not a wall
+    * clock. A deployment with mutating sources would wrap [[fact]]
+    * with a (session, dir, floor(now/ttl)) key — the cache structure
+    * already supports it. MEMORY_AND_DISK: the fact is
     * orders of magnitude smaller than the raw events (one row per
     * (cohort, type, day)), so this holds at any scale the groupBy holds. */
   def fact(spark: SparkSession, sfDir: String): DataFrame =

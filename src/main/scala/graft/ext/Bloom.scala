@@ -99,7 +99,25 @@ object Bloom {
   /** Column API: probe `key` against a built filter. */
   def mightContainCol(key: Column, bits: Array[Long], numHashes: Int = 4): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
-      BloomMightContain(org.apache.spark.sql.GraftColumnBridge.expression(key), bits, numHashes))
+      BloomMightContain(org.apache.spark.sql.GraftColumnBridge.expression(key),
+        new BloomBits(bits), numHashes))
+}
+
+/** Immutable packed-bits holder for [[BloomMightContain]]. A bare
+  * `Array[Long]` field has reference equality, which defeats expression
+  * canonicalization (two probes of the same filter never
+  * `semanticEquals`, so common-subexpression elimination can't fire)
+  * and lets the caller mutate the shared array after the column is
+  * built. The constructor takes a defensive copy and equality/hashCode
+  * are content-based. */
+final class BloomBits(source: Array[Long]) extends Serializable {
+  val bits: Array[Long] = source.clone()
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomBits => java.util.Arrays.equals(bits, b.bits)
+    case _ => false
+  }
+  override def hashCode: Int = java.util.Arrays.hashCode(bits)
+  override def toString: String = s"BloomBits(m=${bits.length * 64})"
 }
 
 /** Build-side expression: the key's bit positions (array<long>). */
@@ -128,24 +146,28 @@ object BloomPositions {
 }
 
 /** Probe-side expression: membership test against packed bits carried
-  * as a codegen reference object (never a plan literal). */
-case class BloomMightContain(child: Expression, bits: Array[Long], numHashes: Int)
+  * as a codegen reference object (never a plan literal). The bits ride
+  * in a [[BloomBits]] holder so two probes of the same filter compare
+  * equal (canonicalization → CSE) and the caller's array can't mutate
+  * the expression after construction. */
+case class BloomMightContain(child: Expression, bloomBits: BloomBits, numHashes: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
   override def inputTypes = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
-    Bloom.mightContain(input.asInstanceOf[UTF8String], bits, numHashes)
+    Bloom.mightContain(input.asInstanceOf[UTF8String], bloomBits.bits, numHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    val ref = ctx.addReferenceObj("bloomBits", bloomBits.bits, "long[]")
     defineCodeGen(ctx, ev, c => s"graft.ext.Bloom.mightContain($c, $ref, $numHashes)")
   }
 
   // keep plan strings sketch-free: 2k longs of filter state is payload,
   // not structure (and would destabilize plan snapshots)
-  override def toString: String = s"bloom_might_contain($child, m=${bits.length * 64}, k=$numHashes)"
+  override def toString: String =
+    s"bloom_might_contain($child, m=${bloomBits.bits.length * 64}, k=$numHashes)"
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)

@@ -140,20 +140,34 @@ object Curation {
     * Fully declarative — ONE action, no driver collect, no persist:
     * the per-source counts, the binding scale, and the thresholds are
     * all tiny frames inside the same plan, broadcast back onto the
-    * corpus for the keep filter. An expensive upstream (q68: dedup +
-    * components + decontamination) appears twice in the LOGICAL plan
-    * (count branch + probe branch) but its shuffle stages are
-    * identical subtrees, so ReuseExchange computes them once — unlike
-    * the collect-then-filter formulation, which pays two separate jobs
-    * or a corpus-sized persist with no release point (a leaked
-    * MEMORY_AND_DISK cache that CacheManager then splices into every
-    * unrelated plan scanning the same source).
+    * corpus for the keep filter — unlike the collect-then-filter
+    * formulation, which pays two separate jobs or a corpus-sized
+    * persist with no release point (a leaked MEMORY_AND_DISK cache
+    * that CacheManager then splices into every unrelated plan scanning
+    * the same source).
+    *
+    * The upstream `df` appears in BOTH branches (count + probe), and
+    * exchange reuse canNOT merge them: column pruning narrows the
+    * count branch to `sourceCol`, so its subtree never canonicalizes
+    * equal to the probe's. For a TABLE upstream that is the right
+    * trade — the extra pass is a single-column scan. For an expensive
+    * UNmaterialized pipeline upstream (q68: dedup + components +
+    * decontamination), pass `materialize = true`: the input is
+    * local-checkpointed once (RDD blocks, eager=false — materialized
+    * by the count job, reread by the probe job, freed by the
+    * ContextCleaner when the frame is GC'd; never in CacheManager, so
+    * no cross-query plan substitution). Caveat inherited from
+    * localCheckpoint: blocks are not replicated, so an executor loss
+    * mid-query fails the query — fault-critical runs should write the
+    * cleaned corpus to a table first and mix from that instead.
     */
   def mixToProportions(
       df: DataFrame,
       sourceCol: String,
       targetProps: Map[String, Double],
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      materialize: Boolean = false): DataFrame = {
+    val input = if (materialize) df.localCheckpoint(eager = false) else df
     // identical IEEE double ops, in the same order, as the driver-side
     // mirror [[mixToProportionsThresholds]] (which oracles/specs use
     // to reproduce the exact thresholds)
@@ -161,22 +175,27 @@ object Curation {
       .foldLeft(lit(0.0)) { case (acc, (s, p)) =>
         when(col(sourceCol) === s, lit(p)).otherwise(acc)
       }
-    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("_mix_n"))
+    val counts = input.groupBy(sourceCol).agg(count(lit(1)).as("_mix_n"))
       .withColumn("_mix_p", propCol)
     // min_s(n_s / p_s) over targeted, non-empty sources; empty input
     // (no targeted source present) yields a NULL scale, which nulls
     // every threshold and keeps zero rows — the SQL mirror's semantics
     val scale = counts.filter(col("_mix_p") > 0 && col("_mix_n") > 0)
       .agg(min(col("_mix_n").cast("double") / col("_mix_p")).as("_mix_scale"))
+    // NOT `least(1.0, frac)`: least/greatest IGNORE nulls (both here
+    // and in DuckDB), which would turn the empty-mix NULL scale into a
+    // keep-everything 1e6 threshold — the when/otherwise clamp
+    // propagates NULL so an absent-source mix keeps zero rows
+    val frac = col("_mix_p") * col("_mix_scale") / col("_mix_n")
     val thresholds = counts.crossJoin(scale)
       .select(col(sourceCol),
-        floor(least(lit(1.0), col("_mix_p") * col("_mix_scale") / col("_mix_n")) * lit(1e6))
+        floor(when(frac > 1.0, lit(1.0)).otherwise(frac) * lit(1e6))
           .as("_mix_threshold"))
     val bucket = pmod(
       conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
         .cast("long"),
       lit(1000000L))
-    df.join(broadcast(thresholds), Seq(sourceCol))
+    input.join(broadcast(thresholds), Seq(sourceCol))
       .filter(bucket < col("_mix_threshold"))
       .select(df.columns.map(col): _*)
   }

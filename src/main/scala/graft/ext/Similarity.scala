@@ -95,13 +95,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs within blocks: exact cosine
-    * over a blocked self-join, keeping pairs at/above `minCosine`.
-    * Blocking (label, LSH bucket from [[withLshBuckets]], shard key …)
-    * is what bounds the quadratic term at scale — the block self-join
-    * shuffles once on the block key and each block expands locally.
-    * For unblocked corpora, feed `withLshBuckets` output and block on
-    * `bucket`. */
   /** Natural-basis sign signature of the first `bits` vector
     * components (bit i set ⇔ component i > 0) — SimHash with the
     * coordinate axes as planes. Unlike [[lshBucket]] there is nothing
@@ -132,6 +125,13 @@ object Similarity {
     when(n > 0, transform(vec, x => x / n))
   }
 
+  /** Embedding-cosine near-duplicate pairs within blocks: exact cosine
+    * over a blocked self-join, keeping pairs at/above `minCosine`.
+    * Blocking (label, LSH bucket from [[withLshBuckets]], shard key …)
+    * is what bounds the quadratic term at scale — the block self-join
+    * shuffles once on the block key and each block expands locally.
+    * For unblocked corpora, feed `withLshBuckets` output and block on
+    * `bucket`. */
   def nearDupPairs(
       emb: DataFrame,
       blockCol: String,

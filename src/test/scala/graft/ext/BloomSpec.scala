@@ -56,4 +56,23 @@ class BloomSpec extends SparkSpec {
   test("build rejects a bit count that is not a multiple of 64") {
     intercept[IllegalArgumentException](Bloom.build(Seq("a").toDF("k"), mBits = 100))
   }
+
+  test("probe expressions are content-equal: canonicalization/CSE can fire") {
+    // one shared child: attribute Origins differ per call site, and the
+    // point here is the BITS equality semantics, not the child's
+    val child = org.apache.spark.sql.GraftColumnBridge.expression(col("k"))
+    val bits = Bloom.build(Seq("a", "b").toDF("k"), mBits = 64 * 4, numHashes = 2)
+    val e1 = BloomMightContain(child, new BloomBits(bits), 2)
+    val e2 = BloomMightContain(child, new BloomBits(bits.clone()), 2)
+    assert(e1 == e2, "identical filters must compare equal (content, not reference)")
+    assert(e1.semanticEquals(e2), "semanticEquals must hold for identical probes")
+    // defensive copy: mutating the caller's array must not reach the expression
+    val mutated = bits.clone()
+    val e3 = BloomMightContain(child, new BloomBits(mutated), 2)
+    mutated(0) = ~mutated(0)
+    assert(e3 == e1, "post-construction mutation of the source array must not leak in")
+    // different filter state ⇒ not equal
+    val other = Bloom.build(Seq("c", "d").toDF("k"), mBits = 64 * 4, numHashes = 2)
+    assert(e1 != BloomMightContain(child, new BloomBits(other), 2))
+  }
 }
