@@ -81,6 +81,21 @@ object Bloom {
     z ^ (z >>> 31)
   }
 
+  /** Build the packed bit array from keys already on the driver — for
+    * callers that need the exact key set locally anyway (e.g.
+    * [[Curation.contaminatedBloom]], whose verify join broadcasts the
+    * same set): one pass instead of build-then-broadcast. For key sets
+    * too large to hold, use [[build]], which keeps keys distributed. */
+  def buildLocal(keys: IterableOnce[String], mBits: Int = 1 << 17, numHashes: Int = 4): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64: $mBits")
+    val bits = new Array[Long](mBits / 64)
+    keys.iterator.foreach { k =>
+      positions(UTF8String.fromString(k), mBits, numHashes)
+        .foreach { p => bits((p >>> 6).toInt) |= (1L << (p & 63L)) }
+    }
+    bits
+  }
+
   /** Build the packed bit array from a one-column string frame: the
     * distributed side computes positions and distincts them; only
     * distinct BIT POSITIONS (≤ mBits) reach the driver. */

@@ -59,23 +59,27 @@ object Curation {
       k: Int = 8,
       mBits: Int = 1 << 17,
       numHashes: Int = 4): DataFrame = {
-    // evalGrams feeds two actions (the bloom build's position collect
-    // now, the exact verify join at the caller's action) and is
-    // DELIBERATELY recomputed rather than persisted: the eval side is
-    // benchmark-sized by contract, so the second shingle+distinct pass
-    // is cheap, whereas a persist with no reachable unpersist would sit
-    // in the session's CacheManager for its lifetime and get
-    // substituted (InMemoryTableScan) into every later plan that scans
-    // the same source — cross-query plan pollution for a micro-saving.
-    val evalGrams = eval
+    // ONE eval pass: the verify join below broadcasts the eval gram set
+    // anyway (a broadcast collects to the driver by definition — the
+    // "eval is benchmark-sized" contract), so collecting the grams here
+    // and building the bloom bits locally costs the same driver memory
+    // as the broadcast while skipping a whole second shingle+distinct
+    // job (the old shape) — and needs no persist, so nothing leaks into
+    // the session CacheManager. An eval set too large to broadcast
+    // would need the shuffle-join verify variant anyway (and
+    // [[Bloom.build]]'s distributed construction).
+    val spark = train.sparkSession
+    import spark.implicits._
+    val evalGramSet = eval
       .select(explode(Dedup.shingles(col(textCol), k)).as("gram"))
       .distinct()
-    val bits = Bloom.build(evalGrams, mBits, numHashes)
-    val candidates = train
+      .as[String].collect()
+    val bits = Bloom.buildLocal(evalGramSet, mBits, numHashes)
+    val verify = evalGramSet.toSeq.toDF("gram")
+    train
       .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
       .filter(Bloom.mightContainCol(col("gram"), bits, numHashes))
-    candidates
-      .join(broadcast(evalGrams), Seq("gram"))
+      .join(broadcast(verify), Seq("gram"))
       .groupBy(idCol)
       .agg(count_distinct(col("gram")).as("n_hits"))
   }

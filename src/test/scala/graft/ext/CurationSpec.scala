@@ -78,6 +78,19 @@ class CurationSpec extends SparkSpec {
       == Map("en" -> 0, "fr" -> 0))
     val onlyDe = Seq((1L, "de"), (2L, "de")).toDF("doc_id", "lang")
     assert(Curation.mixToProportions(onlyDe, "lang", Map("en" -> 1.0)).isEmpty)
+    // the materialized (localCheckpoint) lane must hit the same empty case
+    assert(Curation.mixToProportions(onlyDe, "lang", Map("en" -> 1.0),
+      materialize = true).isEmpty)
+  }
+
+  test("data mixing: materialize=true selects the identical row set") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val targets = Map("en" -> 0.6, "fr" -> 0.25, "zh" -> 0.15)
+    def ids(materialize: Boolean) =
+      Curation.mixToProportions(docs, "lang", targets, materialize = materialize)
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(materialize = true) == ids(materialize = false),
+      "localCheckpoint materialization must not change the sample")
   }
 
   test("stratified sample: deterministic, label-thresholded, exact-mirrorable") {
