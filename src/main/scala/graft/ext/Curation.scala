@@ -255,6 +255,113 @@ object Curation {
     df.withColumn("split", splitCol)
   }
 
+  /** Sequential Poisson sample (Ohlsson 1998): deterministic weighted
+    * sampling without replacement, probability ~ proportional to
+    * `weightCol`. Each row draws the uniform u = md5-bucket/1e6 from
+    * its OWN id and gets priority ξ = u / w; the k smallest ξ are the
+    * sample. P(ξ < t) = min(1, w·t), so heavier rows rank earlier in
+    * proportion to their weight — the order-sampling scheme surveys
+    * use for πps ("probability proportional to size") samples.
+    *
+    * Determinism contract matches the other samplers here: no RNG, the
+    * draw is a pure function of the row id, so any engine/rerun/
+    * cluster size reproduces the same sample, and ξ uses only
+    * correctly-rounded IEEE ops (two divisions — never pow/log, which
+    * differ across runtimes) so the oracle can hash-match it.
+    *
+    * Scale shape: ξ is a per-row projection and the top-k runs through
+    * `TakeOrderedAndProject` — each partition keeps a k-element heap
+    * and only k rows per partition reach the driver-side merge; the
+    * corpus is never globally sorted. Rows with non-positive or NULL
+    * weight are excluded (ξ undefined; NULL ordering differs across
+    * engines). */
+  def weightedSample(
+      df: DataFrame,
+      weightCol: String,
+      k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+    val xi = bucket.cast("double") / lit(1000000.0) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("xi", xi)
+      .orderBy(col("xi"), col(idCol))
+      .limit(k)
+  }
+
+  /** The [[weightedSample]] priority's DuckDB spelling. */
+  def weightedSampleXiSql(idExpr: String, weightExpr: String): String =
+    s"((('0x' || substring(md5(CAST($idExpr AS VARCHAR)), 1, 15))::BIGINT % 1000000)" +
+      s" / 1000000.0) / CAST($weightExpr AS DOUBLE)"
+
+  /** Per-key quota sample: allocate a global row `budget` across the
+    * values of `keyCol` proportionally to their counts (largest-
+    * remainder / Hamilton apportionment, so quotas are integers that
+    * sum exactly to min(budget, rows available)), then keep each key's
+    * `quota` smallest-md5 rows — the "domain balancing" pass a crawl
+    * corpus needs so one giant domain can't dominate a fixed token
+    * budget.
+    *
+    * Allocation math (mirrored in oracles): ideal_s = budget·n_s/N;
+    * base_s = floor(ideal_s); the L = budget − Σ base_s leftover seats
+    * go to the L largest remainders (ties by key asc). With
+    * budget < N a key's quota never exceeds its count; a budget ≥ N
+    * yields quotas ≥ counts and the filter keeps every row — the
+    * operator degrades to identity instead of failing.
+    *
+    * Scale shape: the allocation runs on the per-key COUNT frame (one
+    * map-side-combined aggregate; #keys rows), and the per-key pick
+    * runs through the two-phase [[graft.plans.TopKPerKey]] plan with
+    * k = max quota, so ≤ k rows per key per partition cross the one
+    * exchange and nothing is globally sorted. The max quota is read
+    * off the #keys-row allocation frame — a contractually bounded
+    * driver value (same cardinality class as [[mixToProportions]]'s
+    * per-source counts). */
+  def quotaSample(
+      df: DataFrame,
+      keyCol: String,
+      budget: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("_q_n"))
+    val wAll = Window.partitionBy()
+    // ideal/base/remainder on the #keys-row frame; windows over the
+    // whole (tiny) frame are one-partition by construction
+    val ideal = lit(budget.toDouble) * col("_q_n").cast("double") /
+      sum(col("_q_n")).over(wAll).cast("double")
+    val alloc = counts
+      .withColumn("_q_base", floor(ideal).cast("long"))
+      .withColumn("_q_rem", ideal - floor(ideal))
+      .withColumn("_q_rank",
+        row_number().over(wAll.orderBy(col("_q_rem").desc, col(keyCol))))
+      .withColumn("_q_leftover", lit(budget) - sum(col("_q_base")).over(wAll))
+      .withColumn("quota",
+        col("_q_base") + when(col("_q_rank") <= col("_q_leftover"), 1L).otherwise(0L))
+      .select(col(keyCol), col("quota"))
+    // bounded driver read: one Int off the #keys-row allocation frame
+    val rows = alloc.agg(max(col("quota")).cast("long")).head()
+    if (rows.isNullAt(0)) return df.limit(0)
+    val maxQuota = math.min(rows.getLong(0), Int.MaxValue.toLong).toInt
+    if (maxQuota == 0) return df.limit(0)
+    val pruned = graft.plans.TopKPerKey.topKPerKey(
+      df.withColumn("_q_hash", md5(col(idCol).cast("string").cast("binary"))),
+      Seq(keyCol), "_q_hash", descending = false, k = maxQuota,
+      tiebreakCols = Seq(idCol))
+    // rank within key over the pruned (≤ maxQuota rows/key) survivors —
+    // the window sorts only what TopKPerKey already whittled down
+    val wKey = Window.partitionBy(keyCol).orderBy(col("_q_hash"), col(idCol))
+    pruned
+      .withColumn("_q_rn", row_number().over(wKey))
+      .join(broadcast(alloc), Seq(keyCol))
+      .filter(col("_q_rn") <= col("quota"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** The [[stratifiedSample]] predicate's DuckDB spelling, for oracles
     * and external verification. */
   def stratifiedSampleSql(

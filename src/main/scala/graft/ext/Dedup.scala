@@ -234,14 +234,7 @@ object Dedup {
       minJaccard: Double,
       maxBucket: Int,
       saltOversized: Boolean = false): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
-        .cast("binary"))
-    }
-    val banded = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("band"))
+    val banded = bandFrame(sig, numHashes, bands)
     // Bucket-local pair generation instead of a band self-join: a
     // self-join would duplicate the whole signature-computation subtree
     // (both join inputs re-derive it) and shuffle every row twice.
@@ -443,6 +436,137 @@ object Dedup {
       .groupBy("band").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > threshold)
       .orderBy(col("bucket_n").desc)
+  }
+
+  /** (id, band) from a signature frame ((id, h0 … h{n−1})): banded LSH
+    * bucket keys as 16-byte digests — shared by the batch self-pair
+    * path and the incremental cross-join path. */
+  private def bandFrame(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
+        .cast("binary"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
+  }
+
+  /** Incremental (cross-snapshot) deduplication: flag docs in an
+    * `incoming` batch that duplicate the `existing` corpus — the
+    * production ingestion mode, where re-deduplicating the whole
+    * corpus per batch would be O(corpus) work for O(batch) new data.
+    * Nothing existing×existing is ever paired: the existing side
+    * contributes only its digest frame and (persisted, see
+    * [[signaturesFor]]) minhash signatures, both reusable across
+    * batches.
+    *
+    * Returns one row per duplicate incoming doc:
+    * (idCol, kind, match_id) with kind = 'exact' (byte-identical text;
+    * match_id = smallest existing id with that digest) or 'near'
+    * (shares an LSH band with an existing doc AND verified token-set
+    * Jaccard ≥ `minJaccard`; match_id = smallest verified existing
+    * id). A doc that is both reports 'exact'. Incoming docs absent
+    * from the result are genuinely new — anti-join to keep them.
+    *
+    * Scale shape: the exact lane joins 16-byte digests (existing side
+    * pre-shrunk to one row per distinct digest). The near lane joins
+    * (band, id) pairs — band keys are uniform digests, and a hot
+    * existing band (> `maxBucket` members) degrades to its smallest-id
+    * representative, bounding the candidate fan-out per incoming doc
+    * at `bands` × `maxBucket` (same degraded-mode contract as the
+    * batch star fallback: a member-only match can be missed inside a
+    * capped bucket; audit with [[bandBucketStats]]). Text never
+    * shuffles with the bands — token sets are re-attached to the
+    * (tiny) verified candidate set. */
+  def incrementalDuplicates(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 256,
+      existingSignatures: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // exact lane: one row per distinct existing digest, then a digest
+    // equi-join — the incoming text is hashed once and never shuffled
+    val eDigest = existing
+      .select(md5(col(textCol).cast("binary")).as("_dig"), col(idCol).as("_e_id"))
+      .groupBy("_dig").agg(min("_e_id").as("match_id"))
+    val exact = incoming
+      .select(col(idCol), md5(col(textCol).cast("binary")).as("_dig"))
+      .join(eDigest, Seq("_dig"))
+      .select(col(idCol), lit("exact").as("kind"), col("match_id"))
+    // near lane: cross-side band join (NOT the batch bucket-local
+    // self-pairing — incremental candidates are incoming×existing only)
+    val sigE = existingSignatures.getOrElse(
+      minhashSignatureAggFast(existing, idCol, textCol, k, numHashes))
+    val sigI = minhashSignatureAggFast(incoming, idCol, textCol, k, numHashes)
+    val byBand = Window.partitionBy("band")
+    val eBand = bandFrame(sigE, numHashes, bands)
+      .withColumn("_n", count(lit(1)).over(byBand))
+      .withColumn("_min", min(col("id")).over(byBand))
+      .filter(col("_n") <= maxBucket || col("id") === col("_min"))
+      .select(col("band"), col("id").as("e_id"))
+    val iBand = bandFrame(sigI, numHashes, bands)
+      .select(col("band"), col("id").as("i_id"))
+    val cand = iBand.join(eBand, Seq("band"))
+      .select("i_id", "e_id").distinct()
+    val eTok = existing.select(col(idCol).as("e_id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("e_toks"))
+    val iTok = incoming.select(col(idCol).as("i_id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("i_toks"))
+    val near = cand
+      .join(iTok, Seq("i_id"))
+      .join(eTok, Seq("e_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("i_toks"), col("e_toks"))).cast("double") /
+          size(array_union(col("i_toks"), col("e_toks"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy(col("i_id").as(idCol))
+      .agg(min("e_id").as("match_id"))
+      .select(col(idCol), lit("near").as("kind"), col("match_id"))
+    exact.unionByName(
+      near.join(exact.select(idCol), Seq(idCol), "left_anti"))
+  }
+
+  /** Cross-document novelty score: for each doc, the fraction of its
+    * DISTINCT word `k`-grams that appear in NO other document —
+    * corpus-level quality triage (novelty ≈ 0 means the doc is
+    * assembled from text that exists elsewhere: templates, mirrors,
+    * quote farms; minhash only catches whole-doc similarity, this
+    * catches documents that are pastiches of MANY sources).
+    *
+    * Returns (idCol, n_grams, n_novel, novelty = n_novel/n_grams) for
+    * every doc with ≥ 1 gram (< k tokens ⇒ no grams ⇒ absent, same as
+    * the minhash path).
+    *
+    * Scale shape: one derivation of the exploded gram frame feeds a
+    * `count(*) over (partition by gram)` window — the gram text
+    * shuffles ONCE (16-byte-digest-like uniform keys; WindowExec
+    * spills) — then a per-doc aggregate. The groupBy-join alternative
+    * would re-derive the corpus-wide shingle explode for the join's
+    * second branch (column pruning defeats exchange reuse — the
+    * [[Curation.mixToProportions]] lesson). */
+  def crossDocNovelty(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), k))).as("gram"))
+    val withDf = grams
+      .withColumn("_gram_docs", count(lit(1)).over(Window.partitionBy("gram")))
+    withDf
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("_gram_docs") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
   }
 
   /** Character n-gram Jaccard similarity of two text columns — the

@@ -1,0 +1,176 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-6 corpus-ops tranche: weighted sampling, quota balancing,
+  * novelty, incremental dedup, Z-order layout. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- weightedSample -------------------------------------------------
+
+  test("weightedSample: matches brute-force xi top-k, excludes w <= 0, repartition-invariant") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val k = 25
+    val got = Curation.weightedSample(docs, "n_chars", k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == k)
+    // brute force: same md5 bucket and division chain, computed via a
+    // full sort instead of TakeOrderedAndProject
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"), lit(1000000L))
+    val brute = docs.filter(col("n_chars") > 0)
+      .withColumn("xi", bucket.cast("double") / lit(1000000.0) / col("n_chars").cast("double"))
+      .orderBy(col("xi"), col("doc_id")).limit(k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == brute)
+    // stable under repartitioning (per-partition heaps merge to the
+    // same global k regardless of layout)
+    val reparted = Curation.weightedSample(docs.repartition(17), "n_chars", k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(reparted == got)
+    // zero/negative/null weights can never be sampled
+    val weird = Seq((1L, 0L), (2L, -5L), (3L, 10L)).toDF("doc_id", "w")
+      .withColumn("w", when(col("doc_id") === 2L, lit(null).cast("long")).otherwise(col("w")))
+    val kept = Curation.weightedSample(weird, "w", k = 3).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
+  test("weightedSample: heavier rows are sampled more often (PPS direction)") {
+    // 200 rows, weight 100 for ids < 20, weight 1 otherwise: the heavy
+    // 10% should dominate a k=30 sample (each heavy row's xi is scaled
+    // down 100x)
+    val df = (0L until 200L).map(i => (i, if (i < 20) 100L else 1L)).toDF("doc_id", "w")
+    val heavy = Curation.weightedSample(df, "w", k = 30)
+      .filter(col("doc_id") < 20).count()
+    assert(heavy >= 15, s"expected heavy rows to dominate, got $heavy/30")
+  }
+
+  // --- quotaSample ----------------------------------------------------
+
+  test("quotaSample: largest-remainder quotas, exact sizes, budget >= N degrades to identity") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val budget = 120L
+    val out = Curation.quotaSample(docs, "source", budget)
+    val sizes = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.sum == budget)
+    // recompute Hamilton apportionment locally
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val ideal = counts.map { case (s, n) => s -> budget.toDouble * n / total }
+    val base = ideal.map { case (s, v) => s -> math.floor(v).toLong }
+    val leftover = budget - base.values.sum
+    val ranked = ideal.toSeq
+      .map { case (s, v) => (s, v - math.floor(v)) }
+      .sortBy { case (s, r) => (-r, s) }
+      .map(_._1)
+    val quota = base.map { case (s, b) =>
+      s -> (b + (if (ranked.indexOf(s) < leftover) 1L else 0L))
+    }
+    assert(sizes == quota.filter(_._2 > 0))
+    // output is the per-source smallest-md5 prefix (same pick rule)
+    val firstSource = counts.keys.min
+    val expect = docs.filter(col("source") === firstSource)
+      .withColumn("h", md5(col("doc_id").cast("string").cast("binary")))
+      .orderBy("h", "doc_id").limit(quota(firstSource).toInt)
+      .select("doc_id").as[Long].collect().toSet
+    val got = out.filter(col("source") === firstSource)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+    // a budget >= corpus keeps everything
+    assert(Curation.quotaSample(docs, "source", 10_000_000L).count() == docs.count())
+  }
+
+  // --- crossDocNovelty ------------------------------------------------
+
+  test("crossDocNovelty: unique docs score 1.0, exact copies 0.0, short docs drop out") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),          // 3 distinct 8-grams, unique
+      (2L, "a b c d e f g h i j"),          // exact copy of 1 -> both 0.0
+      (3L, "p q r s t u v w x y z"),        // unique -> 1.0
+      (4L, "too short"),                     // < 8 tokens -> absent
+    ).toDF("doc_id", "text")
+    val nov = Dedup.crossDocNovelty(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(nov.keySet == Set(1L, 2L, 3L))
+    assert(nov(1L) == ((3L, 0L, 0.0)))
+    assert(nov(2L) == ((3L, 0L, 0.0)))
+    assert(nov(3L)._3 == 1.0)
+  }
+
+  // --- incrementalDuplicates ------------------------------------------
+
+  test("incrementalDuplicates: exact beats near, new docs absent, match_id is min") {
+    val existing = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "the quick brown fox jumps over the lazy dog today"), // same text, higher id
+      (12L, "completely different content about distributed query engines"),
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog today"),    // exact (match 10, not 11)
+      (21L, "the quick brown fox jumps over the lazy dog yesterday"),// near of 10/11
+      (22L, "entirely novel words nowhere else in any corpus at all"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDuplicates(existing, incoming, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(20L, 21L))
+    assert(out(20L) == (("exact", 10L)))
+    assert(out(21L)._1 == "near")
+    assert(out(21L)._2 == 10L)
+  }
+
+  test("incrementalDuplicates: hot existing band degrades to representative but still detects") {
+    // 40 existing docs with identical text -> every band bucket holds
+    // all 40, far over maxBucket=8; the incoming copy must still match
+    // via the bucket's min-id representative
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val existing = (100L until 140L).map(i => (i, text)).toDF("doc_id", "text")
+    val incoming = Seq((1L, text)).toDF("doc_id", "text")
+    // drop the exact lane's help: perturb incoming so only near fires
+    val nearOnly = Seq((1L, text + " lambda")).toDF("doc_id", "text")
+    val exact = Dedup.incrementalDuplicates(existing, incoming, minJaccard = 0.5, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(exact.toSeq == Seq((1L, "exact", 100L)))
+    val near = Dedup.incrementalDuplicates(existing, nearOnly, minJaccard = 0.5, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(near.toSeq == Seq((1L, "near", 100L)))
+  }
+
+  // --- Layout ---------------------------------------------------------
+
+  test("zValue: interleave round-trips against a bit-loop reference") {
+    def refZ(x: Int, y: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> i) & 1).toLong << (2 * i)
+        z |= ((y >> i) & 1).toLong << (2 * i + 1)
+      }
+      z
+    }
+    val cases = Seq((0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (1023, 511))
+    val df = cases.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == refZ(r.getInt(0), r.getInt(1)),
+        s"(${r.getInt(0)}, ${r.getInt(1)})")
+    }
+  }
+
+  test("zOrderBy: partitions own contiguous z ranges (layout clusters both dims)") {
+    val df = (0 until 4096).map(i => (i % 64, i / 64)).toDF("x", "y")
+    val parts = Layout.zOrderBy(df, col("x"), col("y"), numPartitions = 8)
+      .select(Layout.zValue(col("x"), col("y")).as("z"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // ranges must not overlap: each partition is one curve segment
+    parts.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: ${parts.toSeq}")
+      case _ =>
+    }
+  }
+}
