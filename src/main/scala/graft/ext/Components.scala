@@ -33,20 +33,32 @@ object Components {
       aCol: String = "a_id",
       bCol: String = "b_id",
       maxIter: Int = 50): DataFrame = {
-    // checkpoint the symmetrized edges ONCE: each round joins against
-    // them, and without this the (possibly expensive — minhash banding,
-    // Jaccard verify) edge subtree would re-execute every iteration
+    // checkpoint the symmetrized edges ONCE, pre-partitioned on dst:
+    // without the checkpoint the (possibly expensive — minhash
+    // banding, Jaccard verify) edge subtree would re-execute every
+    // iteration, and without the explicit hash layout every round's
+    // frontier join would re-shuffle the WHOLE edge frame
+    // (localCheckpoint preserves outputPartitioning, so the join below
+    // exchanges only the frontier side — O(Δ) per round, not O(E))
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // Delta iteration: a node's label only ever decreases, and a
+    // decrease can only be caused by a neighbor whose label DECREASED
+    // last round — so round r only propagates from the round-(r−1)
+    // frontier (initially: everyone). Classic Pregel-style CC; at
+    // scale the frontier collapses after the first rounds, so late
+    // rounds shuffle almost nothing instead of re-walking every edge.
+    var frontier = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = sym
-        .join(labels, sym("dst") === labels("id"))
+        .join(frontier, sym("dst") === frontier("id"))
         .groupBy(col("src").as("nid"))
         .agg(min("label").as("nlabel"))
       val updated = labels
@@ -55,7 +67,8 @@ object Components {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (col("nlabel") < col("label")).as("changed"))
         .localCheckpoint()
-      converged = updated.filter(col("changed")).isEmpty
+      frontier = updated.filter(col("changed")).select("id", "label")
+      converged = frontier.isEmpty
       labels = updated.select("id", "label")
       i += 1
     }
