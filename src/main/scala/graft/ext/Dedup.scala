@@ -532,6 +532,46 @@ object Dedup {
       near.join(exact.select(idCol), Seq(idCol), "left_anti"))
   }
 
+  /** Sub-document (segment-level) deduplication: across the whole
+    * corpus, keep only the FIRST occurrence of every distinct segment
+    * (paragraph, sentence window, fixed token chunk — whatever the
+    * caller split into `segsCol`), where "first" is the smallest
+    * (id, position) holding it — the RefinedWeb/FineWeb-style pass
+    * that strips repeated boilerplate paragraphs whole-doc dedup and
+    * doc-level minhash both miss.
+    *
+    * Returns (idCol, n_kept, n_dropped, cleaned) — surviving segments
+    * rejoined with `sep` in original order. Docs whose every segment
+    * was seen earlier keep n_kept = 0 with an empty `cleaned` (the
+    * caller decides whether empty docs survive).
+    *
+    * Scale shape: explode once; first-occurrence election is a
+    * row_number window keyed on the segment text (one shuffle on the
+    * segment — uniform unless the corpus is one repeated string;
+    * WindowExec spills), then one per-doc aggregate rebuilds the text
+    * (sorted struct array, no second pass over the corpus). Nothing
+    * is ever joined back against the full frame. */
+  def dedupSegments(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      segsCol: String = "segments",
+      sep: String = " "): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seg = docs.select(col(idCol), posexplode(col(segsCol)).as(Seq("pos", "seg")))
+    val firstWin = Window.partitionBy("seg").orderBy(col(idCol), col("pos"))
+    seg
+      .withColumn("_first", row_number().over(firstWin) === 1)
+      .groupBy(idCol)
+      .agg(
+        sum(when(col("_first"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_first"), 0L).otherwise(1L)).as("n_dropped"),
+        array_sort(collect_list(when(col("_first"), struct(col("pos"), col("seg")))))
+          .as("_kept"))
+      .withColumn("cleaned",
+        concat_ws(sep, transform(col("_kept"), k => k("seg"))))
+      .drop("_kept")
+  }
+
   /** Cross-document novelty score: for each doc, the fraction of its
     * DISTINCT word `k`-grams that appear in NO other document —
     * corpus-level quality triage (novelty ≈ 0 means the doc is

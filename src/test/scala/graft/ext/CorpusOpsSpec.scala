@@ -102,6 +102,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(nov(3L)._3 == 1.0)
   }
 
+  // --- dedupSegments --------------------------------------------------
+
+  test("dedupSegments: first global occurrence wins, docs rebuild in order, empty docs flagged") {
+    val docs = Seq(
+      (1L, Seq("aa", "bb", "cc")),
+      (2L, Seq("bb", "dd")),       // bb already in doc 1
+      (3L, Seq("aa", "bb")),       // everything seen -> empty
+    ).toDF("doc_id", "segments")
+    val out = Dedup.dedupSegments(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 0L, "aa bb cc")))
+    assert(out(2L) == ((1L, 1L, "dd")))
+    assert(out(3L) == ((0L, 2L, "")))
+    // a segment repeated WITHIN one doc also keeps only its first slot
+    val intra = Seq((1L, Seq("xx", "xx", "yy"))).toDF("doc_id", "segments")
+    val r = Dedup.dedupSegments(intra).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((2L, 1L, "xx yy")))
+  }
+
   // --- incrementalDuplicates ------------------------------------------
 
   test("incrementalDuplicates: exact beats near, new docs absent, match_id is min") {
