@@ -319,7 +319,14 @@ object Curation {
     * exchange and nothing is globally sorted. The max quota is read
     * off the #keys-row allocation frame — a contractually bounded
     * driver value (same cardinality class as [[mixToProportions]]'s
-    * per-source counts). */
+    * per-source counts).
+    *
+    * Contract bounds: exact integer quotas require per-key SELECTION,
+    * so the partial heaps hold up to maxQuota rows — right when the
+    * budget is human-scale (top-N docs per run). For a budget so
+    * large that maxQuota-row heaps don't fit an executor (billions),
+    * use [[stratifiedSample]] with thresholds quota_s/n_s instead:
+    * O(1) state, same determinism, binomially-approximate sizes. */
   def quotaSample(
       df: DataFrame,
       keyCol: String,

@@ -583,28 +583,36 @@ object Dedup {
     * every doc with ≥ 1 gram (< k tokens ⇒ no grams ⇒ absent, same as
     * the minhash path).
     *
-    * Scale shape: one derivation of the exploded gram frame feeds a
-    * `count(*) over (partition by gram)` window — the gram text
-    * shuffles ONCE (16-byte-digest-like uniform keys; WindowExec
-    * spills) — then a per-doc aggregate. The groupBy-join alternative
-    * would re-derive the corpus-wide shingle explode for the join's
-    * second branch (column pruning defeats exchange reuse — the
-    * [[Curation.mixToProportions]] lesson). */
+    * Scale shape: per-doc totals are a PER-ROW projection
+    * (`size(array_distinct(shingles))` — no explode, no shuffle), and
+    * the novel counts ride a `groupBy(gram)` whose map-side combine
+    * collapses a hot gram to one partial per input partition BEFORE
+    * the exchange — a boilerplate gram appearing in millions of docs
+    * costs millions of combiner updates, not a millions-row skewed
+    * reduce task (the window-on-gram formulation would sort all of a
+    * hot gram's rows in one task). Since grams are per-doc distinct,
+    * a gram with global count 1 belongs to exactly the doc `min(id)`
+    * reports, so the count-1 rows ARE the per-doc novel tallies —
+    * nothing rejoins the corpus-wide gram frame. */
   def crossDocNovelty(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    val totals = docs
+      .select(col(idCol),
+        size(array_distinct(shingles(col(textCol), k))).cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0)
+    val novel = docs
       .select(col(idCol), explode(array_distinct(shingles(col(textCol), k))).as("gram"))
-    val withDf = grams
-      .withColumn("_gram_docs", count(lit(1)).over(Window.partitionBy("gram")))
-    withDf
-      .groupBy(idCol)
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("_gram_docs") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("_c"), min(col(idCol)).as("_owner"))
+      .filter(col("_c") === 1)
+      .groupBy(col("_owner").as(idCol))
+      .agg(count(lit(1)).as("n_novel"))
+    totals
+      .join(novel, Seq(idCol), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_grams").cast("double"))
   }

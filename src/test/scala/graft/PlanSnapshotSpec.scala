@@ -91,6 +91,9 @@ object PlanSnapshot {
   def normalize(plan: String): String =
     plan
       .replaceAll("#\\d+", "#N")
+      // lambda variable names draw from a GLOBAL session counter, so
+      // adding a query shifts every later plan's x_NN — not a shape change
+      .replaceAll("lambda ([A-Za-z]+)_\\d+", "lambda $1_N")
       .replaceAll("(?i)\\[?(plan_)?id=#?(\\d+|N)\\]?", "")
       .replaceAll("@[0-9a-fA-F]{4,}", "@ADDR")
       .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-fA-F]+", "\\$\\$Lambda")
