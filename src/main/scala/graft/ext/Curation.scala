@@ -353,7 +353,13 @@ object Curation {
     // bounded driver read: one Int off the #keys-row allocation frame
     val rows = alloc.agg(max(col("quota")).cast("long")).head()
     if (rows.isNullAt(0)) return df.limit(0)
-    val maxQuota = math.min(rows.getLong(0), Int.MaxValue.toLong).toInt
+    // a quota beyond Int.MaxValue can't ride the k-heap plan; capping
+    // silently would under-fill the key — fail loud (scaladoc: use
+    // stratifiedSample thresholds for budgets at that scale)
+    require(rows.getLong(0) <= Int.MaxValue.toLong,
+      s"max quota ${rows.getLong(0)} exceeds the per-key selection limit; " +
+        "use stratifiedSample with quota/count thresholds for budgets this large")
+    val maxQuota = rows.getLong(0).toInt
     if (maxQuota == 0) return df.limit(0)
     val pruned = graft.plans.TopKPerKey.topKPerKey(
       df.withColumn("_q_hash", md5(col(idCol).cast("string").cast("binary"))),

@@ -170,7 +170,9 @@ class CorpusOpsSpec extends SparkSpec {
       }
       z
     }
-    val cases = Seq((0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (1023, 511))
+    val rng = new scala.util.Random(0xC0FFEE)
+    val cases = Seq((0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (1023, 511)) ++
+      Seq.fill(500)((rng.nextInt(65536), rng.nextInt(65536)))
     val df = cases.toDF("x", "y")
       .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
     df.collect().foreach { r =>
