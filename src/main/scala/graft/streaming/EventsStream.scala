@@ -51,12 +51,17 @@ object EventsStream {
         col("event_type"), col("n"), col("mean_value"))
     // Complete mode: emit every window each trigger — append mode would
     // hold back the newest (still-open) window at end-of-input.
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // stateful windowed agg: one state store per shuffle partition,
+    // paid per micro-batch — 4 fat stores beat 32 thin ones at this
+    // state size (see StreamTuning)
+    val q = StreamTuning.withStreamPartitions(spark, 4) {
+      stream.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(queryName)
   }

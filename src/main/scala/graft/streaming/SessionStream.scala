@@ -96,12 +96,16 @@ object SessionStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
         (uid: Long, it: Iterator[SessionEvent], st: GroupState[OpenSession]) =>
           foldUser(uid, it, st, gapSeconds))
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // stateful (flatMapGroupsWithState): per-partition state stores —
+    // same 4-partition scope as the other stateful streams
+    val q = StreamTuning.withStreamPartitions(spark, 4) {
+      stream.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(queryName)
   }

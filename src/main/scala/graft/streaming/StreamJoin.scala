@@ -58,12 +58,18 @@ object StreamJoin {
       .select(col("event_id"), col("user_id"),
         unix_micros(col("p_ts")).as("purchase_us"),
         unix_micros(col("s_ts")).as("signup_us"))
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // 4 state partitions, not the batch-side 32: a stream-stream join
+    // keeps FOUR state stores per shuffle partition and every
+    // micro-batch pays each store's open/commit — at this state size
+    // fewer, fatter stores win (see StreamTuning)
+    val q = StreamTuning.withStreamPartitions(spark, 4) {
+      joined.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(queryName)
   }
