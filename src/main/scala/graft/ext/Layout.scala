@@ -41,6 +41,31 @@ object Layout {
   def zValue(x: Column, y: Column): Column =
     spread16(x.cast("long")).bitwiseOR(shiftleft(spread16(y.cast("long")), 1))
 
+  /** Spread the low 21 bits of `v` so bit i lands at position 3i —
+    * the 3-D mask ladder (same public-domain identity, stride 3). */
+  private def spread21(v: Column): Column = {
+    val m0 = lit(0x1FFFFFL)
+    val m1 = lit(0x1F00000000FFFFL)
+    val m2 = lit(0x1F0000FF0000FFL)
+    val m3 = lit(0x100F00F00F00F00FL)
+    val m4 = lit(0x10C30C30C30C30C3L)
+    val m5 = lit(0x1249249249249249L)
+    val s0 = v.bitwiseAND(m0)
+    val s1 = s0.bitwiseOR(shiftleft(s0, 32)).bitwiseAND(m1)
+    val s2 = s1.bitwiseOR(shiftleft(s1, 16)).bitwiseAND(m2)
+    val s3 = s2.bitwiseOR(shiftleft(s2, 8)).bitwiseAND(m3)
+    val s4 = s3.bitwiseOR(shiftleft(s3, 4)).bitwiseAND(m4)
+    s4.bitwiseOR(shiftleft(s4, 2)).bitwiseAND(m5)
+  }
+
+  /** 3-D Morton/Z-value of three 21-bit dimensions (63-bit curve index
+    * as a long) — the arity layout tables typically need (e.g. user ×
+    * time × value). Inputs masked to 21 bits. */
+  def zValue3(x: Column, y: Column, z: Column): Column =
+    spread21(x.cast("long"))
+      .bitwiseOR(shiftleft(spread21(y.cast("long")), 1))
+      .bitwiseOR(shiftleft(spread21(z.cast("long")), 2))
+
   /** The identical interleave in DuckDB SQL (for oracles): same mask
     * ladder on BIGINT. */
   def zValueSql(xExpr: String, yExpr: String): String = {

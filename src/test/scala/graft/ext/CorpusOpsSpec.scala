@@ -181,6 +181,38 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("zValue3: 3-D interleave matches a bit-loop reference") {
+    def refZ3(x: Long, y: Long, z: Long): Long = {
+      var r = 0L
+      for (i <- 0 until 21) {
+        r |= ((x >> i) & 1) << (3 * i)
+        r |= ((y >> i) & 1) << (3 * i + 1)
+        r |= ((z >> i) & 1) << (3 * i + 2)
+      }
+      r
+    }
+    val rng = new scala.util.Random(0xBEEF)
+    val max = (1 << 21) - 1
+    val cases = Seq((0L, 0L, 0L), (max.toLong, max.toLong, max.toLong)) ++
+      Seq.fill(300)((rng.nextInt(1 << 21).toLong, rng.nextInt(1 << 21).toLong,
+        rng.nextInt(1 << 21).toLong))
+    val df = cases.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        Layout.zValue3(col("x"), col("y"), col("z")).as("m"))
+    df.collect().foreach { r =>
+      assert(r.getLong(3) == refZ3(r.getLong(0), r.getLong(1), r.getLong(2)),
+        s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getLong(2)})")
+    }
+  }
+
+  test("incrementalDuplicates: empty sides are empty results, not errors") {
+    val docs = Seq((1L, "some words here repeated across the frame")).toDF("doc_id", "text")
+    val empty = docs.limit(0)
+    assert(Dedup.incrementalDuplicates(docs, empty).count() == 0)
+    assert(Dedup.incrementalDuplicates(empty, docs).count() == 0)
+    assert(Dedup.incrementalDuplicates(empty, empty).count() == 0)
+  }
+
   test("zOrderBy: partitions own contiguous z ranges (layout clusters both dims)") {
     val df = (0 until 4096).map(i => (i % 64, i / 64)).toDF("x", "y")
     val parts = Layout.zOrderBy(df, col("x"), col("y"), numPartitions = 8)
