@@ -22,8 +22,14 @@ import graft.stats.{TCdf, TPpf}
   *     ([[graft.ext.SimHash64]])
   *   - `t_cdf(x, df)`         — Student-t CDF ([[graft.stats.TCdf]])
   *   - `t_ppf(p, df)`         — Student-t quantile ([[graft.stats.TPpf]])
+  *   - `vec_dot(a, b)`        — array<double> dot product
+  *     ([[graft.ext.DotProduct]])
+  *   - `text_profile(text)`   — single-pass token/char/stopword struct
+  *     ([[graft.ext.TextProfile]])
+  *   - `z_value(x, y)` / `z_value3(x, y, z)` — Morton/Z-order curve
+  *     index ([[graft.ext.Layout]] — composed bitwise expressions)
   *
-  * All three are native codegen'd `Expression`s, not UDFs.
+  * All are codegen'd `Expression` trees, not UDFs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -61,6 +67,17 @@ object GraftExtensions {
         "text_profile(text) - struct(n_tokens, n_distinct, n_punct, n_chars, stop_hits) in one scan"),
       (children: Seq[Expression]) =>
         graft.ext.TextProfile(children.head, graft.ext.TextAnalysis.stopwordsByLang)),
+    // z_value builders compose existing codegen'd bitwise expressions
+    // (the Layout mask ladder), so SQL users get the layout key
+    // without any custom Expression class
+    (FunctionIdentifier("z_value"),
+      info("z_value", "z_value(x, y) - 2-D Morton/Z-order curve index of two 16-bit dims"),
+      (children: Seq[Expression]) =>
+        graft.ext.Layout.zValueExpr(children(0), children(1))),
+    (FunctionIdentifier("z_value3"),
+      info("z_value3", "z_value3(x, y, z) - 3-D Morton/Z-order curve index of three 21-bit dims"),
+      (children: Seq[Expression]) =>
+        graft.ext.Layout.zValue3Expr(children(0), children(1), children(2))),
   )
 
   /** Register the SQL functions on an existing session (notebooks,

@@ -52,7 +52,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("t functions appear in the catalog with usage docs") {
     val fns = spark.sql("SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
-    assert(Set("simhash64", "t_cdf", "t_ppf").subsetOf(fns))
+    assert(Set("simhash64", "t_cdf", "t_ppf", "z_value", "z_value3").subsetOf(fns))
+  }
+
+  test("z_value/z_value3 from SQL match the column API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaSql = spark.sql("SELECT z_value(12345, 54321) AS z2, z_value3(7, 5, 3) AS z3").head()
+    val viaApi = Seq((12345, 54321, 7, 5, 3)).toDF("x", "y", "a", "b", "c")
+      .select(graft.ext.Layout.zValue(col("x"), col("y")).as("z2"),
+        graft.ext.Layout.zValue3(col("a"), col("b"), col("c")).as("z3"))
+      .head()
+    assert(viaSql.getLong(0) == viaApi.getLong(0))
+    assert(viaSql.getLong(1) == viaApi.getLong(1))
   }
 
   test("text_profile is callable from SQL") {
