@@ -191,6 +191,36 @@ object CorpusOpsQueries {
         .orderBy("doc_id")
     },
 
+    // Time-series densification (gap-fill): hourly event counts per
+    // type, with every missing hour inside each type's [min, max] span
+    // materialized as an explicit zero row — the resample step feeding
+    // window/trend analyses that assume contiguous time. The dense
+    // frame is #keys x span rows (proportional to the OUTPUT, not the
+    // input); counts attach by left join, absent hours coalesce to 0.
+    Q("q88_gap_fill",
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour FROM events),
+        |c AS (SELECT event_type, hour, count(*) AS n FROM d GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi FROM c GROUP BY 1),
+        |dense AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hour FROM s)
+        |SELECT dense.event_type, dense.hour, COALESCE(c.n, 0) AS n
+        |FROM dense LEFT JOIN c USING (event_type, hour)
+        |ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+      val counts = graft.analysis.EventsFact.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hour"))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("n"))
+      val dense = counts
+        .groupBy("event_type")
+        .agg(min("hour").as("lo"), max("hour").as("hi"))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hour"))
+      dense
+        .join(counts, Seq("event_type", "hour"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .orderBy("event_type", "hour")
+    },
+
     // Z-order (Morton) curve index over (user bucket, value bucket) —
     // the layout key that makes ONE sort order prune on BOTH
     // dimensions via parquet min/max stats. Pure shift/mask integer
