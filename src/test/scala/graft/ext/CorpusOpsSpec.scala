@@ -121,6 +121,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((2L, 1L, "xx yy")))
   }
 
+  test("dedupSegments: property — matches a sequential first-occurrence reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genDoc = Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.take(6))
+    val genCorpus = for {
+      n <- Gen.choose(0, 8)
+      docs <- Gen.listOfN(n, genDoc)
+    } yield docs.zipWithIndex.map { case (segs, i) => (i.toLong, segs) }
+    val prop = Prop.forAll(genCorpus) { corpus =>
+      // sequential reference: ascending (id, pos), keep first sighting
+      val seen = scala.collection.mutable.Set[String]()
+      val expect = corpus.sortBy(_._1).map { case (id, segs) =>
+        val kept = segs.filter(s => seen.add(s))
+        id -> ((kept.size.toLong, (segs.size - kept.size).toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.dedupSegments(corpus.toDF("doc_id", "segments")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      // docs with zero segments never explode -> absent from the output
+      got == expect.filter { case (id, _) =>
+        corpus.find(_._1 == id).exists(_._2.nonEmpty) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.toString)
+  }
+
   // --- incrementalDuplicates ------------------------------------------
 
   test("incrementalDuplicates: exact beats near, new docs absent, match_id is min") {
