@@ -148,7 +148,13 @@ object CorpusOpsQueries {
       val incoming = docs.filter(col("doc_id") % 4 === 3)
         .unionByName(docs.filter(col("doc_id") % 16 === 0)
           .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      Dedup.incrementalDuplicates(existing, incoming, minJaccard = 0.5)
+      // the production mode the operator advertises: the existing
+      // corpus's signatures come from the persisted serving cache
+      // (per-doc signatures are independent, so the subset filter is
+      // exact) — only the incoming batch is hashed fresh
+      Dedup.incrementalDuplicates(existing, incoming, minJaccard = 0.5,
+          existingSignatures =
+            Some(Dedup.signaturesFor(s, dir).filter(col("id") % 4 =!= 3)))
         .orderBy("doc_id")
     },
 
