@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Curation, Dedup, Layout}
+import graft.ext.{Curation, Dedup, Layout, Packing, TextAnalysis}
 
 /** Round-6 corpus-operations tranche: weighted sampling, domain quota
   * balancing, cross-doc novelty, incremental (cross-snapshot) dedup,
@@ -225,6 +225,136 @@ object CorpusOpsQueries {
         .join(counts, Seq("event_type", "hour"), "left")
         .withColumn("n", coalesce(col("n"), lit(0L)))
         .orderBy("event_type", "hour")
+    },
+
+    // Composite quality ruleset (Gopher/C4 family over whitespace
+    // tokens): per-doc rule signals + the conjunction verdict. Every
+    // signal is a count or a single division of counts, so the oracle
+    // hash-matches the doubles exactly. The bigram mode is the one
+    // grouped piece (explode → map-side-combined count → per-doc max).
+    Q("q89_quality_rules",
+      s"""WITH t AS (
+         |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    len(toks) AS n,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS sum_len,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+         |    ${ExtensionOracles.gramsSql("toks", 3)} AS tri
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id,
+         |    CAST(n AS BIGINT) AS n_tokens,
+         |    CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) AS mean_word_len,
+         |    CAST(alpha AS DOUBLE) / CAST(n AS DOUBLE) AS alpha_ratio,
+         |    CASE WHEN len(tri) > 0
+         |      THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE)
+         |      ELSE 0.0 END AS dup_trigram_frac
+         |  FROM r),
+         |bg AS (SELECT doc_id, unnest(${ExtensionOracles.gramsSql("toks", 2)}) AS g FROM t),
+         |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bm AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM bc GROUP BY 1)
+         |SELECT p.doc_id, n_tokens, mean_word_len, alpha_ratio,
+         |  coalesce(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 0.0) AS top_bigram_frac,
+         |  dup_trigram_frac,
+         |  (n_tokens BETWEEN 30 AND 50000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND alpha_ratio >= 0.8
+         |    AND coalesce(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 0.0) <= 0.08
+         |    AND dup_trigram_frac <= 0.3) AS pass
+         |FROM p LEFT JOIN bm USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.ruleSignals(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    },
+
+    // Relative (percentile-rank) gate: keep the top 3/4 per language by
+    // lexical-diversity ratio — per-key rank semantics decided by
+    // integer cross-multiplication, so the oracle checks the EXACT
+    // kept set (no float percentile interpolation on either side).
+    Q("q90_relative_gate",
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |        CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |          AS diversity
+        |      FROM t),
+        |r AS (SELECT doc_id, lang, diversity,
+        |        row_number() OVER (PARTITION BY lang ORDER BY diversity DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM m)
+        |SELECT doc_id, lang, diversity FROM r
+        |WHERE rn * 4 <= n * 3
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toked = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("_toks"))
+      val scored = toked.select(col("doc_id"), col("lang"),
+        (size(array_distinct(col("_toks"))).cast("double") /
+          size(col("_toks")).cast("double")).as("diversity"))
+      Curation.relativeRankGate(scored, "lang", "diversity", keepNum = 3, keepDen = 4)
+        .orderBy("doc_id")
+    },
+
+    // Sliding-window token chunking: 64-token windows advancing by 48
+    // (16-token overlap) — the long-document prep for a fixed-context
+    // model. Chunk boundaries are pure integer math; the oracle
+    // rebuilds every chunk string exactly.
+    Q("q91_token_chunks",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |w AS (SELECT doc_id, toks, n,
+        |        CASE WHEN n > 0 THEN (greatest(0, n - 64) + 47) // 48 + 1 ELSE 0 END AS nw
+        |      FROM n),
+        |g AS (SELECT doc_id, toks, n,
+        |        unnest(generate_series(0, nw - 1)) AS chunk_id FROM w)
+        |SELECT doc_id, chunk_id,
+        |  least(64, n - chunk_id * 48) AS n_chunk_tokens,
+        |  array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Packing.chunkTokens(s.read.parquet(s"$dir/documents.parquet"),
+          window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Near-dup canonical election by PRIORITY: per cluster of the
+    // verified minhash pair graph (q30/q60's machinery), keep the
+    // LONGEST member (ties → lowest id) — "keep the best copy", where
+    // min-id canonical keeps an arbitrary one. Singletons survive as
+    // their own cluster. Oracle replays the same recursive-CTE closure
+    // + argmax.
+    Q("q92_canonical_by_quality",
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT a_id, b_id FROM (${ExtensionOracles.minhashPairs})),
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |cc AS (
+         |  SELECT DISTINCT src AS id, src AS label FROM sym
+         |  UNION
+         |  SELECT s.src AS id, cc.label FROM cc JOIN sym s ON cc.id = s.dst
+         |),
+         |comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+         |cl AS (SELECT d.doc_id, d.n_chars,
+         |         coalesce(comp.component, d.doc_id) AS cluster
+         |       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+         |r AS (SELECT doc_id, cluster, n_chars,
+         |        row_number() OVER (PARTITION BY cluster
+         |                           ORDER BY n_chars DESC, doc_id) AS rn
+         |      FROM cl)
+         |SELECT doc_id, cluster, n_chars FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.nearDuplicatePairsFromSignatures(
+          Dedup.signaturesFor(s, dir), docs,
+          "doc_id", "text", numHashes = 16, bands = 4,
+          minJaccard = 0.4, maxBucket = 256)
+        .select("a_id", "b_id")
+      Dedup.keepClusterCanonicalBy(
+          docs.select("doc_id", "n_chars"), pairs, priorityCol = "n_chars")
+        .select("doc_id", "cluster", "n_chars")
+        .orderBy("doc_id")
     },
 
     // Z-order (Morton) curve index over (user bucket, value bucket) —

@@ -375,6 +375,43 @@ object Curation {
       .select(df.columns.map(col): _*)
   }
 
+  /** Relative (percentile-rank) gate: keep the top `keepNum/keepDen`
+    * fraction of rows WITHIN each key, ranked by `metricCol` — the
+    * "keep the best 75% per language" filter that absolute thresholds
+    * can't express when score distributions differ per key (a 0.5
+    * cutoff that is strict for English is vacuous for a low-resource
+    * language). The kept count per key is exactly
+    * floor(n_key · keepNum / keepDen), decided by integer
+    * cross-multiplication (rn·den ≤ n·num) — no float percentile, no
+    * interpolation, so any engine reproduces the same kept set.
+    *
+    * Scale shape: one shuffle (the window partition on `keyCol`,
+    * computing row_number + count in a single WindowExec;
+    * spill-backed). An extremely hot key serializes its sort into one
+    * task — when that bites (a single key holding ~the whole corpus),
+    * trade exactness for a sampled per-key threshold +
+    * [[stratifiedSample]]; the exact-rank semantics here IS this
+    * operator's contract. Ties break by `idCol` so the kept set is
+    * deterministic even on tied metrics. */
+  def relativeRankGate(
+      df: DataFrame,
+      keyCol: String,
+      metricCol: String,
+      keepNum: Int,
+      keepDen: Int,
+      descending: Boolean = true,
+      idCol: String = "doc_id"): DataFrame = {
+    require(keepDen > 0 && keepNum >= 0 && keepNum <= keepDen,
+      s"keep fraction must be within [0, 1]: $keepNum/$keepDen")
+    import org.apache.spark.sql.expressions.Window
+    val ord = if (descending) col(metricCol).desc else col(metricCol).asc
+    val w = Window.partitionBy(keyCol)
+    df.withColumn("_rg_rn", row_number().over(w.orderBy(ord, col(idCol))))
+      .withColumn("_rg_n", count(lit(1)).over(w))
+      .filter(col("_rg_rn") * keepDen <= col("_rg_n") * keepNum)
+      .drop("_rg_rn", "_rg_n")
+  }
+
   /** The [[stratifiedSample]] predicate's DuckDB spelling, for oracles
     * and external verification. */
   def stratifiedSampleSql(

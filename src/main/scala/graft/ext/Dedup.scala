@@ -84,13 +84,17 @@ object Dedup {
 
   /** Word k-shingles. Guarded: Spark's `sequence(1, n)` runs DESCENDING
     * for n<1, so short docs get an explicit empty array. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesOfTokens(TextAnalysis.tokens(text), k)
+
+  /** [[shingles]] over an already-tokenized array column — so a plan
+    * that materializes the token array once (as an attribute) can
+    * derive several gram widths from it without re-tokenizing. */
+  def shinglesOfTokens(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - lit(k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array())
-  }
 
   /** MinHash signature: element h_i = min over shingles of
     * md5(i || '|' || shingle) — the lexicographic min of a keyed digest
@@ -615,6 +619,41 @@ object Dedup {
       .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Near-dup cluster canonical election by PRIORITY: given the
+    * verified near-dup pair graph (e.g. [[nearDuplicatePairs]] output),
+    * keep per connected component the member with the HIGHEST
+    * `priorityCol` (ties → lowest id) — the "keep the best copy"
+    * policy real pipelines want where [[keepCanonical]]'s min-id rule
+    * keeps an arbitrary one (a truncated mirror can have the smaller
+    * id than the full article it duplicates). Docs outside the pair
+    * graph are their own singleton cluster and always survive.
+    *
+    * Returns the surviving docs with their `cluster` label (the
+    * component's min id, = own id for singletons) appended.
+    *
+    * Scale shape: components via [[Components.connectedComponents]]
+    * (frontier label propagation — edge-frame-sized shuffles only),
+    * one left join to attach labels (the component frame is duplicate
+    * rows only, usually ≪ corpus), and the per-cluster argmax runs
+    * through the two-phase [[graft.plans.TopKPerKey]] plan with k = 1:
+    * each input partition ships at most ONE row per cluster into the
+    * exchange — never a per-cluster sort, never a corpus-wide window. */
+  def keepClusterCanonicalBy(
+      docs: DataFrame,
+      pairs: DataFrame,
+      priorityCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = Components.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val clustered = docs
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    graft.plans.TopKPerKey.topKPerKey(
+      clustered, Seq("cluster"), priorityCol,
+      descending = true, k = 1, tiebreakCols = Seq(idCol))
   }
 
   /** Character n-gram Jaccard similarity of two text columns — the

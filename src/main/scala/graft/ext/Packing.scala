@@ -27,6 +27,52 @@ object Packing {
 
   final case class PackedDoc(doc_id: Long, shard: Long, seq: Long, n_tokens: Int)
 
+  /** Sliding-window token chunking: split each document's tokens into
+    * fixed-`window`-token chunks advancing by `stride` tokens
+    * (stride < window ⇒ overlapping context, the standard long-document
+    * prep for a fixed-context model). Every token is covered: the
+    * number of windows is 1 + ceil(max(0, n − window) / stride), so the
+    * last chunk always reaches the end of the doc (and is the only one
+    * allowed to be short). Returns one row per chunk:
+    * (idCol, chunk_id, n_chunk_tokens, chunk_text).
+    *
+    * Scale shape: a pure per-row projection + generator — tokenize
+    * once, build the chunk array with `transform` over a `sequence`,
+    * explode. No shuffle at any scale; output size is
+    * input · window/stride. Chunk math is all integer, so any engine
+    * reproduces the exact chunk boundaries. */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window]: stride=$stride window=$window")
+    // two-step select: tokens become an attribute, so the chunk
+    // transform references the materialized array (not a per-element
+    // re-tokenization — the ExtractGenerator hoisting trap)
+    val toked = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+    val n = size(col("_toks")).cast("long")
+    // 1 + ceil(max(0, n-window)/stride), as integer math; sequence()
+    // runs DESCENDING when start > stop, so the n==0 case is guarded
+    val nWin = (greatest(lit(0L), n - lit(window.toLong)) + lit(stride.toLong - 1L))
+      .divide(lit(stride.toLong)).cast("long") + lit(1L)
+    val chunks = when(n > 0,
+      transform(sequence(lit(0L), nWin - 1), i =>
+        struct(
+          i.as("chunk_id"),
+          least(lit(window.toLong), n - i * stride).as("n_chunk_tokens"),
+          concat_ws(" ", slice(col("_toks"), (i * stride + 1).cast("int"), lit(window)))
+            .as("chunk_text"))))
+      .otherwise(array().cast("array<struct<chunk_id:bigint,n_chunk_tokens:bigint,chunk_text:string>>"))
+    toked
+      .select(col(idCol), explode(chunks).as("_c"))
+      .select(col(idCol), col("_c.chunk_id"), col("_c.n_chunk_tokens"),
+        col("_c.chunk_text"))
+  }
+
   /** Pack `docs` into `budget`-token sequences within `numShards`
     * deterministic shards (shard = doc_id % numShards, scan order =
     * doc_id ascending). Returns (doc_id, shard, seq, n_tokens) where

@@ -123,6 +123,81 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Composite token-level quality ruleset (the Gopher/C4 filter
+    * family — Rae et al. 2021 Appendix A, re-expressed over whitespace
+    * tokens since this corpus has no line structure): per-doc rule
+    * signals plus the conjunction verdict. Signals:
+    *
+    *   - `n_tokens` — word count (bounds reject fragments and
+    *     mega-pages);
+    *   - `mean_word_len` — Σ token length / n (one exact IEEE
+    *     division; symbol soup and minified blobs sit outside
+    *     [min,max]). Σ token length is `length(text minus whitespace)`
+    *     — a regexp_replace, not a per-token lambda sum;
+    *   - `alpha_ratio` — fraction of tokens containing a letter
+    *     (tables of numbers / markup fail this);
+    *   - `top_bigram_frac` — occurrences of the doc's most frequent
+    *     word bigram over all bigram slots (a high mode means a
+    *     repeated header/footer dominates);
+    *   - `dup_trigram_frac` — [[repetitionScore]] (repeated 3-gram
+    *     mass).
+    *
+    * All signals are counts or single divisions of counts — exactly
+    * reproducible in any engine, no transcendentals.
+    *
+    * Scale shape: everything except `top_bigram_frac` is a per-row
+    * codegen projection. The bigram mode genuinely needs a per-(doc,
+    * bigram) count — that runs explode → map-side-combined groupBy →
+    * per-doc max, then joins back on the doc id (both shuffles keyed
+    * by doc-uniform keys; a per-row HOF mode would be O(len²)
+    * interpreted per doc). Thresholds are engine-defined defaults;
+    * callers tune per corpus. */
+  def ruleSignals(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Long = 30,
+      maxTokens: Long = 50000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8,
+      maxTopBigramFrac: Double = 0.08,
+      maxDupTrigramFrac: Double = 0.3): DataFrame = {
+    // materialize tokens as an attribute so the HOF below references a
+    // computed array, not an inlined re-tokenization per element
+    val toked = docs.select(col(idCol), col(textCol).as("_text"),
+      tokens(col(textCol)).as("_toks"))
+    val n = size(col("_toks")).cast("long")
+    val sumLen = length(regexp_replace(col("_text"), "\\s", "")).cast("long")
+    val alpha = size(filter(col("_toks"), t => t.rlike("[A-Za-z]"))).cast("long")
+    val tri = Dedup.shinglesOfTokens(col("_toks"), 3)
+    val perRow = toked.select(
+      col(idCol),
+      n.as("n_tokens"),
+      (sumLen.cast("double") / n.cast("double")).as("mean_word_len"),
+      (alpha.cast("double") / n.cast("double")).as("alpha_ratio"),
+      when(size(tri) > 0,
+        lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri).cast("double"))
+        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+    val bigramMode = toked
+      .select(col(idCol), explode(Dedup.shinglesOfTokens(col("_toks"), 2)).as("_bg"))
+      .groupBy(idCol, "_bg")
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(idCol)
+      .agg(max(col("_c")).as("_top"), sum(col("_c")).as("_tot"))
+    val joined = perRow
+      .join(bigramMode, Seq(idCol), "left")
+      .withColumn("top_bigram_frac",
+        coalesce(col("_top").cast("double") / col("_tot").cast("double"), lit(0.0)))
+      .drop("_top", "_tot")
+    joined.withColumn("pass",
+      col("n_tokens").between(minTokens, maxTokens) &&
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("alpha_ratio") >= minAlphaRatio &&
+        col("top_bigram_frac") <= maxTopBigramFrac &&
+        col("dup_trigram_frac") <= maxDupTrigramFrac)
+  }
+
   /** All stats as one projection over a `text` column. */
   def withTextStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

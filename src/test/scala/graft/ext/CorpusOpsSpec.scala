@@ -237,6 +237,124 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Dedup.incrementalDuplicates(empty, empty).count() == 0)
   }
 
+  // --- ruleSignals ----------------------------------------------------
+
+  test("ruleSignals: signals match a scala reference on real docs") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet").limit(60)
+    val got = TextAnalysis.ruleSignals(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val toks = text.trim.split("\\s+")
+      val n = toks.length.toLong
+      val sumLen = toks.map(_.length.toLong).sum
+      val alpha = toks.count(_.exists(_.isLetter)).toLong
+      val tri = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val dup3 = if (tri.nonEmpty) 1.0 - tri.distinct.size.toDouble / tri.size else 0.0
+      val bi = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val topBi = if (bi.nonEmpty)
+        bi.groupBy(identity).values.map(_.size).max.toDouble / bi.size else 0.0
+      val g = got(id)
+      assert(g.getAs[Long]("n_tokens") == n, s"doc $id n_tokens")
+      assert(g.getAs[Double]("mean_word_len") == sumLen.toDouble / n, s"doc $id mwl")
+      assert(g.getAs[Double]("alpha_ratio") == alpha.toDouble / n, s"doc $id alpha")
+      assert(g.getAs[Double]("dup_trigram_frac") == dup3, s"doc $id dup3")
+      assert(g.getAs[Double]("top_bigram_frac") == topBi, s"doc $id topbi")
+    }
+  }
+
+  test("ruleSignals: verdict boundaries — repeated bigram fails, clean doc passes") {
+    val clean = (1 to 40).map(i => s"word$i").mkString(" ")   // 40 distinct tokens
+    val spam = Seq.fill(30)("buy now").mkString(" ")           // one dominating bigram
+    val numbers = (1 to 40).map(_.toString).mkString(" ")      // no letters
+    val docs = Seq((1L, clean), (2L, spam), (3L, numbers)).toDF("doc_id", "text")
+    val byId = TextAnalysis.ruleSignals(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass")).toMap
+    assert(byId(1L), "clean doc must pass")
+    assert(!byId(2L), "repeated-bigram spam must fail")
+    assert(!byId(3L), "all-numeric doc must fail alpha_ratio")
+  }
+
+  // --- relativeRankGate -----------------------------------------------
+
+  test("relativeRankGate: keeps exactly floor(n*num/den) best rows per key") {
+    val df = (1 to 37).map(i => (i.toLong, if (i % 3 == 0) "a" else "b", (i * 7 % 31).toDouble))
+      .toDF("doc_id", "k", "m")
+    val kept = Curation.relativeRankGate(df, "k", "m", keepNum = 2, keepDen = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+    val byKey = df.collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2)))
+      .groupBy(_._1)
+    byKey.foreach { case (k, rows) =>
+      val want = rows.sortBy(r => (-r._3, r._2)).take(rows.length * 2 / 3).map(_._2).toSet
+      val got = kept.filter(_._1 == k).map(_._2).toSet
+      assert(got == want, s"key $k")
+    }
+  }
+
+  test("relativeRankGate: keepNum=0 keeps nothing; keepNum=keepDen keeps all") {
+    val df = (1 to 10).map(i => (i.toLong, "x", i.toDouble)).toDF("doc_id", "k", "m")
+    assert(Curation.relativeRankGate(df, "k", "m", 0, 1).count() == 0)
+    assert(Curation.relativeRankGate(df, "k", "m", 1, 1).count() == 10)
+    intercept[IllegalArgumentException] {
+      Curation.relativeRankGate(df, "k", "m", 3, 2)
+    }
+  }
+
+  // --- chunkTokens ----------------------------------------------------
+
+  test("chunkTokens: covers every token, boundaries match the reference slicer") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet").limit(50)
+    val (w, s) = (16, 10)
+    val got = Packing.chunkTokens(docs, window = w, stride = s)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val (id, toks) = (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq)
+      // reference: windows at offsets 0, s, 2s, ...; 1 + ceil(max(0, n-w)/s)
+      val nWin = 1 + (toks.length - w + s - 1).max(0) / s
+      val want = (0 until nWin).map { i =>
+        val c = toks.slice(i * s, i * s + w)
+        (i.toLong, c.length.toLong, c.mkString(" "))
+      }
+      val g = got(id).map(x => (x.getAs[Long]("chunk_id"),
+        x.getAs[Long]("n_chunk_tokens"), x.getAs[String]("chunk_text"))).sortBy(_._1).toSeq
+      assert(g == want, s"doc $id")
+      // coverage: last chunk reaches the end
+      assert((nWin - 1) * s + g.last._2 == toks.length, s"doc $id coverage")
+    }
+  }
+
+  test("chunkTokens: stride == window produces disjoint exact partition") {
+    val docs = Seq((1L, (1 to 100).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val rows = Packing.chunkTokens(docs, window = 8, stride = 8)
+      .orderBy("chunk_id").collect()
+    assert(rows.length == 13)  // 12 full + 1 of 4 tokens
+    assert(rows.map(_.getAs[Long]("n_chunk_tokens")).sum == 100)
+    val rebuilt = rows.map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(rebuilt == (1 to 100).map("t" + _).mkString(" "))
+    intercept[IllegalArgumentException] {
+      Packing.chunkTokens(docs, window = 8, stride = 9)
+    }
+  }
+
+  // --- keepClusterCanonicalBy -----------------------------------------
+
+  test("keepClusterCanonicalBy: keeps highest-priority member per component, singletons survive") {
+    // components: {1,2,3} (chain), {10,11}; singletons 20, 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 7L),    // best = 2 (len 9)
+      (10L, 4L), (11L, 4L),            // tie -> min id 10
+      (20L, 1L), (21L, 2L)             // singletons
+    ).toDF("doc_id", "n_chars")
+    val kept = Dedup.keepClusterCanonicalBy(docs, pairs, "n_chars")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(kept.keySet == Set(2L, 10L, 20L, 21L))
+    assert(kept(2L) == 1L)    // cluster label = component min id
+    assert(kept(10L) == 10L)
+    assert(kept(20L) == 20L && kept(21L) == 21L)
+  }
+
   test("zOrderBy: partitions own contiguous z ranges (layout clusters both dims)") {
     val df = (0 until 4096).map(i => (i % 64, i / 64)).toDF("x", "y")
     val parts = Layout.zOrderBy(df, col("x"), col("y"), numPartitions = 8)
