@@ -277,7 +277,10 @@ object AdvancedQueries {
 
 object AdvancedOracles {
 
-  private def dotSql(a: String, b: String): String =
+  /** DuckDB dot-product mirror (list_sum folds sequentially, matching
+    * the DotProduct expression's accumulation order); shared with
+    * CorpusOpsQueries' q94. */
+  def dotSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)),
        |  i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)))""".stripMargin
 

@@ -357,6 +357,69 @@ object CorpusOpsQueries {
         .orderBy("doc_id")
     },
 
+    // REAL multimodal decode: deterministic PCM16 samples synthesized
+    // from event values are encoded as genuine RIFF/WAVE binaries,
+    // then decoded back by the chunk-walking WAV parser into
+    // exact-integer features (peak, energy). The oracle computes the
+    // same samples arithmetically — so a header-parse or byte-order
+    // bug anywhere in the encode→binary→decode path breaks the hash.
+    Q("q93_wav_decode",
+      """WITH s AS (
+        |  SELECT event_id, CAST(floor("value" * 1000000.0) AS BIGINT) AS q,
+        |         8 + ((event_id % 9) + 9) % 9 AS n
+        |  FROM events WHERE "value" IS NOT NULL),
+        |g AS (SELECT event_id, n, q, unnest(generate_series(1, n)) AS i FROM s),
+        |smp AS (SELECT event_id, n,
+        |          ((((q + i * 2654435761) % 65536) + 65536) % 65536) - 32768 AS v
+        |        FROM g)
+        |SELECT event_id AS asset_id, 8000 AS sample_rate, 1 AS n_channels,
+        |  n AS n_samples, max(abs(v)) AS peak_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |FROM smp GROUP BY event_id, n ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = graft.analysis.EventsFact.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("value")).as[(Long, Double)]
+      val assets = ev.map { case (id, v) =>
+        val q = math.floor(v * 1000000.0).toLong
+        val n = (8 + java.lang.Math.floorMod(id, 9L)).toInt
+        val samples = Array.tabulate(n) { i =>
+          (java.lang.Math.floorMod(q + (i + 1) * 2654435761L, 65536L) - 32768L).toShort
+        }
+        (id, graft.ext.Multimodal.encodeWavPcm16(samples, 8000))
+      }.toDF("asset_id", "payload")
+      graft.ext.Multimodal.extractAudioFeatures(assets).toDF()
+        .orderBy("asset_id")
+    },
+
+    // Batch k-NN join: every 25th vector retrieves its 3 nearest
+    // same-label neighbors (cosine, 6-dp-rounded rank key) — the bulk
+    // retrieval shape, vs q33/q34/q45's single-query lookups. Runs
+    // through the TopKPerKey plan (≤ k rows per query per partition
+    // cross the exchange).
+    Q("q94_knn_join", {
+      val dotQN = AdvancedOracles.dotSql("q.embedding", "e.embedding")
+      val dotQQ = AdvancedOracles.dotSql("q.embedding", "q.embedding")
+      val dotNN = AdvancedOracles.dotSql("e.embedding", "e.embedding")
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |q AS (SELECT vec_id, label, embedding FROM e WHERE vec_id % 25 = 0),
+         |p AS (
+         |  SELECT q.label AS block, q.vec_id AS q_id, e.vec_id AS n_id,
+         |    round($dotQN / (sqrt($dotQQ) * sqrt($dotNN)), 6) AS sim
+         |  FROM q JOIN e ON q.label = e.label AND q.vec_id <> e.vec_id),
+         |r AS (SELECT block, q_id, n_id, sim,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+         |      FROM p)
+         |SELECT block, q_id, n_id, sim FROM r WHERE rn <= 3
+         |ORDER BY q_id, sim DESC, n_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ext.Similarity.knnJoin(
+          queries = emb.filter(col("vec_id") % 25 === 0),
+          corpus = emb, k = 3)
+        .orderBy(col("q_id"), col("sim").desc, col("n_id"))
+    },
+
     // Z-order (Morton) curve index over (user bucket, value bucket) —
     // the layout key that makes ONE sort order prune on BOTH
     // dimensions via parquet min/max stats. Pure shift/mask integer

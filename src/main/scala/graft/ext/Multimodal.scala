@@ -124,6 +124,213 @@ object Multimodal {
       }
   }
 
+  // -------------------------------------------------------------------
+  // Real decoders for self-describing formats (pure JVM byte parsing,
+  // no external libraries): RIFF/WAVE PCM16 audio and PPM (P6) images.
+  // These upgrade the codec seam from "stub only" to "real decode where
+  // the container needs no native library"; codecs that DO need one
+  // (JPEG, H.264, ...) still plug in behind the same traits.
+  // -------------------------------------------------------------------
+
+  /** Decoded-audio features — exact integers only (peak and energy of
+    * the PCM samples), so a decode can be verified bit-for-bit against
+    * an external computation of the same samples. */
+  final case class AudioFeatures(
+      asset_id: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      n_samples: Long,
+      peak_abs: Long,
+      sum_sq: Long)
+
+  /** Audio analog of [[MediaCodec]]: same per-partition lifecycle and
+    * batch shape, typed to decoded-sample features. */
+  trait AudioCodec extends Serializable {
+    def open(): Unit = ()
+    def close(): Unit = ()
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[AudioFeatures] =
+      batch.map { case (id, bytes) => decode(id, bytes) }
+    def decode(assetId: Long, payload: Array[Byte]): AudioFeatures
+  }
+
+  /** REAL WAV decoder: RIFF chunk walk → fmt/data parse → PCM16LE
+    * samples → exact features. Not a stub — decodes any standard
+    * PCM16 WAV (including files with extra chunks such as LIST). */
+  object WavPcmCodec extends AudioCodec {
+    override def decode(assetId: Long, payload: Array[Byte]): AudioFeatures = {
+      val (rate, channels, samples) = decodeWavPcm16(payload)
+      var peak = 0L
+      var sumSq = 0L
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i).toLong
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumSq += v * v
+        i += 1
+      }
+      AudioFeatures(assetId, rate, channels, samples.length.toLong, peak, sumSq)
+    }
+  }
+
+  /** Minimal RIFF/WAVE PCM16LE writer (the ingest-side inverse of
+    * [[decodeWavPcm16]]; `channels` interleaved in `samples`). */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of channels $channels")
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1)                        // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2)  // byte rate
+    bb.putShort((channels * 2).toShort)   // block align
+    bb.putShort(16)                       // bits per sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** RIFF/WAVE PCM16 reader: walks chunks (odd sizes pad to even per
+    * the RIFF spec, unknown chunks skipped), requires format tag 1
+    * (PCM) at 16 bits, returns (sampleRate, channels, interleaved
+    * samples). Fail-loud on malformed input — a truncated or non-PCM
+    * payload raises instead of yielding garbage features. */
+  def decodeWavPcm16(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    require(bytes != null && bytes.length >= 44, "not a WAV: too short")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a WAV: missing RIFF")
+    bb.getInt // overall size (unreliable in the wild; chunk walk instead)
+    require(tag() == "WAVE", "not a WAV: missing WAVE")
+    var rate = -1; var channels = -1; var bits = -1; var fmtCode = -1
+    var dataOff = -1; var dataLen = -1
+    while (bb.remaining() >= 8 && dataOff < 0) {
+      val id = tag(); val size = bb.getInt
+      require(size >= 0 && size <= bb.remaining(), s"truncated chunk $id")
+      id match {
+        case "fmt " =>
+          val p = bb.position()
+          fmtCode = bb.getShort & 0xffff
+          channels = bb.getShort & 0xffff
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          bits = bb.getShort & 0xffff
+          bb.position(p + size + (size & 1))
+        case "data" =>
+          dataOff = bb.position(); dataLen = size
+        case _ =>
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(fmtCode == 1, s"not PCM (format $fmtCode)")
+    require(bits == 16, s"not 16-bit (bits $bits)")
+    require(channels >= 1 && rate > 0, "malformed fmt chunk")
+    require(dataOff >= 0, "no data chunk")
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    bb.position(dataOff)
+    var i = 0
+    while (i < n) { out(i) = bb.getShort; i += 1 }
+    (rate, channels, out)
+  }
+
+  /** Decode WAV assets to exact audio features through the same
+    * partition-batched, task-scoped-codec loop as [[extractFeatures]].
+    * The default codec is the REAL [[WavPcmCodec]]. */
+  def extractAudioFeatures(
+      assets: DataFrame,
+      codecFactory: () => AudioCodec = () => WavPcmCodec,
+      parallelism: Int = 0,
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val parts = if (parallelism > 0) parallelism
+      else spark.sessionState.conf.numShufflePartitions
+    assets
+      .select(col("asset_id"), col("payload"))
+      .repartition(parts, col("asset_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = codecFactory()
+        codec.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
+        rows.grouped(batchSize).flatMap(batch => codec.decodeBatch(batch))
+      }
+  }
+
+  /** Decoded-image features — exact integers (dimensions + per-channel
+    * sums over all pixels). */
+  final case class ImageFeatures(
+      asset_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Minimal PPM (P6, maxval 255) writer: `pixels` is interleaved RGB,
+    * row-major. */
+  def encodePpm(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"pixel buffer ${pixels.length} != $width x $height x 3")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(pixels, 0, out, header.length, pixels.length)
+    out
+  }
+
+  /** REAL PPM (P6) decoder: header parse (whitespace + '#' comments per
+    * the netpbm spec), maxval 255, returns (width, height, interleaved
+    * RGB). */
+  def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes != null && bytes.length > 2 &&
+      bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    var pos = 2
+    def nextInt(): Int = {
+      // skip whitespace and '#'-to-end-of-line comments
+      var inComment = false
+      while (pos < bytes.length &&
+        (inComment || bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') inComment = true
+        else if (bytes(pos) == '\n') inComment = false
+        pos += 1
+      }
+      var v = 0
+      var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      require(any, "malformed PPM header")
+      v
+    }
+    val (w, h, maxval) = (nextInt(), nextInt(), nextInt())
+    require(maxval == 255, s"unsupported maxval $maxval (only 8-bit)")
+    pos += 1 // single whitespace after maxval per spec
+    require(bytes.length - pos >= w * h * 3, "truncated PPM pixel data")
+    (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3))
+  }
+
+  /** Image features via the real [[decodePpm]]. */
+  def ppmFeatures(assetId: Long, payload: Array[Byte]): ImageFeatures = {
+    val (w, h, px) = decodePpm(payload)
+    var (r, g, b) = (0L, 0L, 0L)
+    var i = 0
+    while (i < px.length) {
+      r += px(i) & 0xff; g += px(i + 1) & 0xff; b += px(i + 2) & 0xff
+      i += 3
+    }
+    ImageFeatures(assetId, w, h, r, g, b)
+  }
+
   /** Build a media-asset table from any binary-able column — used by
     * tests and as the documented ingestion pattern (payloads stay
     * opaque; metadata is first-class columns). */

@@ -175,6 +175,46 @@ object Similarity {
         col("best.b_id").as("b_id"),
         round(col("best.sim"), 6).as("sim"), col("n_pairs"))
 
+  /** Batch k-NN join: EVERY query row gets its `k` nearest corpus rows
+    * (cosine) within the same block — the bulk retrieval shape
+    * (RAG index build, hard-negative mining, embedding-level dedup
+    * triage), where [[bruteForceTopK]]/[[annTopK]] serve ONE query
+    * vector. `blockCol` is the candidate-bounding key: a label here, an
+    * IVF cell ([[Ivf.withCells]]) or LSH bucket ([[withLshBuckets]])
+    * for unblocked corpora — the join never expands beyond a block.
+    *
+    * Similarity is rounded to 6 dp BEFORE ranking (ties then break by
+    * neighbor id), so the kept set is deterministic and reproducible in
+    * any engine — the unrounded ranking would hang the result on
+    * last-bit float-sum differences.
+    *
+    * Scale shape: one shuffle on the block key; norms computed once per
+    * row per side (not per pair); candidates per query never leave
+    * their partition un-pruned — the per-query top-k runs through the
+    * two-phase [[graft.plans.TopKPerKey]] plan, so at most k rows per
+    * query id per partition cross the final exchange. */
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      blockCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(blockCol).as("block"), col(idCol).as("q_id"),
+      asDouble(col(vecCol)).as("_qv"))
+      .withColumn("_qn", l2Norm(col("_qv")))
+    val c = corpus.select(col(blockCol).as("block"), col(idCol).as("n_id"),
+      asDouble(col(vecCol)).as("_nv"))
+      .withColumn("_nn", l2Norm(col("_nv")))
+    // same evaluation order as the q43 oracle kernel: dot / (|q|·|n|)
+    val scored = q.join(c, Seq("block"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(dot(col("_qv"), col("_nv")) / (col("_qn") * col("_nn")), 6))
+      .select("block", "q_id", "n_id", "sim")
+    graft.plans.TopKPerKey.topKPerKey(scored, Seq("q_id"), "sim",
+      descending = true, k = k, tiebreakCols = Seq("n_id"))
+  }
+
   /** Per-label embedding stats: count + exact mean L2 norm (norms are
     * per-row deterministic; the mean uses decimal accumulation — see
     * [[graft.analysis.CoverageQueries.exactAvg]]). */

@@ -61,6 +61,93 @@ class MultimodalSpec extends SparkSpec {
     assert(CountingCodec.closes.get() == CountingCodec.opens.get(),
       "early termination must still close every opened codec")
   }
+  // --- real WAV codec -------------------------------------------------
+
+  test("WAV round-trip: encode → decode reproduces rate, channels, samples exactly") {
+    val samples = Array.tabulate(100)(i => ((i * 997) % 65536 - 32768).toShort)
+    val bytes = Multimodal.encodeWavPcm16(samples, 44100)
+    val (rate, ch, out) = Multimodal.decodeWavPcm16(bytes)
+    assert(rate == 44100 && ch == 1)
+    assert(out.toSeq == samples.toSeq)
+    // stereo: interleaved samples survive, channel count parsed
+    val st = Multimodal.encodeWavPcm16(samples, 8000, channels = 2)
+    val (r2, c2, o2) = Multimodal.decodeWavPcm16(st)
+    assert(r2 == 8000 && c2 == 2 && o2.toSeq == samples.toSeq)
+  }
+
+  test("WAV decode: skips unknown chunks (LIST before data), rejects non-PCM and truncation") {
+    val samples = Array[Short](1, -1, 32767, -32768)
+    val plain = Multimodal.encodeWavPcm16(samples, 16000)
+    // splice a LIST chunk (odd size → padded) between WAVE and fmt
+    val extra = {
+      val info = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0)
+      val bb = java.nio.ByteBuffer.allocate(plain.length + info.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(plain, 0, 12)      // RIFF + size + WAVE
+      bb.put(info)
+      bb.put(plain, 12, plain.length - 12)
+      bb.array()
+    }
+    val (rate, ch, out) = Multimodal.decodeWavPcm16(extra)
+    assert(rate == 16000 && ch == 1 && out.toSeq == samples.toSeq)
+    // non-PCM format code rejected
+    val nonPcm = plain.clone()
+    nonPcm(20) = 3 // format tag offset in canonical layout: IEEE float
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(nonPcm) }
+    // truncation rejected
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16(java.util.Arrays.copyOfRange(plain, 0, 50))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16("not a wav at all, just some text padding".getBytes)
+    }
+  }
+
+  test("extractAudioFeatures: decoded features match a driver-side reference") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 40L).map { id =>
+      val n = 1 + rng.nextInt(50)
+      id -> Array.fill(n)((rng.nextInt(65536) - 32768).toShort)
+    }
+    val assets = docs.map { case (id, s) =>
+      (id, Multimodal.encodeWavPcm16(s, 8000))
+    }.toDF("asset_id", "payload")
+    val got = Multimodal.extractAudioFeatures(assets, batchSize = 7)
+      .collect().map(f => f.asset_id -> f).toMap
+    docs.foreach { case (id, s) =>
+      val f = got(id)
+      assert(f.sample_rate == 8000 && f.n_channels == 1)
+      assert(f.n_samples == s.length.toLong, s"asset $id")
+      assert(f.peak_abs == s.map(v => math.abs(v.toLong)).max, s"asset $id")
+      assert(f.sum_sq == s.map(v => v.toLong * v.toLong).sum, s"asset $id")
+    }
+  }
+
+  // --- real PPM codec -------------------------------------------------
+
+  test("PPM round-trip: header comments parsed, pixel sums exact, rejects handled") {
+    val (w, h) = (5, 3)
+    val px = Array.tabulate(w * h * 3)(i => ((i * 31) % 256).toByte)
+    val bytes = Multimodal.encodePpm(w, h, px)
+    val (dw, dh, dp) = Multimodal.decodePpm(bytes)
+    assert(dw == w && dh == h && dp.toSeq == px.toSeq)
+    val f = Multimodal.ppmFeatures(9L, bytes)
+    val idx = px.indices
+    assert(f.width == w && f.height == h)
+    assert(f.sum_r == idx.filter(_ % 3 == 0).map(i => (px(i) & 0xff).toLong).sum)
+    assert(f.sum_g == idx.filter(_ % 3 == 1).map(i => (px(i) & 0xff).toLong).sum)
+    assert(f.sum_b == idx.filter(_ % 3 == 2).map(i => (px(i) & 0xff).toLong).sum)
+    // netpbm comments inside the header
+    val commented = ("P6\n# a comment line\n5 # trailing\n3\n255\n".getBytes("US-ASCII")) ++ px
+    val (cw, chh, cp) = Multimodal.decodePpm(commented)
+    assert(cw == 5 && chh == 3 && cp.toSeq == px.toSeq)
+    intercept[IllegalArgumentException] { Multimodal.decodePpm("P5\n1 1\n255\n".getBytes ++ Array[Byte](0)) }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 1))
+    }
+  }
 }
 
 /** Spec fake: counts lifecycle calls through static (JVM-singleton)

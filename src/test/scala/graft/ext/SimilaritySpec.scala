@@ -23,6 +23,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
+  test("knnJoin: matches a window-function brute force per query, excludes self") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val k = 4
+    val got = Similarity.knnJoin(queries, emb, k)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"), r.getAs[Double]("sim")))
+      .groupBy(_._1)
+    // brute force: plain join + window rank over the same rounded sim
+    val q = queries.select(col("label"), col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("label"), col("vec_id").as("n_id"),
+      col("embedding").cast("array<double>").as("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val want = q.join(c, Seq("label"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(Similarity.dot(col("qv"), col("nv")) /
+        (Similarity.l2Norm(col("qv")) * Similarity.l2Norm(col("nv"))), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"), r.getAs[Double]("sim")))
+      .groupBy(_._1)
+    assert(got.keySet == want.keySet)
+    got.keySet.foreach { qid =>
+      assert(got(qid).sortBy(x => (-x._3, x._2)).toSeq ==
+        want(qid).sortBy(x => (-x._3, x._2)).toSeq, s"query $qid")
+      assert(!got(qid).exists(_._2 == qid), s"query $qid must exclude itself")
+    }
+  }
+
   test("brute-force top-k is ordered and excludes the query") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val top = Similarity.bruteForceTopK(emb, 0L, 10).collect()
