@@ -420,6 +420,65 @@ object CorpusOpsQueries {
         .orderBy(col("q_id"), col("sim").desc, col("n_id"))
     },
 
+    // Token-budget selection: best-first greedy take under a global
+    // 6000-token budget (metric = lexical diversity). The engine runs
+    // it as a distributed prefix sum (bucket offsets + per-bucket
+    // parallel windows); the oracle is the sequential global window it
+    // must exactly equal.
+    Q("q95_budget_select",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |          AS diversity,
+        |        len(toks) AS n_tokens
+        |      FROM t),
+        |r AS (SELECT doc_id, diversity, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY diversity DESC, doc_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum_cost
+        |      FROM m)
+        |SELECT doc_id, diversity, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost
+        |FROM r WHERE cum_cost <= 6000 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toked = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
+      val scored = toked.select(col("doc_id"),
+        (size(array_distinct(col("_toks"))).cast("double") /
+          size(col("_toks")).cast("double")).as("diversity"),
+        size(col("_toks")).cast("long").as("n_tokens"))
+      Curation.budgetSelect(scored, "diversity", "n_tokens", budget = 6000L)
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing WITH intra-sequence offsets: each doc's first-
+    // token position inside its packed sequence (what a training
+    // loader needs for attention masks / position ids over the
+    // concatenated sequence). Same O(1)-state per-shard fold as q70;
+    // the oracle's recursive CTE replays the fold carrying the offset.
+    Q("q96_packing_offsets",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |o AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+        |rec AS (
+        |  SELECT shard, rn, doc_id, n, n AS acc, 0 AS seq, 0 AS off FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.n,
+        |    CASE WHEN rec.acc + o.n > 512 THEN o.n ELSE rec.acc + o.n END,
+        |    CASE WHEN rec.acc + o.n > 512 THEN rec.seq + 1 ELSE rec.seq END,
+        |    CASE WHEN rec.acc + o.n > 512 THEN 0 ELSE rec.acc END
+        |  FROM rec JOIN o ON o.shard = rec.shard AND o.rn = rec.rn + 1)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(seq AS BIGINT) AS seq,
+        |  CAST(off AS INTEGER) AS "offset", CAST(n AS INTEGER) AS n_tokens
+        |FROM rec ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Packing.packSequences(s, s.read.parquet(s"$dir/documents.parquet"),
+          budget = 512, numShards = 8)
+        .toDF()
+        .select("doc_id", "shard", "seq", "offset", "n_tokens")
+        .orderBy("doc_id")
+    },
+
     // Z-order (Morton) curve index over (user bucket, value bucket) —
     // the layout key that makes ONE sort order prune on BOTH
     // dimensions via parquet min/max stats. Pure shift/mask integer

@@ -412,6 +412,71 @@ object Curation {
       .drop("_rg_rn", "_rg_n")
   }
 
+  /** Token-budget selection: walk the corpus in `metricCol`-descending
+    * order (ties → `idCol`) and keep each row while the RUNNING total
+    * of `costCol` stays ≤ `budget` — "take the best documents until
+    * the token budget is spent", the data-selection step between
+    * scoring and training. Keeps the exact greedy prefix (the first
+    * row that would overflow stops the take, like a sequential scan
+    * would), and returns the kept rows with their global running
+    * total appended as `cum_cost`.
+    *
+    * Scale shape — a distributed prefix sum, NOT a global window (a
+    * naive `Window.orderBy(metric)` with no partition key pulls the
+    * whole corpus into ONE task):
+    *   1. quantize the metric into `buckets` coarse buckets (the
+    *      mapping is monotone, so bucket-major order == global order);
+    *   2. per-bucket cost totals (map-side-combined aggregate,
+    *      #buckets rows) → running offsets via a window over that tiny
+    *      frame;
+    *   3. broadcast the offsets back and compute each row's global
+    *      running total as `bucket_offset + within-bucket running
+    *      sum` — the within-bucket windows are PARTITIONED by bucket,
+    *      so they parallelize across the cluster and each task sorts
+    *      only ~corpus/buckets rows.
+    * Raising `buckets` bounds the per-task sort; the result is
+    * identical for any bucket count.
+    *
+    * Contract: `metricCol` must be non-null and in [0, 1) ∪ {1} (a
+    * score/ratio — the quantizer is floor(metric · buckets) clamped);
+    * `costCol` non-null, non-negative integers. NULL-metric rows are
+    * excluded (their position in the order would be engine-defined). */
+  def budgetSelect(
+      df: DataFrame,
+      metricCol: String,
+      costCol: String,
+      budget: Long,
+      buckets: Int = 1024,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val m = col(metricCol)
+    val base = df
+      .filter(m.isNotNull && col(costCol).isNotNull)
+      .withColumn("_bs_bucket",
+        least(floor(m * buckets).cast("long"), lit(buckets.toLong - 1)))
+    val offsets = base
+      .groupBy("_bs_bucket")
+      .agg(sum(col(costCol).cast("long")).as("_bs_total"))
+      .withColumn("_bs_offset",
+        coalesce(
+          sum(col("_bs_total")).over(
+            Window.orderBy(col("_bs_bucket").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_bs_bucket"), col("_bs_offset"))
+    val wIn = Window.partitionBy("_bs_bucket")
+      .orderBy(m.desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(offsets), Seq("_bs_bucket"))
+      .withColumn("cum_cost",
+        col("_bs_offset") + sum(col(costCol).cast("long")).over(wIn))
+      .filter(col("cum_cost") <= budget)
+      .drop("_bs_bucket", "_bs_offset")
+  }
+
   /** The [[stratifiedSample]] predicate's DuckDB spelling, for oracles
     * and external verification. */
   def stratifiedSampleSql(

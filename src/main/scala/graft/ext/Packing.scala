@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  final case class PackedDoc(doc_id: Long, shard: Long, seq: Long, n_tokens: Int)
+  final case class PackedDoc(
+      doc_id: Long, shard: Long, seq: Long, n_tokens: Int,
+      // position of the doc's first token within its packed sequence —
+      // what a loader needs to build per-doc attention masks /
+      // position ids over the concatenated sequence
+      offset: Int)
 
   /** Sliding-window token chunking: split each document's tokens into
     * fixed-`window`-token chunks advancing by `stride` tokens
@@ -97,9 +102,10 @@ object Packing {
         var acc = 0L
         var seq = -1L
         it.map { case (id, _, n) =>
+          var off = 0L
           if (seq < 0 || acc + n > budget) { seq += 1; acc = n.toLong }
-          else acc += n
-          PackedDoc(id, shard, seq, n)
+          else { off = acc; acc += n }
+          PackedDoc(id, shard, seq, n, off.toInt)
         }
       }
   }

@@ -337,6 +337,39 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  // --- budgetSelect ---------------------------------------------------
+
+  test("budgetSelect: equals the sequential greedy prefix, invariant to bucket count") {
+    val rng = new scala.util.Random(0xB06E7)
+    val rows = (1L to 400L).map(i =>
+      (i, rng.nextInt(1000) / 1000.0, (1 + rng.nextInt(50)).toLong))
+    val df = rows.toDF("doc_id", "m", "c")
+    val budget = 3000L
+    // sequential reference: sort by (m desc, id), take while cum <= budget
+    var acc = 0L
+    val want = rows.sortBy(r => (-r._2, r._1)).iterator.map { case (id, _, c) =>
+      acc += c; (id, acc)
+    }.takeWhile(_._2 <= budget).toSeq
+    for (buckets <- Seq(1, 7, 1024)) {
+      val got = Curation.budgetSelect(df, "m", "c", budget, buckets = buckets)
+        .select("doc_id", "cum_cost").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
+      assert(got == want, s"buckets=$buckets")
+    }
+  }
+
+  test("budgetSelect: zero budget keeps nothing; huge budget keeps everything") {
+    val df = Seq((1L, 0.5, 10L), (2L, 0.9, 5L)).toDF("doc_id", "m", "c")
+    assert(Curation.budgetSelect(df, "m", "c", 0L).count() == 0)
+    val all = Curation.budgetSelect(df, "m", "c", 1000L)
+      .orderBy("cum_cost").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(all.toSeq == Seq((2L, 5L), (1L, 15L)))  // best-first running totals
+    // null metric rows are excluded, not sorted engine-arbitrarily
+    val withNull = Seq((1L, Some(0.5), 10L), (2L, None, 5L))
+      .toDF("doc_id", "m", "c")
+    assert(Curation.budgetSelect(withNull, "m", "c", 1000L).count() == 1)
+  }
+
   // --- keepClusterCanonicalBy -----------------------------------------
 
   test("keepClusterCanonicalBy: keeps highest-priority member per component, singletons survive") {

@@ -45,6 +45,23 @@ class PackingSpec extends SparkSpec {
     assert(bad == 0L, "multi-doc sequence over budget")
   }
 
+  test("offsets: each doc starts where the previous one ended within its sequence") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val packed = Packing.packSequences(spark, docs, budget = 256, numShards = 8)
+      .collect().groupBy(p => (p.shard, p.seq))
+    packed.values.foreach { ds =>
+      val sorted = ds.sortBy(_.doc_id)
+      var expect = 0
+      sorted.foreach { p =>
+        assert(p.offset == expect, s"doc ${p.doc_id}")
+        expect += p.n_tokens
+      }
+      // multi-doc sequences stay within budget end-to-end
+      if (sorted.length > 1)
+        assert(sorted.last.offset + sorted.last.n_tokens <= 256)
+    }
+  }
+
   test("assignment is deterministic and repartition-invariant") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     def run(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
