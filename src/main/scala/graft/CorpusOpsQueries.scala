@@ -479,6 +479,32 @@ object CorpusOpsQueries {
         .orderBy("doc_id")
     },
 
+    // Embedding-space outlier scoring: the 20 vectors farthest from
+    // their label centroid (squared L2). Centroid components are
+    // floor-quantized exact means and the distance a per-term
+    // quantized integer fold, so dist2 is bitwise-deterministic and
+    // the oracle replays it exactly — no FP-sum order dependence.
+    Q("q97_embedding_outliers",
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |g AS (SELECT label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS v
+        |      FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i),
+        |c AS (SELECT label, dim,
+        |        CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |          / count(v) / 1000000.0 AS c
+        |      FROM g GROUP BY 1, 2),
+        |ca AS (SELECT label, list(c ORDER BY dim) AS carr FROM c GROUP BY label),
+        |d AS (SELECT e.vec_id, e.label,
+        |        list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(floor((CAST(e.embedding[i] AS DOUBLE) - ca.carr[i])
+        |                          * (CAST(e.embedding[i] AS DOUBLE) - ca.carr[i])
+        |                          * 1000000000000.0) AS BIGINT))) AS q
+        |      FROM e JOIN ca USING (label))
+        |SELECT vec_id, label, CAST(q AS DOUBLE) / 1000000000000.0 AS dist2
+        |FROM d ORDER BY dist2 DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.ext.Similarity.centroidOutliers(
+          s.read.parquet(s"$dir/embeddings.parquet"), k = 20)
+    },
+
     // Z-order (Morton) curve index over (user bucket, value bucket) —
     // the layout key that makes ONE sort order prune on BOTH
     // dimensions via parquet min/max stats. Pure shift/mask integer

@@ -215,6 +215,59 @@ object Similarity {
       descending = true, k = k, tiebreakCols = Seq("n_id"))
   }
 
+  /** Per-label exact centroids + each vector's squared L2 distance to
+    * its label centroid — embedding-space outlier scoring (vectors far
+    * from their label's center are mislabeled/noisy candidates; the
+    * standard embedding-level quality gate next to [[signBucketDedup]]).
+    *
+    * Float discipline: centroid components use the floor-quantized
+    * exact mean ([[graft.analysis.CoverageQueries.exactAvg]] per
+    * dimension — order-independent AND engine-mirrorable), and the
+    * distance accumulates floor-quantized per-term integers (1e-12
+    * grid) in index order, so `dist2` is bitwise-deterministic across
+    * partitionings and engines — no FP-sum order dependence anywhere.
+    *
+    * Scale shape: one explode → map-side-combined groupBy(label, dim)
+    * builds the #labels × dim centroid frame (tiny); centroid arrays
+    * broadcast back onto the corpus; the distance is a per-row fold of
+    * a `zip_with` — no second corpus-sized shuffle, no join on the
+    * exploded frame. */
+  def centroidDistances(
+      emb: DataFrame,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val asD = asDouble(col(vecCol))
+    val dims = emb.select(col(labelCol), posexplode(asD).as(Seq("_dim", "_v")))
+    val cents = dims
+      .groupBy(labelCol, "_dim")
+      .agg(graft.analysis.CoverageQueries.exactAvg(col("_v")).as("_c"))
+      .groupBy(labelCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("_dim"), col("_c")))),
+        s => s("_c")).as("_centroid"))
+    emb.select(col(labelCol), col(idCol), asD.as("_vec"))
+      .join(broadcast(cents), Seq(labelCol))
+      .withColumn("dist2",
+        aggregate(
+          zip_with(col("_vec"), col("_centroid"),
+            (v, c) => floor((v - c) * (v - c) * lit(1e12)).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") / lit(1e12))
+      .select(col(idCol), col(labelCol), col("dist2"))
+  }
+
+  /** The `k` vectors farthest from their label centroid (global top-k
+    * via `TakeOrderedAndProject` — per-partition heaps, no full sort). */
+  def centroidOutliers(
+      emb: DataFrame,
+      k: Int,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    centroidDistances(emb, labelCol, idCol, vecCol)
+      .orderBy(col("dist2").desc, col(idCol))
+      .limit(k)
+
   /** Per-label embedding stats: count + exact mean L2 norm (norms are
     * per-row deterministic; the mean uses decimal accumulation — see
     * [[graft.analysis.CoverageQueries.exactAvg]]). */

@@ -55,6 +55,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidDistances: matches the quantized reference, repartition-invariant") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(3.0f, 0.0f)),   // centroid x = 2
+      (3L, 1, Array(0.0f, 1.0f)), (4L, 1, Array(0.0f, 1.0f)),   // centroid = (0,1)
+      (5L, 1, Array(0.0f, 7.0f))                                 // centroid y = 3
+    ).toDF("vec_id", "label", "embedding")
+    def refDist(v: Array[Double], c: Array[Double]): Double =
+      v.zip(c).map { case (x, y) =>
+        math.floor((x - y) * (x - y) * 1e12).toLong
+      }.sum.toDouble / 1e12
+    // reference centroids via the same floor-quantized mean
+    def qMean(xs: Seq[Double]): Double =
+      xs.map(x => math.floor(x * 1e6).toLong).sum.toDouble / xs.size / 1e6
+    val c0 = Array(qMean(Seq(1.0, 3.0)), qMean(Seq(0.0, 0.0)))
+    val c1 = Array(qMean(Seq(0.0, 0.0, 0.0)), qMean(Seq(1.0, 1.0, 7.0)))
+    val want = Map(
+      1L -> refDist(Array(1.0, 0.0), c0), 2L -> refDist(Array(3.0, 0.0), c0),
+      3L -> refDist(Array(0.0, 1.0), c1), 4L -> refDist(Array(0.0, 1.0), c1),
+      5L -> refDist(Array(0.0, 7.0), c1))
+    val got = Similarity.centroidDistances(vecs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == want)
+    val rep = Similarity.centroidDistances(vecs.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep == want, "bitwise-stable under repartitioning")
+    // the far vector is the top outlier
+    val top = Similarity.centroidOutliers(vecs, 1).collect()
+    assert(top.head.getLong(0) == 5L)
+  }
+
   test("brute-force top-k is ordered and excludes the query") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val top = Similarity.bruteForceTopK(emb, 0L, 10).collect()
