@@ -28,7 +28,13 @@ object BenchFocus {
         sys.error(s"unknown query '$name'"))
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // execute the query's OWN physical plan (projections and sorts
+        // intact) — a `.count()` wrapper would let Catalyst prune the
+        // projections and eliminate the top sort, timing a bare scan
+        // for projection-shaped queries (NOTES lesson #4). Bench.scala
+        // deliberately keeps count() for comparability with the
+        // recorded r1 baseline methodology.
+        fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[focus] $name%-32s ${times.map(t => f"$t%6.2f").mkString(" ")}")

@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** The ONE deterministic-bucket kernel every sampler keys off:
+    * md5(id) hex prefix → 60-bit integer → mod 1e6. Shared so the hash
+    * width/modulus can never silently diverge between samplers (the
+    * SQL spellings in [[stratifiedSampleSql]]/[[weightedSampleXiSql]]
+    * mirror it). */
+  private def md5Bucket(id: Column): Column =
+    pmod(
+      conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(1000000L))
+
   /** Benchmark decontamination: training docs that share any word
     * `k`-gram with the eval corpus (the standard pre-training hygiene
     * pass — eval text leaking into training data inflates scores).
@@ -97,10 +108,7 @@ object Curation {
       thresholds: Map[String, Int],
       defaultThreshold: Int,
       idCol: String = "doc_id"): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long"),
-      lit(1000000L))
+    val bucket = md5Bucket(col(idCol))
     val thresholdCol = thresholds.toSeq.sortBy(_._1)
       .foldLeft(lit(defaultThreshold)) { case (acc, (label, t)) =>
         when(col(labelCol) === label, lit(t)).otherwise(acc)
@@ -195,10 +203,7 @@ object Curation {
       .select(col(sourceCol),
         floor(when(frac > 1.0, lit(1.0)).otherwise(frac) * lit(1e6))
           .as("_mix_threshold"))
-    val bucket = pmod(
-      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long"),
-      lit(1000000L))
+    val bucket = md5Bucket(col(idCol))
     input.join(broadcast(thresholds), Seq(sourceCol))
       .filter(bucket < col("_mix_threshold"))
       .select(df.columns.map(col): _*)
@@ -244,10 +249,7 @@ object Curation {
     require(bands.head._2 > 0 &&
       bands.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
       s"split band bounds must be strictly increasing and positive: $bands")
-    val bucket = pmod(
-      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long"),
-      lit(1000000L))
+    val bucket = md5Bucket(col(idCol))
     val splitCol = bands.init.reverse
       .foldLeft(lit(bands.last._1)) { case (acc, (name, upper)) =>
         when(bucket < upper, lit(name)).otherwise(acc)
@@ -281,10 +283,7 @@ object Curation {
       k: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val bucket = pmod(
-      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long"),
-      lit(1000000L))
+    val bucket = md5Bucket(col(idCol))
     val xi = bucket.cast("double") / lit(1000000.0) / col(weightCol).cast("double")
     df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("xi", xi)
@@ -334,8 +333,13 @@ object Curation {
       idCol: String = "doc_id"): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("_q_n"))
+    // NULL keys are excluded up front: NULL groups through an
+    // aggregate but never matches an equality — apportioning seats to
+    // a group the final filter cannot keep would silently undershoot
+    // the budget (same exclusion contract as weightedSample's NULL
+    // weights)
+    val input = df.filter(col(keyCol).isNotNull)
+    val counts = input.groupBy(keyCol).agg(count(lit(1)).as("_q_n"))
     val wAll = Window.partitionBy()
     // ideal/base/remainder on the #keys-row frame; windows over the
     // whole (tiny) frame are one-partition by construction
@@ -350,28 +354,36 @@ object Curation {
       .withColumn("quota",
         col("_q_base") + when(col("_q_rank") <= col("_q_leftover"), 1L).otherwise(0L))
       .select(col(keyCol), col("quota"))
-    // bounded driver read: one Int off the #keys-row allocation frame
-    val rows = alloc.agg(max(col("quota")).cast("long")).head()
-    if (rows.isNullAt(0)) return df.limit(0)
+    // ONE driver job reads the whole #keys-row allocation frame (a
+    // contractually bounded driver value) — both the heap size and the
+    // per-key quota filter derive from it locally, so the upstream is
+    // computed once here and once in the final pick, never a third
+    // time through a broadcast-join branch that column pruning would
+    // stop exchange reuse from merging
+    val quotaRows = alloc.collect()
+    if (quotaRows.isEmpty) return df.limit(0)
+    val quotas = quotaRows.map(r => r.get(0) -> r.getLong(1))
+    val maxQuota = quotas.map(_._2).max
     // a quota beyond Int.MaxValue can't ride the k-heap plan; capping
     // silently would under-fill the key — fail loud (scaladoc: use
     // stratifiedSample thresholds for budgets at that scale)
-    require(rows.getLong(0) <= Int.MaxValue.toLong,
-      s"max quota ${rows.getLong(0)} exceeds the per-key selection limit; " +
+    require(maxQuota <= Int.MaxValue.toLong,
+      s"max quota $maxQuota exceeds the per-key selection limit; " +
         "use stratifiedSample with quota/count thresholds for budgets this large")
-    val maxQuota = rows.getLong(0).toInt
     if (maxQuota == 0) return df.limit(0)
     val pruned = graft.plans.TopKPerKey.topKPerKey(
-      df.withColumn("_q_hash", md5(col(idCol).cast("string").cast("binary"))),
-      Seq(keyCol), "_q_hash", descending = false, k = maxQuota,
+      input.withColumn("_q_hash", md5(col(idCol).cast("string").cast("binary"))),
+      Seq(keyCol), "_q_hash", descending = false, k = maxQuota.toInt,
       tiebreakCols = Seq(idCol))
+    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (k, q)) =>
+      when(col(keyCol) === lit(k), lit(q)).otherwise(acc)
+    }
     // rank within key over the pruned (≤ maxQuota rows/key) survivors —
     // the window sorts only what TopKPerKey already whittled down
     val wKey = Window.partitionBy(keyCol).orderBy(col("_q_hash"), col(idCol))
     pruned
       .withColumn("_q_rn", row_number().over(wKey))
-      .join(broadcast(alloc), Seq(keyCol))
-      .filter(col("_q_rn") <= col("quota"))
+      .filter(col("_q_rn") <= quotaCol)
       .select(df.columns.map(col): _*)
   }
 
@@ -406,7 +418,13 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val ord = if (descending) col(metricCol).desc else col(metricCol).asc
     val w = Window.partitionBy(keyCol)
-    df.withColumn("_rg_rn", row_number().over(w.orderBy(ord, col(idCol))))
+    // NULL metrics are excluded, not ranked: engines disagree on NULL
+    // ordering (Spark NULLS LAST desc, others FIRST), and a ranked
+    // NULL row would both occupy a kept slot and inflate the per-key
+    // count the keep fraction is taken of (same exclusion contract as
+    // budgetSelect)
+    df.filter(col(metricCol).isNotNull)
+      .withColumn("_rg_rn", row_number().over(w.orderBy(ord, col(idCol))))
       .withColumn("_rg_n", count(lit(1)).over(w))
       .filter(col("_rg_rn") * keepDen <= col("_rg_n") * keepNum)
       .drop("_rg_rn", "_rg_n")

@@ -314,7 +314,15 @@ object Multimodal {
     }
     val (w, h, maxval) = (nextInt(), nextInt(), nextInt())
     require(maxval == 255, s"unsupported maxval $maxval (only 8-bit)")
-    pos += 1 // single whitespace after maxval per spec
+    // exactly ONE whitespace byte separates maxval from pixel data per
+    // the spec — verify it IS whitespace, and reject the CRLF ambiguity
+    // outright (a CRLF-writing tool's '\n' would otherwise be consumed
+    // as the first red byte, shifting every pixel by one, silently)
+    require(pos < bytes.length && bytes(pos).toChar.isWhitespace,
+      "malformed PPM: maxval not followed by a whitespace byte")
+    require(!(bytes(pos) == '\r' && pos + 1 < bytes.length && bytes(pos + 1) == '\n'),
+      "malformed PPM: CRLF after maxval (spec requires a single whitespace byte)")
+    pos += 1
     require(bytes.length - pos >= w * h * 3, "truncated PPM pixel data")
     (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3))
   }

@@ -248,7 +248,10 @@ class CorpusOpsSpec extends SparkSpec {
       val toks = text.trim.split("\\s+")
       val n = toks.length.toLong
       val sumLen = toks.map(_.length.toLong).sum
-      val alpha = toks.count(_.exists(_.isLetter)).toLong
+      // ASCII letter class, matching the implementation AND the oracle
+      // ([A-Za-z]) — Char.isLetter would diverge on non-ASCII corpora
+      val alpha = toks.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
       val tri = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
       val dup3 = if (tri.nonEmpty) 1.0 - tri.distinct.size.toDouble / tri.size else 0.0
       val bi = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
@@ -298,6 +301,26 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.relativeRankGate(df, "k", "m", 3, 2)
     }
+  }
+
+  test("relativeRankGate: NULL metrics are excluded, not ranked into kept slots") {
+    val df = Seq((1L, "x", Some(3.0)), (2L, "x", Some(2.0)), (3L, "x", Some(1.0)),
+        (4L, "x", None))
+      .toDF("doc_id", "k", "m")
+    // 3 non-null rows, keep 2/3 → exactly docs 1 and 2; the NULL row
+    // must neither be kept nor inflate the count to admit doc 3
+    val kept = Curation.relativeRankGate(df, "k", "m", 2, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("quotaSample: NULL-key rows are excluded from both seats and output") {
+    val df = ((1 to 40).map(i => (i.toLong, Some(if (i % 2 == 0) "a" else "b"))) ++
+        (41 to 60).map(i => (i.toLong, Option.empty[String])))
+      .toDF("doc_id", "source")
+    val got = Curation.quotaSample(df, "source", budget = 10)
+    assert(got.count() == 10, "the full budget lands on non-NULL keys")
+    assert(got.filter(col("source").isNull).count() == 0)
   }
 
   // --- chunkTokens ----------------------------------------------------

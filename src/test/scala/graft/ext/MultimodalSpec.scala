@@ -147,6 +147,10 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.decodePpm(java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 1))
     }
+    // a CRLF after maxval would shift every pixel by one — fail loud
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P6\n5 3\n255\r\n".getBytes("US-ASCII") ++ px)
+    }
   }
 }
 
