@@ -505,6 +505,51 @@ object CorpusOpsQueries {
           s.read.parquet(s"$dir/embeddings.parquet"), k = 20)
     },
 
+    // Length-bucketed batch assignment: docs of similar token length
+    // grouped into fixed-size training batches (padding waste bounded
+    // by the bucket width), ordered by md5 inside each bucket — a
+    // deterministic shuffle, exactly mirrorable.
+    Q("q98_length_batches",
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |        CAST(n // 16 AS BIGINT) AS bucket,
+        |        md5(CAST(doc_id AS VARCHAR)) AS h
+        |      FROM t),
+        |r AS (SELECT doc_id, n_tokens, bucket,
+        |        row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+        |      FROM b)
+        |SELECT doc_id, n_tokens, bucket, CAST((rn - 1) // 8 AS BIGINT) AS batch
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Packing.lengthBatches(s.read.parquet(s"$dir/documents.parquet"),
+          bucketWidth = 16, batchSize = 8)
+        .orderBy("doc_id")
+    },
+
+    // Cross-source overlap report: distinct shared 8-grams and the
+    // containment ratio per source pair — "is dump B a subset of dump
+    // A?" before mixing corpora. Counts + one division: exact.
+    Q("q99_source_overlap",
+      s"""WITH t AS (
+         |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |g AS (SELECT DISTINCT source AS src,
+         |        unnest(list_distinct(${ExtensionOracles.gramsSql("toks", 8)})) AS gram
+         |      FROM t),
+         |sz AS (SELECT src, count(*) AS n FROM g GROUP BY src),
+         |sh AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+         |       FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+         |       GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared,
+         |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |  CAST(n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+         |FROM sh JOIN sz sa ON sa.src = src_a JOIN sz sb ON sb.src = src_b
+         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      Dedup.sourceOverlap(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("src_a", "src_b")
+    },
+
     // Z-order (Morton) curve index over (user bucket, value bucket) —
     // the layout key that makes ONE sort order prune on BOTH
     // dimensions via parquet min/max stats. Pure shift/mask integer

@@ -656,6 +656,41 @@ object Dedup {
       descending = true, k = 1, tiebreakCols = Seq(idCol))
   }
 
+  /** Cross-source overlap report: for every pair of sources (datasets,
+    * crawls, dumps), the number of distinct word `k`-grams they share
+    * and the containment ratio |A∩B| / min(|A|, |B|) — the
+    * dataset-level diagnostic run before mixing corpora ("is dump B
+    * just a subset of dump A?"). Pairs sharing zero grams are absent.
+    *
+    * Scale shape: the corpus collapses to a DISTINCT (source, gram)
+    * frame first (map-side-combined; one shuffle on the gram-keyed
+    * pair), so the gram self-join fans out per gram only to the
+    * sources holding it — bounded by #sources² per gram, never by
+    * document count. Sizes and the final ratios live on #sources and
+    * #source-pairs rows. */
+  def sourceOverlap(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      k: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col(sourceCol).as("src"),
+        explode(array_distinct(shingles(col(textCol), k))).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("n"))
+    val shared = grams.select(col("src").as("src_a"), col("gram"))
+      .join(grams.select(col("src").as("src_b"), col("gram")), Seq("gram"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("src").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(sizes.select(col("src").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .select("src_a", "src_b", "n_shared", "n_a", "n_b", "containment")
+  }
+
   /** Character n-gram Jaccard similarity of two text columns — the
     * verification kernel, exposed standalone (A/B similarity without
     * LSH). */

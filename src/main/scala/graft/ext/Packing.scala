@@ -78,6 +78,40 @@ object Packing {
         col("_c.chunk_text"))
   }
 
+  /** Length-bucketed batch assignment: group docs of similar token
+    * length into fixed-size training batches so padding waste inside a
+    * batch is bounded by the bucket width (the standard "bucketed
+    * batching" prep for variable-length sequence training). Docs land
+    * in buckets `floor(n_tokens / bucketWidth)`, are ordered inside
+    * each bucket by md5(id) — deterministic shuffle, no RNG — and
+    * numbered into `batchSize`-doc batches. Returns
+    * (idCol, n_tokens, bucket, batch) where `batch` counts from 0
+    * within each bucket.
+    *
+    * Scale shape: one window shuffle partitioned by bucket (buckets
+    * are corpus/width-uniform; WindowExec spills). The batch id is
+    * pure integer math off the rank, so any engine reproduces the
+    * exact assignment. */
+  def lengthBatches(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bucketWidth: Int = 16,
+      batchSize: Int = 8): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val n = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("_lb_hash"), col(idCol))
+    docs
+      .select(col(idCol), n.as("n_tokens"),
+        (n / bucketWidth).cast("long").as("bucket"),
+        md5(col(idCol).cast("string").cast("binary")).as("_lb_hash"))
+      .withColumn("batch", ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .drop("_lb_hash")
+  }
+
   /** Pack `docs` into `budget`-token sequences within `numShards`
     * deterministic shards (shard = doc_id % numShards, scan order =
     * doc_id ascending). Returns (doc_id, shard, seq, n_tokens) where

@@ -393,6 +393,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Curation.budgetSelect(withNull, "m", "c", 1000L).count() == 1)
   }
 
+  // --- lengthBatches ---------------------------------------------------
+
+  test("lengthBatches: batches are bucket-homogeneous, full except the last, invariant") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val got = Packing.lengthBatches(docs, bucketWidth = 16, batchSize = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("batch")))
+    got.foreach { case (_, n, b, _) => assert(b == n / 16) }
+    got.groupBy(x => (x._3, x._4)).foreach { case ((b, batch), members) =>
+      assert(members.length <= 8, s"batch ($b, $batch) over size")
+      // only the highest-numbered batch in a bucket may be short
+      val maxBatch = got.filter(_._3 == b).map(_._4).max
+      if (batch < maxBatch) assert(members.length == 8, s"non-final batch ($b, $batch) short")
+    }
+    val rep = Packing.lengthBatches(docs.repartition(11), bucketWidth = 16, batchSize = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("batch")).toMap
+    assert(rep == got.map(x => x._1 -> x._4).toMap, "repartition-invariant")
+  }
+
+  // --- sourceOverlap ---------------------------------------------------
+
+  test("sourceOverlap: containment 1.0 for a subset source, disjoint pairs absent") {
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")   // 13 8-grams
+    val docs = Seq(
+      (1L, "a", shared + " extra words beyond the shared span here now"),
+      (2L, "b", shared),                                     // b ⊂ a
+      (3L, "c", (100 to 120).map(i => s"other$i").mkString(" "))  // disjoint
+    ).toDF("doc_id", "source", "text")
+    val rows = Dedup.sourceOverlap(docs, k = 8).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("containment"))).toMap
+    assert(rows.keySet == Set(("a", "b")), "only the overlapping pair appears")
+    val (nShared, containment) = rows(("a", "b"))
+    assert(nShared == 13L)       // b's 20 tokens -> 13 distinct 8-grams, all in a
+    assert(containment == 1.0, "subset source has full containment")
+  }
+
   // --- keepClusterCanonicalBy -----------------------------------------
 
   test("keepClusterCanonicalBy: keeps highest-priority member per component, singletons survive") {
