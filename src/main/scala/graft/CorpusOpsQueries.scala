@@ -90,7 +90,8 @@ object CorpusOpsQueries {
     // rows per key per partition cross the exchange; the corpus is
     // never globally sorted). Oracle checks the EXACT selected set.
     Q("q83_domain_quota",
-      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      """WITH d0 AS (SELECT * FROM documents WHERE source IS NOT NULL),
+        |c AS (SELECT source, count(*) AS n FROM d0 GROUP BY source),
         |tot AS (SELECT sum(n) AS total FROM c),
         |a AS (SELECT source, n,
         |        (120.0 * CAST(n AS DOUBLE)) / CAST(total AS DOUBLE) AS ideal
@@ -104,7 +105,7 @@ object CorpusOpsQueries {
         |        base + CASE WHEN rk <= (SELECT leftover FROM l) THEN 1 ELSE 0 END
         |          AS quota
         |      FROM r),
-        |h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hsh FROM documents),
+        |h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hsh FROM d0),
         |rn AS (SELECT doc_id, source,
         |         row_number() OVER (PARTITION BY source ORDER BY hsh, doc_id) AS rn
         |       FROM h)
@@ -284,7 +285,7 @@ object CorpusOpsQueries {
         |r AS (SELECT doc_id, lang, diversity,
         |        row_number() OVER (PARTITION BY lang ORDER BY diversity DESC, doc_id) AS rn,
         |        count(*) OVER (PARTITION BY lang) AS n
-        |      FROM m)
+        |      FROM m WHERE diversity IS NOT NULL)
         |SELECT doc_id, lang, diversity FROM r
         |WHERE rn * 4 <= n * 3
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>

@@ -86,7 +86,7 @@ object TrainingQueries {
         |SELECT row_number() OVER (ORDER BY rn, source, doc_id) AS position, doc_id, source
         |FROM r ORDER BY position""".stripMargin) { (s, dir) =>
       val perSource = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+        .orderBy(graft.ext.Curation.md5Hex(col("doc_id")), col("doc_id"))
       val global = Window.orderBy("rn", "source", "doc_id")
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"))

@@ -18,9 +18,18 @@ object Curation {
     * mirror it). */
   private def md5Bucket(id: Column): Column =
     pmod(
-      conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
+      conv(substring(md5Hex(id), 1, 15), 16, 10)
         .cast("long"),
       lit(1000000L))
+
+  /** The deterministic ORDERING key the rank-based samplers share
+    * (md5 of the id's decimal string — hex compares lexicographically
+    * the same in every engine): [[sampleKPerKey]], [[quotaSample]],
+    * [[graft.ext.Packing.lengthBatches]], q71's interleave. Public so
+    * no caller re-spells the string/binary cast chain (a divergent
+    * copy would silently break cross-engine ordering parity). */
+  def md5Hex(id: Column): Column =
+    md5(id.cast("string").cast("binary"))
 
   /** Benchmark decontamination: training docs that share any word
     * `k`-gram with the eval corpus (the standard pre-training hygiene
@@ -129,8 +138,7 @@ object Curation {
       k: Int,
       idCol: String = "doc_id"): DataFrame =
     graft.plans.TopKPerKey.topKPerKey(
-        df.withColumn("_sample_rank",
-          md5(col(idCol).cast("string").cast("binary"))),
+        df.withColumn("_sample_rank", md5Hex(col(idCol))),
         keyCols, "_sample_rank", descending = false, k,
         tiebreakCols = Seq(idCol))
       .drop("_sample_rank")
@@ -362,8 +370,7 @@ object Curation {
     // stop exchange reuse from merging
     val quotaRows = alloc.collect()
     if (quotaRows.isEmpty) return df.limit(0)
-    val quotas = quotaRows.map(r => r.get(0) -> r.getLong(1))
-    val maxQuota = quotas.map(_._2).max
+    val maxQuota = quotaRows.map(_.getLong(1)).max
     // a quota beyond Int.MaxValue can't ride the k-heap plan; capping
     // silently would under-fill the key — fail loud (scaladoc: use
     // stratifiedSample thresholds for budgets at that scale)
@@ -372,18 +379,24 @@ object Curation {
         "use stratifiedSample with quota/count thresholds for budgets this large")
     if (maxQuota == 0) return df.limit(0)
     val pruned = graft.plans.TopKPerKey.topKPerKey(
-      input.withColumn("_q_hash", md5(col(idCol).cast("string").cast("binary"))),
+      input.withColumn("_q_hash", md5Hex(col(idCol))),
       Seq(keyCol), "_q_hash", descending = false, k = maxQuota.toInt,
       tiebreakCols = Seq(idCol))
-    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (k, q)) =>
-      when(col(keyCol) === lit(k), lit(q)).otherwise(acc)
-    }
+    // rebuild the allocation as a LOCAL relation from the collected
+    // rows (no upstream recompute) and broadcast-join it: a per-key
+    // CASE chain would nest #keys deep — Catalyst transforms stack-
+    // overflow at a few thousand levels and lit() can't encode every
+    // key type, while an equi-join handles any cardinality and type
+    val spark = df.sparkSession
+    val allocLocal = spark.createDataFrame(
+      java.util.Arrays.asList(quotaRows: _*), alloc.schema)
     // rank within key over the pruned (≤ maxQuota rows/key) survivors —
     // the window sorts only what TopKPerKey already whittled down
     val wKey = Window.partitionBy(keyCol).orderBy(col("_q_hash"), col(idCol))
     pruned
       .withColumn("_q_rn", row_number().over(wKey))
-      .filter(col("_q_rn") <= quotaCol)
+      .join(broadcast(allocLocal), Seq(keyCol))
+      .filter(col("_q_rn") <= col("quota"))
       .select(df.columns.map(col): _*)
   }
 
@@ -426,7 +439,9 @@ object Curation {
     df.filter(col(metricCol).isNotNull)
       .withColumn("_rg_rn", row_number().over(w.orderBy(ord, col(idCol))))
       .withColumn("_rg_n", count(lit(1)).over(w))
-      .filter(col("_rg_rn") * keepDen <= col("_rg_n") * keepNum)
+      // rn is IntegerType — widen before multiplying, or a key with
+      // > Int.MaxValue/keepDen rows wraps negative and keeps everything
+      .filter(col("_rg_rn").cast("long") * keepDen <= col("_rg_n") * keepNum)
       .drop("_rg_rn", "_rg_n")
   }
 

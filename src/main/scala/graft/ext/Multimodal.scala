@@ -318,8 +318,12 @@ object Multimodal {
     // the spec — verify it IS whitespace, and reject the CRLF ambiguity
     // outright (a CRLF-writing tool's '\n' would otherwise be consumed
     // as the first red byte, shifting every pixel by one, silently)
-    require(pos < bytes.length && bytes(pos).toChar.isWhitespace,
-      "malformed PPM: maxval not followed by a whitespace byte")
+    require(pos < bytes.length, "truncated PPM header")
+    // the netpbm whitespace set exactly — Char.isWhitespace also
+    // accepts 0x1C-0x1F separators, which the spec does not
+    val wsOk = bytes(pos) == ' ' || bytes(pos) == '\t' || bytes(pos) == '\n' ||
+      bytes(pos) == '\r' || bytes(pos) == 0x0b || bytes(pos) == 0x0c
+    require(wsOk, "malformed PPM: maxval not followed by a whitespace byte")
     require(!(bytes(pos) == '\r' && pos + 1 < bytes.length && bytes(pos + 1) == '\n'),
       "malformed PPM: CRLF after maxval (spec requires a single whitespace byte)")
     pos += 1

@@ -107,7 +107,7 @@ object Packing {
     docs
       .select(col(idCol), n.as("n_tokens"),
         (n / bucketWidth).cast("long").as("bucket"),
-        md5(col(idCol).cast("string").cast("binary")).as("_lb_hash"))
+        Curation.md5Hex(col(idCol)).as("_lb_hash"))
       .withColumn("batch", ((row_number().over(w) - 1) / batchSize).cast("long"))
       .drop("_lb_hash")
   }

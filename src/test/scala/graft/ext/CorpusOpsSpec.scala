@@ -314,6 +314,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("quotaSample: survives thousands of distinct keys (no per-key expression chain)") {
+    // 4000 keys × 2 rows; budget 4000 → quota 1 each. A CASE-chain
+    // formulation nests 4000 deep and stack-overflows in Catalyst.
+    val df = (1 to 8000).map(i => (i.toLong, s"k${i % 4000}")).toDF("doc_id", "source")
+    val got = Curation.quotaSample(df, "source", budget = 4000)
+    assert(got.count() == 4000)
+  }
+
   test("quotaSample: NULL-key rows are excluded from both seats and output") {
     val df = ((1 to 40).map(i => (i.toLong, Some(if (i % 2 == 0) "a" else "b"))) ++
         (41 to 60).map(i => (i.toLong, Option.empty[String])))
