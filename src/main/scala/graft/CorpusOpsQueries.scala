@@ -551,6 +551,45 @@ object CorpusOpsQueries {
         .orderBy("src_a", "src_b")
     },
 
+    // Intra-document span scrub: within each doc, keep only the first
+    // occurrence of every distinct 3-token chunk (q87's corpus-wide
+    // election restricted to the doc itself — repeats ACROSS docs
+    // survive). Pure per-row array_distinct, no shuffle; the oracle
+    // replays the first-occurrence election with a per-(doc, seg)
+    // window.
+    Q("q100_intradoc_dedup",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_transform(generate_series(0, CAST(ceil(len(toks)/3.0) AS BIGINT) - 1),
+        |          i -> array_to_string(toks[i*3+1 : i*3+3], ' ')) AS chunks
+        |      FROM t),
+        |g AS (SELECT doc_id,
+        |        unnest(generate_series(1, len(chunks))) - 1 AS pos,
+        |        unnest(chunks) AS seg
+        |      FROM c),
+        |w AS (SELECT doc_id, pos, seg,
+        |        row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) = 1 AS first
+        |      FROM g)
+        |SELECT doc_id,
+        |  CAST(count(*) FILTER (first) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (NOT first) AS BIGINT) AS n_dropped,
+        |  coalesce(array_to_string(list(seg ORDER BY pos) FILTER (first), ' '), '')
+        |    AS cleaned
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      val nChunks = floor((size(toks) + lit(2)).cast("double") / lit(3.0)).cast("long")
+      val chunks = when(size(toks) > 0,
+        transform(sequence(lit(0L), nChunks - 1),
+          i => concat_ws(" ", slice(toks, (i * 3 + 1).cast("int"), lit(3)))))
+        .otherwise(array().cast("array<string>"))
+      Dedup.dedupSegmentsWithin(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), chunks.as("segments")),
+          sep = " ")
+        .orderBy("doc_id")
+    },
+
     // Z-order (Morton) curve index over (user bucket, value bucket) —
     // the layout key that makes ONE sort order prune on BOTH
     // dimensions via parquet min/max stats. Pure shift/mask integer

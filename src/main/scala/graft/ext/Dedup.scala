@@ -656,6 +656,31 @@ object Dedup {
       descending = true, k = 1, tiebreakCols = Seq(idCol))
   }
 
+  /** Intra-document repeated-span removal: within EACH doc, keep only
+    * the first occurrence of every distinct segment — the Gopher-style
+    * "remove duplicated paragraphs within a document" scrub.
+    * Complements [[dedupSegments]], which elects first occurrences
+    * CORPUS-wide; here a segment repeated across docs survives in
+    * every doc, only repeats inside one doc are dropped.
+    *
+    * Same output shape as [[dedupSegments]]: (idCol, n_kept,
+    * n_dropped, cleaned).
+    *
+    * Scale shape: a pure per-row projection — `array_distinct` keeps
+    * the FIRST occurrence of each element in order (Spark contract),
+    * so there is no explode, no window, no shuffle at any scale. */
+  def dedupSegmentsWithin(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      segsCol: String = "segments",
+      sep: String = " "): DataFrame = {
+    val distinctSegs = array_distinct(col(segsCol))
+    docs.select(col(idCol),
+      size(distinctSegs).cast("long").as("n_kept"),
+      (size(col(segsCol)) - size(distinctSegs)).cast("long").as("n_dropped"),
+      concat_ws(sep, distinctSegs).as("cleaned"))
+  }
+
   /** Cross-source overlap report: for every pair of sources (datasets,
     * crawls, dumps), the number of distinct word `k`-grams they share
     * and the containment ratio |A∩B| / min(|A|, |B|) — the

@@ -438,6 +438,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(containment == 1.0, "subset source has full containment")
   }
 
+  // --- dedupSegmentsWithin ---------------------------------------------
+
+  test("dedupSegmentsWithin: drops only intra-doc repeats; cross-doc repeats survive") {
+    val docs = Seq(
+      (1L, Seq("a b", "c d", "a b", "e f")),   // "a b" repeated inside doc 1
+      (2L, Seq("a b", "g h"))                  // "a b" also in doc 2 — survives
+    ).toDF("doc_id", "segments")
+    val got = Dedup.dedupSegmentsWithin(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 1L, "a b c d e f")))
+    assert(got(2L) == ((2L, 0L, "a b g h")))
+    // empty segment arrays still yield a row (pure projection, no explode)
+    val withEmpty = Seq((9L, Seq.empty[String])).toDF("doc_id", "segments")
+    val e = Dedup.dedupSegmentsWithin(withEmpty).collect().head
+    assert(e.getLong(1) == 0L && e.getLong(2) == 0L && e.getString(3) == "")
+  }
+
   // --- keepClusterCanonicalBy -----------------------------------------
 
   test("keepClusterCanonicalBy: keeps highest-priority member per component, singletons survive") {
