@@ -28,7 +28,7 @@ object CorpusOpsQueries {
        |  UNION ALL
        |  SELECT doc_id, text, TRUE FROM documents WHERE doc_id % 4 = 3
        |  UNION ALL
-       |  SELECT doc_id + 100000, text, TRUE FROM documents WHERE doc_id % 16 = 0),
+       |  SELECT -(doc_id + 1), text, TRUE FROM documents WHERE doc_id % 16 = 0),
        |ex AS (
        |  SELECT i.doc_id, 'exact' AS kind, e.match_id
        |  FROM (SELECT doc_id, md5(text) AS h FROM base WHERE inc) i
@@ -146,14 +146,23 @@ object CorpusOpsQueries {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text")
       val existing = docs.filter(col("doc_id") % 4 =!= 3)
+      // re-crawl copies carry NEGATED ids (-(id+1)): collision-free
+      // with real doc ids at ANY corpus size, where an additive offset
+      // would alias once ids exceed it (corrupting the oracle's
+      // doc_id-keyed token CTE)
       val incoming = docs.filter(col("doc_id") % 4 === 3)
         .unionByName(docs.filter(col("doc_id") % 16 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .select((-(col("doc_id") + 1)).as("doc_id"), col("text")))
       // the production mode the operator advertises: the existing
       // corpus's signatures come from the persisted serving cache
       // (per-doc signatures are independent, so the subset filter is
-      // exact) — only the incoming batch is hashed fresh
+      // exact) — only the incoming batch is hashed fresh. The
+      // hot-band cap is lifted for THIS oracle-checked lane (the SQL
+      // mirror pairs all band members; the capped degraded mode is
+      // CorpusOpsSpec-proven instead) so the mirror stays exact on
+      // boilerplate-heavy corpora, not just this data.
       Dedup.incrementalDuplicates(existing, incoming, minJaccard = 0.5,
+          maxBucket = Int.MaxValue,
           existingSignatures =
             Some(Dedup.signaturesFor(s, dir).filter(col("id") % 4 =!= 3)))
         .orderBy("doc_id")

@@ -430,13 +430,11 @@ object Dedup {
       bands: Int = 4,
       threshold: Int = 256): DataFrame = {
     val sig = minhashSignatureAggFast(docs, idCol, textCol, k, numHashes)
-    val rowsPerBand = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
-        .cast("binary"))
-    }
-    sig.select(explode(array(bandCols: _*)).as("band"))
+    // the ONE band-key derivation (bandFrame) — a diagnostic computing
+    // its own copy of the digest formula could silently desynchronize
+    // from the dedup paths it audits
+    bandFrame(sig, numHashes, bands)
+      .select("band")
       .groupBy("band").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > threshold)
       .orderBy(col("bucket_n").desc)
