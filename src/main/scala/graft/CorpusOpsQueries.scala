@@ -356,13 +356,11 @@ object CorpusOpsQueries {
          |SELECT doc_id, cluster, n_chars FROM r WHERE rn = 1
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = Dedup.nearDuplicatePairsFromSignatures(
-          Dedup.signaturesFor(s, dir), docs,
-          "doc_id", "text", numHashes = 16, bands = 4,
-          minJaccard = 0.4, maxBucket = 256)
+      val pairs = Dedup.pairsFor(s, dir, minJaccard = 0.4, maxBucket = 256)
         .select("a_id", "b_id")
       Dedup.keepClusterCanonicalBy(
-          docs.select("doc_id", "n_chars"), pairs, priorityCol = "n_chars")
+          docs.select("doc_id", "n_chars"), pairs, priorityCol = "n_chars",
+          components = Some(Dedup.componentsFor(s, dir, minJaccard = 0.4, maxBucket = 256)))
         .select("doc_id", "cluster", "n_chars")
         .orderBy("doc_id")
     },

@@ -93,11 +93,7 @@ object ExtensionQueries {
     // oracle confirms the full pipeline (including "no false
     // positives") end-to-end.
     Q("q30_minhash_pairs", ExtensionOracles.minhashPairs) { (s, dir) =>
-      Dedup.nearDuplicatePairsFromSignatures(
-          Dedup.signaturesFor(s, dir),
-          s.read.parquet(s"$dir/documents.parquet"),
-          "doc_id", "text", numHashes = 16, bands = 4,
-          minJaccard = 0.4, maxBucket = 256)
+      Dedup.pairsFor(s, dir, minJaccard = 0.4, maxBucket = 256)
         .orderBy("a_id", "b_id")
     },
 

@@ -290,13 +290,12 @@ object PipelineQueries {
     }) { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // near-dup clusters over the SAME verified pair query; keep only
-      // cluster canonicals (singletons never appear in the pair graph)
-      val pairs = graft.ext.Dedup.nearDuplicatePairsFromSignatures(
-          graft.ext.Dedup.signaturesFor(s, dir), docs,
-          "doc_id", "text", numHashes = 16, bands = 4,
+      // cluster canonicals (singletons never appear in the pair graph).
+      // Pair graph + closure come from the (session, dir) serving
+      // caches — q30/q60/q92 ask the identical question, so the
+      // iterative components computation runs once per session.
+      val dropped = graft.ext.Dedup.componentsFor(s, dir,
           minJaccard = 0.4, maxBucket = 256)
-        .select("a_id", "b_id")
-      val dropped = graft.ext.Components.connectedComponents(pairs)
         .filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))
       val canon = docs.join(dropped, Seq("doc_id"), "left_anti")
@@ -338,13 +337,7 @@ object PipelineQueries {
          |)
          |SELECT id, CAST(min(label) AS BIGINT) AS component
          |FROM cc GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
-      val pairs = graft.ext.Dedup.nearDuplicatePairsFromSignatures(
-          graft.ext.Dedup.signaturesFor(s, dir),
-          s.read.parquet(s"$dir/documents.parquet"),
-          "doc_id", "text", numHashes = 16, bands = 4,
-          minJaccard = 0.4, maxBucket = 256)
-        .select("a_id", "b_id")
-      graft.ext.Components.connectedComponents(pairs)
+      graft.ext.Dedup.componentsFor(s, dir, minJaccard = 0.4, maxBucket = 256)
         .orderBy("id")
     },
   )

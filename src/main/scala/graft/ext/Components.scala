@@ -56,19 +56,32 @@ object Components {
     var frontier = labels
     var converged = false
     var i = 0
+    val spark = edges.sparkSession
+    import spark.implicits._
     while (!converged && i < maxIter) {
       val neighborMin = sym
         .join(frontier, sym("dst") === frontier("id"))
         .groupBy(col("src").as("nid"))
         .agg(min("label").as("nlabel"))
+      // Convergence detection rides the SAME job that materializes the
+      // round: the eager localCheckpoint below already executes every
+      // partition, so a changed-row accumulator read after it replaces
+      // the separate `frontier.isEmpty` action the loop used to pay
+      // (two driver round-trips per iteration → one). Task retries can
+      // only over-count, and the branch is zero-vs-nonzero, so a retry
+      // can never fake convergence.
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_round_$i")
       val updated = labels
         .join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (col("nlabel") < col("label")).as("changed"))
+          coalesce(col("nlabel") < col("label"), lit(false)).as("changed"))
+        .as[(Long, Long, Boolean)]
+        .map { r => if (r._3) changedAcc.add(1L); r }
+        .toDF("id", "label", "changed")
         .localCheckpoint()
+      converged = changedAcc.value == 0L
       frontier = updated.filter(col("changed")).select("id", "label")
-      converged = frontier.isEmpty
       labels = updated.select("id", "label")
       i += 1
     }

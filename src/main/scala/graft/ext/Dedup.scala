@@ -406,13 +406,83 @@ object Dedup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
-  /** Drop the persisted signatures for a dir (the refresh path). */
-  def invalidateSignatures(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Double, Int), DataFrame]
+  private val compCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Double, Int), DataFrame]
+
+  /** Memoized persisted VERIFIED near-dup pair frame
+    * (a_id, b_id, jaccard) for a documents parquet dir — the second
+    * tier of the serving-state cache hierarchy after [[signaturesFor]].
+    * Every consumer of the corpus pair graph (pair listing, connected
+    * components, canonical election, clean-corpus capstones) asks the
+    * SAME verified-pair question; recomputing the band join + Jaccard
+    * verify per query repeated the dominant dedup cost 4× per session.
+    * The pair frame is O(near-dup pairs) ≪ corpus, so MEMORY_AND_DISK
+    * holds wherever the signature frame does. Fixed to the
+    * engine-default LSH geometry (k=3, 16 hashes, 4 bands) — callers
+    * with custom geometry use [[nearDuplicatePairsFromSignatures]]
+    * directly. Refresh via [[invalidateSignatures]] (signatures, pairs
+    * and components invalidate together: they derive from each other,
+    * and a partial refresh would silently mix corpus snapshots). */
+  def pairsFor(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      minJaccard: Double = 0.4,
+      maxBucket: Int = 256): DataFrame =
+    pairsCache.synchronized {
+      pairsCache.getOrElseUpdate((spark, sfDir, minJaccard, maxBucket),
+        nearDuplicatePairsFromSignatures(
+          signaturesFor(spark, sfDir),
+          spark.read.parquet(s"$sfDir/documents.parquet"),
+          "doc_id", "text", numHashes = 16, bands = 4,
+          minJaccard = minJaccard, maxBucket = maxBucket)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** Memoized connected-components frame (id, component) over
+    * [[pairsFor]]'s pair graph — the third serving-state tier. The
+    * closure is iterative (a driver-blocking job per round), so it is
+    * the single most expensive thing to recompute per query; one
+    * computation per (session, dir, threshold) serves clustering,
+    * canonical election and every capstone built on them. The frame is
+    * one row per NON-SINGLETON doc (docs outside the pair graph are
+    * absent — callers coalesce to their own id), persisted because the
+    * per-round localCheckpoint blocks it would otherwise lean on are
+    * GC-reclaimable. */
+  def componentsFor(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      minJaccard: Double = 0.4,
+      maxBucket: Int = 256): DataFrame =
+    compCache.synchronized {
+      compCache.getOrElseUpdate((spark, sfDir, minJaccard, maxBucket),
+        Components.connectedComponents(
+          pairsFor(spark, sfDir, minJaccard, maxBucket).select("a_id", "b_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** Drop the persisted signatures AND the pair/component frames
+    * derived from them for a dir (the refresh path — the three tiers
+    * invalidate together so no query can join a fresh signature frame
+    * against a stale pair graph). */
+  def invalidateSignatures(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
     sigCache.filterInPlace { case ((s, d, _, _), df) =>
       val stale = (s eq spark) && d == sfDir
       if (stale) df.unpersist()
       !stale
     }
+    pairsCache.filterInPlace { case ((s, d, _, _), df) =>
+      val stale = (s eq spark) && d == sfDir
+      if (stale) df.unpersist()
+      !stale
+    }
+    compCache.filterInPlace { case ((s, d, _, _), df) =>
+      val stale = (s eq spark) && d == sfDir
+      if (stale) df.unpersist()
+      !stale
+    }
+  }
 
   /** Diagnostic: per-band bucket sizes above `threshold`, largest
     * first. Run this when exhaustive pair listing matters — buckets
@@ -642,8 +712,12 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame,
       priorityCol: String,
-      idCol: String = "doc_id"): DataFrame = {
-    val comp = Components.connectedComponents(pairs)
+      idCol: String = "doc_id",
+      components: Option[DataFrame] = None): DataFrame = {
+    // callers holding a precomputed closure (the [[componentsFor]]
+    // serving cache) pass it in — recomputing the iterative closure
+    // per election was the q92 hot spot
+    val comp = components.getOrElse(Components.connectedComponents(pairs))
       .withColumnRenamed("id", idCol)
     val clustered = docs
       .join(comp, Seq(idCol), "left")
