@@ -252,17 +252,22 @@ object RelationalQueries {
 
     // J1/F7 — broadcast dim lookup + per-char codepoint arithmetic for
     // the flag emoji, with the left-join NULL branch as the fallback
-    // (streamlit_app.py:82-87). Dim is a literal table in both engines.
+    // (streamlit_app.py:82-87). The dim is the FULL public ISO-3166
+    // table ([[graft.ext.Iso3166]]: 249 codes + aliases + name
+    // normalization — the reference resolves any country through
+    // pycountry's bundled dataset) unioned with the synthetic
+    // NATION_* rows this corpus's nation table needs; NATION_23/24
+    // stay absent to exercise the lookup-miss fallback. Matching is
+    // on normalized names, mirrored in the oracle.
     Q("q25_flag_join", RelationalOracles.flagJoin) { (s, dir) =>
       import s.implicits._
-      val dim = broadcast(RelationalOracles.isoDim.toDF("n_name", "alpha2"))
+      val dim = broadcast(RelationalOracles.fullDim.toDF("_norm", "alpha2"))
       // char() is mod-256 ASCII in Spark; format_string's %c takes a
       // full Unicode code point (regional indicators live in plane 1).
-      val flagExpr = format_string("%c%c",
-        ascii(substring(col("alpha2"), 1, 1)) - lit(65) + lit(127462),
-        ascii(substring(col("alpha2"), 2, 1)) - lit(65) + lit(127462))
+      val flagExpr = graft.ext.Iso3166.flagCol(col("alpha2"))
       t(s, dir, "nation")
-        .join(dim, Seq("n_name"), "left")
+        .withColumn("_norm", graft.ext.Iso3166.normalizeCol(col("n_name")))
+        .join(dim, Seq("_norm"), "left")
         .select(
           col("n_nationkey"),
           col("n_name"),
@@ -296,16 +301,29 @@ object RelationalOracles {
   val isoDim: Seq[(String, String)] =
     (0 to 22).map(i => s"NATION_$i" -> f"${('A' + i / 5).toChar}${('A' + i % 5).toChar}")
 
+  /** The q25 lookup dim: full public ISO-3166 (normalized name →
+    * alpha-2, officials + aliases) ∪ the normalized synthetic
+    * NATION_* rows. One seq feeds BOTH engines (the Spark broadcast
+    * frame and the oracle's VALUES list), so the tables cannot
+    * drift. Normalized names contain no quotes (normalization strips
+    * apostrophes), so embedding them as SQL literals is safe. */
+  val fullDim: Seq[(String, String)] =
+    graft.ext.Iso3166.dim ++
+      isoDim.map { case (n, a) => graft.ext.Iso3166.normalize(n) -> a }
+
   val flagJoin: String = {
-    val values = isoDim.map { case (n, a) => s"('$n', '$a')" }.mkString(", ")
-    s"""WITH dim(n_name, alpha2) AS (VALUES $values)
+    val values = fullDim.map { case (n, a) => s"('$n', '$a')" }.mkString(", ")
+    // the oracle normalizes its side with lower(trim(..)) — for the
+    // nation table's ASCII names that equals Iso3166.normalizeCol's
+    // output, and the dim side is pre-normalized in `values`
+    s"""WITH dim(n_norm, alpha2) AS (VALUES $values)
        |SELECT n_nationkey, n.n_name,
        |  coalesce(d.alpha2, '??') AS alpha2,
        |  coalesce(
        |    chr(ascii(substring(d.alpha2, 1, 1)) - 65 + 127462) ||
        |    chr(ascii(substring(d.alpha2, 2, 1)) - 65 + 127462),
        |    chr(127987)) AS flag
-       |FROM nation n LEFT JOIN dim d ON n.n_name = d.n_name
+       |FROM nation n LEFT JOIN dim d ON lower(trim(n.n_name)) = d.n_norm
        |ORDER BY n_nationkey""".stripMargin
   }
 }

@@ -410,14 +410,38 @@ object Curation {
     * cross-multiplication (rn·den ≤ n·num) — no float percentile, no
     * interpolation, so any engine reproduces the same kept set.
     *
-    * Scale shape: one shuffle (the window partition on `keyCol`,
-    * computing row_number + count in a single WindowExec;
-    * spill-backed). An extremely hot key serializes its sort into one
-    * task — when that bites (a single key holding ~the whole corpus),
-    * trade exactness for a sampled per-key threshold +
-    * [[stratifiedSample]]; the exact-rank semantics here IS this
-    * operator's contract. Ties break by `idCol` so the kept set is
-    * deterministic even on tied metrics. */
+    * Scale shape — boundary-bucket election, NOT one window per key
+    * (a `row_number` window partitioned only by `keyCol` serializes a
+    * dominant key — one language holding half the corpus — into a
+    * single sequential sort task):
+    *   1. quantize the metric into `buckets` monotone buckets
+    *      (bucket-major order == global order, so per-key rank
+    *      decomposes into "rows in strictly better buckets" + rank
+    *      WITHIN the row's bucket);
+    *   2. per-(key, bucket) counts (map-side-combined aggregate,
+    *      ≤ #keys·buckets rows) → each bucket's better-count and the
+    *      key total via a window over that tiny frame;
+    *   3. broadcast the per-bucket verdict back: buckets entirely
+    *      inside the kept prefix pass with NO shuffle of their rows,
+    *      buckets entirely outside drop, and only the ONE boundary
+    *      bucket per key (~n_key/buckets rows) pays a `row_number`
+    *      window — partitioned by (key, bucket), so even the dominant
+    *      key's boundary sort is bounded and parallel.
+    * The kept set is IDENTICAL for any bucket count (the quantizer is
+    * monotone and within-bucket ranking is exact); `buckets` only
+    * bounds the boundary-task size. Kept-count arithmetic stays
+    * integer cross-multiplication (rank·den ≤ n·num) — no float
+    * percentile anywhere.
+    *
+    * Contract: `metricCol` must lie in [0, 1] (a score/ratio — the
+    * same quantizer domain as [[budgetSelect]]; values outside clamp
+    * into the edge buckets, which stays CORRECT — edge buckets just
+    * absorb more rows — but a metric far outside [0, 1] degrades the
+    * boundary bound back toward one-task-per-key). NULL metrics are
+    * excluded, not ranked: engines disagree on NULL ordering, and a
+    * ranked NULL row would both occupy a kept slot and inflate the
+    * per-key count the keep fraction is taken of. Ties break by
+    * `idCol` so the kept set is deterministic even on tied metrics. */
   def relativeRankGate(
       df: DataFrame,
       keyCol: String,
@@ -425,24 +449,47 @@ object Curation {
       keepNum: Int,
       keepDen: Int,
       descending: Boolean = true,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      buckets: Int = 1024): DataFrame = {
     require(keepDen > 0 && keepNum >= 0 && keepNum <= keepDen,
       s"keep fraction must be within [0, 1]: $keepNum/$keepDen")
+    require(buckets >= 1, s"buckets must be positive: $buckets")
     import org.apache.spark.sql.expressions.Window
-    val ord = if (descending) col(metricCol).desc else col(metricCol).asc
-    val w = Window.partitionBy(keyCol)
-    // NULL metrics are excluded, not ranked: engines disagree on NULL
-    // ordering (Spark NULLS LAST desc, others FIRST), and a ranked
-    // NULL row would both occupy a kept slot and inflate the per-key
-    // count the keep fraction is taken of (same exclusion contract as
-    // budgetSelect)
-    df.filter(col(metricCol).isNotNull)
-      .withColumn("_rg_rn", row_number().over(w.orderBy(ord, col(idCol))))
-      .withColumn("_rg_n", count(lit(1)).over(w))
-      // rn is IntegerType — widen before multiplying, or a key with
-      // > Int.MaxValue/keepDen rows wraps negative and keeps everything
-      .filter(col("_rg_rn").cast("long") * keepDen <= col("_rg_n") * keepNum)
-      .drop("_rg_rn", "_rg_n")
+    val rows = df.filter(col(metricCol).isNotNull)
+    // monotone quantizer; clamp handles metric == 1.0 (and strays)
+    val bkt = least(greatest(
+      floor(col(metricCol) * buckets).cast("long"), lit(0L)),
+      lit(buckets - 1L))
+    val withB = rows.withColumn("_rg_bkt", bkt)
+    // tiny frame: per-(key, bucket) counts, then per bucket the count
+    // of rows in strictly BETTER buckets and the key total
+    val wKey = Window.partitionBy(keyCol)
+    val ordB = if (descending) col("_rg_bkt").desc else col("_rg_bkt").asc
+    val hist = withB.groupBy(keyCol, "_rg_bkt").agg(count(lit(1)).as("_rg_cnt"))
+      .withColumn("_rg_better",
+        coalesce(sum("_rg_cnt").over(
+          wKey.orderBy(ordB).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_rg_n", sum("_rg_cnt").over(wKey))
+    // verdict per bucket: the whole bucket is inside the kept prefix
+    // iff its LAST row's rank passes (better+cnt)·den ≤ n·num; it is
+    // entirely outside iff its FIRST row's rank fails
+    val verdict = hist.select(col(keyCol), col("_rg_bkt"),
+      ((col("_rg_better") + col("_rg_cnt")) * keepDen <= col("_rg_n") * keepNum)
+        .as("_rg_all"),
+      ((col("_rg_better") + 1L) * keepDen > col("_rg_n") * keepNum).as("_rg_none"),
+      col("_rg_better"), col("_rg_n"))
+    val tagged = withB.join(broadcast(verdict), Seq(keyCol, "_rg_bkt"))
+    val keptWhole = tagged.filter(col("_rg_all"))
+    // only the boundary bucket's rows enter a window — partitioned by
+    // (key, bucket), so the sort is ~n_key/buckets and parallel
+    val ordM = if (descending) col(metricCol).desc else col(metricCol).asc
+    val boundary = tagged.filter(!col("_rg_all") && !col("_rg_none"))
+      .withColumn("_rg_rn", row_number().over(
+        Window.partitionBy(keyCol, "_rg_bkt").orderBy(ordM, col(idCol))))
+      .filter((col("_rg_better") + col("_rg_rn").cast("long")) * keepDen
+        <= col("_rg_n") * keepNum)
+    keptWhole.select(df.columns.map(col): _*)
+      .union(boundary.select(df.columns.map(col): _*))
   }
 
   /** Token-budget selection: walk the corpus in `metricCol`-descending

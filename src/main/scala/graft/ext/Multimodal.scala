@@ -211,28 +211,36 @@ object Multimodal {
     require(tag() == "WAVE", "not a WAV: missing WAVE")
     var rate = -1; var channels = -1; var bits = -1; var fmtCode = -1
     var dataOff = -1; var dataLen = -1
-    while (bb.remaining() >= 8 && dataOff < 0) {
+    // the walk continues past the data chunk until BOTH fmt and data
+    // are seen — RIFF does not mandate fmt-before-data, and stopping
+    // at data would reject a legal fmt-after-data file
+    while (bb.remaining() >= 8 && (dataOff < 0 || fmtCode < 0)) {
       val id = tag(); val size = bb.getInt
       require(size >= 0 && size <= bb.remaining(), s"truncated chunk $id")
+      // chunks are word-aligned (odd sizes carry a pad byte); a final
+      // chunk may legally omit the pad — clamp instead of overrunning
+      val next = math.min(bb.position() + size + (size & 1), bb.limit())
       id match {
         case "fmt " =>
-          val p = bb.position()
           fmtCode = bb.getShort & 0xffff
           channels = bb.getShort & 0xffff
           rate = bb.getInt
           bb.getInt; bb.getShort // byte rate, block align
           bits = bb.getShort & 0xffff
-          bb.position(p + size + (size & 1))
         case "data" =>
           dataOff = bb.position(); dataLen = size
-        case _ =>
-          bb.position(bb.position() + size + (size & 1))
+        case _ => ()
       }
+      bb.position(next)
     }
     require(fmtCode == 1, s"not PCM (format $fmtCode)")
     require(bits == 16, s"not 16-bit (bits $bits)")
     require(channels >= 1 && rate > 0, "malformed fmt chunk")
     require(dataOff >= 0, "no data chunk")
+    // fail-loud contract: a 16-bit PCM data chunk must hold whole
+    // samples — an odd byte length is a malformed payload, not a
+    // truncate-and-continue case
+    require(dataLen % 2 == 0, s"odd PCM16 data-chunk length $dataLen")
     val n = dataLen / 2
     val out = new Array[Short](n)
     bb.position(dataOff)

@@ -188,27 +188,54 @@ object Similarity {
     * any engine — the unrounded ranking would hang the result on
     * last-bit float-sum differences.
     *
+    * Self-exclusion contract: `excludeSelf` (default true) drops
+    * candidates whose `idCol` EQUALS the query's — it assumes queries
+    * and corpus share ONE id space (the self-retrieval case: queries
+    * drawn from the corpus). When the query table is a SEPARATE id
+    * space, a corpus row with a coincidentally equal id would be
+    * silently dropped — pass `excludeSelf = false` for disjoint
+    * query/corpus tables.
+    *
     * Scale shape: one shuffle on the block key; norms computed once per
     * row per side (not per pair); candidates per query never leave
     * their partition un-pruned — the per-query top-k runs through the
     * two-phase [[graft.plans.TopKPerKey]] plan, so at most k rows per
-    * query id per partition cross the final exchange. */
+    * query id per partition cross the final exchange. A HOT block (one
+    * label holding a large share of the corpus) would otherwise put
+    * its whole O(|q_block|·|c_block|) candidate product in one task:
+    * blocks whose corpus side exceeds `maxBlock` rows are salted into
+    * ~|c_block|/maxBlock sub-blocks (deterministic hash of the
+    * neighbor id) with the block's queries replicated across the
+    * salts — every in-block pair still scored exactly once, so the
+    * result is IDENTICAL, but the hot block's work spreads over its
+    * sub-block tasks and per-task candidate volume is bounded by
+    * |q_block|·maxBlock. The per-block sizing frame is a
+    * map-side-combined count (#blocks rows, broadcast back). */
   def knnJoin(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
       blockCol: String = "label",
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true,
+      maxBlock: Int = 4096): DataFrame = {
+    require(maxBlock >= 1, s"maxBlock must be positive: $maxBlock")
     val q = queries.select(col(blockCol).as("block"), col(idCol).as("q_id"),
       asDouble(col(vecCol)).as("_qv"))
       .withColumn("_qn", l2Norm(col("_qv")))
     val c = corpus.select(col(blockCol).as("block"), col(idCol).as("n_id"),
       asDouble(col(vecCol)).as("_nv"))
       .withColumn("_nn", l2Norm(col("_nv")))
+    val sizes = c.groupBy("block")
+      .agg((ceil(count(lit(1)) / lit(maxBlock.toDouble))).cast("long").as("_nsub"))
+    val cs = c.join(broadcast(sizes), Seq("block"))
+      .withColumn("_salt", pmod(xxhash64(col("n_id")), col("_nsub")))
+    val qs = q.join(broadcast(sizes), Seq("block"))
+      .withColumn("_salt", explode(sequence(lit(0L), col("_nsub") - 1)))
     // same evaluation order as the q43 oracle kernel: dot / (|q|·|n|)
-    val scored = q.join(c, Seq("block"))
-      .filter(col("q_id") =!= col("n_id"))
+    val joined = qs.join(cs, Seq("block", "_salt"))
+    val scored = (if (excludeSelf) joined.filter(col("q_id") =!= col("n_id")) else joined)
       .withColumn("sim", round(dot(col("_qv"), col("_nv")) / (col("_qn") * col("_nn")), 6))
       .select("block", "q_id", "n_id", "sim")
     graft.plans.TopKPerKey.topKPerKey(scored, Seq("q_id"), "sim",
@@ -226,6 +253,15 @@ object Similarity {
     * distance accumulates floor-quantized per-term integers (1e-12
     * grid) in index order, so `dist2` is bitwise-deterministic across
     * partitionings and engines — no FP-sum order dependence anywhere.
+    *
+    * Range contract (the price of the integer grid): each term
+    * floor((v−c)²·1e12) and their per-row SUM must fit a signed long
+    * (≈9.2e18) — i.e. Σ_dims (v−c)² ≤ ~9.2e6, e.g. 4096 dims with
+    * per-dim deviation up to ~47, or any normalized embedding by a
+    * huge margin. Components of magnitude ~thousands overflow the
+    * grid and would wrap silently — rescale such vectors first (the
+    * same width-overflow discipline [[signBucketDedup]] enforces for
+    * its bucket arithmetic).
     *
     * Scale shape: one explode → map-side-combined groupBy(label, dim)
     * builds the #labels × dim centroid frame (tiny); centroid arrays

@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokenization (the BPE-ish regex variant is
-    * [[tokensBpeIsh]]). */
+    * [[tokensBpeIsh]]).
+    *
+    * Degenerate-doc semantics, INTENTIONAL: empty/whitespace-only text
+    * yields `[""]` (split of an empty string — SQL's standard split
+    * behavior), so such docs count n_tokens=1 and chunk into one empty
+    * chunk. Every consumer's oracle mirrors the same split, so parity
+    * holds by construction; changing to zero-token semantics would
+    * have to touch every tokens-derived oracle at once. Corpus-quality
+    * gates are the right place to drop empty docs (and do — see
+    * `ruleSignals`' length rules), not the tokenizer. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** GPT-2-style pretokenizer approximation: splits out word pieces,

@@ -314,6 +314,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("relativeRankGate: kept set is bucket-count-invariant and equals the naive window") {
+    // deterministic pseudo-random [0,1] metrics incl. exact ties
+    val df = (1 to 500).map { i =>
+      (i.toLong, s"k${i % 3}", ((i * 2654435761L) % 1000).toDouble / 1000.0)
+    }.toDF("doc_id", "k", "m")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k")
+    val naive = df.filter(col("m").isNotNull)
+      .withColumn("_rn", row_number().over(w.orderBy(col("m").desc, col("doc_id"))))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_rn").cast("long") * 4 <= col("_n") * 3)
+      .collect().map(_.getLong(0)).toSet
+    for (b <- Seq(1, 7, 1024)) {
+      val got = Curation.relativeRankGate(df, "k", "m", 3, 4, buckets = b)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == naive, s"buckets=$b")
+    }
+  }
+
+  test("relativeRankGate: dominant key never sorts whole-key — only a boundary bucket windows") {
+    // one key holds everything: the old shape was a single-task sort
+    // of the full frame; the election shape must window at most ONE
+    // bucket's rows, partitioned by (key, bucket)
+    val df = (1 to 400).map(i => (i.toLong, "hot", (i % 100).toDouble / 100.0))
+      .toDF("doc_id", "k", "m")
+    val gated = Curation.relativeRankGate(df, "k", "m", 1, 2, buckets = 100)
+    val plan = gated.queryExecution.executedPlan.toString
+    // every Window in the physical plan must partition by BOTH key and
+    // bucket — a Window on the bare key would be the whole-key sort
+    val windowSpecs = plan.split("\n").filter(_.contains("Window"))
+      .filter(_.contains("row_number"))
+    assert(windowSpecs.nonEmpty)
+    assert(windowSpecs.forall(_.contains("_rg_bkt")),
+      s"row_number window not bucket-partitioned:\n$plan")
+    assert(gated.count() == 200)
+  }
+
   test("quotaSample: survives thousands of distinct keys (no per-key expression chain)") {
     // 4000 keys × 2 rows; budget 4000 → quota 1 each. A CASE-chain
     // formulation nests 4000 deep and stack-overflows in Catalyst.

@@ -104,6 +104,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV decode: fmt after data is accepted; odd data length fails loud") {
+    val samples = Array[Short](5, -5, 100, -100)
+    val plain = Multimodal.encodeWavPcm16(samples, 22050)
+    // canonical layout is RIFF(12) fmt(8+16) data(8+n) — rebuild with
+    // the chunks swapped: RIFF, data, fmt (legal RIFF, non-canonical)
+    val fmtChunk = java.util.Arrays.copyOfRange(plain, 12, 12 + 24)
+    val dataChunk = java.util.Arrays.copyOfRange(plain, 36, plain.length)
+    val swapped = java.util.Arrays.copyOfRange(plain, 0, 12) ++ dataChunk ++ fmtChunk
+    val (rate, ch, out) = Multimodal.decodeWavPcm16(swapped)
+    assert(rate == 22050 && ch == 1 && out.toSeq == samples.toSeq)
+    // odd data-chunk length: malformed for PCM16 — must raise, not
+    // silently truncate the trailing byte
+    val odd = plain.clone()
+    val dataLenOff = 40 // RIFF(12) + fmt(24) + "data" tag(4)
+    odd(dataLenOff) = (samples.length * 2 - 1).toByte
+    val e = intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(odd) }
+    assert(e.getMessage.contains("odd"))
+  }
+
   test("extractAudioFeatures: decoded features match a driver-side reference") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

@@ -55,6 +55,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnJoin: degenerate one-block corpus — salting leaves the result identical") {
+    // everything in ONE block: unsalted this is the O(n²) single-task
+    // case; with maxBlock=8 the corpus splits into ~n/8 sub-blocks and
+    // the kept set must not move (every pair scored exactly once)
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .withColumn("label", lit(0))
+      .limit(120)
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"), r.getAs[Double]("sim")))
+      .sortBy(x => (x._1, -x._3, x._2)).toSeq
+    val salted = Similarity.knnJoin(queries, emb, 5, maxBlock = 8)
+    val whole = Similarity.knnJoin(queries, emb, 5, maxBlock = 1 << 20)
+    assert(keyOf(salted) == keyOf(whole))
+    // the salted plan joins on (block, salt) — the hot block's pair
+    // product is spread across sub-block tasks, not one task
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"expected salted join keys:\n$plan")
+  }
+
+  test("knnJoin: excludeSelf=false keeps equal ids across disjoint id spaces") {
+    // query table with its OWN id space: id 1 coincides with a corpus
+    // id; with excludeSelf=false that corpus row must stay rankable
+    val corpus = Seq((1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    val queries = Seq((1L, 0, Array(1.0f, 0.05f)))
+      .toDF("vec_id", "label", "embedding")
+    val withSelf = Similarity.knnJoin(queries, corpus, 2, excludeSelf = false)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    assert(withSelf == Set(1L, 2L))
+    val without = Similarity.knnJoin(queries, corpus, 2)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    assert(without == Set(2L))
+  }
+
   test("centroidDistances: matches the quantized reference, repartition-invariant") {
     val vecs = Seq(
       (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(3.0f, 0.0f)),   // centroid x = 2
