@@ -333,6 +333,39 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("relativeRankGate: threshold exactly at a bucket edge — no boundary bucket exists") {
+    // 8 rows, one per bucket (m = i/8, buckets = 8); keep 1/2 → the
+    // kept count (4) lands exactly on a bucket boundary, so every
+    // bucket is wholly in or wholly out and the boundary lane is empty
+    val df = (0 until 8).map(i => (i.toLong, "x", i.toDouble / 8.0))
+      .toDF("doc_id", "k", "m")
+    val kept = Curation.relativeRankGate(df, "k", "m", 1, 2, buckets = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L, 6L, 7L)) // top half by metric desc
+  }
+
+  test("relativeRankGate: ascending order elects from the LOW-metric end") {
+    // keep the 25% shortest-metric rows per key, bucketed — the
+    // ascending path flips both the bucket ordering and the
+    // within-bucket ordering; verify against the naive ascending window
+    val df = (1 to 200).map { i =>
+      (i.toLong, s"k${i % 2}", ((i * 2654435761L) % 97).toDouble / 97.0)
+    }.toDF("doc_id", "k", "m")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k")
+    val naive = df
+      .withColumn("_rn", row_number().over(w.orderBy(col("m").asc, col("doc_id"))))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_rn").cast("long") * 4 <= col("_n") * 1)
+      .collect().map(_.getLong(0)).toSet
+    for (b <- Seq(1, 16)) {
+      val got = Curation.relativeRankGate(df, "k", "m", 1, 4,
+        descending = false, buckets = b)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == naive, s"buckets=$b")
+    }
+  }
+
   test("relativeRankGate: dominant key never sorts whole-key — only a boundary bucket windows") {
     // one key holds everything: the old shape was a single-task sort
     // of the full frame; the election shape must window at most ONE
