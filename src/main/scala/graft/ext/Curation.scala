@@ -437,7 +437,15 @@ object Curation {
     * same quantizer domain as [[budgetSelect]]; values outside clamp
     * into the edge buckets, which stays CORRECT — edge buckets just
     * absorb more rows — but a metric far outside [0, 1] degrades the
-    * boundary bound back toward one-task-per-key). NULL metrics are
+    * boundary bound back toward one-task-per-key). The broadcast
+    * verdict frame holds one row per NON-EMPTY (key, bucket) pair —
+    * ≤ min(#rows, #keys·buckets) — and must stay driver-broadcastable:
+    * `buckets` trades boundary-task size (↑buckets = smaller boundary
+    * sorts) against verdict-frame size (↑buckets·#keys rows). The
+    * skew this operator defends against is a DOMINANT key, i.e. few
+    * keys — the regime where the frame is tiny; at extreme key
+    * cardinality (millions of keys, each small) per-key windows were
+    * never skewed, so lower `buckets` toward 1 there. NULL metrics are
     * excluded, not ranked: engines disagree on NULL ordering, and a
     * ranked NULL row would both occupy a kept slot and inflate the
     * per-key count the keep fraction is taken of. Ties break by
