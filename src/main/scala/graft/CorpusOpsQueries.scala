@@ -294,7 +294,7 @@ object CorpusOpsQueries {
         |r AS (SELECT doc_id, lang, diversity,
         |        row_number() OVER (PARTITION BY lang ORDER BY diversity DESC, doc_id) AS rn,
         |        count(*) OVER (PARTITION BY lang) AS n
-        |      FROM m WHERE diversity IS NOT NULL)
+        |      FROM m WHERE diversity IS NOT NULL AND lang IS NOT NULL)
         |SELECT doc_id, lang, diversity FROM r
         |WHERE rn * 4 <= n * 3
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -356,10 +356,11 @@ object CorpusOpsQueries {
          |SELECT doc_id, cluster, n_chars FROM r WHERE rn = 1
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = Dedup.pairsFor(s, dir, minJaccard = 0.4, maxBucket = 256)
-        .select("a_id", "b_id")
       Dedup.keepClusterCanonicalBy(
-          docs.select("doc_id", "n_chars"), pairs, priorityCol = "n_chars",
+          docs.select("doc_id", "n_chars"),
+          Dedup.pairsFor(s, dir, minJaccard = 0.4, maxBucket = 256)
+            .select("a_id", "b_id"), // by-name: never built (closure supplied)
+          priorityCol = "n_chars",
           components = Some(Dedup.componentsFor(s, dir, minJaccard = 0.4, maxBucket = 256)))
         .select("doc_id", "cluster", "n_chars")
         .orderBy("doc_id")

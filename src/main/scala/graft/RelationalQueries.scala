@@ -313,9 +313,11 @@ object RelationalOracles {
 
   val flagJoin: String = {
     val values = fullDim.map { case (n, a) => s"('$n', '$a')" }.mkString(", ")
-    // the oracle normalizes its side with lower(trim(..)) — for the
-    // nation table's ASCII names that equals Iso3166.normalizeCol's
-    // output, and the dim side is pre-normalized in `values`
+    // the oracle applies the FULL normalization chain to its fact side
+    // (Iso3166.normalizeSql — same fold tables and step order as the
+    // engine's normalizeCol), not an ASCII-only lower(trim())
+    // shortcut: a nation name with punctuation, hyphens or diacritics
+    // must normalize identically in both engines
     s"""WITH dim(n_norm, alpha2) AS (VALUES $values)
        |SELECT n_nationkey, n.n_name,
        |  coalesce(d.alpha2, '??') AS alpha2,
@@ -323,7 +325,8 @@ object RelationalOracles {
        |    chr(ascii(substring(d.alpha2, 1, 1)) - 65 + 127462) ||
        |    chr(ascii(substring(d.alpha2, 2, 1)) - 65 + 127462),
        |    chr(127987)) AS flag
-       |FROM nation n LEFT JOIN dim d ON lower(trim(n.n_name)) = d.n_norm
+       |FROM nation n
+       |LEFT JOIN dim d ON ${graft.ext.Iso3166.normalizeSql("n.n_name")} = d.n_norm
        |ORDER BY n_nationkey""".stripMargin
   }
 }

@@ -448,8 +448,17 @@ object Curation {
     * never skewed, so lower `buckets` toward 1 there. NULL metrics are
     * excluded, not ranked: engines disagree on NULL ordering, and a
     * ranked NULL row would both occupy a kept slot and inflate the
-    * per-key count the keep fraction is taken of. Ties break by
-    * `idCol` so the kept set is deterministic even on tied metrics. */
+    * per-key count the keep fraction is taken of. NaN metrics are
+    * excluded for the same reason (Spark's sort order puts NaN ABOVE
+    * every real value — ranking a garbage score as the best document
+    * is never the intent — while the bucket quantizer would send it to
+    * the WORST bucket; neither engine-accidental placement is a
+    * contract). NULL keys are excluded too — the same rule as
+    * [[quotaSample]]/[[budgetSelect]]'s NULL-key exclusion: a NULL
+    * "group" is almost always missing metadata, and the broadcast-back
+    * equi-join cannot match it; callers wanting NULLs as a real group
+    * coalesce the key first. Ties break by `idCol` so the kept set is
+    * deterministic even on tied metrics. */
   def relativeRankGate(
       df: DataFrame,
       keyCol: String,
@@ -463,7 +472,8 @@ object Curation {
       s"keep fraction must be within [0, 1]: $keepNum/$keepDen")
     require(buckets >= 1, s"buckets must be positive: $buckets")
     import org.apache.spark.sql.expressions.Window
-    val rows = df.filter(col(metricCol).isNotNull)
+    val rows = df.filter(col(metricCol).isNotNull &&
+      !isnan(col(metricCol).cast("double")) && col(keyCol).isNotNull)
     // monotone quantizer; clamp handles metric == 1.0 (and strays)
     val bkt = least(greatest(
       floor(col(metricCol) * buckets).cast("long"), lit(0L)),
@@ -486,7 +496,17 @@ object Curation {
         .as("_rg_all"),
       ((col("_rg_better") + 1L) * keepDen > col("_rg_n") * keepNum).as("_rg_none"),
       col("_rg_better"), col("_rg_n"))
-    val tagged = withB.join(broadcast(verdict), Seq(keyCol, "_rg_bkt"))
+    // materialize the verdict ONCE as a driver-local relation (bounded
+    // by the broadcast contract above — the same bounded-#keys driver
+    // read as quotaSample's seat allocation). Referencing the lazy
+    // frame from both lanes would recompute the histogram aggregation
+    // per lane — each lane's filter pushes into its broadcast subtree,
+    // making the two exchanges non-identical and defeating reuse —
+    // i.e. two extra full corpus scans per call.
+    val spark = df.sparkSession
+    val verdictLocal = spark.createDataFrame(
+      java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
+    val tagged = withB.join(broadcast(verdictLocal), Seq(keyCol, "_rg_bkt"))
     val keptWhole = tagged.filter(col("_rg_all"))
     // only the boundary bucket's rows enter a window — partitioned by
     // (key, bucket), so the sort is ~n_key/buckets and parallel

@@ -382,6 +382,14 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ONE lock for all three cache tiers: builds nest (componentsFor ->
+  // pairsFor -> signaturesFor, reentrant on the same monitor) and
+  // invalidation must not interleave with a build — a per-map lock let
+  // invalidateSignatures empty the maps while a pairs build held the
+  // old signature frame, re-caching a pair graph over the just-dropped
+  // corpus snapshot.
+  private object cacheLock
+
   private val sigCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
 
@@ -399,7 +407,7 @@ object Dedup {
       numHashes: Int = 16): DataFrame =
     // synchronized like EventsFact.fact: a racing getOrElseUpdate thunk
     // would leak the losing persist()
-    sigCache.synchronized {
+    cacheLock.synchronized {
       sigCache.getOrElseUpdate((spark, sfDir, k, numHashes),
         minhashSignatureAggFast(
           spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k, numHashes)
@@ -430,7 +438,7 @@ object Dedup {
       sfDir: String,
       minJaccard: Double = 0.4,
       maxBucket: Int = 256): DataFrame =
-    pairsCache.synchronized {
+    cacheLock.synchronized {
       pairsCache.getOrElseUpdate((spark, sfDir, minJaccard, maxBucket),
         nearDuplicatePairsFromSignatures(
           signaturesFor(spark, sfDir),
@@ -455,7 +463,7 @@ object Dedup {
       sfDir: String,
       minJaccard: Double = 0.4,
       maxBucket: Int = 256): DataFrame =
-    compCache.synchronized {
+    cacheLock.synchronized {
       compCache.getOrElseUpdate((spark, sfDir, minJaccard, maxBucket),
         Components.connectedComponents(
           pairsFor(spark, sfDir, minJaccard, maxBucket).select("a_id", "b_id"))
@@ -466,7 +474,7 @@ object Dedup {
     * derived from them for a dir (the refresh path — the three tiers
     * invalidate together so no query can join a fresh signature frame
     * against a stale pair graph). */
-  def invalidateSignatures(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+  def invalidateSignatures(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = cacheLock.synchronized {
     sigCache.filterInPlace { case ((s, d, _, _), df) =>
       val stale = (s eq spark) && d == sfDir
       if (stale) df.unpersist()
@@ -710,13 +718,18 @@ object Dedup {
     * exchange — never a per-cluster sort, never a corpus-wide window. */
   def keepClusterCanonicalBy(
       docs: DataFrame,
-      pairs: DataFrame,
+      pairs: => DataFrame,
       priorityCol: String,
       idCol: String = "doc_id",
       components: Option[DataFrame] = None): DataFrame = {
     // callers holding a precomputed closure (the [[componentsFor]]
-    // serving cache) pass it in — recomputing the iterative closure
-    // per election was the q92 hot spot
+    // serving cache) pass it via `components` — recomputing the
+    // iterative closure per election was the q92 hot spot. `pairs` is
+    // BY-NAME: when a closure is supplied the pair frame is never even
+    // constructed (it would be dead code). The caller owns consistency:
+    // a supplied closure MUST be the components of the same pair graph
+    // `pairs` denotes (the componentsFor/pairsFor cache tiers guarantee
+    // this by construction — they invalidate together).
     val comp = components.getOrElse(Components.connectedComponents(pairs))
       .withColumnRenamed("id", idCol)
     val clustered = docs

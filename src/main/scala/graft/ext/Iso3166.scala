@@ -196,7 +196,10 @@ object Iso3166 {
       val i = accented.indexOf(ch.toInt)
       if (i >= 0) folded(i) else ch
     }
-    foldedStr.toLowerCase
+    // Locale.ROOT: default-locale toLowerCase diverges from Spark's
+    // locale-independent lower() under tr_TR/az (I → dotless ı),
+    // which would silently miss every name containing an I
+    foldedStr.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("[.',()]", "")
       .replaceAll("-", " ")
       .replaceAll("\\s+", " ")
@@ -210,6 +213,18 @@ object Iso3166 {
         regexp_replace(lower(translate(c, accented, folded)), "[.',()]", ""),
         "-", " "),
       "\\s+", " "))
+
+  /** DuckDB-SQL form of [[normalize]] over the expression `expr` —
+    * the oracle-side mirror, kept HERE so all three normalizations
+    * (driver, Spark column, oracle SQL) derive from the same fold
+    * tables and step order. DuckDB's `regexp_replace` replaces only
+    * the first match without the 'g' flag (Spark replaces all), hence
+    * the explicit 'g' on every step. The char-class literal contains a
+    * single quote — doubled for SQL. */
+  def normalizeSql(expr: String): String =
+    s"trim(regexp_replace(regexp_replace(regexp_replace(" +
+      s"lower(translate($expr, '$accented', '$folded'))" +
+      s", '[.'',()]', '', 'g'), '-', ' ', 'g'), '\\s+', ' ', 'g'))"
 
   /** The resolved dim: (name_norm, alpha2), one row per distinct
     * normalized name (officials + aliases; aliases never shadow an

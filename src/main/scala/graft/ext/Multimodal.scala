@@ -222,6 +222,10 @@ object Multimodal {
       val next = math.min(bb.position() + size + (size & 1), bb.limit())
       id match {
         case "fmt " =>
+          // the six PCM fmt fields span 16 bytes; a shorter declared
+          // size would read into the next chunk's bytes (or throw an
+          // uncontrolled BufferUnderflow) — fail loud instead
+          require(size >= 16, s"short fmt chunk ($size bytes)")
           fmtCode = bb.getShort & 0xffff
           channels = bb.getShort & 0xffff
           rate = bb.getInt

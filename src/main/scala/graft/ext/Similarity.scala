@@ -210,7 +210,12 @@ object Similarity {
     * result is IDENTICAL, but the hot block's work spreads over its
     * sub-block tasks and per-task candidate volume is bounded by
     * |q_block|·maxBlock. The per-block sizing frame is a
-    * map-side-combined count (#blocks rows, broadcast back). */
+    * map-side-combined count (#blocks rows, broadcast back); it is
+    * referenced by BOTH sides' joins and the initial plan prints the
+    * aggregate subtree twice, but the two broadcast exchanges
+    * canonicalize identically so AQE executes one and ReusedExchange
+    * serves the other — the sizing scan runs ONCE (verified on the
+    * final executed plan). */
   def knnJoin(
       queries: DataFrame,
       corpus: DataFrame,

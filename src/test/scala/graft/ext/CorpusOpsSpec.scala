@@ -369,10 +369,15 @@ class CorpusOpsSpec extends SparkSpec {
   test("relativeRankGate: dominant key never sorts whole-key — only a boundary bucket windows") {
     // one key holds everything: the old shape was a single-task sort
     // of the full frame; the election shape must window at most ONE
-    // bucket's rows, partitioned by (key, bucket)
+    // bucket's rows, partitioned by (key, bucket). Keep 1/3 of 400
+    // (not 1/2): rank 133 falls strictly INSIDE a 4-row bucket, so a
+    // boundary bucket exists and the window lane is in the plan — at
+    // an exact bucket-edge threshold the driver-known verdict lets
+    // Catalyst eliminate the empty boundary lane altogether (covered
+    // by the bucket-edge spec above)
     val df = (1 to 400).map(i => (i.toLong, "hot", (i % 100).toDouble / 100.0))
       .toDF("doc_id", "k", "m")
-    val gated = Curation.relativeRankGate(df, "k", "m", 1, 2, buckets = 100)
+    val gated = Curation.relativeRankGate(df, "k", "m", 1, 3, buckets = 100)
     val plan = gated.queryExecution.executedPlan.toString
     // every Window in the physical plan must partition by BOTH key and
     // bucket — a Window on the bare key would be the whole-key sort
@@ -381,7 +386,7 @@ class CorpusOpsSpec extends SparkSpec {
     assert(windowSpecs.nonEmpty)
     assert(windowSpecs.forall(_.contains("_rg_bkt")),
       s"row_number window not bucket-partitioned:\n$plan")
-    assert(gated.count() == 200)
+    assert(gated.count() == 133) // floor(400/3)
   }
 
   test("quotaSample: survives thousands of distinct keys (no per-key expression chain)") {
