@@ -333,6 +333,22 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("relativeRankGate: NaN metrics and NULL keys are excluded, not ranked") {
+    // NaN would sort ABOVE every real value in Spark's window order
+    // but quantize into the WORST bucket — neither placement is a
+    // contract; it is excluded like NULL. NULL keys likewise (the
+    // quotaSample family rule).
+    val df = Seq(
+      (1L, "x", 0.9), (2L, "x", 0.5), (3L, "x", Double.NaN),
+      (4L, null.asInstanceOf[String], 0.99))
+      .toDF("doc_id", "k", "m")
+    // 2 rankable rows in key x, keep 1/2 → exactly doc 1; the NaN row
+    // must neither occupy the kept slot nor inflate the count
+    val kept = Curation.relativeRankGate(df, "k", "m", 1, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("relativeRankGate: threshold exactly at a bucket edge — no boundary bucket exists") {
     // 8 rows, one per bucket (m = i/8, buckets = 8); keep 1/2 → the
     // kept count (4) lands exactly on a bucket boundary, so every
