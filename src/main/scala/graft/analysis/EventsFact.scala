@@ -73,9 +73,13 @@ object EventsFact {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Drop the persisted fact for a dir (the reference's refresh path). */
+  /** Drop the persisted fact for a dir (the reference's refresh path).
+    * Synchronized on the same monitor as [[fact]]: an invalidation
+    * racing a build would otherwise let the build re-insert a frame
+    * snapshotted BEFORE the invalidation the caller believes took
+    * effect (same fix as Dedup's cacheLock). */
   def invalidate(spark: SparkSession, sfDir: String): Unit =
-    cache.remove((spark, sfDir)).foreach(_.unpersist())
+    cache.synchronized { cache.remove((spark, sfDir)).foreach(_.unpersist()) }
 
   /** The oracle-side equivalent of [[fact]], as a DuckDB CTE body. */
   val factSql: String =

@@ -33,11 +33,15 @@ object WideCsvIngest {
     * `etl_pipeline.py:56-66`). Never hard-code the antigen set — it
     * drifts weekly upstream (SURVEY §7.4 #3). */
   def resolveColumns(df: DataFrame): ResolvedColumns = {
-    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+    // Locale.ROOT: default-locale lowercasing breaks the match for any
+    // header containing an I under tr_TR/az (dotted/dotless i) — same
+    // rule as Iso3166.normalize
+    val byLower = df.columns.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
     def need(name: String): String = byLower.getOrElse(name,
       throw new IllegalArgumentException(
         s"required column '$name' missing (schema: ${df.columns.mkString(", ")})"))
-    val cov = df.columns.filter(_.toLowerCase.startsWith(CoveragePrefix)).toSeq
+    val cov = df.columns
+      .filter(_.toLowerCase(java.util.Locale.ROOT).startsWith(CoveragePrefix)).toSeq
     if (cov.isEmpty) throw new IllegalArgumentException(
       s"no '$CoveragePrefix*' columns found (schema: ${df.columns.mkString(", ")})")
     ResolvedColumns(need("entity"), need("year"), cov)
