@@ -221,10 +221,12 @@ object PipelineQueries {
     // PQ ANN: product-quantized codes + ADC scan. Training/codebooks
     // aren't SQL-mirrorable (like IVF q45) → rows-only driver check;
     // PqSpec proves recall vs exact L2 and training determinism.
+    // Codebooks come from the memoized build-once tier (codebooksFor),
+    // same serving-state contract as q45's Ivf.centroidsFor.
     Q.noOracle("q62_ann_pq") { (s, dir) =>
       import graft.ext.Pq
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val books = Pq.train(emb)
+      val books = Pq.codebooksFor(emb, dir)
       val q = emb.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
       Pq.topK(Pq.withCodes(emb, books).filter(col("vec_id") =!= 0L), books, q, 20)

@@ -31,6 +31,30 @@ object Pq {
   /** Codebooks: codebooks(s)(c) = centroid c of subspace s (dsub dims). */
   type Codebooks = Array[Array[Array[Double]]]
 
+  /** Memoized training per (session, key): PQ codebooks are a
+    * build-once index artifact exactly like [[Ivf.centroidsFor]]'s
+    * centroid matrix — encode/search only probe them; rebuild happens
+    * through [[invalidate]] when the corpus at `key` changes. No lock:
+    * a losing race trains twice and caches identical codebooks
+    * (training is deterministic — hash sample + value-distinct seeds),
+    * and nothing persisted can leak (the model is plain arrays). */
+  def codebooksFor(
+      emb: DataFrame,
+      key: String,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 10): Codebooks =
+    trainedCache.getOrElseUpdate((emb.sparkSession, key, m, k, iters),
+      train(emb, m = m, k = k, iters = iters))
+
+  private val trainedCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int, Int), Codebooks]
+
+  /** Drop every trained codebook for (session, key) — the refresh path
+    * after the corpus at `key` changes (mirrors [[Ivf.invalidate]]). */
+  def invalidate(spark: org.apache.spark.sql.SparkSession, key: String): Unit =
+    trainedCache.filterInPlace { case ((s, k2, _, _, _), _) => !((s eq spark) && k2 == key) }
+
   /** Train per-subspace k-means codebooks on a deterministic hash
     * sample (driver-side Lloyd — the model is m·k·dsub doubles). */
   def train(

@@ -26,6 +26,21 @@ class PqSpec extends SparkSpec {
     assert(coded.count() == emb.count())
   }
 
+  test("codebooksFor memoizes per (session, key) and invalidate drops") {
+    val a = Pq.codebooksFor(emb, "pq-spec-key")
+    val b = Pq.codebooksFor(emb, "pq-spec-key")
+    assert(a eq b, "same (session, key) must serve the cached model")
+    val other = Pq.codebooksFor(emb, "pq-spec-other")
+    assert(!(a eq other), "a different key is a different index")
+    Pq.invalidate(spark, "pq-spec-key")
+    val c = Pq.codebooksFor(emb, "pq-spec-key")
+    assert(!(a eq c), "invalidate must force a retrain")
+    assert(a.flatten.flatten.toSeq == c.flatten.flatten.toSeq,
+      "retraining the unchanged corpus reproduces the same codebooks")
+    Pq.invalidate(spark, "pq-spec-key")
+    Pq.invalidate(spark, "pq-spec-other")
+  }
+
   test("ADC top-k recall vs exact L2 brute force") {
     val q = emb.filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
