@@ -76,9 +76,13 @@ object ExtensionQueries {
     // MinHash signatures (md5-keyed, engine-reproducible): first 4
     // signature elements surfaced for the oracle.
     Q("q29_minhash_signature", ExtensionOracles.minhashSignature) { (s, dir) =>
-      val sh = Dedup.shingles(col("text"), 3)
-      s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("sig", Dedup.minhashSignature(sh, 4))
+      // token array AND shingle array materialized as attributes: the
+      // 4 signature lanes each reference the shingle array, and every
+      // reference of a HOF expression is a full rebuild in interpreted
+      // eval (tokens additionally re-evaluated per element if inlined)
+      Dedup.withTokenArray(s.read.parquet(s"$dir/documents.parquet"), "text")
+        .withColumn("_sh", Dedup.shinglesOfTokens(col("_toks"), 3))
+        .withColumn("sig", Dedup.minhashSignature(col("_sh"), 4))
         .select(col("doc_id"),
           element_at(col("sig"), 1).as("h0"),
           element_at(col("sig"), 2).as("h1"),
@@ -214,9 +218,9 @@ object ExtensionQueries {
          |    THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
          |    ELSE 0.0 END AS repetition
          |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
+      Dedup.withTokenArray(s.read.parquet(s"$dir/documents.parquet"), "text")
         .select(col("doc_id"),
-          TextAnalysis.repetitionScore(col("text")).as("repetition"))
+          TextAnalysis.repetitionScoreOfTokens(col("_toks")).as("repetition"))
         .orderBy("doc_id")
     },
 

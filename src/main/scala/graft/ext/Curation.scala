@@ -49,11 +49,12 @@ object Curation {
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 8): DataFrame = {
-    val evalGrams = eval
-      .select(explode(Dedup.shingles(col(textCol), k)).as("gram"))
+    val evalGrams = Dedup.withTokenArray(eval, textCol)
+      .select(explode(Dedup.shinglesOfTokens(col("_toks"), k)).as("gram"))
       .distinct()
-    val trainGrams = train
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
+    val trainGrams = Dedup.withTokenArray(train, textCol)
+      .select(col(idCol),
+        explode(Dedup.shinglesOfTokens(col("_toks"), k)).as("gram"))
     trainGrams
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(idCol)
@@ -90,14 +91,15 @@ object Curation {
     // [[Bloom.build]]'s distributed construction).
     val spark = train.sparkSession
     import spark.implicits._
-    val evalGramSet = eval
-      .select(explode(Dedup.shingles(col(textCol), k)).as("gram"))
+    val evalGramSet = Dedup.withTokenArray(eval, textCol)
+      .select(explode(Dedup.shinglesOfTokens(col("_toks"), k)).as("gram"))
       .distinct()
       .as[String].collect()
     val bits = Bloom.buildLocal(evalGramSet, mBits, numHashes)
     val verify = evalGramSet.toSeq.toDF("gram")
-    train
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
+    Dedup.withTokenArray(train, textCol)
+      .select(col(idCol),
+        explode(Dedup.shinglesOfTokens(col("_toks"), k)).as("gram"))
       .filter(Bloom.mightContainCol(col("gram"), bits, numHashes))
       .join(broadcast(verify), Seq("gram"))
       .groupBy(idCol)

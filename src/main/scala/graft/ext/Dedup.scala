@@ -87,9 +87,24 @@ object Dedup {
   def shingles(text: Column, k: Int = 3): Column =
     shinglesOfTokens(TextAnalysis.tokens(text), k)
 
+  /** `df` plus the whitespace token array of `textCol` materialized as
+    * attribute `out` — the projection boundary every gram-stream lane
+    * must put UNDER its shingle transform. Passing `shingles(text)`
+    * straight into explode/array_distinct leaves `tokens(text)` inlined
+    * inside the transform lambda, and interpreted HOF lambdas
+    * re-evaluate their child per ELEMENT (NOTES lesson #1) — the whole
+    * regex tokenization runs once per shingle instead of once per row
+    * (measured 3.4× on the sf0.1 corpus gram stream). CollapseProject
+    * cannot undo the boundary: the alias is non-cheap and
+    * [[shinglesOfTokens]] references it three times. */
+  private[graft] def withTokenArray(
+      df: DataFrame, textCol: String, out: String = "_toks"): DataFrame =
+    df.withColumn(out, TextAnalysis.tokens(col(textCol)))
+
   /** [[shingles]] over an already-tokenized array column — so a plan
-    * that materializes the token array once (as an attribute) can
-    * derive several gram widths from it without re-tokenizing. */
+    * that materializes the token array once (as an attribute, see
+    * [[withTokenArray]]) can derive shingles without per-element
+    * re-tokenization. */
   def shinglesOfTokens(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - lit(k - 1)),
@@ -146,9 +161,9 @@ object Dedup {
       textCol: String = "text",
       k: Int = 3,
       numHashes: Int = 16): DataFrame = {
-    val spread = fanOut(docs)
+    val spread = withTokenArray(fanOut(docs), textCol)
     val exploded = spread.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), k)).as("shingle"))
+      explode(shinglesOfTokens(col("_toks"), k)).as("shingle"))
     val mins = (0 until numHashes).map { i =>
       min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i")
     }
@@ -189,8 +204,9 @@ object Dedup {
       textCol: String = "text",
       k: Int = 3,
       numHashes: Int = 16): DataFrame = {
-    val exploded = fanOut(docs).select(col(idCol).as("id"),
-      explode(shingles(col(textCol), k)).as("shingle"))
+    val exploded = withTokenArray(fanOut(docs), textCol)
+      .select(col(idCol).as("id"),
+        explode(shinglesOfTokens(col("_toks"), k)).as("shingle"))
       .withColumn("base",
         conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
           .cast("long") % MinhashP)
@@ -679,12 +695,21 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 8): DataFrame = {
-    val totals = docs
+    val tokDocs = withTokenArray(docs, textCol)
+    // the n_grams > 0 guard runs BEFORE the projection as its cheap
+    // equivalent size(_toks) >= k (a doc has distinct grams iff it has
+    // >= k tokens): filtering on the computed alias instead makes the
+    // optimizer substitute the whole array_distinct(shingles) tree
+    // into the predicate — the gram array built twice per row
+    // (measured 2× on this lane)
+    val totals = tokDocs
+      .filter(size(col("_toks")) >= k)
       .select(col(idCol),
-        size(array_distinct(shingles(col(textCol), k))).cast("long").as("n_grams"))
-      .filter(col("n_grams") > 0)
-    val novel = docs
-      .select(col(idCol), explode(array_distinct(shingles(col(textCol), k))).as("gram"))
+        size(array_distinct(shinglesOfTokens(col("_toks"), k)))
+          .cast("long").as("n_grams"))
+    val novel = tokDocs
+      .select(col(idCol),
+        explode(array_distinct(shinglesOfTokens(col("_toks"), k))).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("_c"), min(col(idCol)).as("_owner"))
       .filter(col("_c") === 1)
@@ -783,9 +808,9 @@ object Dedup {
       sourceCol: String = "source",
       textCol: String = "text",
       k: Int = 8): DataFrame = {
-    val grams = docs
+    val grams = withTokenArray(docs, textCol)
       .select(col(sourceCol).as("src"),
-        explode(array_distinct(shingles(col(textCol), k))).as("gram"))
+        explode(array_distinct(shinglesOfTokens(col("_toks"), k))).as("gram"))
       .distinct()
     val sizes = grams.groupBy("src").agg(count(lit(1)).as("n"))
     val shared = grams.select(col("src").as("src_a"), col("gram"))

@@ -125,10 +125,24 @@ object TextAnalysis {
     * earlier 3-gram in the same doc (Gopher/C4-style quality signal —
     * high values mean boilerplate/spam). 0 for docs too short to have
     * a 3-gram. */
-  def repetitionScore(text: Column, k: Int = 3): Column = {
-    val sh = Dedup.shingles(text, k)
-    when(size(sh) > 0,
-      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+  def repetitionScore(text: Column, k: Int = 3): Column =
+    repetitionScoreOfTokens(tokens(text), k)
+
+  /** [[repetitionScore]] over a MATERIALIZED token-array attribute
+    * (see [[Dedup.withTokenArray]]) — the text form above inlines the
+    * tokenization into the shingle transform's interpreted lambda,
+    * which re-tokenizes per shingle; prefer this form in any plan that
+    * scans a corpus. */
+  def repetitionScoreOfTokens(toks: Column, k: Int = 3): Column = {
+    // size(shingles) == n_tokens − k + 1 when n_tokens >= k: computing
+    // it from the (cheap, attribute-sized) token count leaves the
+    // expensive gram array referenced ONCE — each extra reference of a
+    // HOF expression is a full rebuild in interpreted eval
+    val nsh = when(size(toks) >= k,
+      (size(toks) - lit(k - 1)).cast("double")).otherwise(lit(0.0))
+    when(nsh > lit(0.0),
+      lit(1.0) -
+        size(array_distinct(Dedup.shinglesOfTokens(toks, k))).cast("double") / nsh)
       .otherwise(lit(0.0))
   }
 
@@ -179,15 +193,15 @@ object TextAnalysis {
     val n = size(col("_toks")).cast("long")
     val sumLen = length(regexp_replace(col("_text"), "\\s", "")).cast("long")
     val alpha = size(filter(col("_toks"), t => t.rlike("[A-Za-z]"))).cast("long")
-    val tri = Dedup.shinglesOfTokens(col("_toks"), 3)
     val perRow = toked.select(
       col(idCol),
       n.as("n_tokens"),
       (sumLen.cast("double") / n.cast("double")).as("mean_word_len"),
       (alpha.cast("double") / n.cast("double")).as("alpha_ratio"),
-      when(size(tri) > 0,
-        lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri).cast("double"))
-        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+      // single-reference form (see repetitionScoreOfTokens): the
+      // trigram count comes from the token count, so the gram array
+      // is built once per row, not three times
+      repetitionScoreOfTokens(col("_toks"), 3).as("dup_trigram_frac"))
     val bigramMode = toked
       .select(col(idCol), explode(Dedup.shinglesOfTokens(col("_toks"), 2)).as("_bg"))
       .groupBy(idCol, "_bg")
