@@ -167,21 +167,27 @@ object AdvancedQueries {
         .orderBy(col("country"), col("antigen"), col("coverage_pct").desc, col("year"))
     },
 
-    // Exact interpolated percentiles per group (Spark `percentile` ==
-    // DuckDB `quantile_cont`: same linear-interpolation definition;
-    // rounded at 4dp — inputs are 2dp prices).
+    // Exact interpolated percentiles per group, via the DISTRIBUTED
+    // rank election (graft.stats.ExactPercentiles — same linear
+    // interpolation as Spark `percentile` and DuckDB `quantile_cont`,
+    // bitwise; rounded at 4dp — inputs are 2dp prices). The built-in
+    // `percentile` buffers every (value, count) of a group in the agg
+    // buffer — a hot group at scale is an OOM; the rank election's
+    // window spills.
     Q("q48_percentiles",
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      graft.stats.ExactPercentiles.percentiles(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          "l_returnflag", "l_extendedprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .select(col("l_returnflag"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"),
+          round(col("p99"), 4).as("p99"))
         .orderBy("l_returnflag")
     },
 

@@ -193,15 +193,18 @@ object CorpusOpsQueries {
         |  coalesce(array_to_string(list(seg ORDER BY pos) FILTER (first), ' '), '')
         |    AS cleaned
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import graft.ext.TextAnalysis
-      val toks = TextAnalysis.tokens(col("text"))
+      // token array materialized first (withTokenArray): the chunk
+      // transform's interpreted lambda would otherwise re-tokenize the
+      // doc once per chunk
+      val toks = col("_toks")
       val nChunks = floor((size(toks) + lit(2)).cast("double") / lit(3.0)).cast("long")
       val chunks = when(size(toks) > 0,
         transform(sequence(lit(0L), nChunks - 1),
           i => concat_ws(" ", slice(toks, (i * 3 + 1).cast("int"), lit(3)))))
         .otherwise(array().cast("array<string>"))
       Dedup.dedupSegments(
-          s.read.parquet(s"$dir/documents.parquet")
+          Dedup.withTokenArray(
+            s.read.parquet(s"$dir/documents.parquet"), "text")
             .select(col("doc_id"), chunks.as("segments")),
           sep = " ")
         .orderBy("doc_id")
@@ -585,14 +588,18 @@ object CorpusOpsQueries {
         |  coalesce(array_to_string(list(seg ORDER BY pos) FILTER (first), ' '), '')
         |    AS cleaned
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = TextAnalysis.tokens(col("text"))
+      // token array materialized first (withTokenArray): the chunk
+      // transform's interpreted lambda would otherwise re-tokenize the
+      // doc once per chunk
+      val toks = col("_toks")
       val nChunks = floor((size(toks) + lit(2)).cast("double") / lit(3.0)).cast("long")
       val chunks = when(size(toks) > 0,
         transform(sequence(lit(0L), nChunks - 1),
           i => concat_ws(" ", slice(toks, (i * 3 + 1).cast("int"), lit(3)))))
         .otherwise(array().cast("array<string>"))
       Dedup.dedupSegmentsWithin(
-          s.read.parquet(s"$dir/documents.parquet")
+          Dedup.withTokenArray(
+            s.read.parquet(s"$dir/documents.parquet"), "text")
             .select(col("doc_id"), chunks.as("segments")),
           sep = " ")
         .orderBy("doc_id")

@@ -104,12 +104,26 @@ object ExtensionQueries {
     // Pairwise character-3-gram Jaccard on a bounded slice (exact
     // quadratic verification kernel; LSH is the scale path).
     Q("q31_ngram_jaccard", ExtensionOracles.ngramJaccard) { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 15)
-      val a = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
-      val b = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      // grams materialized ONCE per doc before the pair expansion
+      // (normalize, then grams, each behind its own projection
+      // boundary); the pair projection then works on attribute arrays:
+      // |∩|/(|a|+|b|−|∩|) with the intersect size computed in its own
+      // step so the expensive array op is referenced exactly once
+      val g = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 15)
+        .withColumn("_norm", TextAnalysis.normalize(col("text")))
+        .withColumn("_g", Dedup.charGramsOfNormalized(col("_norm"), 3))
+      val a = g.select(col("doc_id").as("a_id"), col("_g").as("_ga"))
+      val b = g.select(col("doc_id").as("b_id"), col("_g").as("_gb"))
       a.crossJoin(b).filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          round(Dedup.ngramJaccard(col("a_text"), col("b_text"), 3), 6).as("jaccard"))
+          size(array_intersect(col("_ga"), col("_gb"))).cast("double").as("_i"),
+          size(col("_ga")).cast("double").as("_na"),
+          size(col("_gb")).cast("double").as("_nb"))
+        .select(col("a_id"), col("b_id"),
+          round(when(col("_na") + col("_nb") - col("_i") > 0,
+            col("_i") / (col("_na") + col("_nb") - col("_i")))
+            .otherwise(lit(0.0)), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     },
 

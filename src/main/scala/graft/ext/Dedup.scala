@@ -826,9 +826,27 @@ object Dedup {
       .select("src_a", "src_b", "n_shared", "n_a", "n_b", "containment")
   }
 
+  /** Distinct character n-grams over an ALREADY-NORMALIZED (and
+    * ideally attribute-materialized) text column — the gram set of
+    * [[ngramJaccard]], exposed so a pairwise plan can build each row's
+    * grams ONCE before the join instead of per pair (and so the
+    * normalization is not re-run per gram inside the interpreted
+    * transform lambda — the [[withTokenArray]] lesson, character
+    * edition). */
+  def charGramsOfNormalized(s: Column, n: Int = 3): Column =
+    when(length(s) >= n,
+      array_distinct(transform(sequence(lit(1), length(s) - lit(n - 1)),
+        i => s.substr(i, lit(n)))))
+      .otherwise(array())
+
   /** Character n-gram Jaccard similarity of two text columns — the
     * verification kernel, exposed standalone (A/B similarity without
-    * LSH). */
+    * LSH). Convenience form: inlines normalization and gram
+    * construction per reference, so for anything beyond a few pairs
+    * materialize [[TextAnalysis.normalize]] and
+    * [[charGramsOfNormalized]] as attributes per side and compute
+    * |∩| / (|a| + |b| − |∩|) from the materialized arrays (distinct
+    * sets, so that denominator IS the union size). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     def grams(c: Column) = {
       val s = TextAnalysis.normalize(c)

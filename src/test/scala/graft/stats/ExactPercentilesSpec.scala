@@ -1,0 +1,70 @@
+package graft.stats
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExactPercentilesSpec extends SparkSpec {
+
+  private val fracs = Seq("p0" -> 0.0, "p37" -> 0.37, "p50" -> 0.5,
+    "p99" -> 0.99, "p100" -> 1.0)
+
+  /** Compare against Spark's built-in exact percentile, bitwise. */
+  private def assertMatchesBuiltin(rows: Seq[(String, java.lang.Double)]): Unit = {
+    import spark.implicits._
+    val df = rows.toDF("k", "v")
+    val ours = ExactPercentiles.percentiles(df, "k", "v", fracs)
+      .collect().map(r => r.getString(0) -> fracs.indices.map(i => r.get(i + 1))).toMap
+    val builtin = df.groupBy("k")
+      .agg(expr("percentile(v, 0.0)"), expr("percentile(v, 0.37)"),
+        expr("percentile(v, 0.5)"), expr("percentile(v, 0.99)"),
+        expr("percentile(v, 1.0)"))
+      .collect().map(r => r.getString(0) -> fracs.indices.map(i => r.get(i + 1))).toMap
+    assert(ours.keySet == builtin.keySet.filter(k => builtin(k).exists(_ != null)),
+      "keys with non-null values must match")
+    for (k <- ours.keySet; i <- fracs.indices)
+      assert(ours(k)(i) == builtin(k)(i),
+        s"key $k ${fracs(i)._1}: ours=${ours(k)(i)} builtin=${builtin(k)(i)}")
+  }
+
+  test("matches the built-in percentile bitwise on mixed groups") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map { i =>
+      (s"g${i % 7}", java.lang.Double.valueOf((rnd.nextInt(10000) / 100.0)))
+    }
+    assertMatchesBuiltin(rows)
+  }
+
+  test("edge shapes: single-row group, two-row group, ties, nulls") {
+    assertMatchesBuiltin(Seq(
+      ("solo", java.lang.Double.valueOf(5.0)),
+      ("pair", java.lang.Double.valueOf(1.0)),
+      ("pair", java.lang.Double.valueOf(2.0)),
+      ("ties", java.lang.Double.valueOf(3.0)),
+      ("ties", java.lang.Double.valueOf(3.0)),
+      ("ties", java.lang.Double.valueOf(3.0)),
+      ("ties", java.lang.Double.valueOf(4.0)),
+      ("withnull", java.lang.Double.valueOf(9.0)),
+      ("withnull", null),
+      ("withnull", java.lang.Double.valueOf(11.0))))
+  }
+
+  test("keys whose values are all NULL are absent") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("b", None), ("b", None))
+      .toDF("k", "v")
+    val out = ExactPercentiles.percentiles(df, "k", "v", Seq("p50" -> 0.5))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("result is partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (s"g${i % 3}", i * 1.5))
+    val one = ExactPercentiles.percentiles(
+      rows.toDF("k", "v").repartition(1), "k", "v", fracs)
+      .orderBy("k").collect().toSeq
+    val many = ExactPercentiles.percentiles(
+      rows.toDF("k", "v").repartition(17), "k", "v", fracs)
+      .orderBy("k").collect().toSeq
+    assert(one == many)
+  }
+}
