@@ -848,13 +848,7 @@ object Dedup {
     * |∩| / (|a| + |b| − |∩|) from the materialized arrays (distinct
     * sets, so that denominator IS the union size). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    def grams(c: Column) = {
-      val s = TextAnalysis.normalize(c)
-      when(length(s) >= n,
-        array_distinct(transform(sequence(lit(1), length(s) - lit(n - 1)),
-          i => s.substr(i, lit(n)))))
-        .otherwise(array())
-    }
+    def grams(c: Column) = charGramsOfNormalized(TextAnalysis.normalize(c), n)
     val (ga, gb) = (grams(a), grams(b))
     when(size(array_union(ga, gb)) > 0,
       size(array_intersect(ga, gb)).cast("double") /

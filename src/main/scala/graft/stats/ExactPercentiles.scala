@@ -29,9 +29,22 @@ import org.apache.spark.sql.functions._
   *      formula `percentile` and DuckDB's `quantile_cont` share, on
   *      the same doubles, so results are bitwise identical to both.
   *
-  * NULL values are excluded (the built-in's contract). Keys with zero
-  * non-NULL values are absent from the output (no group, like the
-  * built-in's empty-group NULL row never forming).
+  * NULL values are excluded (the built-in's contract); NULL KEYS form
+  * their own group exactly like GROUP BY (the probe join is
+  * null-safe). Keys with zero non-NULL values are absent from the
+  * output (no group, like the built-in's empty-group NULL row never
+  * forming).
+  *
+  * Contract bounds: the probe frame is #keys × #fractions × 2 rows and
+  * is BROADCAST — the same driver-bounded #keys contract as
+  * [[graft.ext.Curation.quotaSample]]'s seat allocation. This utility
+  * targets the hot-GROUP axis (few keys, enormous groups — where the
+  * built-in OOMs); at extreme key cardinality (per-user percentiles)
+  * the built-in's per-group buffers are small and fine — use it there.
+  * Signed zeros: values are grouped with SQL equality, so −0.0 and 0.0
+  * merge (result surfaces as 0.0) — the built-in keeps them as
+  * distinct sort positions and can return −0.0; this is the one
+  * deliberate last-bit divergence.
   */
 object ExactPercentiles {
 
@@ -52,6 +65,13 @@ object ExactPercentiles {
     val spans = counts
       .withColumn("_hi", sum(col("_c")).over(w))
       .withColumn("_lo", col("_hi") - col("_c") + 1)
+    // per-key totals re-aggregate the counts frame; the two lanes'
+    // count subtrees canonicalize to the SAME partial-agg exchange, so
+    // AQE ReusedExchange serves the probe lane from the span lane's
+    // shuffle at runtime — the source is scanned once (verified on the
+    // executed plan; deriving _n from the windowed spans instead
+    // measured SLOWER, because that trades a reused-exchange hash agg
+    // for a second per-key sort)
     val ns = counts.groupBy("_pk").agg(sum(col("_c")).as("_n"))
     // #keys × #fractions × 2 rank probes — a driver-bounded tiny frame
     val probes = ns
@@ -66,8 +86,11 @@ object ExactPercentiles {
           .as("_probe"))
       .select(col("_pk").as("_qk"), col("_pname"), col("_idx"),
         col("_probe.which").as("_which"), col("_probe.rank").as("_rank"))
+    // null-safe key match: a NULL key is a real group (GROUP BY
+    // semantics, the built-in returns a row for it) — a plain
+    // equi-join would silently drop it
     val matched = spans.join(broadcast(probes),
-      col("_pk") === col("_qk") &&
+      col("_pk") <=> col("_qk") &&
         col("_rank").between(col("_lo"), col("_hi")))
     // the exact two-product form the built-in `percentile` (and DuckDB
     // quantile_cont) evaluates — NOT lo + frac·(hi−lo), which differs

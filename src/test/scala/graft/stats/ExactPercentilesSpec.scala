@@ -48,6 +48,26 @@ class ExactPercentilesSpec extends SparkSpec {
       ("withnull", java.lang.Double.valueOf(11.0))))
   }
 
+  test("a NULL key is a real group (GROUP BY semantics, like the built-in)") {
+    import spark.implicits._
+    val df = Seq((Option("a"), 1.0), (Option("a"), 3.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 20.0))
+      .toDF("k", "v")
+    val ours = ExactPercentiles.percentiles(df, "k", "v", Seq("p50" -> 0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(ours == Map(Option("a") -> 2.0, None -> 15.0))
+  }
+
+  test("signed zeros merge under SQL equality (documented divergence)") {
+    import spark.implicits._
+    val df = Seq(("z", -0.0), ("z", 0.0)).toDF("k", "v")
+    val out = ExactPercentiles.percentiles(df, "k", "v", Seq("p0" -> 0.0))
+      .collect()
+    assert(out.length == 1 &&
+      java.lang.Double.doubleToRawLongBits(out(0).getDouble(1)) == 0L,
+      "both zeros collapse to +0.0")
+  }
+
   test("keys whose values are all NULL are absent") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("b", None), ("b", None))
