@@ -31,10 +31,13 @@ object Ivf {
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
-  /** Unit-normalized corpus projection: (vec_id, label, unit). */
+  /** Unit-normalized corpus projection: (vec_id, label, unit) — via
+    * [[Similarity.withUnit]] (norm materialized as an attribute; the
+    * inline [[Similarity.unitVec]] form re-evaluates the norm per
+    * element, O(dim²) per corpus row). */
   private def unitized(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("label"),
-      Similarity.unitVec(asDouble(col("embedding"))).as("unit"))
+    Similarity.withUnit(emb, asDouble(col("embedding")), "unit")
+      .select(col("vec_id"), col("label"), col("unit"))
 
   /** Memoized training per (session, key): an IVF index is a
     * build-once artifact (at rest it is the `cell` partition layout +

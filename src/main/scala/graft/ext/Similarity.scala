@@ -41,11 +41,12 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val q = broadcast(emb.filter(col("vec_id") === queryVecId)
       .select(unitVec(asDouble(col("embedding"))).as("qunit")))
-    emb.crossJoin(q)
-      .filter(col("vec_id") =!= queryVecId)
-      // query side normalized once at broadcast; corpus side once per
-      // row — each row's sim is then a single codegen-friendly fold
-      .withColumn("sim", round(dot(unitVec(asDouble(col("embedding"))), col("qunit")), 6))
+    // query side normalized once at broadcast; corpus side once per
+    // row through the attribute-materialized norm (withUnit) — each
+    // row's sim is then a single codegen-friendly fold
+    withUnit(emb.crossJoin(q).filter(col("vec_id") =!= queryVecId),
+        asDouble(col("embedding")), "_cunit")
+      .withColumn("sim", round(dot(col("_cunit"), col("qunit")), 6))
       .select("vec_id", "label", "sim")
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
@@ -87,9 +88,10 @@ object Similarity {
     val bucketed = withLshBuckets(emb, numPlanes, seed, dim)
     val q = broadcast(bucketed.filter(col("vec_id") === queryVecId)
       .select(unitVec(asDouble(col("embedding"))).as("qunit"), col("bucket").as("qbucket")))
-    bucketed.join(q, col("bucket") === col("qbucket"))
-      .filter(col("vec_id") =!= queryVecId)
-      .withColumn("sim", round(dot(unitVec(asDouble(col("embedding"))), col("qunit")), 6))
+    withUnit(bucketed.join(q, col("bucket") === col("qbucket"))
+        .filter(col("vec_id") =!= queryVecId),
+        asDouble(col("embedding")), "_cunit")
+      .withColumn("sim", round(dot(col("_cunit"), col("qunit")), 6))
       .select("vec_id", "label", "bucket", "sim")
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
@@ -119,11 +121,30 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), min(col(idCol)).as("canonical"))
 
   /** Unit-normalize a vector column; null for zero-norm vectors (so
-    * downstream cosine keeps the "undefined" semantics of [[cosine]]). */
+    * downstream cosine keeps the "undefined" semantics of [[cosine]]).
+    *
+    * Convenience form for SINGLE-ROW / broadcast sides only: the norm
+    * is referenced from inside the per-element division lambda, and
+    * interpreted HOF lambdas re-evaluate that child per ELEMENT —
+    * O(dim²) per row. Corpus-side lanes use [[withUnit]], which
+    * materializes the norm as an attribute first. */
   def unitVec(vec: Column): Column = {
     val n = l2Norm(vec)
     when(n > 0, transform(vec, x => x / n))
   }
+
+  /** `df` plus the unit-normalized vector as attribute `out` — same
+    * values as [[unitVec]] (NULL for zero norm), but the O(dim) norm
+    * is computed into its own attribute FIRST so the per-element
+    * division references a scalar attribute instead of re-evaluating
+    * the norm per element (the [[graft.ext.Dedup.withTokenArray]]
+    * lesson, vector edition). CollapseProject cannot re-inline it:
+    * the norm alias is non-cheap and referenced twice. */
+  def withUnit(df: DataFrame, vec: Column, out: String): DataFrame =
+    df.withColumn("_u_norm", l2Norm(vec))
+      .withColumn(out,
+        when(col("_u_norm") > 0, transform(vec, x => x / col("_u_norm"))))
+      .drop("_u_norm")
 
   /** Embedding-cosine near-duplicate pairs within blocks: exact cosine
     * over a blocked self-join, keeping pairs at/above `minCosine`.
@@ -143,8 +164,8 @@ object Similarity {
     // evaluations does one fold instead of recomputing both operand
     // norms (higher-order-fn lambdas are interpreted — tripling the
     // per-pair work is very visible at scale).
-    val unit = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
-      unitVec(asDouble(col(vecCol))).as("unit"))
+    val unit = withUnit(emb, asDouble(col(vecCol)), "unit")
+      .select(col(blockCol).as("block"), col(idCol).as("id"), col("unit"))
     val a = unit.select(col("block"), col("id").as("a_id"), col("unit").as("a_unit"))
     val b = unit.select(col("block"), col("id").as("b_id"), col("unit").as("b_unit"))
     a.join(b, Seq("block"))
