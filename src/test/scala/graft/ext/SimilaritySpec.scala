@@ -23,6 +23,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r.head.isNullAt(0))
   }
 
+  test("withUnit equals unitVec bitwise, incl. the zero-norm NULL case") {
+    val df = Seq(
+      (1L, Array(3.0, 4.0)),
+      (2L, Array(-1.5, 2.5)),
+      (3L, Array(0.0, 0.0)),
+      (4L, Array(1e-8, -1e-8))).toDF("id", "v")
+    val got = Similarity.withUnit(df, col("v"), "u")
+      .withColumn("u2", Similarity.unitVec(col("v")))
+      .collect()
+    got.foreach { r =>
+      val (a, b) = (r.get(2), r.get(3))
+      if (a == null || b == null) assert(a == null && b == null,
+        s"NULL semantics must agree for id ${r.getLong(0)}")
+      else assert(
+        r.getSeq[Double](2).map(java.lang.Double.doubleToRawLongBits) ==
+          r.getSeq[Double](3).map(java.lang.Double.doubleToRawLongBits),
+        s"unit vectors must match bitwise for id ${r.getLong(0)}")
+    }
+    assert(got.count(_.isNullAt(2)) == 1, "exactly the zero vector is NULL")
+  }
+
   test("knnJoin: matches a window-function brute force per query, excludes self") {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
