@@ -69,7 +69,14 @@ object Bench {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     graft.ext.Ivf.centroidsFor(emb, sfDir, k = 8, iters = 3)
     graft.ext.Pq.codebooksFor(emb, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+    // local-iteration subset: SPARK_GRAFT_ONLY=q87,q90 times only those
+    // queries (comma-separated name prefixes). Unset for the driver run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val selected = only match {
+      case Some(prefixes) => SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), idx) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -641,31 +641,44 @@ object Dedup {
     * was seen earlier keep n_kept = 0 with an empty `cleaned` (the
     * caller decides whether empty docs survive).
     *
-    * Scale shape: explode once; first-occurrence election is a
-    * row_number window keyed on the segment text (one shuffle on the
-    * segment — uniform unless the corpus is one repeated string;
-    * WindowExec spills), then one per-doc aggregate rebuilds the text
-    * (sorted struct array, no second pass over the corpus). Nothing
-    * is ever joined back against the full frame. */
+    * Scale shape: first-occurrence election is a map-side-combined
+    * `groupBy(seg).agg(min(struct(id, pos)))` — a hot boilerplate
+    * segment repeated in millions of docs collapses to one partial
+    * per input partition BEFORE the exchange (the window-on-seg
+    * formulation would sort ALL of its rows in one task). Each
+    * distinct segment then contributes exactly one (doc, pos) row, so
+    * docs rebuild straight off the winners frame — nothing ever joins
+    * back against the exploded corpus, and no seg-keyed join exists
+    * to skew. Per-doc totals ride a per-row `size(segsCol)`
+    * projection lane (second source scan, no explode); callers with
+    * an expensive computed `segsCol` can cache/checkpoint upstream —
+    * two cheap scans beat one scan feeding a skewed window. */
   def dedupSegments(
       docs: DataFrame,
       idCol: String = "doc_id",
       segsCol: String = "segments",
       sep: String = " "): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val seg = docs.select(col(idCol), posexplode(col(segsCol)).as(Seq("pos", "seg")))
-    val firstWin = Window.partitionBy("seg").orderBy(col(idCol), col("pos"))
-    seg
-      .withColumn("_first", row_number().over(firstWin) === 1)
-      .groupBy(idCol)
+    val winners = seg
+      .groupBy("seg")
+      .agg(min(struct(col(idCol).as("id"), col("pos").as("pos"))).as("_w"))
+    val kept = winners
+      .groupBy(col("_w")("id").as(idCol))
       .agg(
-        sum(when(col("_first"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("_first"), 0L).otherwise(1L)).as("n_dropped"),
-        array_sort(collect_list(when(col("_first"), struct(col("pos"), col("seg")))))
+        count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("_w")("pos").as("pos"), col("seg"))))
           .as("_kept"))
-      .withColumn("cleaned",
-        concat_ws(sep, transform(col("_kept"), k => k("seg"))))
-      .drop("_kept")
+    // docs with a null/empty segment array never explode -> absent,
+    // matching the explode-based contract above
+    docs
+      .filter(size(col(segsCol)) > 0)
+      .select(col(idCol), size(col(segsCol)).cast("long").as("_n_total"))
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        concat_ws(sep, transform(col("_kept"), k => k("seg"))).as("cleaned"))
   }
 
   /** Cross-document novelty score: for each doc, the fraction of its

@@ -121,6 +121,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((2L, 1L, "xx yy")))
   }
 
+  test("dedupSegments: hot segment in every doc — no window in the plan, election stays exact") {
+    // one boilerplate segment repeated in EVERY doc: the old
+    // window-on-seg formulation sorts all of its rows in one task; the
+    // groupBy(min(struct)) election must map-side combine instead
+    val n = 200
+    val docs = (0 until n).map { i =>
+      (i.toLong, Seq("HOT", s"u$i"))
+    }.toDF("doc_id", "segments")
+    val out = Dedup.dedupSegments(docs)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "segment election must not use a per-seg window (skew magnet)")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) == ((2L, 0L, "HOT u0")))
+    (1 until n).foreach { i =>
+      assert(got(i.toLong) == ((1L, 1L, s"u$i")))
+    }
+  }
+
   test("dedupSegments: property — matches a sequential first-occurrence reference") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genDoc = Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.take(6))
