@@ -154,12 +154,72 @@ object ExtensionQueries {
       Similarity.labelStats(s.read.parquet(s"$dir/embeddings.parquet"))
     },
 
-    // Multimodal: binary payload + metadata through the partition-
-    // batched decode (stub codec, real plumbing).
-    Q.noOracle("q36_multimodal_features") { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val assets = Multimodal.assetsFromBinary(docs, "doc_id", "text", "image")
-      Multimodal.extractFeatures(assets).toDF().orderBy("asset_id")
+    // Multimodal: a mixed-media corpus (REAL RIFF/WAVE PCM16 audio,
+    // REAL PPM P6 images, byte-stub "video") through the unified
+    // partition-batched decode. Payloads are genuine binaries
+    // synthesized deterministically from (doc_id, n_chars), so the
+    // oracle recomputes every decoded feature arithmetically — a
+    // header-parse, byte-order, or channel-interleave bug anywhere in
+    // the encode→binary→decode path breaks the hash. Only the "video"
+    // lane is stub byte-features (no native codec in this
+    // environment); it too is oracle-exact.
+    Q("q36_multimodal_features",
+      """WITH d AS (SELECT doc_id, n_chars * 31 + doc_id AS seed FROM documents),
+        |a AS (SELECT doc_id, seed, 8 + doc_id % 9 AS n FROM d WHERE doc_id % 3 = 0),
+        |av AS (SELECT doc_id, n,
+        |         (((seed + i * 2654435761) % 65536) + 65536) % 65536 - 32768 AS v
+        |       FROM (SELECT doc_id, n, seed, unnest(generate_series(1, n)) AS i FROM a)),
+        |audio AS (SELECT doc_id AS asset_id, 'audio' AS media_type,
+        |    44 + 2 * n AS n_bytes, n AS n_units, 8000 AS dim_a, 1 AS dim_b,
+        |    max(abs(v)) AS feat_a, CAST(sum(v * v) AS BIGINT) AS feat_b,
+        |    CAST(sum(v) AS BIGINT) AS feat_c
+        |  FROM av GROUP BY doc_id, n),
+        |im AS (SELECT doc_id, seed, 2 + doc_id % 4 AS w, 2 + doc_id % 5 AS h
+        |       FROM d WHERE doc_id % 3 = 1),
+        |ib AS (SELECT doc_id, w, h, j,
+        |         (((seed + j * 2654435761) % 256) + 256) % 256 AS b
+        |       FROM (SELECT doc_id, w, h, seed,
+        |               unnest(generate_series(1, 3 * w * h)) AS j FROM im)),
+        |image AS (SELECT doc_id AS asset_id, 'image' AS media_type,
+        |    9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h AS n_bytes,
+        |    w * h AS n_units, w AS dim_a, h AS dim_b,
+        |    CAST(sum(CASE WHEN (j - 1) % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS feat_a,
+        |    CAST(sum(CASE WHEN (j - 1) % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS feat_b,
+        |    CAST(sum(CASE WHEN (j - 1) % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS feat_c
+        |  FROM ib GROUP BY doc_id, w, h),
+        |vi AS (SELECT doc_id, seed, 16 + doc_id % 17 AS n FROM d WHERE doc_id % 3 = 2),
+        |vb AS (SELECT doc_id, n,
+        |         (((seed + k * 2654435761) % 256) + 256) % 256 AS b
+        |       FROM (SELECT doc_id, n, seed, unnest(generate_series(1, n)) AS k FROM vi)),
+        |video AS (SELECT doc_id AS asset_id, 'video' AS media_type,
+        |    n AS n_bytes, n AS n_units, 0 AS dim_a, 0 AS dim_b,
+        |    max(b) AS feat_a, CAST(sum(b) AS BIGINT) AS feat_b, 0 AS feat_c
+        |  FROM vb GROUP BY doc_id, n)
+        |SELECT * FROM audio UNION ALL SELECT * FROM image UNION ALL SELECT * FROM video
+        |ORDER BY asset_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val seed = nChars * 31 + id
+          def lcg(i: Long, m: Long): Long =
+            java.lang.Math.floorMod(seed + i * 2654435761L, m)
+          (id % 3) match {
+            case 0 =>
+              val n = (8 + id % 9).toInt
+              val samples = Array.tabulate(n)(i => (lcg(i + 1, 65536L) - 32768L).toShort)
+              (id, "audio", Multimodal.encodeWavPcm16(samples, 8000))
+            case 1 =>
+              val w = (2 + id % 4).toInt
+              val h = (2 + id % 5).toInt
+              val px = Array.tabulate(3 * w * h)(j => lcg(j + 1, 256L).toByte)
+              (id, "image", Multimodal.encodePpm(w, h, px))
+            case _ =>
+              val n = (16 + id % 17).toInt
+              (id, "video", Array.tabulate(n)(k => lcg(k + 1, 256L).toByte))
+          }
+        }.toDF("asset_id", "media_type", "payload")
+      Multimodal.extractDecoded(assets).toDF().orderBy("asset_id")
     },
 
     // Structured Streaming: event-time windowed aggregation with

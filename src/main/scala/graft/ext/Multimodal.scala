@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * payloads plus typed metadata (see [[graft.model.Schemas.mediaAsset]]).
   *
   * The Spark-side plumbing — schema, partition-batched decode loop,
-  * feature projection — is real and tested; the codec itself is a
-  * deterministic STUB (this environment ships no image/audio
-  * libraries). `decodeBatch` is the single seam to swap in a real
-  * decoder (JNI/FFI per executor); everything around it (mapPartitions
-  * batching so the codec amortizes per-partition init, repartition by
-  * asset so decode parallelism is independent of file layout) is the
-  * shape a production pipeline needs.
+  * feature projection — is real and tested. Decode itself is REAL for
+  * self-describing containers that need no native library (RIFF/WAVE
+  * PCM16 via [[decodeWavPcm16]], PPM P6 via [[decodePpm]], dispatched
+  * by [[RealFirstCodec]]); formats that DO need one (JPEG, MP3,
+  * H.264 — no such libraries ship in this environment) fall back to a
+  * deterministic byte-level STUB behind the same seam. `decodeBatch`
+  * is the single point to swap in a JNI/FFI decoder per executor;
+  * everything around it (mapPartitions batching so the codec
+  * amortizes per-partition init, repartition by asset so decode
+  * parallelism is independent of file layout) is the shape a
+  * production pipeline needs.
   */
 object Multimodal {
 
@@ -353,6 +357,108 @@ object Multimodal {
       i += 3
     }
     ImageFeatures(assetId, w, h, r, g, b)
+  }
+
+  // -------------------------------------------------------------------
+  // Unified real-first decode: one feature row shape across media
+  // types, EXACT-integer fields only, so every lane — real audio
+  // decode, real image decode, byte-level stub — is verifiable
+  // arithmetically by an external engine (the q36 oracle).
+  // -------------------------------------------------------------------
+
+  /** Field mapping per media_type:
+    *   audio (REAL [[decodeWavPcm16]]): n_units = samples, dim_a =
+    *     sample rate, dim_b = channels, feat_a = peak |sample|,
+    *     feat_b = Σ sample², feat_c = Σ sample
+    *   image (REAL [[decodePpm]]): n_units = pixels, dim_a = width,
+    *     dim_b = height, feat_a = Σ R, feat_b = Σ G, feat_c = Σ B
+    *   anything else (stub fallback — no native codec ships in this
+    *     environment): n_units = n_bytes, dim_a = dim_b = 0,
+    *     feat_a = max byte, feat_b = Σ bytes, feat_c = 0 */
+  final case class MediaDecoded(
+      asset_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      n_units: Long,
+      dim_a: Long,
+      dim_b: Long,
+      feat_a: Long,
+      feat_b: Long,
+      feat_c: Long)
+
+  /** [[MediaCodec]]'s lifecycle (per-task open/close, bounded batches)
+    * typed to the unified exact-integer features. */
+  trait DecodingCodec extends Serializable {
+    def open(): Unit = ()
+    def close(): Unit = ()
+    def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaDecoded] =
+      batch.map { case (id, mt, bytes) => decode(id, mt, bytes) }
+    def decode(assetId: Long, mediaType: String, payload: Array[Byte]): MediaDecoded
+  }
+
+  /** Real-first dispatch: container formats the repo CAN decode go
+    * through the real parsers (fail-loud on malformed payloads); only
+    * formats that would need a native library fall back to byte-level
+    * stub features. */
+  object RealFirstCodec extends DecodingCodec {
+    override def decode(assetId: Long, mediaType: String, payload: Array[Byte]): MediaDecoded = {
+      val nb = if (payload == null) 0L else payload.length.toLong
+      mediaType match {
+        case "audio" =>
+          val (rate, channels, samples) = decodeWavPcm16(payload)
+          var peak = 0L; var sumSq = 0L; var sum = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumSq += v * v; sum += v
+            i += 1
+          }
+          MediaDecoded(assetId, mediaType, nb, samples.length.toLong,
+            rate.toLong, channels.toLong, peak, sumSq, sum)
+        case "image" =>
+          val f = ppmFeatures(assetId, payload)
+          MediaDecoded(assetId, mediaType, nb, f.width.toLong * f.height,
+            f.width.toLong, f.height.toLong, f.sum_r, f.sum_g, f.sum_b)
+        case _ =>
+          var mx = 0L; var sm = 0L
+          var i = 0
+          val n = nb.toInt
+          while (i < n) {
+            val b = (payload(i) & 0xff).toLong
+            if (b > mx) mx = b
+            sm += b
+            i += 1
+          }
+          MediaDecoded(assetId, mediaType, nb, nb, 0L, 0L, mx, sm, 0L)
+      }
+    }
+  }
+
+  /** Decode mixed-media assets to unified exact features through the
+    * same partition-batched, task-scoped-codec loop as
+    * [[extractFeatures]]. Default codec is the real-first dispatcher. */
+  def extractDecoded(
+      assets: DataFrame,
+      codecFactory: () => DecodingCodec = () => RealFirstCodec,
+      parallelism: Int = 0,
+      batchSize: Int = 64): Dataset[MediaDecoded] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val parts = if (parallelism > 0) parallelism
+      else spark.sessionState.conf.numShufflePartitions
+    assets
+      .select(col("asset_id"), col("media_type"), col("payload"))
+      .repartition(parts, col("asset_id"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = codecFactory()
+        codec.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
+        rows.grouped(batchSize).flatMap(batch => codec.decodeBatch(batch))
+      }
   }
 
   /** Build a media-asset table from any binary-able column — used by

@@ -144,6 +144,62 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // --- unified real-first decode ---------------------------------------
+
+  test("extractDecoded: real audio + real image decode, stub only for undecodable types") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val audio = (0L until 10L).map { id =>
+      val s = Array.fill(5 + rng.nextInt(20))((rng.nextInt(65536) - 32768).toShort)
+      (id, "audio", Multimodal.encodeWavPcm16(s, 8000), s)
+    }
+    val images = (100L until 110L).map { id =>
+      val (w, h) = (1 + rng.nextInt(4), 1 + rng.nextInt(4))
+      val px = Array.fill(3 * w * h)(rng.nextInt(256).toByte)
+      (id, "image", Multimodal.encodePpm(w, h, px), (w, h, px))
+    }
+    val vids = (200L until 205L).map { id =>
+      val b = Array.fill(1 + rng.nextInt(30))(rng.nextInt(256).toByte)
+      (id, "video", b)
+    }
+    val assets = (audio.map(a => (a._1, a._2, a._3)) ++
+      images.map(i => (i._1, i._2, i._3)) ++ vids)
+      .toDF("asset_id", "media_type", "payload")
+    val got = Multimodal.extractDecoded(assets, batchSize = 7)
+      .collect().map(f => f.asset_id -> f).toMap
+    audio.foreach { case (id, _, bytes, s) =>
+      val f = got(id)
+      assert(f.media_type == "audio" && f.n_bytes == bytes.length.toLong)
+      assert(f.n_units == s.length.toLong && f.dim_a == 8000L && f.dim_b == 1L)
+      assert(f.feat_a == s.map(v => math.abs(v.toLong)).max)
+      assert(f.feat_b == s.map(v => v.toLong * v.toLong).sum)
+      assert(f.feat_c == s.map(_.toLong).sum)
+    }
+    images.foreach { case (id, _, bytes, (w, h, px)) =>
+      val f = got(id)
+      assert(f.media_type == "image" && f.n_bytes == bytes.length.toLong)
+      assert(f.n_units == (w * h).toLong && f.dim_a == w.toLong && f.dim_b == h.toLong)
+      def chan(o: Int) = px.indices.filter(_ % 3 == o).map(i => (px(i) & 0xff).toLong).sum
+      assert((f.feat_a, f.feat_b, f.feat_c) == ((chan(0), chan(1), chan(2))))
+    }
+    vids.foreach { case (id, _, b) =>
+      val f = got(id)
+      assert(f.media_type == "video" && f.n_units == b.length.toLong)
+      assert(f.feat_a == b.map(x => (x & 0xff).toLong).max)
+      assert(f.feat_b == b.map(x => (x & 0xff).toLong).sum && f.feat_c == 0L)
+    }
+    // the audio/image lanes REALLY parse: malformed payloads fail loud
+    // instead of degrading to byte features
+    intercept[Exception] {
+      Seq((1L, "audio", "not a wav".getBytes)).toDF("asset_id", "media_type", "payload")
+        .transform(df => Multimodal.extractDecoded(df)).collect()
+    }
+    intercept[Exception] {
+      Seq((1L, "image", "not a ppm".getBytes)).toDF("asset_id", "media_type", "payload")
+        .transform(df => Multimodal.extractDecoded(df)).collect()
+    }
+  }
+
   // --- real PPM codec -------------------------------------------------
 
   test("PPM round-trip: header comments parsed, pixel sums exact, rejects handled") {
