@@ -49,20 +49,40 @@ object EventsStream {
       .select(
         col("window.start").cast("date").cast("string").as("day"),
         col("event_type"), col("n"), col("mean_value"))
-    // Complete mode: emit every window each trigger — append mode would
-    // hold back the newest (still-open) window at end-of-input.
+    // Update mode + a file sink: each micro-batch emits ONLY the
+    // windows whose aggregate changed, appended to parquet — nothing
+    // is ever materialized whole on the driver (complete-mode memory
+    // sink would re-emit the full result every trigger; append mode
+    // would hold back the newest, still-open window at end-of-input).
+    // The read-back keeps each key's LAST update, so the final frame
+    // equals the batch aggregation — the scale-honest sink shape: the
+    // per-batch write is bounded by changed keys, the final dedup by
+    // output size (#days × #types).
     // stateful windowed agg: one state store per shuffle partition,
     // paid per micro-batch — 4 fat stores beat 32 thin ones at this
     // state size (see StreamTuning)
+    val outDir = java.nio.file.Files.createTempDirectory(s"graft_$queryName")
+      .toFile.getAbsolutePath
+    // Trigger.Once (single batch): in update mode every window touched
+    // by the batch emits, so a run-to-completion needs no second
+    // watermark-advance batch (that batch only evicts state this
+    // terminating query discards anyway)
     val q = StreamTuning.withStreamPartitions(spark, 4) {
       stream.writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
+        .outputMode("update")
+        .trigger(Trigger.Once())
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.withColumn("_batch", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
         .start()
     }
     q.awaitTermination()
-    spark.table(queryName)
+    spark.read.parquet(outDir)
+      .groupBy("day", "event_type")
+      .agg(
+        max_by(col("n"), col("_batch")).as("n"),
+        max_by(col("mean_value"), col("_batch")).as("mean_value"))
   }
 }

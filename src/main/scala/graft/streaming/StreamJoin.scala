@@ -38,13 +38,15 @@ object StreamJoin {
       sfDir: String,
       queryName: String = "purchase_attribution"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def side(tpe: String): DataFrame =
-      spark.readStream
-        .schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-        .filter(col("event_type") === tpe)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // ONE source, both sides filtered off it (streaming self-join):
+    // two independent readStreams would each run their own file
+    // listing and scan per micro-batch
+    val src = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(tpe: String): DataFrame = src.filter(col("event_type") === tpe)
     val purchases = side("purchase")
       .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
@@ -61,13 +63,18 @@ object StreamJoin {
     // 4 state partitions, not the batch-side 32: a stream-stream join
     // keeps FOUR state stores per shuffle partition and every
     // micro-batch pays each store's open/commit — at this state size
-    // fewer, fatter stores win (see StreamTuning)
+    // fewer, fatter stores win (see StreamTuning).
+    // Trigger.Once (single batch), not AvailableNow: an INNER interval
+    // join emits eagerly, so running to completion needs no second
+    // watermark-advance batch — that batch only evicts state, which a
+    // terminating query throws away anyway. (A resuming/long-lived
+    // deployment would use AvailableNow + a durable checkpoint.)
     val q = StreamTuning.withStreamPartitions(spark, 4) {
       joined.writeStream
         .format("memory")
         .queryName(queryName)
         .outputMode("append")
-        .trigger(Trigger.AvailableNow())
+        .trigger(Trigger.Once())
         .start()
     }
     q.awaitTermination()
