@@ -138,14 +138,20 @@ object AdvancedQueries {
         .orderBy("a_id", "b_id")
     },
 
-    // IVF ANN: spherical-k-means cells, 3-of-8 probe. Training is
-    // DataFrame Lloyd iterations (only the k x dim centroid matrix
-    // reaches the driver); IvfSpec proves nProbe=k == brute force and
-    // recall at narrow probes.
-    Q.noOracle("q45_ann_ivf") { (s, dir) =>
+    // IVF ANN with the exactness bound: probe the 3 nearest
+    // spherical-k-means cells, widen only to cells whose
+    // triangle-inequality bound (1 − max(0, ‖q−c‖ − r)²/2) could still
+    // beat the provisional k-th sim, exact cosine over the probed set.
+    // Training/cells/radii have no SQL twin, but the bound makes the
+    // returned rows PROVABLY the exact top-k — so the oracle is plain
+    // brute-force cosine SQL (the re-rank lane). IvfSpec keeps the
+    // narrow-probe recall lane on Ivf.topK and asserts the bound
+    // actually prunes cells on clustered data.
+    Q("q45_ann_ivf", ExtensionOracles.cosineTopKSql(7L, 20)) { (s, dir) =>
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val centroids = graft.ext.Ivf.centroidsFor(emb, dir, k = 8, iters = 3)
-      graft.ext.Ivf.topK(emb, 0L, 20, centroids, nProbe = 3)
+      val radii = graft.ext.Ivf.radiiFor(emb, dir, centroids)
+      graft.ext.Ivf.topKExact(emb, 7L, 20, centroids, radii, nProbe0 = 3)
     },
 
     // Grouped top-k via the custom LogicalPlan/Strategy/SparkPlan

@@ -80,7 +80,8 @@ object Bench {
     // (memoized per (session, dir), refreshed via invalidate) — train
     // them here so q45/q62 time the probe, not the one-time build
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    graft.ext.Ivf.centroidsFor(emb, sfDir, k = 8, iters = 3)
+    val ivfCentroids = graft.ext.Ivf.centroidsFor(emb, sfDir, k = 8, iters = 3)
+    graft.ext.Ivf.radiiFor(emb, sfDir, ivfCentroids)
     graft.ext.Pq.codebooksFor(emb, sfDir)
     // streaming machinery warm-up: the micro-batch planner, state-store
     // provider and sink classes load once per JVM — without this the

@@ -144,8 +144,11 @@ object ExtensionQueries {
     },
 
     // LSH-bucketed ANN — scale path; recall vs brute force is asserted
-    // in SimilaritySpec, bucket determinism here (rows-only).
-    Q.noOracle("q34_ann_lsh") { (s, dir) =>
+    // in SimilaritySpec. Fully oracle-checked: the sign-LSH planes are
+    // deterministic constants, so DuckDB recomputes the buckets
+    // themselves (see ExtensionOracles.annLshTopKSql) — candidate
+    // generation and exact in-bucket cosine both verified.
+    Q("q34_ann_lsh", ExtensionOracles.annLshTopKSql(0L, 20, numPlanes = 4, dim = 64)) { (s, dir) =>
       Similarity.annTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L, 20, numPlanes = 4)
     },
 
@@ -509,8 +512,10 @@ object ExtensionOracles {
        |FROM g ORDER BY a_id, b_id""".stripMargin
   }
 
-  val cosineTopK: String =
-    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+  /** Brute-force cosine top-k for query `qid` — the exact baseline
+    * (q33) and the re-rank-lane oracle for bound-pruned ANN (q45). */
+  def cosineTopKSql(qid: Long, k: Int): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid)
       |SELECT e.vec_id, e.label,
       |  round(
       |    list_sum(list_transform(generate_series(1, len(e.embedding)),
@@ -520,9 +525,63 @@ object ExtensionOracles {
       |     sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
       |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))), 6) AS sim
       |FROM embeddings e, q
-      |WHERE e.vec_id <> 0
+      |WHERE e.vec_id <> $qid
       |ORDER BY sim DESC, e.vec_id
-      |LIMIT 20""".stripMargin
+      |LIMIT $k""".stripMargin
+
+  val cosineTopK: String = cosineTopKSql(0L, 20)
+
+  /** Brute-force exact-L2 top-k for query `qid` — the re-rank-lane
+    * oracle for PQ refine (q62): same left-to-right fold over squared
+    * diffs as the Spark side's materialized-diff DotProduct. */
+  def l2TopKSql(qid: Long, k: Int): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid)
+      |SELECT e.vec_id, e.label,
+      |  round(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |    i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)) *
+      |         (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))))), 6) AS dist
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> $qid
+      |ORDER BY dist, e.vec_id
+      |LIMIT $k""".stripMargin
+
+  /** q34's oracle: the sign-LSH bucket is fully SQL-expressible — the
+    * hyperplanes are deterministic splitmix64 CONSTANTS
+    * ([[graft.ext.Similarity.hyperplanes]]), rendered here as double
+    * literals (Scala's Double.toString is the shortest round-trip
+    * form, so DuckDB parses back the identical IEEE value). DuckDB
+    * recomputes every vector's bucket, restricts to the query's
+    * bucket, and scores exact cosine — candidate generation AND
+    * scoring both verified cross-engine. Sign comparisons are robust:
+    * dots are O(1)-magnitude left-to-right sums, so engines agree to
+    * ~1e-15, and a plane dot landing within float error of exactly 0
+    * does not occur in the synthetic corpora (and would be a
+    * data-dependent tie, not a logic bug). */
+  def annLshTopKSql(qid: Long, k: Int, numPlanes: Int, dim: Int): String = {
+    val planes = graft.ext.Similarity.hyperplanes(numPlanes, dim)
+    val bucketExpr = planes.zipWithIndex.map { case (p, idx) =>
+      val planeList = "[" + p.mkString(", ") + "]"
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, $dim),
+         |    i -> CAST(embedding[i] AS DOUBLE) * ($planeList)[i])) >= 0
+         |  THEN ${1L << idx} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH b AS (
+      |  SELECT vec_id, label, embedding, CAST($bucketExpr AS BIGINT) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = $qid)
+      |SELECT e.vec_id, e.label, e.bucket,
+      |  round(
+      |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+      |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))), 6) AS sim
+      |FROM b e, q
+      |WHERE e.vec_id <> $qid AND e.bucket = q.qbucket
+      |ORDER BY sim DESC, e.vec_id
+      |LIMIT $k""".stripMargin
+  }
 
   val labelStats: String =
     """WITH n AS (

@@ -218,19 +218,24 @@ object PipelineQueries {
         .orderBy("event_id", "signup_us")
     },
 
-    // PQ ANN: product-quantized codes + ADC scan. Training/codebooks
-    // aren't SQL-mirrorable (like IVF q45) → rows-only driver check;
-    // PqSpec proves recall vs exact L2 and training determinism.
-    // Codebooks come from the memoized build-once tier (codebooksFor),
-    // same serving-state contract as q45's Ivf.centroidsFor.
-    Q.noOracle("q62_ann_pq") { (s, dir) =>
+    // PQ ANN with exact re-rank + residual bound (the guaranteed
+    // refine lane, mirror of q45's IVF bound): ADC proposes a
+    // candidate pool, its exact re-rank yields a provisional k-th
+    // distance, and ‖q−x‖ ≥ √pq_dist − pq_res prunes every row that
+    // provably can't beat it before the final exact re-rank.
+    // Codebooks/ADC aren't SQL-mirrorable, but the output is provably
+    // the exact top-20 → a plain brute-force L2 oracle verifies it.
+    // PqSpec keeps the pure-ADC recall lane and asserts exactness of
+    // this one. Codebooks come from the memoized build-once tier
+    // (codebooksFor), same serving-state contract as q45's
+    // Ivf.centroidsFor.
+    Q("q62_ann_pq", ExtensionOracles.l2TopKSql(0L, 20)) { (s, dir) =>
       import graft.ext.Pq
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val books = Pq.codebooksFor(emb, dir)
       val q = emb.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
-      Pq.topK(Pq.withCodes(emb, books).filter(col("vec_id") =!= 0L), books, q, 20)
-        .select(col("vec_id"), col("label"), round(col("pq_dist"), 6).as("pq_dist"))
+      Pq.topKExact(Pq.withCodes(emb, books).filter(col("vec_id") =!= 0L), books, q, 20)
     },
 
     // THE capstone: the full training-corpus pipeline as one composed

@@ -54,9 +54,12 @@ object Ivf {
     * after the underlying corpus at `key` changes (mirrors
     * [[graft.analysis.EventsFact.invalidate]] and
     * [[Dedup.invalidateSignatures]]; without it [[centroidsFor]] would
-    * silently serve stale centroids forever). */
-  def invalidate(spark: org.apache.spark.sql.SparkSession, key: String): Unit =
+    * silently serve stale centroids forever). Radii are part of the
+    * same index artifact, so they drop together. */
+  def invalidate(spark: org.apache.spark.sql.SparkSession, key: String): Unit = {
     trainedCache.filterInPlace { case ((s, k2, _, _), _) => !((s eq spark) && k2 == key) }
+    radiiCache.filterInPlace { case ((s, k2, _), _) => !((s eq spark) && k2 == key) }
+  }
 
   /** Train spherical k-means centroids (unit-normalized).
     *
@@ -110,6 +113,95 @@ object Ivf {
   /** Corpus with its IVF cell assignment (the at-rest partition key). */
   def withCells(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     unitized(emb).withColumn("cell", cellOf(col("unit"), centroids))
+
+  /** Per-cell angular radii: max L2 distance from a member's unit
+    * vector to its own cell centroid — the other half of the
+    * exact-probe index next to the centroid matrix. One distributed
+    * pass (per-cell max is map-side combined; only k doubles reach the
+    * driver), memoized per (session, key) like [[centroidsFor]]. */
+  def radiiFor(emb: DataFrame, key: String, centroids: Array[Array[Double]]): Array[Double] =
+    radiiCache.getOrElseUpdate((emb.sparkSession, key, centroids.length),
+      cellRadii(emb, centroids))
+
+  private val radiiCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int), Array[Double]]
+
+  def cellRadii(emb: DataFrame, centroids: Array[Array[Double]]): Array[Double] = {
+    val centroidLookup = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val rows = withCells(emb, centroids)
+      .filter(col("unit").isNotNull)
+      // materialize the looked-up centroid as an attribute before the
+      // dot (interpreted-HOF discipline: one lookup per row, not per
+      // element), then dist² = 2 − 2·dot on unit vectors
+      .withColumn("_c", element_at(centroidLookup, col("cell") + 1))
+      .withColumn("_d", sqrt(greatest(lit(0.0),
+        lit(2.0) - lit(2.0) * Similarity.dot(col("unit"), col("_c")))))
+      .groupBy("cell").agg(max("_d").as("r"))
+      .collect()
+    val radii = new Array[Double](centroids.length)
+    rows.foreach(r => radii(r.getInt(0)) = r.getDouble(1))
+    radii
+  }
+
+  /** EXACT top-k with IVF pruning (the re-rank / bound lane next to
+    * the recall-traded [[topK]]): probe the `nProbe0` nearest cells
+    * for a provisional k-th similarity, then widen only to cells whose
+    * triangle-inequality bound could still beat it. For any member x
+    * of cell j, ‖q−x‖ ≥ ‖q−c_j‖ − r_j, so on unit vectors
+    * sim(q,x) ≤ 1 − max(0, ‖q−c_j‖ − r_j)²/2 — a cell failing that
+    * bound cannot contribute a top-k row and is never read.
+    *
+    * The output is therefore provably the brute-force top-k (the
+    * driver oracle is plain exact-cosine SQL) while the scan stays an
+    * nProbe-cells read whenever the corpus clusters. The provisional
+    * pass collects exactly `topK` sims (bounded, like the query-vector
+    * lookup); `eps` widens the bound so float error only ever
+    * over-probes, never prunes a true neighbour. Runs Spark jobs at
+    * call time (lookup + provisional top-k) — this is a query API, not
+    * a lazy-plan builder. */
+  def topKExact(emb: DataFrame, queryVecId: Long, topK: Int,
+                centroids: Array[Array[Double]], radii: Array[Double],
+                nProbe0: Int = 3, eps: Double = 1e-6): DataFrame =
+    exactPlan(emb, queryVecId, topK, centroids, radii, nProbe0, eps)._1
+
+  /** The cells [[topKExact]] reads for this query — the pruning
+    * diagnostic (and the spec's assertion surface): on clustered data
+    * this is far fewer than all k cells. */
+  def probeCells(emb: DataFrame, queryVecId: Long, topK: Int,
+                 centroids: Array[Array[Double]], radii: Array[Double],
+                 nProbe0: Int = 3, eps: Double = 1e-6): Seq[Int] =
+    exactPlan(emb, queryVecId, topK, centroids, radii, nProbe0, eps)._2
+
+  private def exactPlan(emb: DataFrame, queryVecId: Long, topK: Int,
+                        centroids: Array[Array[Double]], radii: Array[Double],
+                        nProbe0: Int, eps: Double): (DataFrame, Seq[Int]) = {
+    val cells = withCells(emb, centroids)
+    val qUnit = cells.filter(col("vec_id") === queryVecId)
+      .select("unit").head().getSeq[Double](0).toArray
+    val centroidSims = centroids.map(_.zip(qUnit).map { case (a, b) => a * b }.sum)
+    val phase1 = centroidSims.zipWithIndex.sortBy(-_._1).take(nProbe0).map(_._2).toSeq
+    val qCol = array(qUnit.map(lit): _*)
+    def exactIn(probe: Seq[Int]) = cells
+      .filter(col("cell").isin(probe: _*) && col("vec_id") =!= queryVecId)
+      .withColumn("sim", Similarity.dot(col("unit"), qCol))
+    val provisional = exactIn(phase1)
+      .orderBy(col("sim").desc, col("vec_id")).limit(topK)
+      .select("sim").collect().map(_.getDouble(0))
+    val sK = if (provisional.length < topK) -2.0 else provisional.last
+    val probes = centroids.indices.filter { j =>
+      phase1.contains(j) || {
+        val dQC = math.sqrt(math.max(0.0, 2.0 - 2.0 * centroidSims(j)))
+        val gap = math.max(0.0, dQC - radii(j))
+        1.0 - gap * gap / 2.0 >= sK - eps
+      }
+    }
+    val result = exactIn(probes)
+      .withColumn("sim", round(col("sim"), 6))
+      .select("vec_id", "label", "sim")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+    (result, probes)
+  }
 
   /** ANN top-k: exact cosine, restricted to the `nProbe` cells whose
     * centroids are closest to the query vector. nProbe = k degenerates

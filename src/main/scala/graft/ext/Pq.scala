@@ -124,22 +124,29 @@ object Pq {
     best
   }
 
-  /** Corpus with PQ codes attached (array<int>, length m). */
+  /** Corpus with its PQ index columns attached: `pq_code` (array<int>,
+    * length m) and `pq_res` = ‖x − recon(x)‖, the reconstruction
+    * residual norm. The residual is computed once AT ENCODE TIME and
+    * stored as one double per row — it is the second half of the index
+    * artifact that [[topKExact]]'s bound needs, so exact search never
+    * re-reads raw floats for it. */
   def withCodes(emb: DataFrame, codebooks: Codebooks,
-                vecCol: String = "embedding"): DataFrame =
+                vecCol: String = "embedding"): DataFrame = {
+    val vecExpr = () => org.apache.spark.sql.GraftColumnBridge
+      .expression(col(vecCol).cast("array<double>"))
     emb.withColumn("pq_code",
-      org.apache.spark.sql.GraftColumnBridge.column(PqEncode(
-        org.apache.spark.sql.GraftColumnBridge.expression(col(vecCol).cast("array<double>")),
-        codebooks)))
+        org.apache.spark.sql.GraftColumnBridge.column(PqEncode(vecExpr(), codebooks)))
+      .withColumn("pq_res",
+        org.apache.spark.sql.GraftColumnBridge.column(PqResidual(vecExpr(), codebooks)))
+  }
 
-  /** ADC top-k: score candidates by summed per-subspace distances from
-    * the query to each code's centroid (one table lookup per
-    * subspace). Returns approximate L2 distance, ascending. */
-  def topK(coded: DataFrame, codebooks: Codebooks, query: Array[Double],
-           k: Int, idCol: String = "vec_id"): DataFrame = {
+  /** Per-subspace squared distances from the query to every codebook
+    * centroid — the ADC lookup table (m × k doubles, built once per
+    * query on the driver). */
+  private def adcTable(codebooks: Codebooks, query: Array[Double]): Array[Array[Double]] = {
     val m = codebooks.length
     val dsub = query.length / m
-    val table: Array[Array[Double]] = Array.tabulate(m) { s =>
+    Array.tabulate(m) { s =>
       val q = query.slice(s * dsub, (s + 1) * dsub)
       codebooks(s).map { c =>
         var d = 0.0; var i = 0
@@ -147,10 +154,77 @@ object Pq {
         d
       }
     }
-    coded.withColumn("pq_dist",
-        org.apache.spark.sql.GraftColumnBridge.column(PqAdc(
-          org.apache.spark.sql.GraftColumnBridge.expression(col("pq_code")), table)))
+  }
+
+  private def adcCol(table: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(PqAdc(
+      org.apache.spark.sql.GraftColumnBridge.expression(col("pq_code")), table))
+
+  /** ADC top-k: score candidates by summed per-subspace distances from
+    * the query to each code's centroid (one table lookup per
+    * subspace). Returns approximate L2 distance, ascending. */
+  def topK(coded: DataFrame, codebooks: Codebooks, query: Array[Double],
+           k: Int, idCol: String = "vec_id"): DataFrame =
+    coded.withColumn("pq_dist", adcCol(adcTable(codebooks, query)))
       .orderBy(col("pq_dist"), col(idCol))
+      .limit(k)
+
+  /** `df` plus the exact L2 distance to `query` as `_dist` — the diff
+    * vector is materialized as an attribute first (interpreted HOF
+    * lambdas re-evaluate children per element — the withUnit lesson),
+    * then one left-to-right fold for the squared distance. */
+  private def withExactDist(df: DataFrame, query: Array[Double], vecCol: String): DataFrame = {
+    val qCol = array(query.map(lit): _*)
+    df.withColumn("_diff", zip_with(col(vecCol).cast("array<double>"), qCol, (a, b) => a - b))
+      .withColumn("_dist", sqrt(Similarity.dot(col("_diff"), col("_diff"))))
+  }
+
+  /** ADC candidates + exact re-rank (the FAISS refine pattern): the
+    * code scan proposes `k × refine` candidates by approximate
+    * distance, then only those rows read their raw vectors for an
+    * exact L2 re-rank. Best-effort: the answer is exact iff the pool
+    * covered the true top-k; [[topKExact]] adds the residual bound
+    * that makes it provably exact. */
+  def topKRefined(coded: DataFrame, codebooks: Codebooks, query: Array[Double],
+                  k: Int, refine: Int = 5,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    withExactDist(topK(coded, codebooks, query, k * refine, idCol), query, vecCol)
+      .withColumn("dist", round(col("_dist"), 6))
+      .select(col(idCol), col("label"), col("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+
+  /** EXACT top-k via ADC + the residual bound (the re-rank lane with a
+    * guarantee, mirror of [[Ivf.topKExact]]): `pq_dist` is the EXACT
+    * squared distance from the query to a row's PQ reconstruction, so
+    * by the triangle inequality ‖q−x‖ ≥ √pq_dist − ‖x−recon(x)‖. A
+    * provisional exact re-rank of the ADC top-`k·refine` pool yields a
+    * k-th distance d_k; only rows whose bound beats d_k (+`eps` float
+    * slack — over-probes, never prunes a true neighbour) read their
+    * raw floats for the final exact re-rank. The output is provably
+    * the brute-force top-k (a plain exact-L2 SQL oracle verifies it)
+    * while the corpus-wide scan stays code-bytes; the raw-float read
+    * is bound-survivors only — selective exactly when quantization
+    * residuals are small against neighbour gaps (clustered real
+    * embeddings; uniform-random corpora are PQ's worst case and
+    * degrade gracefully to a full re-rank, still exact). `coded` must
+    * carry the [[withCodes]] index columns (`pq_code`, `pq_res`).
+    * Runs Spark jobs at call time (provisional collect of k
+    * distances) — a query API, not a lazy-plan builder. */
+  def topKExact(coded: DataFrame, codebooks: Codebooks, query: Array[Double],
+                k: Int, refine: Int = 5, eps: Double = 1e-6,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pool = withExactDist(topK(coded, codebooks, query, k * refine, idCol), query, vecCol)
+      .orderBy(col("_dist"), col(idCol)).limit(k)
+      .select("_dist").collect().map(_.getDouble(0))
+    val dK = if (pool.length < k) Double.MaxValue else pool.last
+    val survivors = coded
+      .withColumn("pq_dist", adcCol(adcTable(codebooks, query)))
+      .filter(sqrt(col("pq_dist")) - col("pq_res") <= dK + eps)
+    withExactDist(survivors, query, vecCol)
+      .withColumn("dist", round(col("_dist"), 6))
+      .select(col(idCol), col("label"), col("dist"))
+      .orderBy(col("dist"), col(idCol))
       .limit(k)
   }
 }
@@ -225,5 +299,53 @@ object PqAdc {
     var s = 0
     while (s < table.length) { acc += table(s)(codes.getInt(s)); s += 1 }
     acc
+  }
+}
+
+/** vec → ‖vec − recon(vec)‖: the PQ reconstruction residual norm
+  * (sum over subspaces of the nearest-centroid squared distance,
+  * rooted). Same m × k × dsub pass as [[PqEncode]]; emitted once at
+  * encode time and stored with the code. */
+case class PqResidual(child: Expression, codebooks: Pq.Codebooks) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_residual"
+
+  override def nullSafeEval(input: Any): Any =
+    PqResidual.residual(input.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.ext.PqResidual.residual($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqResidual =
+    copy(child = newChild)
+}
+
+object PqResidual {
+  def residual(vec: ArrayData, codebooks: Pq.Codebooks): Double = {
+    val m = codebooks.length
+    val dsub = vec.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val cs = codebooks(s)
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val t = vec.getDouble(s * dsub + i) - cs(c)(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) bestD = d
+        c += 1
+      }
+      acc += bestD
+      s += 1
+    }
+    math.sqrt(acc)
   }
 }

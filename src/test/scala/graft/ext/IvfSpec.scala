@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class IvfSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
   private lazy val centroids = Ivf.trainCentroids(emb, k = 8, iters = 3)
@@ -37,6 +38,54 @@ class IvfSpec extends SparkSpec {
     assert(b.map(_.toSeq).toSeq == a.map(_.toSeq).toSeq,
       "deterministic training: retrained values identical")
     Ivf.invalidate(spark, "spec_key")
+  }
+
+  test("topKExact: bound-pruned probe reproduces exact brute-force top-k") {
+    val radii = Ivf.cellRadii(emb, centroids)
+    val brute = Similarity.bruteForceTopK(emb, 7L, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val exact = Ivf.topKExact(emb, 7L, 20, centroids, radii, nProbe0 = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(exact == brute, "the triangle-inequality bound must never lose a true neighbour")
+  }
+
+  test("topKExact: the bound actually prunes cells on clustered data") {
+    // four tight clusters on orthogonal axes: the nearest cell's
+    // provisional k-th sim (~1) beats every far cluster's upper bound
+    // (~0), so only the query's cluster scans
+    val dim = 8
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 40
+    } yield {
+      val noise = Array.tabulate(dim)(d => math.sin(c * 131 + i * 17 + d) * 0.01)
+      val v = Array.tabulate(dim)(d => (if (d == c) 1.0 else 0.0) + noise(d))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      // interleave ids across clusters so the deterministic seeds (the
+      // 4 lowest vec_ids) start one-per-cluster
+      ((i * 4 + c).toLong, c, v.map(_ / n).map(_.toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val cs = Ivf.trainCentroids(df, k = 4, iters = 3)
+    val radii = Ivf.cellRadii(df, cs)
+    val probes = Ivf.probeCells(df, 0L, 10, cs, radii, nProbe0 = 1)
+    assert(probes.size < 4, s"far clusters must be pruned, probed $probes")
+    val brute = Similarity.bruteForceTopK(df, 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Ivf.topKExact(df, 0L, 10, cs, radii, nProbe0 = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact == brute)
+  }
+
+  test("radii cache memoizes per (session, key) and invalidate drops both tiers") {
+    val cs = Ivf.centroidsFor(emb, "radii-spec-key", k = 4, iters = 1)
+    val a = Ivf.radiiFor(emb, "radii-spec-key", cs)
+    assert(Ivf.radiiFor(emb, "radii-spec-key", cs) eq a, "second call must hit the cache")
+    Ivf.invalidate(spark, "radii-spec-key")
+    val b = Ivf.radiiFor(emb, "radii-spec-key", cs)
+    assert(!(b eq a), "invalidate must drop radii with the centroids")
+    assert(b.toSeq == a.toSeq, "deterministic: recomputed radii identical")
+    Ivf.invalidate(spark, "radii-spec-key")
   }
 
   test("narrow probe keeps useful recall at a fraction of the scan") {

@@ -41,6 +41,39 @@ class PqSpec extends SparkSpec {
     Pq.invalidate(spark, "pq-spec-other")
   }
 
+  test("withCodes stores the reconstruction residual next to the code") {
+    val coded = Pq.withCodes(emb, books)
+    val row = coded.select(col("embedding").cast("array<double>"), col("pq_code"), col("pq_res")).head()
+    val v = row.getSeq[Double](0).toArray
+    val code = row.getSeq[Int](1)
+    val res = row.getDouble(2)
+    // recon = concatenated chosen centroids; residual = ||v - recon||
+    val dsub = v.length / books.length
+    val recon = books.zipWithIndex.flatMap { case (cs, s) => cs(code(s)) }
+    val expect = math.sqrt(v.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum)
+    assert(math.abs(res - expect) < 1e-12, s"pq_res $res != recomputed $expect")
+    assert(dsub == 8)
+  }
+
+  test("topKExact: residual bound makes ADC+re-rank provably exact") {
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val exact = emb.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](2)
+        val d = math.sqrt(v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+        (r.getLong(0), BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(20).toSeq
+    val coded = Pq.withCodes(emb, books).filter(col("vec_id") =!= 0L)
+    val got = Pq.topKExact(coded, books, q, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == exact,
+      s"bound-filtered refine must equal brute force\n got=$got\n want=$exact")
+  }
+
   test("ADC top-k recall vs exact L2 brute force") {
     val q = emb.filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
