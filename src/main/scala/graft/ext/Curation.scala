@@ -447,7 +447,16 @@ object Curation {
     * skew this operator defends against is a DOMINANT key, i.e. few
     * keys — the regime where the frame is tiny; at extreme key
     * cardinality (millions of keys, each small) per-key windows were
-    * never skewed, so lower `buckets` toward 1 there. NULL metrics are
+    * never skewed, and the gate protects itself: if the verdict frame
+    * would exceed `maxVerdictRows`, it falls back to the plain per-key
+    * window form instead of collecting an unbounded frame to the
+    * driver (high cardinality ⇒ small keys ⇒ the window was never the
+    * skew risk). EXECUTION IS EAGER: the call materializes the scored
+    * frame (one localCheckpoint pass — the histogram and tag lanes
+    * then both read the checkpoint, so an expensive upstream metric is
+    * computed ONCE, not per lane) and collects the bounded verdict —
+    * this is a query API like [[Ivf.topKExact]], not a lazy-plan
+    * builder. NULL metrics are
     * excluded, not ranked: engines disagree on NULL ordering, and a
     * ranked NULL row would both occupy a kept slot and inflate the
     * per-key count the keep fraction is taken of. NaN metrics are
@@ -469,7 +478,8 @@ object Curation {
       keepDen: Int,
       descending: Boolean = true,
       idCol: String = "doc_id",
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      maxVerdictRows: Int = 1 << 20): DataFrame = {
     require(keepDen > 0 && keepNum >= 0 && keepNum <= keepDen,
       s"keep fraction must be within [0, 1]: $keepNum/$keepDen")
     require(buckets >= 1, s"buckets must be positive: $buckets")
@@ -480,7 +490,12 @@ object Curation {
     val bkt = least(greatest(
       floor(col(metricCol) * buckets).cast("long"), lit(0L)),
       lit(buckets - 1L))
-    val withB = rows.withColumn("_rg_bkt", bkt)
+    // ONE pass computes the (possibly expensive) metric + bucket; the
+    // histogram lane and the tag lane both read the checkpoint instead
+    // of re-running the upstream plan (q90's tokenize-and-score scan
+    // ran twice before this)
+    val withB = rows.withColumn("_rg_bkt", bkt).localCheckpoint()
+    val ordM = if (descending) col(metricCol).desc else col(metricCol).asc
     // tiny frame: per-(key, bucket) counts, then per bucket the count
     // of rows in strictly BETTER buckets and the key total
     val wKey = Window.partitionBy(keyCol)
@@ -503,16 +518,26 @@ object Curation {
     // read as quotaSample's seat allocation). Referencing the lazy
     // frame from both lanes would recompute the histogram aggregation
     // per lane — each lane's filter pushes into its broadcast subtree,
-    // making the two exchanges non-identical and defeating reuse —
-    // i.e. two extra full corpus scans per call.
+    // making the two exchanges non-identical and defeating reuse.
+    // limit(max+1) bounds the driver read: a verdict PAST the cap
+    // means extreme key cardinality, where per-key groups are small
+    // and the plain window form was never the skew risk — fall back
+    // instead of OOMing the driver.
     val spark = df.sparkSession
+    val verdictRows = verdict.limit(maxVerdictRows + 1).collect()
+    if (verdictRows.length > maxVerdictRows) {
+      val ranked = withB
+        .withColumn("_rg_rn", row_number().over(wKey.orderBy(ordM, col(idCol))))
+        .withColumn("_rg_kn", count(lit(1)).over(wKey))
+        .filter(col("_rg_rn").cast("long") * keepDen <= col("_rg_kn") * keepNum)
+      return ranked.select(df.columns.map(col): _*)
+    }
     val verdictLocal = spark.createDataFrame(
-      java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
+      java.util.Arrays.asList(verdictRows: _*), verdict.schema)
     val tagged = withB.join(broadcast(verdictLocal), Seq(keyCol, "_rg_bkt"))
     val keptWhole = tagged.filter(col("_rg_all"))
     // only the boundary bucket's rows enter a window — partitioned by
     // (key, bucket), so the sort is ~n_key/buckets and parallel
-    val ordM = if (descending) col(metricCol).desc else col(metricCol).asc
     val boundary = tagged.filter(!col("_rg_all") && !col("_rg_none"))
       .withColumn("_rg_rn", row_number().over(
         Window.partitionBy(keyCol, "_rg_bkt").orderBy(ordM, col(idCol))))

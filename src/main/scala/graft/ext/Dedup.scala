@@ -398,16 +398,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  // ONE lock for all three cache tiers: builds nest (componentsFor ->
-  // pairsFor -> signaturesFor, reentrant on the same monitor) and
-  // invalidation must not interleave with a build — a per-map lock let
-  // invalidateSignatures empty the maps while a pairs build held the
-  // old signature frame, re-caching a pair graph over the just-dropped
-  // corpus snapshot.
-  private object cacheLock
+  /** One memoized build-once slot. The cache maps hold CELLS, not
+    * frames, so a per-key build (a full Spark job chain for the
+    * pair/component tiers) runs under the cell's own monitor — a
+    * concurrent caller of any other key, or invalidateSignatures for
+    * an unrelated dir, never blocks behind it (the old single
+    * cacheLock serialized every tier behind whichever build was in
+    * flight). Same-key callers wait on the cell and share the one
+    * build; a losing putIfAbsent racer discards its cell UNFORCED, so
+    * nothing double-builds or leaks a persist. Invalidation is
+    * per-cell too: it synchronizes on the cell (waiting out an
+    * in-flight build of that key — lazy-val init holds the instance
+    * monitor), unpersists only if the build ever ran, and the removed
+    * cell can never re-insert its frame — a build that loses the race
+    * with invalidate finishes into its own discarded cell and the next
+    * caller rebuilds over the fresh corpus. */
+  private final class Cell(build: => DataFrame) {
+    @volatile private var forced = false
+    lazy val value: DataFrame = { val v = build; forced = true; v }
+    def drop(): Unit = synchronized { if (forced) value.unpersist() }
+  }
+
+  private def memo[K](cache: scala.collection.concurrent.TrieMap[K, Cell], key: K)(
+      build: => DataFrame): DataFrame = {
+    val cell = cache.get(key).getOrElse {
+      val fresh = new Cell(build)
+      cache.putIfAbsent(key, fresh).getOrElse(fresh)
+    }
+    cell.value
+  }
 
   private val sigCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), Cell]
 
   /** Memoized persisted signature frame for a documents parquet dir —
     * one row of (id, h0 … h{n−1}) longs per doc, orders of magnitude
@@ -421,19 +443,16 @@ object Dedup {
       sfDir: String,
       k: Int = 3,
       numHashes: Int = 16): DataFrame =
-    // synchronized like EventsFact.fact: a racing getOrElseUpdate thunk
-    // would leak the losing persist()
-    cacheLock.synchronized {
-      sigCache.getOrElseUpdate((spark, sfDir, k, numHashes),
-        minhashSignatureAggFast(
-          spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k, numHashes)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    memo(sigCache, (spark, sfDir, k, numHashes)) {
+      minhashSignatureAggFast(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", k, numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   private val pairsCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Double, Int), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, String, Double, Int), Cell]
   private val compCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Double, Int), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, String, Double, Int), Cell]
 
   /** Memoized persisted VERIFIED near-dup pair frame
     * (a_id, b_id, jaccard) for a documents parquet dir — the second
@@ -454,14 +473,13 @@ object Dedup {
       sfDir: String,
       minJaccard: Double = 0.4,
       maxBucket: Int = 256): DataFrame =
-    cacheLock.synchronized {
-      pairsCache.getOrElseUpdate((spark, sfDir, minJaccard, maxBucket),
-        nearDuplicatePairsFromSignatures(
-          signaturesFor(spark, sfDir),
-          spark.read.parquet(s"$sfDir/documents.parquet"),
-          "doc_id", "text", numHashes = 16, bands = 4,
-          minJaccard = minJaccard, maxBucket = maxBucket)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    memo(pairsCache, (spark, sfDir, minJaccard, maxBucket)) {
+      nearDuplicatePairsFromSignatures(
+        signaturesFor(spark, sfDir),
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        "doc_id", "text", numHashes = 16, bands = 4,
+        minJaccard = minJaccard, maxBucket = maxBucket)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Memoized connected-components frame (id, component) over
@@ -479,31 +497,32 @@ object Dedup {
       sfDir: String,
       minJaccard: Double = 0.4,
       maxBucket: Int = 256): DataFrame =
-    cacheLock.synchronized {
-      compCache.getOrElseUpdate((spark, sfDir, minJaccard, maxBucket),
-        Components.connectedComponents(
-          pairsFor(spark, sfDir, minJaccard, maxBucket).select("a_id", "b_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    memo(compCache, (spark, sfDir, minJaccard, maxBucket)) {
+      Components.connectedComponents(
+        pairsFor(spark, sfDir, minJaccard, maxBucket).select("a_id", "b_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Drop the persisted signatures AND the pair/component frames
     * derived from them for a dir (the refresh path — the three tiers
     * invalidate together so no query can join a fresh signature frame
-    * against a stale pair graph). */
-  def invalidateSignatures(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = cacheLock.synchronized {
-    sigCache.filterInPlace { case ((s, d, _, _), df) =>
+    * against a stale pair graph). Waits out an in-flight build of a
+    * stale key (per-cell monitor) but never blocks on other dirs'
+    * builds. */
+  def invalidateSignatures(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    sigCache.filterInPlace { case ((s, d, _, _), cell) =>
       val stale = (s eq spark) && d == sfDir
-      if (stale) df.unpersist()
+      if (stale) cell.drop()
       !stale
     }
-    pairsCache.filterInPlace { case ((s, d, _, _), df) =>
+    pairsCache.filterInPlace { case ((s, d, _, _), cell) =>
       val stale = (s eq spark) && d == sfDir
-      if (stale) df.unpersist()
+      if (stale) cell.drop()
       !stale
     }
-    compCache.filterInPlace { case ((s, d, _, _), df) =>
+    compCache.filterInPlace { case ((s, d, _, _), cell) =>
       val stale = (s eq spark) && d == sfDir
-      if (stale) df.unpersist()
+      if (stale) cell.drop()
       !stale
     }
   }

@@ -16,35 +16,45 @@ import org.apache.spark.sql.functions._
   *   1. `groupBy(key, value).count` — map-side combined; the frame
   *      shrinks to distinct values per key, each row carrying only a
   *      count;
-  *   2. one cumulative-sum window per key over that frame (ordered by
-  *      value) gives each distinct value its 1-based rank span
-  *      [lo, hi] — WindowExec sorts and SPILLS, and the rows are
-  *      (key, value, count) triples, never the raw data;
+  *   2. TWO window aggregates per key over that frame, served by ONE
+  *      sort/exchange (same partitioning, compatible ordering): the
+  *      cumulative sum (ordered by value) gives each distinct value
+  *      its 1-based rank span [lo, hi], and an unbounded-frame sum
+  *      gives the key's total count n — no second scan, no separate
+  *      totals lane, no broadcast join (both were measured slower:
+  *      every extra lane is an extra AQE stage, and the probe join's
+  *      broadcast build is a whole exchange for a #keys×#fractions
+  *      frame);
   *   3. the target ranks — `index = p·(n−1)` per (key, fraction), its
-  *      floor/ceil ranks and interpolation fraction — live on a
-  *      #keys × #fractions frame, broadcast back;
-  *   4. the rows whose rank span contains a target rank (≤ 2 per
-  *      (key, fraction)) are interpolated:
-  *      `lower + (index − floor(index)) · (higher − lower)` — the
-  *      formula `percentile` and DuckDB's `quantile_cont` share, on
-  *      the same doubles, so results are bitwise identical to both.
+  *      floor/ceil ranks and interpolation fraction — are computed
+  *      per ROW (a #fractions explode), and rows whose rank span
+  *      contains neither target rank are filtered out immediately
+  *      (≤ 2 survivors per (key, fraction));
+  *   4. survivors interpolate:
+  *      `(ceil(i)−i)·lower + (i−floor(i))·higher` — the exact
+  *      two-product form `percentile` and DuckDB's `quantile_cont`
+  *      evaluate, on the same doubles, so results are bitwise
+  *      identical to both.
   *
   * NULL values are excluded (the built-in's contract); NULL KEYS form
-  * their own group exactly like GROUP BY (the probe join is
-  * null-safe). Keys with zero non-NULL values are absent from the
-  * output (no group, like the built-in's empty-group NULL row never
-  * forming).
+  * their own group exactly like GROUP BY. DIVERGENCE: a key whose
+  * values are ALL NULL still forms a GROUP BY group, for which the
+  * built-in returns a NULL-percentile row — here the NULL-value
+  * filter removes the key entirely, so that row is absent (deliberate,
+  * encoded in ExactPercentilesSpec "keys whose values are all NULL
+  * are absent"; emit such rows with an outer join against the key
+  * universe if the built-in's shape is needed).
   *
-  * Contract bounds: the probe frame is #keys × #fractions × 2 rows and
-  * is BROADCAST — the same driver-bounded #keys contract as
-  * [[graft.ext.Curation.quotaSample]]'s seat allocation. This utility
-  * targets the hot-GROUP axis (few keys, enormous groups — where the
-  * built-in OOMs); at extreme key cardinality (per-user percentiles)
-  * the built-in's per-group buffers are small and fine — use it there.
+  * Scale shape: everything after step 1 operates on distinct
+  * (key, value) rows, never raw data; WindowExec sorts and SPILLS.
+  * This utility targets the hot-GROUP axis (few keys, enormous
+  * groups — where the built-in OOMs); at extreme key cardinality
+  * (per-user percentiles) the built-in's per-group buffers are small
+  * and fine — use it there.
   * Signed zeros: values are grouped with SQL equality, so −0.0 and 0.0
   * merge (result surfaces as 0.0) — the built-in keeps them as
   * distinct sort positions and can return −0.0; this is the one
-  * deliberate last-bit divergence.
+  * deliberate last-bit value divergence.
   */
 object ExactPercentiles {
 
@@ -62,45 +72,27 @@ object ExactPercentiles {
       .select(col(keyCol).as("_pk"), col(valCol).cast("double").as("_pv"))
     val counts = vals.groupBy("_pk", "_pv").agg(count(lit(1)).as("_c"))
     val w = Window.partitionBy("_pk").orderBy("_pv")
+    val wAll = Window.partitionBy("_pk")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val spans = counts
       .withColumn("_hi", sum(col("_c")).over(w))
       .withColumn("_lo", col("_hi") - col("_c") + 1)
-    // per-key totals re-aggregate the counts frame; the two lanes'
-    // count subtrees canonicalize to the SAME partial-agg exchange, so
-    // AQE ReusedExchange serves the probe lane from the span lane's
-    // shuffle at runtime — the source is scanned once (verified on the
-    // executed plan; deriving _n from the windowed spans instead
-    // measured SLOWER, because that trades a reused-exchange hash agg
-    // for a second per-key sort)
-    val ns = counts.groupBy("_pk").agg(sum(col("_c")).as("_n"))
-    // #keys × #fractions × 2 rank probes — a driver-bounded tiny frame
-    val probes = ns
-      .select(col("_pk"), col("_n"), explode(array(ps.map { case (name, p) =>
-        struct(lit(name).as("name"), lit(p).as("p"))
-      }: _*)).as("_t"))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val targets = ps.map { case (name, p) =>
+      struct(lit(name).as("name"), lit(p).as("p"))
+    }
+    val probed = spans
+      .withColumn("_t", explode(array(targets: _*)))
       .withColumn("_idx", col("_t.p") * (col("_n") - 1).cast("double"))
-      .select(col("_pk"), col("_t.name").as("_pname"), col("_idx"),
-        explode(array(
-          struct(lit("lo").as("which"), (floor(col("_idx")).cast("long") + 1).as("rank")),
-          struct(lit("hi").as("which"), (ceil(col("_idx")).cast("long") + 1).as("rank"))))
-          .as("_probe"))
-      .select(col("_pk").as("_qk"), col("_pname"), col("_idx"),
-        col("_probe.which").as("_which"), col("_probe.rank").as("_rank"))
-    // null-safe key match: a NULL key is a real group (GROUP BY
-    // semantics, the built-in returns a row for it) — a plain
-    // equi-join would silently drop it
-    val matched = spans.join(broadcast(probes),
-      col("_pk") <=> col("_qk") &&
-        col("_rank").between(col("_lo"), col("_hi")))
-    // the exact two-product form the built-in `percentile` (and DuckDB
-    // quantile_cont) evaluates — NOT lo + frac·(hi−lo), which differs
-    // in the last bit: (ceil(i)−i)·lo + (i−floor(i))·hi, with the
-    // integral-index case short-circuited (both products are 0 there)
-    val interpolated = matched
-      .groupBy(col("_pk"), col("_pname"), col("_idx"))
+      .withColumn("_rlo", floor(col("_idx")).cast("long") + 1)
+      .withColumn("_rhi", ceil(col("_idx")).cast("long") + 1)
+      .filter(col("_rlo").between(col("_lo"), col("_hi")) ||
+        col("_rhi").between(col("_lo"), col("_hi")))
+    val interpolated = probed
+      .groupBy(col("_pk"), col("_t.name").as("_pname"), col("_idx"))
       .agg(
-        max(when(col("_which") === "lo", col("_pv"))).as("_vlo"),
-        max(when(col("_which") === "hi", col("_pv"))).as("_vhi"))
+        max(when(col("_rlo").between(col("_lo"), col("_hi")), col("_pv"))).as("_vlo"),
+        max(when(col("_rhi").between(col("_lo"), col("_hi")), col("_pv"))).as("_vhi"))
       .withColumn("_val",
         when(floor(col("_idx")) === ceil(col("_idx")), col("_vlo"))
           .otherwise((ceil(col("_idx")) - col("_idx")) * col("_vlo") +

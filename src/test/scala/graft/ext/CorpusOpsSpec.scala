@@ -352,6 +352,19 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("relativeRankGate: verdict cap falls back to the window form, same kept set") {
+    val df = (1 to 500).map { i =>
+      (i.toLong, s"k${i % 3}", ((i * 2654435761L) % 1000).toDouble / 1000.0)
+    }.toDF("doc_id", "k", "m")
+    val bucketed = Curation.relativeRankGate(df, "k", "m", 3, 4)
+      .collect().map(_.getLong(0)).toSet
+    // a cap below the verdict size must route to the per-key window
+    // fallback instead of collecting, with an identical kept set
+    val fallback = Curation.relativeRankGate(df, "k", "m", 3, 4, maxVerdictRows = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(fallback == bucketed)
+  }
+
   test("relativeRankGate: NaN metrics and NULL keys are excluded, not ranked") {
     // NaN would sort ABOVE every real value in Spark's window order
     // but quantize into the WORST bucket — neither placement is a
