@@ -42,6 +42,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pin UTC: events.ts is stored NTZ and canonicalized via a cast
+      // whose instant depends on the session zone (EventsFact.canonicalTs)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // serial-run safety net behind the explicit per-query hygiene:
       // ContextCleaner's own periodic GC (default 30 min) would never
@@ -103,13 +106,12 @@ object Bench {
       wq.awaitTermination()
       // ... and the stream-stream join machinery (symmetric hash join
       // keeps its own state-store quartet and codegen paths): a
-      // near-empty two-sided interval self-join, not any bench query
-      val js = spark.readStream
-        .schema(StructType(Seq(StructField("event_id", LongType),
-          StructField("ts", LongType), StructField("user_id", LongType))))
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumn("tsm", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      // near-empty two-sided interval self-join, not any bench query.
+      // ts shape probed + canonicalized like the real streams.
+      val js = graft.analysis.EventsFact.canonicalTs(spark.readStream
+          .schema(graft.analysis.EventsFact.eventsSchema(spark, sfDir))
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+        .withColumn("tsm", org.apache.spark.sql.functions.col("ts"))
       import org.apache.spark.sql.functions.{col, expr}
       val wa = js.filter(col("event_id") % 997 === 0)
         .select(col("user_id").as("au"), col("tsm").as("ats"))

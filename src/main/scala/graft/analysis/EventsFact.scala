@@ -21,18 +21,39 @@ import org.apache.spark.sql.functions._
   */
 object EventsFact {
 
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects by default; read it as long nanos and rebuild a
-    * (UTC) timestamp at microsecond precision. Integer `div` — a double
-    * division would lose precision above 2^53 ns. */
+  /** The events parquet's `ts` physical shape has varied across driver
+    * data generations: TIMESTAMP(NANOS) (read as long nanos via
+    * `nanosAsLong`, since the vectorized reader rejects NANOS) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).
+    * [[canonicalTs]] folds either into ONE canonical type — TIMESTAMP
+    * (instant) — so every downstream event-time operation
+    * (`unix_micros`, epoch casts, watermarks) resolves identically
+    * regardless of which generation is on disk. All entry points pin
+    * the session to UTC, so the NTZ wall clock and the instant agree
+    * with the DuckDB oracle's naive-timestamp arithmetic. */
+  def canonicalTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      // long nanos → micros; integer `div` — a double division would
+      // lose precision above 2^53 ns
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** The on-disk schema of the events table (probed from the parquet
+    * footer) — streaming readers need an explicit schema, and guessing
+    * the ts shape instead of probing is how a data regeneration turns
+    * into silently-wrong timestamps (a micros column read as long). */
+  def eventsSchema(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").schema
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    canonicalTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   /** The derived fact table is the hub 12+ queries hang off, so it is

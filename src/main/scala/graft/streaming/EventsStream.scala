@@ -18,29 +18,18 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventsStream {
 
-  /** Parquet stores ts as TIMESTAMP(NANOS) — streaming reads it as
-    * long (nanosAsLong) and rebuilds a microsecond timestamp. */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType),
-  ))
-
   /** Daily per-type counts/sums as a streaming aggregation. Runs the
     * stream to completion over the available files (AvailableNow) and
     * returns the final result — which equals the batch answer. */
   def dailyTypeCounts(spark: SparkSession, sfDir: String, queryName: String = "daily_counts"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source wants a directory; select just the events
-    // table out of the shared sf dir with a glob filter.
-    val stream = spark.readStream
-      .schema(eventsRawSchema)
+    // table out of the shared sf dir with a glob filter. Schema is
+    // probed from the footer, ts canonicalized to an instant — see
+    // EventsFact.canonicalTs for the cross-generation ts contract.
+    val stream = graft.analysis.EventsFact.canonicalTs(spark.readStream
+      .schema(graft.analysis.EventsFact.eventsSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(

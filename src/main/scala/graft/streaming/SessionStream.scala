@@ -27,15 +27,6 @@ object SessionStream {
   case class OpenSession(startUs: Long, lastUs: Long, n: Long)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType),
-  ))
-
   /** Epoch micros from a Timestamp (getTime alone is ms-truncated). */
   private def micros(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
@@ -83,12 +74,12 @@ object SessionStream {
   def sessions(spark: SparkSession, sfDir: String, gapSeconds: Long,
                queryName: String = "sessions"): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(eventsRawSchema)
+    // Schema probed from the footer, ts canonicalized to an instant
+    // (EventsFact.canonicalTs cross-generation contract).
+    val stream = graft.analysis.EventsFact.canonicalTs(spark.readStream
+      .schema(graft.analysis.EventsFact.eventsSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("ts"))
       .as[SessionEvent]

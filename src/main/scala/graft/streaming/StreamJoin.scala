@@ -24,28 +24,18 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamJoin {
 
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType),
-  ))
-
   def purchaseAttribution(
       spark: SparkSession,
       sfDir: String,
       queryName: String = "purchase_attribution"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // ONE source, both sides filtered off it (streaming self-join):
     // two independent readStreams would each run their own file
-    // listing and scan per micro-batch
-    val src = spark.readStream
-      .schema(eventsRawSchema)
+    // listing and scan per micro-batch. Schema probed from the footer,
+    // ts canonicalized (EventsFact.canonicalTs cross-generation contract).
+    val src = graft.analysis.EventsFact.canonicalTs(spark.readStream
+      .schema(graft.analysis.EventsFact.eventsSchema(spark, sfDir))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
     def side(tpe: String): DataFrame = src.filter(col("event_type") === tpe)
     val purchases = side("purchase")
       .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))

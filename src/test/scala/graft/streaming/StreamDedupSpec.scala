@@ -13,26 +13,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * the batch distinct. */
 class StreamDedupSpec extends SparkSpec {
 
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType),
-  ))
-
   test("streamed dropDuplicates over a doubled source equals batch distinct") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Files.createTempDirectory("graft_stream_dup")
     val orig = Paths.get(s"${sf()}/events.parquet")
     Files.copy(orig, src.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(orig, src.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    val streamed = spark.readStream
+    val eventsRawSchema = graft.analysis.EventsFact.eventsSchema(spark, sf())
+    val streamed = graft.analysis.EventsFact.canonicalTs(spark.readStream
       .schema(eventsRawSchema)
-      .parquet(src.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(src.toString))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
       .groupBy()
