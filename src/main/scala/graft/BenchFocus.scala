@@ -17,6 +17,9 @@ object BenchFocus {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same UTC pin as Bench: events.ts is NTZ on disk and the
+      // canonical instant depends on the session zone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -202,11 +202,14 @@ object CorpusOpsQueries {
         transform(sequence(lit(0L), nChunks - 1),
           i => concat_ws(" ", slice(toks, (i * 3 + 1).cast("int"), lit(3)))))
         .otherwise(array().cast("array<string>"))
+      // materialize: the chunk transform is the expensive computed
+      // segsCol the operator's scale note names — checkpointed once,
+      // read by both the winner-election and the totals lane
       Dedup.dedupSegments(
           Dedup.withTokenArray(
             s.read.parquet(s"$dir/documents.parquet"), "text")
             .select(col("doc_id"), chunks.as("segments")),
-          sep = " ")
+          sep = " ", materialize = true)
         .orderBy("doc_id")
     },
 

@@ -669,15 +669,21 @@ object Dedup {
     * docs rebuild straight off the winners frame — nothing ever joins
     * back against the exploded corpus, and no seg-keyed join exists
     * to skew. Per-doc totals ride a per-row `size(segsCol)`
-    * projection lane (second source scan, no explode); callers with
-    * an expensive computed `segsCol` can cache/checkpoint upstream —
-    * two cheap scans beat one scan feeding a skewed window. */
+    * projection lane (second source scan, no explode); for an
+    * expensive computed `segsCol` pass `materialize = true` — the
+    * (id, segments) projection is local-checkpointed once
+    * (eager=false RDD blocks, same contract and executor-loss caveat
+    * as [[graft.ext.Curation.mixToProportions]]) so segmentation runs
+    * once, not once per lane. */
   def dedupSegments(
       docs: DataFrame,
       idCol: String = "doc_id",
       segsCol: String = "segments",
-      sep: String = " "): DataFrame = {
-    val seg = docs.select(col(idCol), posexplode(col(segsCol)).as(Seq("pos", "seg")))
+      sep: String = " ",
+      materialize: Boolean = false): DataFrame = {
+    val input = docs.select(col(idCol), col(segsCol))
+    val src = if (materialize) input.localCheckpoint(eager = false) else input
+    val seg = src.select(col(idCol), posexplode(col(segsCol)).as(Seq("pos", "seg")))
     val winners = seg
       .groupBy("seg")
       .agg(min(struct(col(idCol).as("id"), col("pos").as("pos"))).as("_w"))
@@ -689,7 +695,7 @@ object Dedup {
           .as("_kept"))
     // docs with a null/empty segment array never explode -> absent,
     // matching the explode-based contract above
-    docs
+    src
       .filter(size(col(segsCol)) > 0)
       .select(col(idCol), size(col(segsCol)).cast("long").as("_n_total"))
       .join(kept, Seq(idCol), "left")

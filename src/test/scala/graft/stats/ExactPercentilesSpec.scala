@@ -76,6 +76,41 @@ class ExactPercentilesSpec extends SparkSpec {
     assert(out.collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("bucket count never changes the result (1, 2, 7, 256)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map(i => (s"g${i % 5}", rnd.nextDouble() * 1000 - 500))
+      .toDF("k", "v")
+    val ref = ExactPercentiles.percentiles(df, "k", "v", fracs, buckets = 256)
+      .orderBy("k").collect().toSeq
+    for (b <- Seq(1, 2, 7)) {
+      val got = ExactPercentiles.percentiles(df, "k", "v", fracs, buckets = b)
+        .orderBy("k").collect().toSeq
+      assert(got == ref, s"buckets=$b diverged from buckets=256")
+    }
+  }
+
+  test("non-finite values: NaN sorts last, ±Inf clamp into end buckets") {
+    import spark.implicits._
+    // NaN routes to the top bucket and interpolates like the built-in's
+    // sort order (NaN after every number); ±Inf endpoints degrade the
+    // span to a single bucket without poisoning the quantizer.
+    val df = Seq(
+      ("nan", 1.0), ("nan", 2.0), ("nan", Double.NaN),
+      ("inf", Double.NegativeInfinity), ("inf", 0.0), ("inf", 5.0),
+      ("inf", Double.PositiveInfinity)).toDF("k", "v")
+    val ours = ExactPercentiles.percentiles(df, "k", "v",
+      Seq("p0" -> 0.0, "p50" -> 0.5, "p100" -> 1.0))
+      .collect().map(r => r.getString(0) -> (1 to 3).map(r.get)).toMap
+    val builtin = df.groupBy("k")
+      .agg(expr("percentile(v, 0.0)"), expr("percentile(v, 0.5)"),
+        expr("percentile(v, 1.0)"))
+      .collect().map(r => r.getString(0) -> (1 to 3).map(r.get)).toMap
+    for (k <- builtin.keySet)
+      assert(ours(k).toString == builtin(k).toString,
+        s"key $k: ours=${ours(k)} builtin=${builtin(k)}")
+  }
+
   test("result is partitioning-invariant") {
     import spark.implicits._
     val rows = (1 to 200).map(i => (s"g${i % 3}", i * 1.5))
