@@ -129,12 +129,18 @@ object AdvancedQueries {
         .orderBy("block")
     },
 
-    // SimHash banded near-dup pairs (pigeonhole Hamming search). The
-    // murmur3-based fingerprint has no DuckDB twin by construction —
-    // DedupSpec proves banded == brute-force XOR-popcount instead; rows
-    // here are the synthetic corpus' exact-duplicate groups (hamming 0).
-    Q.noOracle("q44_simhash_neardup") { (s, dir) =>
-      graft.ext.Dedup.simhashNearDupPairs(s.read.parquet(s"$dir/documents.parquet"))
+    // SimHash banded near-dup pairs (pigeonhole Hamming search),
+    // oracle-exact: md5-SimHash fingerprints (cross-engine long
+    // arithmetic) through the REAL banded machinery with the bucket
+    // cap lifted for this lane — the SQL mirror pairs all band-bucket
+    // members, so star/salted degraded modes stay DedupSpec-proven
+    // (q85's oracle-lane split). The murmur3 SimHash64 production path
+    // keeps its banded==brute-force DedupSpec property.
+    Q("q44_simhash_neardup",
+      graft.ExtensionOracles.md5SimHashPairsSql(48, maxHamming = 3)) { (s, dir) =>
+      graft.ext.Dedup.simhashNearDupPairsFromSignatures(
+          graft.ext.Dedup.md5SimHash(s.read.parquet(s"$dir/documents.parquet")),
+          sigBits = 48, maxHamming = 3, maxBucket = Int.MaxValue)
         .orderBy("a_id", "b_id")
     },
 

@@ -127,14 +127,16 @@ object ExtensionQueries {
         .orderBy("a_id", "b_id")
     },
 
-    // SimHash via the custom Catalyst expression — cross-engine hash
-    // parity is impossible by construction (murmur3 lanes), so this is
-    // a rows-level check here and property-tested in DedupSpec.
-    Q.noOracle("q32_simhash") { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val sig = SimHash64(TextAnalysis.tokens(col("text")))
-      docs.select(col("doc_id"), sig.as("simhash"))
-        .withColumn("bits", bit_count(col("simhash")))
+    // SimHash fingerprints, oracle-exact: the md5-prefix token-hash
+    // lane (Dedup.md5SimHash) computes the same long arithmetic DuckDB
+    // evaluates, so the driver checks the whole sign-aggregation
+    // pipeline bit for bit. The murmur3 SimHash64 expression remains
+    // the fast production default (exercised by Dedup.simhashNearDupPairs'
+    // spec lane and GraftExtensionsSpec SQL registration).
+    Q("q32_simhash", ExtensionOracles.md5SimHashSql(48)) { (s, dir) =>
+      Dedup.md5SimHash(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("id").as("doc_id"), col("sig").as("simhash"),
+          bit_count(col("sig")).as("bits"))
         .orderBy("doc_id")
     },
 
@@ -420,6 +422,60 @@ object ExtensionOracles {
        |scored AS (SELECT doc_id, lang, toks, $best AS best FROM t)
        |SELECT doc_id, lang, CASE $caseChain ELSE 'und' END AS lang_pred
        |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of Dedup.md5SimHash: same md5-hex-prefix token
+    * hash, the same `bits` per-bit ±1 sums, the same `>= 0` sign
+    * reassembly — long arithmetic both engines evaluate bit for bit.
+    * Returns the signature CTE chain ending in `sig(doc_id, sig)`. */
+  def md5SimHashCtes(bits: Int): String = {
+    val sums = (0 until bits).map { b =>
+      s"sum((((h >> $b) & 1) * 2) - 1) AS s$b"
+    }.mkString(", ")
+    val sigExpr = (0 until bits).map { b =>
+      s"(CASE WHEN s$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |h AS (SELECT doc_id,
+       |        CAST(('0x' || substring(md5(tok), 1, ${bits / 4})) AS BIGINT) AS h
+       |      FROM e),
+       |bitsums AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS sig FROM bitsums)""".stripMargin
+  }
+
+  /** q32: per-doc md5-SimHash fingerprint + popcount. */
+  def md5SimHashSql(bits: Int): String =
+    s"""WITH ${md5SimHashCtes(bits)}
+       |SELECT doc_id, sig AS simhash,
+       |  CAST(bit_count(sig) AS INTEGER) AS bits
+       |FROM sig ORDER BY doc_id""".stripMargin
+
+  /** q44: banded Hamming near-dup pairs over md5-SimHash fingerprints —
+    * mirrors Dedup.simhashNearDupPairsFromSignatures with the bucket
+    * cap lifted (the SQL pairs ALL band-bucket members; the capped
+    * star/salted degraded modes are DedupSpec-proven instead, same
+    * split as q85's oracle lane). */
+  def md5SimHashPairsSql(bits: Int, maxHamming: Int): String = {
+    val bands = maxHamming + 1
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    s"""WITH ${md5SimHashCtes(bits)},
+       |banded AS (
+       |  SELECT doc_id, sig, b, (sig & (CAST($mask AS BIGINT) << (b * $bandBits))) AS bb
+       |  FROM sig, (SELECT unnest(generate_series(0, ${bands - 1})) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.bb = b.bb AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id,
+       |  CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+       |FROM cand
+       |JOIN sig sa ON sa.doc_id = a_id
+       |JOIN sig sb ON sb.doc_id = b_id
+       |WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxHamming
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   /** DuckDB mirror of Dedup.shingles over a token-list expression. */

@@ -342,12 +342,65 @@ object Dedup {
       textCol: String = "text",
       maxHamming: Int = 3,
       maxBucket: Int = 256,
+      saltOversized: Boolean = false): DataFrame =
+    simhashNearDupPairsFromSignatures(
+      fanOut(docs).select(col(idCol).as("id"),
+        SimHash64(TextAnalysis.tokens(col(textCol))).as("sig")),
+      sigBits = 64, maxHamming = maxHamming, maxBucket = maxBucket,
+      saltOversized = saltOversized)
+
+  /** Cross-engine-mirrorable SimHash signatures: per-token hash = the
+    * first `bits`/4 hex chars of md5(token) (the same md5-prefix base
+    * the minhash oracle mirror uses), per-bit ±1 sums as
+    * `bits` codegen'd aggregates over the exploded token stream (no
+    * interpreted HOFs — the per-bit lanes are plain `sum` columns), and
+    * the sign vector reassembled into one long. [[SimHash64]] (murmur3,
+    * a native codegen'd expression) stays the fast production default;
+    * this lane exists so the banded Hamming machinery can be checked
+    * end-to-end by an external SQL oracle, bit for bit.
+    *
+    * Scale shape: one explode + one map-side-combined `groupBy(id)`
+    * carrying `bits` long partials per doc — no shuffle wider than
+    * #docs rows; same skew behavior as any per-doc aggregate.
+    * Ties (bit-sum 0) count as a set bit (`>= 0`), mirrored in SQL. */
+  def md5SimHash(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bits: Int = 48): DataFrame = {
+    require(bits >= 1 && bits <= 60 && bits % 4 == 0,
+      s"bits must be a multiple of 4 in [4, 60], got $bits")
+    val tok = fanOut(docs)
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .withColumn("_h", conv(substring(md5(col("_t")), 1, bits / 4), 16, 10).cast("long"))
+    val bitSums = (0 until bits).map { b =>
+      sum(shiftright(col("_h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"_s$b")
+    }
+    val sig = (0 until bits).map { b =>
+      when(col(s"_s$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sig.as("sig"))
+  }
+
+  /** Banded Hamming pairing over precomputed `(id, sig)` fingerprints
+    * of width `sigBits` — the signature-agnostic core of
+    * [[simhashNearDupPairs]] (same split as [[nearDuplicatePairs]] /
+    * [[nearDuplicatePairsFromSignatures]]). `sigBits` must be
+    * divisible by `maxHamming + 1` so the pigeonhole bands tile the
+    * fingerprint exactly. */
+  def simhashNearDupPairsFromSignatures(
+      sig: DataFrame,
+      sigBits: Int = 64,
+      maxHamming: Int = 3,
+      maxBucket: Int = 256,
       saltOversized: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "maxHamming out of range")
     val bands = maxHamming + 1
-    val bandBits = 64 / bands
-    val sig = fanOut(docs).select(col(idCol).as("id"),
-      SimHash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+    require(sigBits % bands == 0 && sigBits <= 64,
+      s"sigBits ($sigBits) must be a multiple of maxHamming+1 ($bands) and <= 64")
+    val bandBits = sigBits / bands
     val bandCols = (0 until bands).map { b =>
       // band key = (band index, that band's bit slice)
       struct(lit(b).as("b"),

@@ -187,4 +187,27 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 10000L)) && got.contains((1L, 10001L)),
       "exact copies must be found (hamming 0)")
   }
+
+  test("md5-simhash 48-bit banding equals brute force; sign ties mirror SQL") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .union(spark.read.parquet(s"${sf()}/documents.parquet")
+        .filter(col("doc_id") < 2)
+        .withColumn("doc_id", col("doc_id") + 10000))
+    val sigs = Dedup.md5SimHash(docs)
+    // fingerprints fit the declared width and duplicates collide
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.values.forall(s => s >= 0 && s < (1L << 48)), "48-bit range")
+    assert(rows(0L) == rows(10000L) && rows(1L) == rows(10001L),
+      "identical token streams → identical md5-simhash")
+    val got = Dedup.simhashNearDupPairsFromSignatures(
+        sigs, sigBits = 48, maxHamming = 3, maxBucket = Int.MaxValue)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = sigs.alias("a").crossJoin(sigs.alias("b"))
+      .filter(col("a.id") < col("b.id") &&
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"banded=$got brute=$brute")
+    assert(got.contains((0L, 10000L)), "exact copies must be found (hamming 0)")
+  }
 }
