@@ -12,6 +12,73 @@ import graft.ext.{Boilerplate, Curation, Packing, Similarity}
   */
 object TrainingQueries {
 
+  /** DuckDB mirror of q81's full salted-degraded-mode pipeline over the
+    * degenerate corpus: md5-affine minhash signatures and band keys
+    * (the q30 mirror machinery), per-band bucket sizing with
+    * maxBucket = 16, star edges (bucket-min to every member), md5-salted
+    * sub-bucket exhaustive pairs (Dedup.saltOf's exact md5-prefix %
+    * nSub split), distinct candidates, token-Jaccard >= 0.9 verify,
+    * per-doc partner counts. Mirrorable END TO END because both the
+    * lane hashes and the salt are md5-based. */
+  private def saltedNearDupPartnersSql(maxBucket: Int): String = {
+    val P = graft.ext.Dedup.MinhashP
+    val lanes = graft.ext.Dedup.affineParams(16).zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * base + $b) % $P) AS h$i"
+    }.mkString(", ")
+    val bandDefs = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"h${b * 4 + r}::VARCHAR").mkString(" || '|' || ")
+      s"md5($parts) AS band$b"
+    }.mkString(", ")
+    val grams = ExtensionOracles.gramsSql("rawtoks", 3)
+    s"""WITH t AS (
+       |  SELECT doc_id, lang || ' ' || lang || ' ' || lang AS text FROM documents),
+       |tokens AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS rawtoks FROM t),
+       |s AS (SELECT doc_id, $grams AS sh FROM tokens),
+       |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+       |bs AS (SELECT doc_id,
+       |         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % $P AS base
+       |       FROM ex),
+       |sig AS (SELECT doc_id, $lanes FROM bs GROUP BY doc_id),
+       |withbands AS (SELECT doc_id, $bandDefs FROM sig),
+       |banded AS (
+       |  SELECT doc_id, unnest([band0, band1, band2, band3]) AS band FROM withbands),
+       |stats AS (
+       |  SELECT doc_id, band,
+       |    count(*) OVER (PARTITION BY band) AS bucket_n,
+       |    min(doc_id) OVER (PARTITION BY band) AS bucket_min
+       |  FROM banded),
+       |smallb AS (SELECT * FROM stats WHERE bucket_n BETWEEN 2 AND $maxBucket),
+       |small AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM smallb a JOIN smallb b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |star AS (
+       |  SELECT bucket_min AS a_id, doc_id AS b_id
+       |  FROM stats WHERE bucket_n > $maxBucket AND doc_id <> bucket_min),
+       |saltassign AS (
+       |  SELECT doc_id, band,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % ((bucket_n + ${maxBucket - 1}) // $maxBucket) AS salt
+       |  FROM stats WHERE bucket_n > $maxBucket),
+       |salted AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM saltassign a JOIN saltassign b
+       |    ON a.band = b.band AND a.salt = b.salt AND a.doc_id < b.doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT * FROM small UNION ALL SELECT * FROM star
+       |    UNION ALL SELECT * FROM salted)),
+       |dtok AS (
+       |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+       |  FROM t),
+       |ver AS (
+       |  SELECT a_id, b_id FROM cand
+       |  JOIN dtok ta ON ta.doc_id = a_id
+       |  JOIN dtok tb ON tb.doc_id = b_id
+       |  WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+       |        CAST(len(list_distinct(ta.toks || tb.toks)) AS DOUBLE) >= 0.9)
+       |SELECT a_id, count(*) AS n_partners FROM ver GROUP BY a_id ORDER BY a_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // C4-style boilerplate removal at token-span granularity: any word
@@ -286,10 +353,11 @@ object TrainingQueries {
     // With `saltOversized = true` the oversized buckets emit exhaustive
     // pairs within each deterministic sub-bucket plus the star edges —
     // so (unlike star-only mode) most docs appear as a_id with several
-    // partners. Salted candidates aren't SQL-mirrorable (xxhash64 salt)
-    // → rows-only here; DedupSpec proves salted ⊇ star coverage and
-    // pair validity.
-    Q.noOracle("q81_salted_neardup") { (s, dir) =>
+    // partners. Oracle-exact end to end: the lane hashes AND the
+    // sub-bucket salt are md5-based (Dedup.saltOf), so the SQL mirror
+    // reproduces the exact salted split, star edges, Jaccard verify
+    // and partner counts; DedupSpec additionally proves salted ⊇ star.
+    Q("q81_salted_neardup", saltedNearDupPartnersSql(maxBucket = 16)) { (s, dir) =>
       import graft.ext.Dedup
       val degenerate = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),

@@ -244,6 +244,16 @@ object Dedup {
     * repeated near-dup queries over the same corpus skip the dominant
     * shingle+hash pass — the engine-layer analog of the reference's
     * result cache (`/root/reference/streamlit_app.py:99,111`). */
+  /** Deterministic sub-bucket salt for the oversized-bucket degraded
+    * modes: md5-prefix hash of the member id, NOT xxhash64 — the salt
+    * decides which pairs the salted mode emits, and an md5 base makes
+    * that split reproducible by any SQL engine (q81's oracle mirrors
+    * the exact sub-bucket partition). Cost is confined to members of
+    * oversized buckets, where one md5 per row is noise next to the
+    * pair expansion it bounds. */
+  private def saltOf(id: Column, nSub: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"), nSub)
+
   def nearDuplicatePairsFromSignatures(
       sig: DataFrame,
       docs: DataFrame,
@@ -306,7 +316,7 @@ object Dedup {
     val saltedPairs = if (!saltOversized) smallPairs.limit(0) else {
       val nSub = ((col("bucket_n") + maxBucket - 1) / maxBucket).cast("long")
       stats.filter(col("bucket_n") > maxBucket)
-        .withColumn("salt", pmod(xxhash64(col("id")), nSub))
+        .withColumn("salt", saltOf(col("id"), nSub))
         .groupBy("band", "salt").agg(ids.as("ids"))
         .filter(size(col("ids")) >= 2)
         .select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -436,7 +446,7 @@ object Dedup {
     val saltedPairs = if (!saltOversized) smallPairs.limit(0) else {
       val nSub = ((col("bucket_n") + maxBucket - 1) / maxBucket).cast("long")
       stats.filter(col("bucket_n") > maxBucket)
-        .withColumn("salt", pmod(xxhash64(col("id")), nSub))
+        .withColumn("salt", saltOf(col("id"), nSub))
         .groupBy("band", "salt")
         .agg(array_sort(collect_set(struct(col("id"), col("sig")))).as("members"))
         .filter(size(col("members")) >= 2)
