@@ -20,6 +20,43 @@ object TrainingQueries {
     * nSub split), distinct candidates, token-Jaccard >= 0.9 verify,
     * per-doc partner counts. Mirrorable END TO END because both the
     * lane hashes and the salt are md5-based. */
+  /** DuckDB mirror of q78's count–min estimate with the md5-affine
+    * lane family: one md5-prefix base per token (mod P), per-depth
+    * affine buckets `((a_d·base + b_d) % P) % width`, the full counter
+    * matrix as a (d, bucket) GROUP BY, and the estimate as the
+    * min-over-lanes of each candidate's counters — the same long
+    * arithmetic CountMin.md5Lane / estimateMd5 evaluate. */
+  private def cmsHeavyHittersSql(depth: Int, width: Int): String = {
+    val P = graft.ext.Dedup.MinhashP
+    val laneRows = (0 until depth).map { d =>
+      val (a, b) = graft.ext.CountMin.laneParams(d)
+      s"($d, $a, $b)"
+    }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |e AS (SELECT unnest(toks) AS token FROM t),
+       |lanes (d, la, lb) AS (SELECT * FROM (VALUES $laneRows)),
+       |b AS (SELECT token,
+       |        CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % $P AS base
+       |      FROM e),
+       |hashed AS (
+       |  SELECT token, d, ((la * base + lb) % $P) % $width AS bucket
+       |  FROM b, lanes),
+       |counters AS (SELECT d, bucket, count(*) AS cnt FROM hashed GROUP BY d, bucket),
+       |top AS (
+       |  SELECT token, count(*) AS exact_cnt FROM e GROUP BY token
+       |  ORDER BY exact_cnt DESC, token LIMIT 10),
+       |topl AS (
+       |  SELECT t.token, t.exact_cnt, l.d,
+       |    ((l.la * (CAST(('0x' || substring(md5(t.token), 1, 15)) AS BIGINT) % $P) + l.lb)
+       |      % $P) % $width AS bucket
+       |  FROM top t, lanes l)
+       |SELECT tl.token, tl.exact_cnt, min(c.cnt) AS cms_est
+       |FROM topl tl JOIN counters c ON c.d = tl.d AND c.bucket = tl.bucket
+       |GROUP BY tl.token, tl.exact_cnt
+       |ORDER BY tl.exact_cnt DESC, tl.token""".stripMargin
+  }
+
   private def saltedNearDupPartnersSql(maxBucket: Int): String = {
     val P = graft.ext.Dedup.MinhashP
     val lanes = graft.ext.Dedup.affineParams(16).zipWithIndex.map { case ((a, b), i) =>
@@ -273,22 +310,26 @@ object TrainingQueries {
     },
 
     // Count–min heavy hitters: sketch pass (constant memory, no token
-    // shuffle) + exact verification of the candidates. The sketch
-    // counters aren't SQL-mirrorable → rows-only here; CountMinSpec
-    // proves the overestimate bounds against exact counts.
-    Q.noOracle("q78_heavy_hitters") { (s, dir) =>
+    // shuffle) + exact verification of the candidates. Oracle-exact:
+    // the md5-affine lane family (CountMin.md5Lane) makes every
+    // counter — and therefore every estimate — reproducible in SQL;
+    // the mirror rebuilds the full depth×width counter matrix and
+    // takes the same min-over-lanes. The murmur3 default stays the
+    // production path, bounds proven in CountMinSpec.
+    Q("q78_heavy_hitters", cmsHeavyHittersSql(
+        graft.ext.CountMin.DefaultDepth, graft.ext.CountMin.DefaultWidth)) { (s, dir) =>
       import s.implicits._
       import graft.ext.{CountMin, TextAnalysis}
       val toks = s.read.parquet(s"$dir/documents.parquet")
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-      val cms = toks.as[String].select(CountMin.sketch()).head().counters
+      val cms = toks.as[String].select(CountMin.sketch(md5Lanes = true)).head().counters
       // exact top-10 (bounded collect — the L3 head contract)
       val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("token")).limit(10).collect()
       top.map { r =>
         val t = r.getString(0)
         (t, r.getLong(1),
-          CountMin.estimate(cms, t, CountMin.DefaultDepth, CountMin.DefaultWidth))
+          CountMin.estimateMd5(cms, t, CountMin.DefaultDepth, CountMin.DefaultWidth))
       }.toSeq.toDF("token", "exact_cnt", "cms_est")
         .orderBy(col("exact_cnt").desc, col("token"))
     },
@@ -330,8 +371,8 @@ object TrainingQueries {
 
     // The exact half of the heavy-hitter pass as its own hard oracle
     // row: global token top-10 through TakeOrderedAndProject (only 10
-    // rows ever leave the final agg). q78 keeps the CMS sketch lane
-    // (rows-only by necessity); this pins the exact lane to DuckDB.
+    // rows ever leave the final agg). q78 oracles the sketch estimates;
+    // this pins the exact lane alone to DuckDB.
     Q("q80_heavy_hitters_exact",
       """WITH t AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

@@ -35,6 +35,36 @@ object CountMin {
     java.lang.Math.floorMod(h, width)
   }
 
+  /** Cross-engine-mirrorable lane family: ONE md5 per token (the same
+    * 60-bit hex-prefix base mod P the minhash mirror uses), then one
+    * affine lane per depth — `((a_d·base + b_d) mod P) mod width`,
+    * all non-negative long arithmetic with no overflow (a, base < P ≈
+    * 2^31 ⇒ product < 2^62). Murmur3 ([[hashLane]]) stays the
+    * production default; this family exists so a CMS estimate can be
+    * reproduced bit for bit by an external SQL oracle. */
+  def md5Base(token: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % Dedup.MinhashP
+  }
+
+  def md5Lane(base: Long, lane: Int, width: Int): Int = {
+    val (a, b) = laneParams(lane)
+    (((a * base + b) % Dedup.MinhashP) % width).toInt
+  }
+
+  /** Affine constants per depth lane — the shared splitmix-derived
+    * generator, so the SQL mirror inlines the same literals.
+    * Precomputed: the reduce path asks once per token per lane. */
+  private val MaxLanes = 64
+  private lazy val laneTable: Array[(Long, Long)] =
+    Dedup.affineParams(MaxLanes).toArray
+  def laneParams(lane: Int): (Long, Long) = {
+    require(lane >= 0 && lane < MaxLanes, s"lane out of range: $lane")
+    laneTable(lane)
+  }
+
   /** Point estimate = min over lanes (each lane overestimates). */
   def estimate(sketch: Array[Long], token: String, depth: Int, width: Int): Long = {
     var best = Long.MaxValue
@@ -47,19 +77,43 @@ object CountMin {
     best
   }
 
+  /** [[estimate]] over a sketch built with `md5Lanes = true`. */
+  def estimateMd5(sketch: Array[Long], token: String, depth: Int, width: Int): Long = {
+    val base = md5Base(token)
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = sketch(d * width + md5Lane(base, d, width))
+      if (c < best) best = c
+      d += 1
+    }
+    best
+  }
+
   /** The flattened counter matrix (row-major by depth lane). */
   final case class CmsState(counters: Array[Long])
 
-  /** Aggregator over a string column producing the sketch. */
-  final class SketchAggregator(depth: Int = DefaultDepth, width: Int = DefaultWidth)
+  /** Aggregator over a string column producing the sketch;
+    * `md5Lanes = true` swaps in the mirrorable lane family. */
+  final class SketchAggregator(depth: Int = DefaultDepth, width: Int = DefaultWidth,
+      md5Lanes: Boolean = false)
       extends Aggregator[String, CmsState, CmsState] {
     override def zero: CmsState = CmsState(new Array[Long](depth * width))
     override def reduce(buf: CmsState, token: String): CmsState = {
       if (token != null) {
-        var d = 0
-        while (d < depth) {
-          buf.counters(d * width + CountMin.hashLane(token, d, width)) += 1L
-          d += 1
+        if (md5Lanes) {
+          val base = CountMin.md5Base(token)
+          var d = 0
+          while (d < depth) {
+            buf.counters(d * width + CountMin.md5Lane(base, d, width)) += 1L
+            d += 1
+          }
+        } else {
+          var d = 0
+          while (d < depth) {
+            buf.counters(d * width + CountMin.hashLane(token, d, width)) += 1L
+            d += 1
+          }
         }
       }
       buf
@@ -74,6 +128,7 @@ object CountMin {
     override def outputEncoder: Encoder[CmsState] = Encoders.product[CmsState]
   }
 
-  def sketch(depth: Int = DefaultDepth, width: Int = DefaultWidth): TypedColumn[String, CmsState] =
-    new SketchAggregator(depth, width).toColumn.name("cms")
+  def sketch(depth: Int = DefaultDepth, width: Int = DefaultWidth,
+      md5Lanes: Boolean = false): TypedColumn[String, CmsState] =
+    new SketchAggregator(depth, width, md5Lanes).toColumn.name("cms")
 }
