@@ -65,6 +65,7 @@ object Bench {
       else None
     ckptBase.foreach(p =>
       spark.conf.set("spark.sql.streaming.checkpointLocation", p.toString))
+    try {
     // Warm the JVM/codegen/scan paths once so the first measured query
     // doesn't absorb ~5 s of one-time session cost, and materialize the
     // serving-state caches (persist() per (session, dir) is the
@@ -161,11 +162,10 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}""")
     spark.stop()
-    // leave no per-run checkpoint base behind on tmpfs
-    ckptBase.foreach { p =>
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    } finally {
+      // leave no per-run checkpoint base behind on tmpfs (RAM!) even
+      // when a warm-up stream or a query path throws
+      ckptBase.foreach(p => graft.Fs.deleteTree(p))
     }
   }
 }

@@ -12,14 +12,6 @@ import graft.ext.{Boilerplate, Curation, Packing, Similarity}
   */
 object TrainingQueries {
 
-  /** DuckDB mirror of q81's full salted-degraded-mode pipeline over the
-    * degenerate corpus: md5-affine minhash signatures and band keys
-    * (the q30 mirror machinery), per-band bucket sizing with
-    * maxBucket = 16, star edges (bucket-min to every member), md5-salted
-    * sub-bucket exhaustive pairs (Dedup.saltOf's exact md5-prefix %
-    * nSub split), distinct candidates, token-Jaccard >= 0.9 verify,
-    * per-doc partner counts. Mirrorable END TO END because both the
-    * lane hashes and the salt are md5-based. */
   /** DuckDB mirror of q78's count–min estimate with the md5-affine
     * lane family: one md5-prefix base per token (mod P), per-depth
     * affine buckets `((a_d·base + b_d) % P) % width`, the full counter
@@ -57,6 +49,14 @@ object TrainingQueries {
        |ORDER BY tl.exact_cnt DESC, tl.token""".stripMargin
   }
 
+  /** DuckDB mirror of q81's full salted-degraded-mode pipeline over the
+    * degenerate corpus: md5-affine minhash signatures and band keys
+    * (the q30 mirror machinery), per-band bucket sizing with
+    * maxBucket = 16, star edges (bucket-min to every member), md5-salted
+    * sub-bucket exhaustive pairs (Dedup.saltOf's exact md5-prefix %
+    * nSub split), distinct candidates, token-Jaccard >= 0.9 verify,
+    * per-doc partner counts. Mirrorable END TO END because both the
+    * lane hashes and the salt are md5-based. */
   private def saltedNearDupPartnersSql(maxBucket: Int): String = {
     val P = graft.ext.Dedup.MinhashP
     val lanes = graft.ext.Dedup.affineParams(16).zipWithIndex.map { case ((a, b), i) =>

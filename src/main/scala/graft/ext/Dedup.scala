@@ -397,9 +397,12 @@ object Dedup {
   /** Banded Hamming pairing over precomputed `(id, sig)` fingerprints
     * of width `sigBits` — the signature-agnostic core of
     * [[simhashNearDupPairs]] (same split as [[nearDuplicatePairs]] /
-    * [[nearDuplicatePairsFromSignatures]]). `sigBits` must be
-    * divisible by `maxHamming + 1` so the pigeonhole bands tile the
-    * fingerprint exactly. */
+    * [[nearDuplicatePairsFromSignatures]]). Bands are
+    * `floor(sigBits / (maxHamming+1))` bits each; when that doesn't
+    * tile the width exactly the TOP bits are uncovered, which keeps
+    * the pigeonhole guarantee — a pair differing only in uncovered
+    * bits has every band equal and is still a candidate (recall can
+    * only improve; precision is restored by the XOR-popcount verify). */
   def simhashNearDupPairsFromSignatures(
       sig: DataFrame,
       sigBits: Int = 64,
@@ -408,8 +411,8 @@ object Dedup {
       saltOversized: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "maxHamming out of range")
     val bands = maxHamming + 1
-    require(sigBits % bands == 0 && sigBits <= 64,
-      s"sigBits ($sigBits) must be a multiple of maxHamming+1 ($bands) and <= 64")
+    require(sigBits >= bands && sigBits <= 64,
+      s"sigBits ($sigBits) must lie in [maxHamming+1 ($bands), 64]")
     val bandBits = sigBits / bands
     val bandCols = (0 until bands).map { b =>
       // band key = (band index, that band's bit slice)
@@ -478,8 +481,21 @@ object Dedup {
     * caller rebuilds over the fresh corpus. */
   private final class Cell(build: => DataFrame) {
     @volatile private var forced = false
-    lazy val value: DataFrame = { val v = build; forced = true; v }
-    def drop(): Unit = synchronized { if (forced) value.unpersist() }
+    @volatile private var dropped = false
+    lazy val value: DataFrame = {
+      val v = build; forced = true
+      // get-then-invalidate interleave: a caller that fetched this cell
+      // BEFORE an invalidate removed it from the map would otherwise
+      // build+persist into an unreachable cell no future invalidate can
+      // unpersist. The frame stays usable (lineage recomputes); only
+      // the orphaned cached blocks are released.
+      if (dropped) v.unpersist()
+      v
+    }
+    def drop(): Unit = synchronized {
+      dropped = true
+      if (forced) value.unpersist()
+    }
   }
 
   private def memo[K](cache: scala.collection.concurrent.TrieMap[K, Cell], key: K)(

@@ -120,11 +120,24 @@ object Ivf {
     * pass (per-cell max is map-side combined; only k doubles reach the
     * driver), memoized per (session, key) like [[centroidsFor]]. */
   def radiiFor(emb: DataFrame, key: String, centroids: Array[Array[Double]]): Array[Double] =
-    radiiCache.getOrElseUpdate((emb.sparkSession, key, centroids.length),
+    radiiCache.getOrElseUpdate(
+      (emb.sparkSession, key, centroidDigest(centroids)),
       cellRadii(emb, centroids))
 
+  /** Content digest of the centroid matrix for the radii memo key:
+    * radii are only valid AGAINST the centroids they were measured to,
+    * so the key must carry the centroid IDENTITY — a (k, iters)-less
+    * key (e.g. just centroids.length) would pair retrained centroids
+    * with stale radii and silently break topKExact's exactness bound. */
+  private def centroidDigest(centroids: Array[Array[Double]]): Long =
+    centroids.foldLeft(1125899906842597L) { (acc, row) =>
+      row.foldLeft(acc * 31 + row.length) { (a, v) =>
+        a * 6364136223846793005L + java.lang.Double.doubleToLongBits(v)
+      }
+    }
+
   private val radiiCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Int), Array[Double]]
+    .empty[(org.apache.spark.sql.SparkSession, String, Long), Array[Double]]
 
   def cellRadii(emb: DataFrame, centroids: Array[Array[Double]]): Array[Double] = {
     val centroidLookup = array(centroids.map(c => array(c.map(lit): _*)): _*)
@@ -171,6 +184,16 @@ object Ivf {
                  centroids: Array[Array[Double]], radii: Array[Double],
                  nProbe0: Int = 3, eps: Double = 1e-6): Seq[Int] =
     exactPlan(emb, queryVecId, topK, centroids, radii, nProbe0, eps)._2
+
+  /** [[topKExact]] AND its probed-cell diagnostic from ONE probe pass.
+    * The single-value entry points each run the driver-side query-unit
+    * lookup + provisional top-k jobs at call time — a caller wanting
+    * both (result + diagnostic) should take this pair instead of
+    * paying the probe twice. */
+  def topKExactProbed(emb: DataFrame, queryVecId: Long, topK: Int,
+                      centroids: Array[Array[Double]], radii: Array[Double],
+                      nProbe0: Int = 3, eps: Double = 1e-6): (DataFrame, Seq[Int]) =
+    exactPlan(emb, queryVecId, topK, centroids, radii, nProbe0, eps)
 
   private def exactPlan(emb: DataFrame, queryVecId: Long, topK: Int,
                         centroids: Array[Array[Double]], radii: Array[Double],

@@ -41,10 +41,19 @@ object Multimodal {
     * `decodeBatch` receives at most `batchSize` assets at a time so a
     * vectorizing codec amortizes its per-call overhead — the same
     * batch shape `mapInPandas`/Arrow would hand a Python decoder. */
-  trait MediaCodec extends Serializable {
+  /** Shared per-partition codec lifecycle: open once per task, decode
+    * in batches, close on task completion. All concrete codec families
+    * (media-stub, audio, unified-decode) specialize only the row/result
+    * types and the per-asset `decode` — the loop that runs them is the
+    * ONE [[runCodecLoop]]. */
+  trait PartitionCodec[I, O] extends Serializable {
     def open(): Unit = ()
     def close(): Unit = ()
-    def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] =
+    def decodeBatch(batch: Seq[I]): Seq[O]
+  }
+
+  trait MediaCodec extends PartitionCodec[(Long, String, Array[Byte]), MediaFeatures] {
+    override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaFeatures] =
       batch.map { case (id, mt, bytes) => decode(id, mt, bytes) }
     def decode(assetId: Long, mediaType: String, payload: Array[Byte]): MediaFeatures
   }
@@ -113,20 +122,39 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val parts = if (parallelism > 0) parallelism
-      else spark.sessionState.conf.numShufflePartitions
-    assets
-      .select(col("asset_id"), col("media_type"), col("payload"))
-      .repartition(parts, col("asset_id"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { rows =>
-        val codec = codecFactory()
-        codec.open()
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
-        rows.grouped(batchSize).flatMap(batch => codec.decodeBatch(batch))
-      }
+    runCodecLoop(
+      typedAssets[(Long, String, Array[Byte])](assets, parallelism,
+        col("asset_id"), col("media_type"), col("payload")),
+      codecFactory, batchSize)
   }
+
+  /** The shared select → repartition-by-asset → typed view prefix of
+    * every extract* surface: decode work spreads across executors
+    * regardless of how few input files there are (binary blobs make
+    * row-group boundaries coarse). */
+  private def typedAssets[I: org.apache.spark.sql.Encoder](
+      assets: DataFrame, parallelism: Int,
+      cols: org.apache.spark.sql.Column*): Dataset[I] = {
+    val parts = if (parallelism > 0) parallelism
+      else assets.sparkSession.sessionState.conf.numShufflePartitions
+    assets.select(cols: _*).repartition(parts, col("asset_id")).as[I]
+  }
+
+  /** The ONE partition-batched, task-scoped codec loop (scaladoc
+    * contract above [[extractFeatures]]): a codec instance per task,
+    * opened before its first batch, closed on task completion —
+    * success, failure, or early termination alike. */
+  private def runCodecLoop[I, O: org.apache.spark.sql.Encoder](
+      input: Dataset[I],
+      codecFactory: () => PartitionCodec[I, O],
+      batchSize: Int): Dataset[O] =
+    input.mapPartitions { rows =>
+      val codec = codecFactory()
+      codec.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
+      rows.grouped(batchSize).flatMap(batch => codec.decodeBatch(batch))
+    }
 
   // -------------------------------------------------------------------
   // Real decoders for self-describing formats (pure JVM byte parsing,
@@ -149,10 +177,8 @@ object Multimodal {
 
   /** Audio analog of [[MediaCodec]]: same per-partition lifecycle and
     * batch shape, typed to decoded-sample features. */
-  trait AudioCodec extends Serializable {
-    def open(): Unit = ()
-    def close(): Unit = ()
-    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[AudioFeatures] =
+  trait AudioCodec extends PartitionCodec[(Long, Array[Byte]), AudioFeatures] {
+    override def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[AudioFeatures] =
       batch.map { case (id, bytes) => decode(id, bytes) }
     def decode(assetId: Long, payload: Array[Byte]): AudioFeatures
   }
@@ -267,19 +293,10 @@ object Multimodal {
       batchSize: Int = 64): Dataset[AudioFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val parts = if (parallelism > 0) parallelism
-      else spark.sessionState.conf.numShufflePartitions
-    assets
-      .select(col("asset_id"), col("payload"))
-      .repartition(parts, col("asset_id"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        val codec = codecFactory()
-        codec.open()
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
-        rows.grouped(batchSize).flatMap(batch => codec.decodeBatch(batch))
-      }
+    runCodecLoop(
+      typedAssets[(Long, Array[Byte])](assets, parallelism,
+        col("asset_id"), col("payload")),
+      codecFactory, batchSize)
   }
 
   /** Decoded-image features — exact integers (dimensions + per-channel
@@ -388,10 +405,8 @@ object Multimodal {
 
   /** [[MediaCodec]]'s lifecycle (per-task open/close, bounded batches)
     * typed to the unified exact-integer features. */
-  trait DecodingCodec extends Serializable {
-    def open(): Unit = ()
-    def close(): Unit = ()
-    def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaDecoded] =
+  trait DecodingCodec extends PartitionCodec[(Long, String, Array[Byte]), MediaDecoded] {
+    override def decodeBatch(batch: Seq[(Long, String, Array[Byte])]): Seq[MediaDecoded] =
       batch.map { case (id, mt, bytes) => decode(id, mt, bytes) }
     def decode(assetId: Long, mediaType: String, payload: Array[Byte]): MediaDecoded
   }
@@ -446,19 +461,10 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaDecoded] = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val parts = if (parallelism > 0) parallelism
-      else spark.sessionState.conf.numShufflePartitions
-    assets
-      .select(col("asset_id"), col("media_type"), col("payload"))
-      .repartition(parts, col("asset_id"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { rows =>
-        val codec = codecFactory()
-        codec.open()
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
-        rows.grouped(batchSize).flatMap(batch => codec.decodeBatch(batch))
-      }
+    runCodecLoop(
+      typedAssets[(Long, String, Array[Byte])](assets, parallelism,
+        col("asset_id"), col("media_type"), col("payload")),
+      codecFactory, batchSize)
   }
 
   /** Build a media-asset table from any binary-able column — used by

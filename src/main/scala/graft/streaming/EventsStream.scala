@@ -68,10 +68,19 @@ object EventsStream {
         .start()
     }
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    // The read-back (last update per key) is OUTPUT-sized by
+    // construction (#days × #types rows), so localize it and delete
+    // the temp sink — a lazy frame over the temp dir would pin it on
+    // disk forever (each run leaked a graft_daily_counts* tree).
+    val result = spark.read.parquet(outDir)
       .groupBy("day", "event_type")
       .agg(
         max_by(col("n"), col("_batch")).as("n"),
         max_by(col("mean_value"), col("_batch")).as("mean_value"))
+    val local = result.collect().toSeq
+    val schema = result.schema
+    graft.Fs.deleteTree(java.nio.file.Paths.get(outDir))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(local.asJava, schema)
   }
 }

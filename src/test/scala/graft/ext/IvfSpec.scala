@@ -68,13 +68,28 @@ class IvfSpec extends SparkSpec {
     val df = rows.toDF("vec_id", "label", "embedding")
     val cs = Ivf.trainCentroids(df, k = 4, iters = 3)
     val radii = Ivf.cellRadii(df, cs)
-    val probes = Ivf.probeCells(df, 0L, 10, cs, radii, nProbe0 = 1)
+    // one probe pass for result + diagnostic (topKExact and probeCells
+    // separately would rerun the driver-side lookup/provisional jobs)
+    val (exactDf, probes) = Ivf.topKExactProbed(df, 0L, 10, cs, radii, nProbe0 = 1)
     assert(probes.size < 4, s"far clusters must be pruned, probed $probes")
     val brute = Similarity.bruteForceTopK(df, 0L, 10)
       .collect().map(_.getLong(0)).toSeq
-    val exact = Ivf.topKExact(df, 0L, 10, cs, radii, nProbe0 = 1)
-      .collect().map(_.getLong(0)).toSeq
+    val exact = exactDf.collect().map(_.getLong(0)).toSeq
     assert(exact == brute)
+  }
+
+  test("radii cache keys on centroid CONTENT: retrained centroids never reuse stale radii") {
+    val c1 = Ivf.centroidsFor(emb, "radii-digest-key", k = 4, iters = 1)
+    val c2 = Ivf.centroidsFor(emb, "radii-digest-key", k = 4, iters = 3)
+    assume(!c1.zip(c2).forall { case (a, b) => a.sameElements(b) },
+      "iters=1 vs iters=3 should move at least one centroid")
+    val r1 = Ivf.radiiFor(emb, "radii-digest-key", c1)
+    val r2 = Ivf.radiiFor(emb, "radii-digest-key", c2)
+    // same length, different centroids — a length-keyed cache would
+    // alias these and hand c2 the radii measured against c1
+    assert(!(r1 eq r2), "different centroid content must not share a radii entry")
+    assert(Ivf.radiiFor(emb, "radii-digest-key", c1) eq r1, "c1 entry still cached")
+    Ivf.invalidate(spark, "radii-digest-key")
   }
 
   test("radii cache memoizes per (session, key) and invalidate drops both tiers") {
