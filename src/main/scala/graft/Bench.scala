@@ -76,6 +76,13 @@ object Bench {
     // the previous, each is O(≪ corpus), each serves many queries.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // file-listing + parquet-footer probe for every table: session-level
+    // one-time cost (FileStatusCache + schema inference), otherwise paid
+    // by whichever query happens to touch each table first in the
+    // serial order
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     graft.analysis.EventsFact.fact(spark, sfDir).count()
     graft.ext.Dedup.signaturesFor(spark, sfDir).count()
     graft.ext.Dedup.pairsFor(spark, sfDir).count()
