@@ -111,6 +111,35 @@ class ExactPercentilesSpec extends SparkSpec {
         s"key $k: ours=${ours(k)} builtin=${builtin(k)}")
   }
 
+  test("property: random data, fractions, duplicates and partitionings " +
+      "all match the built-in bitwise") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val nKeys = 1 + rnd.nextInt(6)
+      // heavy duplication (quantized values) exercises multi-row rank
+      // spans; a scattering of negatives exercises bucket-edge math
+      val rows = (0 until 300 + rnd.nextInt(700)).map { _ =>
+        (s"k${rnd.nextInt(nKeys)}",
+          java.lang.Double.valueOf((rnd.nextInt(400) - 200) / 8.0))
+      }
+      val fr = (0 until 1 + rnd.nextInt(4)).map(i => s"p$i" -> rnd.nextDouble()) :+
+        ("pEdge" -> (if (rnd.nextBoolean()) 0.0 else 1.0))
+      val df = rows.toDF("k", "v").repartition(1 + rnd.nextInt(16))
+      val ours = ExactPercentiles.percentiles(df, "k", "v", fr,
+          buckets = 1 + rnd.nextInt(300))
+        .collect().map(r => r.getString(0) -> fr.indices.map(i => r.get(i + 1))).toMap
+      val builtin = df.groupBy("k")
+        .agg(expr(s"percentile(v, ${fr.head._2})"),
+          fr.tail.map { case (_, p) => expr(s"percentile(v, $p)") }: _*)
+        .collect().map(r => r.getString(0) -> fr.indices.map(i => r.get(i + 1))).toMap
+      assert(ours.keySet == builtin.keySet, s"seed=$seed keys")
+      for (k <- ours.keySet; i <- fr.indices)
+        assert(ours(k)(i) == builtin(k)(i),
+          s"seed=$seed key=$k ${fr(i)._1}=${fr(i)._2}: ours=${ours(k)(i)} builtin=${builtin(k)(i)}")
+    }
+  }
+
   test("result is partitioning-invariant") {
     import spark.implicits._
     val rows = (1 to 200).map(i => (s"g${i % 3}", i * 1.5))
