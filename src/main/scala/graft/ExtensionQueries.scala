@@ -179,19 +179,22 @@ object ExtensionQueries {
         |    max(abs(v)) AS feat_a, CAST(sum(v * v) AS BIGINT) AS feat_b,
         |    CAST(sum(v) AS BIGINT) AS feat_c
         |  FROM av GROUP BY doc_id, n),
-        |im AS (SELECT doc_id, seed, 2 + doc_id % 4 AS w, 2 + doc_id % 5 AS h
+        |im AS (SELECT doc_id, seed, 2 + doc_id % 4 AS w, 2 + doc_id % 5 AS h,
+        |         doc_id % 6 = 1 AS is_ppm
         |       FROM d WHERE doc_id % 3 = 1),
-        |ib AS (SELECT doc_id, w, h, j,
+        |ib AS (SELECT doc_id, w, h, is_ppm, j,
         |         (((seed + j * 2654435761) % 256) + 256) % 256 AS b
-        |       FROM (SELECT doc_id, w, h, seed,
+        |       FROM (SELECT doc_id, w, h, is_ppm, seed,
         |               unnest(generate_series(1, 3 * w * h)) AS j FROM im)),
         |image AS (SELECT doc_id AS asset_id, 'image' AS media_type,
-        |    9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h AS n_bytes,
+        |    CASE WHEN is_ppm
+        |      THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
+        |      ELSE 54 + (3 * w + (4 - (3 * w) % 4) % 4) * h END AS n_bytes,
         |    w * h AS n_units, w AS dim_a, h AS dim_b,
         |    CAST(sum(CASE WHEN (j - 1) % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS feat_a,
         |    CAST(sum(CASE WHEN (j - 1) % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS feat_b,
         |    CAST(sum(CASE WHEN (j - 1) % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS feat_c
-        |  FROM ib GROUP BY doc_id, w, h),
+        |  FROM ib GROUP BY doc_id, w, h, is_ppm),
         |vi AS (SELECT doc_id, seed, 16 + doc_id % 17 AS n FROM d WHERE doc_id % 3 = 2),
         |vb AS (SELECT doc_id, n,
         |         (((seed + k * 2654435761) % 256) + 256) % 256 AS b
@@ -218,7 +221,14 @@ object ExtensionQueries {
               val w = (2 + id % 4).toInt
               val h = (2 + id % 5).toInt
               val px = Array.tabulate(3 * w * h)(j => lcg(j + 1, 256L).toByte)
-              (id, "image", Multimodal.encodePpm(w, h, px))
+              // alternate the container: half the image assets arrive
+              // as PPM, half as 24-bit BMP — the SAME pixels, so only
+              // n_bytes differs in the oracle; both real decoders run
+              // under the oracle-checked lane
+              val payload =
+                if (id % 6 == 1) Multimodal.encodePpm(w, h, px)
+                else Multimodal.encodeBmp24(w, h, px)
+              (id, "image", payload)
             case _ =>
               val n = (16 + id % 17).toInt
               (id, "video", Array.tabulate(n)(k => lcg(k + 1, 256L).toByte))

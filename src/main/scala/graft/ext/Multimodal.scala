@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, partition-batched decode loop,
   * feature projection — is real and tested. Decode itself is REAL for
   * self-describing containers that need no native library (RIFF/WAVE
-  * PCM16 via [[decodeWavPcm16]], PPM P6 via [[decodePpm]], dispatched
-  * by [[RealFirstCodec]]); formats that DO need one (JPEG, MP3,
+  * PCM16 via [[decodeWavPcm16]], PPM P6 via [[decodePpm]], 24-bit BMP
+  * via [[decodeBmp24]], dispatched by [[RealFirstCodec]] with a
+  * container sniff); formats that DO need one (JPEG, MP3,
   * H.264 — no such libraries ship in this environment) fall back to a
   * deterministic byte-level STUB behind the same seam. `decodeBatch`
   * is the single point to swap in a JNI/FFI decoder per executor;
@@ -367,6 +368,11 @@ object Multimodal {
   /** Image features via the real [[decodePpm]]. */
   def ppmFeatures(assetId: Long, payload: Array[Byte]): ImageFeatures = {
     val (w, h, px) = decodePpm(payload)
+    imageFeaturesOfRgb(assetId, w, h, px)
+  }
+
+  private def imageFeaturesOfRgb(
+      assetId: Long, w: Int, h: Int, px: Array[Byte]): ImageFeatures = {
     var (r, g, b) = (0L, 0L, 0L)
     var i = 0
     while (i < px.length) {
@@ -374,6 +380,96 @@ object Multimodal {
       i += 3
     }
     ImageFeatures(assetId, w, h, r, g, b)
+  }
+
+  private def le32(bytes: Array[Byte], off: Int): Int =
+    (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+      ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+
+  /** Minimal 24-bit uncompressed BMP writer (BITMAPINFOHEADER,
+    * bottom-up, rows padded to 4 bytes): `pixels` is interleaved RGB,
+    * row-major top-down — the test/fixture counterpart of
+    * [[decodeBmp24]], like [[encodePpm]] for PPM. */
+  def encodeBmp24(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"pixel buffer ${pixels.length} != $width x $height x 3")
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * height
+    val out = new Array[Byte](54 + dataSize)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, width); putLe32(22, height)
+    out(26) = 1; out(28) = 24 // planes, bpp (compression stays 0)
+    putLe32(34, dataSize)
+    var y = 0
+    while (y < height) {
+      // bottom-up: output row y holds source row (height-1-y), BGR order
+      val src = (height - 1 - y) * rowBytes
+      val dst = 54 + y * (rowBytes + pad)
+      var x = 0
+      while (x < width) {
+        out(dst + x * 3) = pixels(src + x * 3 + 2)
+        out(dst + x * 3 + 1) = pixels(src + x * 3 + 1)
+        out(dst + x * 3 + 2) = pixels(src + x * 3)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL BMP decoder: 24-bit uncompressed BITMAPINFOHEADER files
+    * (the ubiquitous plain-BMP shape) — little-endian header walk,
+    * 4-byte row padding, BGR→RGB, bottom-up or top-down (negative
+    * height) normalized to top-down row-major interleaved RGB.
+    * Fail-loud on anything else (palettes, RLE, other bit depths),
+    * like the other real parsers. */
+  def decodeBmp24(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes != null && bytes.length >= 54 &&
+      bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val dataOffset = le32(bytes, 10)
+    val dibSize = le32(bytes, 14)
+    require(dibSize >= 40, s"unsupported DIB header size $dibSize")
+    val w = le32(bytes, 18)
+    val hRaw = le32(bytes, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    val compression = le32(bytes, 30)
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$hRaw")
+    require(bpp == 24, s"unsupported bpp $bpp (only 24-bit)")
+    require(compression == 0, s"unsupported compression $compression (only BI_RGB)")
+    val rowBytes = w * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    require(bytes.length.toLong >= dataOffset.toLong + stride.toLong * h,
+      "truncated BMP pixel data")
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val src = dataOffset + srcRow * stride
+      val dst = y * rowBytes
+      var x = 0
+      while (x < w) {
+        out(dst + x * 3) = bytes(src + x * 3 + 2)
+        out(dst + x * 3 + 1) = bytes(src + x * 3 + 1)
+        out(dst + x * 3 + 2) = bytes(src + x * 3)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** Image features via the real [[decodeBmp24]]. */
+  def bmpFeatures(assetId: Long, payload: Array[Byte]): ImageFeatures = {
+    val (w, h, px) = decodeBmp24(payload)
+    imageFeaturesOfRgb(assetId, w, h, px)
   }
 
   // -------------------------------------------------------------------
@@ -387,7 +483,8 @@ object Multimodal {
     *   audio (REAL [[decodeWavPcm16]]): n_units = samples, dim_a =
     *     sample rate, dim_b = channels, feat_a = peak |sample|,
     *     feat_b = Σ sample², feat_c = Σ sample
-    *   image (REAL [[decodePpm]]): n_units = pixels, dim_a = width,
+    *   image (REAL [[decodePpm]] or [[decodeBmp24]], sniffed by
+    *     container magic): n_units = pixels, dim_a = width,
     *     dim_b = height, feat_a = Σ R, feat_b = Σ G, feat_c = Σ B
     *   anything else (stub fallback — no native codec ships in this
     *     environment): n_units = n_bytes, dim_a = dim_b = 0,
@@ -433,7 +530,12 @@ object Multimodal {
           MediaDecoded(assetId, mediaType, nb, samples.length.toLong,
             rate.toLong, channels.toLong, peak, sumSq, sum)
         case "image" =>
-          val f = ppmFeatures(assetId, payload)
+          // container sniff inside the type: both in-repo real image
+          // parsers are self-describing ('P6' netpbm vs 'BM' bitmap)
+          val f =
+            if (payload != null && payload.length >= 2 &&
+              payload(0) == 'B' && payload(1) == 'M') bmpFeatures(assetId, payload)
+            else ppmFeatures(assetId, payload)
           MediaDecoded(assetId, mediaType, nb, f.width.toLong * f.height,
             f.width.toLong, f.height.toLong, f.sum_r, f.sum_g, f.sum_b)
         case _ =>

@@ -227,6 +227,53 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodePpm("P6\n5 3\n255\r\n".getBytes("US-ASCII") ++ px)
     }
   }
+
+  test("BMP round-trip: row padding, BGR order, bottom-up and top-down, rejects") {
+    // width 3 → rowBytes 9 → 3 padding bytes per row: the padded-stride
+    // path is exercised, not just the aligned one
+    val (w, h) = (3, 2)
+    val px = Array.tabulate(w * h * 3)(i => ((i * 47 + 5) % 256).toByte)
+    val bytes = Multimodal.encodeBmp24(w, h, px)
+    val (dw, dh, dp) = Multimodal.decodeBmp24(bytes)
+    assert(dw == w && dh == h && dp.toSeq == px.toSeq,
+      "bottom-up padded round-trip must be exact")
+    val f = Multimodal.bmpFeatures(3L, bytes)
+    val idx = px.indices
+    assert(f.sum_r == idx.filter(_ % 3 == 0).map(i => (px(i) & 0xff).toLong).sum)
+    assert(f.sum_b == idx.filter(_ % 3 == 2).map(i => (px(i) & 0xff).toLong).sum)
+    // top-down variant: negate the height field in place — rows must
+    // then read in file order
+    val td = bytes.clone()
+    val negH = -h
+    td(22) = negH.toByte; td(23) = (negH >> 8).toByte
+    td(24) = (negH >> 16).toByte; td(25) = (negH >> 24).toByte
+    val (_, tdh, tdp) = Multimodal.decodeBmp24(td)
+    assert(tdh == h && tdp.toSeq != px.toSeq && tdp.toSeq == {
+      // reversing row order of the expected image reproduces it
+      val rb = w * 3
+      (h - 1 to 0 by -1).flatMap(r => px.slice(r * rb, r * rb + rb)).toSeq
+    })
+    // rejects: wrong magic, unsupported bpp, truncation — all loud
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp24("notabmp".getBytes) }
+    val bad = bytes.clone(); bad(28) = 8
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp24(bad) }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp24(java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 1))
+    }
+  }
+
+  test("RealFirstCodec sniffs the image container: BMP and PPM through one type") {
+    val (w, h) = (4, 2)
+    val px = Array.tabulate(w * h * 3)(i => ((i * 13) % 256).toByte)
+    val expected = Multimodal.ppmFeatures(0L, Multimodal.encodePpm(w, h, px))
+    for (payload <- Seq(Multimodal.encodePpm(w, h, px), Multimodal.encodeBmp24(w, h, px))) {
+      val d = Multimodal.RealFirstCodec.decode(1L, "image", payload)
+      assert(d.dim_a == w && d.dim_b == h && d.n_units == w.toLong * h)
+      assert(d.feat_a == expected.sum_r && d.feat_b == expected.sum_g &&
+        d.feat_c == expected.sum_b,
+        "both containers must decode to the SAME pixel features")
+    }
+  }
 }
 
 /** Spec fake: counts lifecycle calls through static (JVM-singleton)
