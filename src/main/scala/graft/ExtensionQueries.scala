@@ -170,15 +170,18 @@ object ExtensionQueries {
     // environment); it too is oracle-exact.
     Q("q36_multimodal_features",
       """WITH d AS (SELECT doc_id, n_chars * 31 + doc_id AS seed FROM documents),
-        |a AS (SELECT doc_id, seed, 8 + doc_id % 9 AS n FROM d WHERE doc_id % 3 = 0),
-        |av AS (SELECT doc_id, n,
+        |a AS (SELECT doc_id, seed, 8 + doc_id % 9 AS n, doc_id % 6 = 0 AS is_wav
+        |      FROM d WHERE doc_id % 3 = 0),
+        |av AS (SELECT doc_id, n, is_wav,
         |         (((seed + i * 2654435761) % 65536) + 65536) % 65536 - 32768 AS v
-        |       FROM (SELECT doc_id, n, seed, unnest(generate_series(1, n)) AS i FROM a)),
+        |       FROM (SELECT doc_id, n, is_wav, seed,
+        |               unnest(generate_series(1, n)) AS i FROM a)),
         |audio AS (SELECT doc_id AS asset_id, 'audio' AS media_type,
-        |    44 + 2 * n AS n_bytes, n AS n_units, 8000 AS dim_a, 1 AS dim_b,
+        |    CASE WHEN is_wav THEN 44 + 2 * n ELSE 24 + 2 * n END AS n_bytes,
+        |    n AS n_units, 8000 AS dim_a, 1 AS dim_b,
         |    max(abs(v)) AS feat_a, CAST(sum(v * v) AS BIGINT) AS feat_b,
         |    CAST(sum(v) AS BIGINT) AS feat_c
-        |  FROM av GROUP BY doc_id, n),
+        |  FROM av GROUP BY doc_id, n, is_wav),
         |im AS (SELECT doc_id, seed, 2 + doc_id % 4 AS w, 2 + doc_id % 5 AS h,
         |         doc_id % 6 = 1 AS is_ppm
         |       FROM d WHERE doc_id % 3 = 1),
@@ -216,7 +219,14 @@ object ExtensionQueries {
             case 0 =>
               val n = (8 + id % 9).toInt
               val samples = Array.tabulate(n)(i => (lcg(i + 1, 65536L) - 32768L).toShort)
-              (id, "audio", Multimodal.encodeWavPcm16(samples, 8000))
+              // alternate the container like the image lane: WAV
+              // (RIFF little-endian) vs Sun AU (big-endian) with the
+              // SAME samples — only the header size differs in the
+              // oracle; both real audio decoders run under the check
+              val payload =
+                if (id % 6 == 0) Multimodal.encodeWavPcm16(samples, 8000)
+                else Multimodal.encodeAuPcm16(samples, 8000)
+              (id, "audio", payload)
             case 1 =>
               val w = (2 + id % 4).toInt
               val h = (2 + id % 5).toInt

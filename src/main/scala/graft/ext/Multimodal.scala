@@ -226,6 +226,57 @@ object Multimodal {
     bb.array()
   }
 
+  /** Minimal Sun AU (.snd) writer: 24-byte big-endian header,
+    * encoding 3 (16-bit linear PCM), big-endian samples — the
+    * test/fixture counterpart of [[decodeAuPcm16]]. */
+  def encodeAuPcm16(samples: Array[Short], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of channels $channels")
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(24 + dataLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(".snd".getBytes("US-ASCII"))
+    bb.putInt(24)           // data offset
+    bb.putInt(dataLen)      // data size
+    bb.putInt(3)            // encoding: 16-bit linear PCM
+    bb.putInt(sampleRate)
+    bb.putInt(channels)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL Sun AU (.snd) PCM16 reader: big-endian header walk (magic,
+    * data offset ≥ 24, encoding must be 3 = 16-bit linear PCM),
+    * big-endian samples from the declared offset, bounded by the
+    * declared size (0xFFFFFFFF = unknown ⇒ to end of payload).
+    * Fail-loud on malformed input, like [[decodeWavPcm16]]. */
+  def decodeAuPcm16(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    require(bytes != null && bytes.length >= 24 &&
+      bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd',
+      "not an AU file")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.position(4)
+    val dataOffset = bb.getInt
+    val dataSize = bb.getInt
+    val encoding = bb.getInt
+    val rate = bb.getInt
+    val channels = bb.getInt
+    require(dataOffset >= 24, s"bad AU data offset $dataOffset")
+    require(encoding == 3, s"unsupported AU encoding $encoding (only 16-bit PCM)")
+    require(rate > 0 && channels >= 1, s"bad AU rate/channels $rate/$channels")
+    val avail = bytes.length - dataOffset
+    require(avail >= 0, "truncated AU: data offset past end")
+    val dataLen = if (dataSize == -1) avail else math.min(dataSize.toLong, avail.toLong).toInt
+    require(dataLen % 2 == 0, s"odd AU PCM16 data length $dataLen")
+    val n = dataLen / 2
+    require(n % channels == 0, s"AU sample count $n not a multiple of channels $channels")
+    bb.position(dataOffset)
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getShort; i += 1 }
+    (rate, channels, out)
+  }
+
   /** RIFF/WAVE PCM16 reader: walks chunks (odd sizes pad to even per
     * the RIFF spec, unknown chunks skipped), requires format tag 1
     * (PCM) at 16 bits, returns (sampleRate, channels, interleaved
@@ -517,7 +568,13 @@ object Multimodal {
       val nb = if (payload == null) 0L else payload.length.toLong
       mediaType match {
         case "audio" =>
-          val (rate, channels, samples) = decodeWavPcm16(payload)
+          // container sniff inside the type, like the image lane:
+          // '.snd' is Sun AU, anything else goes to the RIFF walk
+          val (rate, channels, samples) =
+            if (payload != null && payload.length >= 4 && payload(0) == '.' &&
+              payload(1) == 's' && payload(2) == 'n' && payload(3) == 'd')
+              decodeAuPcm16(payload)
+            else decodeWavPcm16(payload)
           var peak = 0L; var sumSq = 0L; var sum = 0L
           var i = 0
           while (i < samples.length) {

@@ -262,6 +262,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AU round-trip: big-endian PCM16 exact; unknown size; rejects loud") {
+    val samples = Array.tabulate(11)(i => ((i * 977 - 4000) % 32768).toShort)
+    val bytes = Multimodal.encodeAuPcm16(samples, 16000)
+    val (rate, ch, got) = Multimodal.decodeAuPcm16(bytes)
+    assert(rate == 16000 && ch == 1 && got.toSeq == samples.toSeq)
+    // dataSize 0xFFFFFFFF (unknown) must read to end of payload
+    val unk = bytes.clone()
+    unk(8) = -1; unk(9) = -1; unk(10) = -1; unk(11) = -1
+    assert(Multimodal.decodeAuPcm16(unk)._3.toSeq == samples.toSeq)
+    intercept[IllegalArgumentException] { Multimodal.decodeAuPcm16("RIFF".getBytes ++ bytes) }
+    val mulaw = bytes.clone(); mulaw(15) = 1 // encoding 1 = 8-bit mu-law
+    intercept[IllegalArgumentException] { Multimodal.decodeAuPcm16(mulaw) }
+  }
+
+  test("RealFirstCodec sniffs the audio container: WAV and AU give the same features") {
+    val samples = Array.tabulate(9)(i => ((i * 1213 - 5000) % 32768).toShort)
+    val wav = Multimodal.RealFirstCodec.decode(1L, "audio",
+      Multimodal.encodeWavPcm16(samples, 8000))
+    val au = Multimodal.RealFirstCodec.decode(1L, "audio",
+      Multimodal.encodeAuPcm16(samples, 8000))
+    assert(wav.n_units == au.n_units && wav.feat_a == au.feat_a &&
+      wav.feat_b == au.feat_b && wav.feat_c == au.feat_c &&
+      wav.dim_a == au.dim_a && wav.dim_b == au.dim_b,
+      "identical samples must decode identically from either container")
+    assert(wav.n_bytes == 44 + 2 * samples.length && au.n_bytes == 24 + 2 * samples.length)
+  }
+
   test("RealFirstCodec sniffs the image container: BMP and PPM through one type") {
     val (w, h) = (4, 2)
     val px = Array.tabulate(w * h * 3)(i => ((i * 13) % 256).toByte)
