@@ -251,9 +251,7 @@ object Multimodal {
     * declared size (0xFFFFFFFF = unknown ⇒ to end of payload).
     * Fail-loud on malformed input, like [[decodeWavPcm16]]. */
   def decodeAuPcm16(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
-    require(bytes != null && bytes.length >= 24 &&
-      bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd',
-      "not an AU file")
+    require(isAu(bytes) && bytes.length >= 24, "not an AU file")
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
     bb.position(4)
     val dataOffset = bb.getInt
@@ -266,7 +264,11 @@ object Multimodal {
     require(rate > 0 && channels >= 1, s"bad AU rate/channels $rate/$channels")
     val avail = bytes.length - dataOffset
     require(avail >= 0, "truncated AU: data offset past end")
-    val dataLen = if (dataSize == -1) avail else math.min(dataSize.toLong, avail.toLong).toInt
+    // dataSize is UNSIGNED 32-bit: read through a mask, then clamp to
+    // the payload — which also absorbs the 0xFFFFFFFF "unknown size"
+    // convention (it clamps to end-of-payload). Treating it as a
+    // signed Int would turn sizes >= 2^31 into a negative array length.
+    val dataLen = math.min(dataSize & 0xFFFFFFFFL, avail.toLong).toInt
     require(dataLen % 2 == 0, s"odd AU PCM16 data length $dataLen")
     val n = dataLen / 2
     require(n % channels == 0, s"AU sample count $n not a multiple of channels $channels")
@@ -437,6 +439,15 @@ object Multimodal {
     (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
       ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
 
+  /** Container magic sniffs — the ONE copy each, shared by the
+    * decoder's own validation and [[RealFirstCodec]]'s dispatch. */
+  def isBmp(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M'
+
+  def isAu(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 && bytes(0) == '.' &&
+      bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd'
+
   /** Minimal 24-bit uncompressed BMP writer (BITMAPINFOHEADER,
     * bottom-up, rows padded to 4 bytes): `pixels` is interleaved RGB,
     * row-major top-down — the test/fixture counterpart of
@@ -481,11 +492,15 @@ object Multimodal {
     * Fail-loud on anything else (palettes, RLE, other bit depths),
     * like the other real parsers. */
   def decodeBmp24(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
-    require(bytes != null && bytes.length >= 54 &&
-      bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    require(isBmp(bytes) && bytes.length >= 54, "not a BMP")
     val dataOffset = le32(bytes, 10)
     val dibSize = le32(bytes, 14)
     require(dibSize >= 40, s"unsupported DIB header size $dibSize")
+    // pixels must start AFTER the headers — a malformed offset inside
+    // (or before) the header region would silently decode header
+    // bytes as pixels (and a negative one would defeat the
+    // truncation require below, crashing uncontrolled)
+    require(dataOffset >= 14 + dibSize, s"bad BMP data offset $dataOffset")
     val w = le32(bytes, 18)
     val hRaw = le32(bytes, 22)
     val topDown = hRaw < 0
@@ -495,10 +510,16 @@ object Multimodal {
     require(w > 0 && h > 0, s"bad dimensions ${w}x$hRaw")
     require(bpp == 24, s"unsupported bpp $bpp (only 24-bit)")
     require(compression == 0, s"unsupported compression $compression (only BI_RGB)")
-    val rowBytes = w * 3
-    val stride = rowBytes + (4 - rowBytes % 4) % 4
-    require(bytes.length.toLong >= dataOffset.toLong + stride.toLong * h,
+    // Long math throughout the sizing: a corrupt width near 2^31/3
+    // would overflow Int rowBytes, sneak past the truncation check,
+    // and die uncontrolled in the pixel loop
+    val rowBytesL = 3L * w
+    val strideL = rowBytesL + (4 - rowBytesL % 4) % 4
+    require(bytes.length.toLong >= dataOffset.toLong + strideL * h,
       "truncated BMP pixel data")
+    require(3L * w * h <= Int.MaxValue, s"implausible BMP pixel volume ${w}x$h")
+    val rowBytes = rowBytesL.toInt
+    val stride = strideL.toInt
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -571,9 +592,7 @@ object Multimodal {
           // container sniff inside the type, like the image lane:
           // '.snd' is Sun AU, anything else goes to the RIFF walk
           val (rate, channels, samples) =
-            if (payload != null && payload.length >= 4 && payload(0) == '.' &&
-              payload(1) == 's' && payload(2) == 'n' && payload(3) == 'd')
-              decodeAuPcm16(payload)
+            if (isAu(payload)) decodeAuPcm16(payload)
             else decodeWavPcm16(payload)
           var peak = 0L; var sumSq = 0L; var sum = 0L
           var i = 0
@@ -590,8 +609,7 @@ object Multimodal {
           // container sniff inside the type: both in-repo real image
           // parsers are self-describing ('P6' netpbm vs 'BM' bitmap)
           val f =
-            if (payload != null && payload.length >= 2 &&
-              payload(0) == 'B' && payload(1) == 'M') bmpFeatures(assetId, payload)
+            if (isBmp(payload)) bmpFeatures(assetId, payload)
             else ppmFeatures(assetId, payload)
           MediaDecoded(assetId, mediaType, nb, f.width.toLong * f.height,
             f.width.toLong, f.height.toLong, f.sum_r, f.sum_g, f.sum_b)

@@ -260,6 +260,19 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.decodeBmp24(java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 1))
     }
+    // malformed headers must raise IAE, never decode garbage or crash
+    // uncontrolled: offset inside the header region (would read header
+    // bytes as pixels), negative offset, and an Int-overflowing width
+    def putLe32At(buf: Array[Byte], off: Int, v: Int): Unit = {
+      buf(off) = v.toByte; buf(off + 1) = (v >> 8).toByte
+      buf(off + 2) = (v >> 16).toByte; buf(off + 3) = (v >> 24).toByte
+    }
+    val offsetInHeader = bytes.clone(); putLe32At(offsetInHeader, 10, 0)
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp24(offsetInHeader) }
+    val negOffset = bytes.clone(); putLe32At(negOffset, 10, -1000)
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp24(negOffset) }
+    val hugeWidth = bytes.clone(); putLe32At(hugeWidth, 18, 0x55555557)
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp24(hugeWidth) }
   }
 
   test("AU round-trip: big-endian PCM16 exact; unknown size; rejects loud") {
@@ -274,6 +287,11 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.decodeAuPcm16("RIFF".getBytes ++ bytes) }
     val mulaw = bytes.clone(); mulaw(15) = 1 // encoding 1 = 8-bit mu-law
     intercept[IllegalArgumentException] { Multimodal.decodeAuPcm16(mulaw) }
+    // dataSize is UNSIGNED: 0x80000000 is a legal huge size that must
+    // clamp to the payload, not become a negative array length
+    val hugeSize = bytes.clone()
+    hugeSize(8) = 0x80.toByte; hugeSize(9) = 0; hugeSize(10) = 0; hugeSize(11) = 0
+    assert(Multimodal.decodeAuPcm16(hugeSize)._3.toSeq == samples.toSeq)
   }
 
   test("RealFirstCodec sniffs the audio container: WAV and AU give the same features") {
