@@ -159,15 +159,19 @@ object ExtensionQueries {
       Similarity.labelStats(s.read.parquet(s"$dir/embeddings.parquet"))
     },
 
-    // Multimodal: a mixed-media corpus (REAL RIFF/WAVE PCM16 audio,
-    // REAL PPM P6 images, byte-stub "video") through the unified
-    // partition-batched decode. Payloads are genuine binaries
+    // Multimodal: a mixed-media corpus (REAL RIFF/WAVE + Sun AU PCM16
+    // audio; REAL PPM P6, 24-bit BMP and PNG images — PNG decoded by
+    // the JDK's ImageIO reader, encoded stored-deflate so its byte
+    // length stays pure arithmetic; byte-stub "video") through the
+    // unified partition-batched decode. Payloads are genuine binaries
     // synthesized deterministically from (doc_id, n_chars), so the
     // oracle recomputes every decoded feature arithmetically — a
     // header-parse, byte-order, or channel-interleave bug anywhere in
     // the encode→binary→decode path breaks the hash. Only the "video"
-    // lane is stub byte-features (no native codec in this
-    // environment); it too is oracle-exact.
+    // lane is stub byte-features (MP3/H.264 would need a native
+    // codec); it too is oracle-exact. JPEG decode is equally real
+    // (same ImageIO seam) but lossy, so it lives in MultimodalSpec's
+    // round-trip cases, not the bit-exact oracle.
     Q("q36_multimodal_features",
       """WITH d AS (SELECT doc_id, n_chars * 31 + doc_id AS seed FROM documents),
         |a AS (SELECT doc_id, seed, 8 + doc_id % 9 AS n, doc_id % 6 = 0 AS is_wav
@@ -183,21 +187,24 @@ object ExtensionQueries {
         |    CAST(sum(v) AS BIGINT) AS feat_c
         |  FROM av GROUP BY doc_id, n, is_wav),
         |im AS (SELECT doc_id, seed, 2 + doc_id % 4 AS w, 2 + doc_id % 5 AS h,
-        |         doc_id % 6 = 1 AS is_ppm
+        |         doc_id % 9 AS container
         |       FROM d WHERE doc_id % 3 = 1),
-        |ib AS (SELECT doc_id, w, h, is_ppm, j,
+        |ib AS (SELECT doc_id, w, h, container, j,
         |         (((seed + j * 2654435761) % 256) + 256) % 256 AS b
-        |       FROM (SELECT doc_id, w, h, is_ppm, seed,
+        |       FROM (SELECT doc_id, w, h, container, seed,
         |               unnest(generate_series(1, 3 * w * h)) AS j FROM im)),
         |image AS (SELECT doc_id AS asset_id, 'image' AS media_type,
-        |    CASE WHEN is_ppm
+        |    CASE WHEN container = 1
         |      THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
-        |      ELSE 54 + (3 * w + (4 - (3 * w) % 4) % 4) * h END AS n_bytes,
+        |    WHEN container = 4
+        |      THEN 54 + (3 * w + (4 - (3 * w) % 4) % 4) * h
+        |      ELSE 63 + 5 * ((h * (1 + 3 * w) + 65534) // 65535) + h * (1 + 3 * w)
+        |    END AS n_bytes,
         |    w * h AS n_units, w AS dim_a, h AS dim_b,
         |    CAST(sum(CASE WHEN (j - 1) % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS feat_a,
         |    CAST(sum(CASE WHEN (j - 1) % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS feat_b,
         |    CAST(sum(CASE WHEN (j - 1) % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS feat_c
-        |  FROM ib GROUP BY doc_id, w, h, is_ppm),
+        |  FROM ib GROUP BY doc_id, w, h, container),
         |vi AS (SELECT doc_id, seed, 16 + doc_id % 17 AS n FROM d WHERE doc_id % 3 = 2),
         |vb AS (SELECT doc_id, n,
         |         (((seed + k * 2654435761) % 256) + 256) % 256 AS b
@@ -231,13 +238,16 @@ object ExtensionQueries {
               val w = (2 + id % 4).toInt
               val h = (2 + id % 5).toInt
               val px = Array.tabulate(3 * w * h)(j => lcg(j + 1, 256L).toByte)
-              // alternate the container: half the image assets arrive
-              // as PPM, half as 24-bit BMP — the SAME pixels, so only
-              // n_bytes differs in the oracle; both real decoders run
+              // rotate the container: image assets arrive as PPM,
+              // 24-bit BMP, or stored-deflate PNG (decoded by the JDK
+              // ImageIO reader) — the SAME pixels, so only n_bytes
+              // differs in the oracle; all three real decoders run
               // under the oracle-checked lane
-              val payload =
-                if (id % 6 == 1) Multimodal.encodePpm(w, h, px)
-                else Multimodal.encodeBmp24(w, h, px)
+              val payload = (id % 9) match {
+                case 1 => Multimodal.encodePpm(w, h, px)
+                case 4 => Multimodal.encodeBmp24(w, h, px)
+                case _ => Multimodal.encodePng(w, h, px)
+              }
               (id, "image", payload)
             case _ =>
               val n = (16 + id % 17).toInt

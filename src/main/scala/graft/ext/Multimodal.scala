@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partition-batched decode loop,
   * feature projection — is real and tested. Decode itself is REAL for
-  * self-describing containers that need no native library (RIFF/WAVE
-  * PCM16 via [[decodeWavPcm16]], PPM P6 via [[decodePpm]], 24-bit BMP
-  * via [[decodeBmp24]], dispatched by [[RealFirstCodec]] with a
-  * container sniff); formats that DO need one (JPEG, MP3,
-  * H.264 — no such libraries ship in this environment) fall back to a
-  * deterministic byte-level STUB behind the same seam. `decodeBatch`
+  * every container the JVM can parse without a native library:
+  * RIFF/WAVE PCM16 via [[decodeWavPcm16]], Sun AU via [[decodeAuPcm16]],
+  * PPM P6 via [[decodePpm]], 24-bit BMP via [[decodeBmp24]], and
+  * PNG/JPEG/GIF via the JDK's bundled ImageIO readers
+  * ([[decodeImageIo]] — headless-safe, the same `javax.imageio` the
+  * PNG report sink already uses to WRITE), all dispatched by
+  * [[RealFirstCodec]] with a container sniff. Only formats that
+  * genuinely need a native codec (MP3, H.264 — no such libraries ship
+  * in this environment) fall back to a deterministic byte-level STUB
+  * behind the same seam. `decodeBatch`
   * is the single point to swap in a JNI/FFI decoder per executor;
   * everything around it (mapPartitions batching so the codec
   * amortizes per-partition init, repartition by asset so decode
@@ -59,8 +63,9 @@ object Multimodal {
     def decode(assetId: Long, mediaType: String, payload: Array[Byte]): MediaFeatures
   }
 
-  /** The in-repo deterministic stub codec (no media libraries ship in
-    * this environment): byte-level "features" standing in for decoded
+  /** The in-repo deterministic stub codec for formats whose decode
+    * genuinely needs a native library absent from this environment
+    * (MP3, H.264): byte-level "features" standing in for decoded
     * pixels/samples. */
   object StubCodec extends MediaCodec {
     override def decode(assetId: Long, mediaType: String, payload: Array[Byte]): MediaFeatures =
@@ -499,8 +504,12 @@ object Multimodal {
     // pixels must start AFTER the headers — a malformed offset inside
     // (or before) the header region would silently decode header
     // bytes as pixels (and a negative one would defeat the
-    // truncation require below, crashing uncontrolled)
-    require(dataOffset >= 14 + dibSize, s"bad BMP data offset $dataOffset")
+    // truncation require below, crashing uncontrolled). Long math: a
+    // crafted dibSize near Int.MaxValue would overflow `14 + dibSize`
+    // negative and let a bad offset through; the header must also fit
+    // the payload at all
+    require(dibSize <= bytes.length, s"DIB header size $dibSize past end of payload")
+    require(dataOffset.toLong >= 14L + dibSize, s"bad BMP data offset $dataOffset")
     val w = le32(bytes, 18)
     val hRaw = le32(bytes, 22)
     val topDown = hRaw < 0
@@ -541,6 +550,135 @@ object Multimodal {
   /** Image features via the real [[decodeBmp24]]. */
   def bmpFeatures(assetId: Long, payload: Array[Byte]): ImageFeatures = {
     val (w, h, px) = decodeBmp24(payload)
+    imageFeaturesOfRgb(assetId, w, h, px)
+  }
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 8 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G' && (bytes(4) & 0xff) == 0x0d && (bytes(5) & 0xff) == 0x0a &&
+      (bytes(6) & 0xff) == 0x1a && (bytes(7) & 0xff) == 0x0a
+
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 3 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
+
+  /** Deterministic 8-bit-RGB PNG writer with STORED (uncompressed)
+    * deflate blocks — a fully standard PNG any decoder reads, chosen
+    * over `ImageIO.write` for the fixture lane because its byte length
+    * is pure arithmetic: raw = h·(1+3w) filter-prefixed scanline
+    * bytes, nblocks = ⌈raw/65535⌉, total = 63 + 5·nblocks + raw
+    * (signature 8 + IHDR 25 + IDAT overhead 12 + zlib header 2 +
+    * adler 4 + IEND 12). That makes an encode→decode round trip
+    * verifiable by an external SQL oracle (q36's image lane), with the
+    * DECODE side exercised through the JDK's real ImageIO PNG reader
+    * ([[decodeImageIo]]) — compression would buy nothing on the tiny
+    * fixture payloads and would make n_bytes engine-opaque. */
+  def encodePng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height * 3,
+      s"pixel buffer ${pixels.length} != $width x $height x 3")
+    // raw zlib payload: each scanline prefixed with filter type 0 (None)
+    val rowBytes = width * 3
+    val raw = new Array[Byte](height * (1 + rowBytes))
+    var y = 0
+    while (y < height) {
+      raw(y * (1 + rowBytes)) = 0
+      System.arraycopy(pixels, y * rowBytes, raw, y * (1 + rowBytes) + 1, rowBytes)
+      y += 1
+    }
+    val nBlocks = (raw.length + 65534) / 65535
+    val zLen = 2 + 5 * nBlocks + raw.length + 4
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 + zLen + 12)
+    out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    val crc = new java.util.zip.CRC32
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.putInt(data.length)
+      val t = typ.getBytes("US-ASCII")
+      crc.reset(); crc.update(t); crc.update(data)
+      out.put(t); out.put(data); out.putInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte)  // bit depth
+    ihdr.put(2.toByte)  // color type: truecolor RGB
+    ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte) // deflate, filter 0, no interlace
+    chunk("IHDR", ihdr.array())
+    val idat = java.nio.ByteBuffer.allocate(zLen)
+    idat.put(0x78.toByte); idat.put(0x01.toByte) // zlib CMF/FLG (level 0; (0x7801 % 31) == 0)
+    var off = 0
+    while (off < raw.length) {
+      val len = math.min(65535, raw.length - off)
+      idat.put(if (off + len == raw.length) 1.toByte else 0.toByte) // BFINAL | BTYPE=00 (stored)
+      idat.put((len & 0xff).toByte); idat.put(((len >> 8) & 0xff).toByte)
+      idat.put((~len & 0xff).toByte); idat.put(((~len >> 8) & 0xff).toByte)
+      idat.put(raw, off, len)
+      off += len
+    }
+    val adler = new java.util.zip.Adler32
+    adler.update(raw)
+    idat.putInt(adler.getValue.toInt)
+    chunk("IDAT", idat.array())
+    chunk("IEND", Array.emptyByteArray)
+    out.array()
+  }
+
+  /** REAL PNG/JPEG/GIF decode via the JDK's bundled ImageIO readers
+    * (pure-JVM, headless-safe — the same `javax.imageio` machinery
+    * [[graft.report.PngChart]] uses to WRITE PNGs). Returns (width,
+    * height, interleaved RGB, top-down row-major). Fail-loud like the
+    * hand-rolled parsers: an undecodable payload raises instead of
+    * yielding garbage features. For PNG (lossless) the round trip
+    * through [[encodePng]] is bit-exact; JPEG decode is real but the
+    * codec itself is lossy, so its guarantees are dimensional + bounded
+    * pixel error (spec-carried, not oracle-carried). */
+  def decodeImageIo(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes != null && bytes.length > 0, "empty image payload")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(s"undecodable image: ${e.getMessage}", e)
+      }
+    require(img != null, "undecodable image: no ImageIO reader accepted the payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w > 0 && h > 0, s"bad decoded dimensions ${w}x$h")
+    require(3L * w * h <= Int.MaxValue, s"implausible image pixel volume ${w}x$h")
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < argb.length) {
+      val p = argb(i)
+      out(i * 3) = ((p >> 16) & 0xff).toByte
+      out(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+      out(i * 3 + 2) = (p & 0xff).toByte
+      i += 1
+    }
+    (w, h, out)
+  }
+
+  /** JPEG writer for fixtures/specs (ImageIO's real lossy encoder —
+    * output size is codec-dependent, so JPEG stays off the arithmetic
+    * oracle and on spec-level round-trip checks). */
+  def encodeJpeg(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height * 3,
+      s"pixel buffer ${pixels.length} != $width x $height x 3")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < width * height) {
+      img.setRGB(i % width, i / width,
+        ((pixels(i * 3) & 0xff) << 16) | ((pixels(i * 3 + 1) & 0xff) << 8) |
+          (pixels(i * 3 + 2) & 0xff))
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG ImageIO writer")
+    bos.toByteArray
+  }
+
+  /** Image features via the real JDK ImageIO decode ([[decodeImageIo]]). */
+  def imageIoFeatures(assetId: Long, payload: Array[Byte]): ImageFeatures = {
+    val (w, h, px) = decodeImageIo(payload)
     imageFeaturesOfRgb(assetId, w, h, px)
   }
 
@@ -606,10 +744,12 @@ object Multimodal {
           MediaDecoded(assetId, mediaType, nb, samples.length.toLong,
             rate.toLong, channels.toLong, peak, sumSq, sum)
         case "image" =>
-          // container sniff inside the type: both in-repo real image
-          // parsers are self-describing ('P6' netpbm vs 'BM' bitmap)
+          // container sniff inside the type: every real image parser is
+          // self-describing ('BM' bitmap, PNG/JPEG magic → JDK ImageIO,
+          // 'P6' netpbm)
           val f =
             if (isBmp(payload)) bmpFeatures(assetId, payload)
+            else if (isPng(payload) || isJpeg(payload)) imageIoFeatures(assetId, payload)
             else ppmFeatures(assetId, payload)
           MediaDecoded(assetId, mediaType, nb, f.width.toLong * f.height,
             f.width.toLong, f.height.toLong, f.sum_r, f.sum_g, f.sum_b)

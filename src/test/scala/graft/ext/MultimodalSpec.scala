@@ -307,17 +307,74 @@ class MultimodalSpec extends SparkSpec {
     assert(wav.n_bytes == 44 + 2 * samples.length && au.n_bytes == 24 + 2 * samples.length)
   }
 
-  test("RealFirstCodec sniffs the image container: BMP and PPM through one type") {
+  test("RealFirstCodec sniffs the image container: BMP, PPM and PNG through one type") {
     val (w, h) = (4, 2)
     val px = Array.tabulate(w * h * 3)(i => ((i * 13) % 256).toByte)
     val expected = Multimodal.ppmFeatures(0L, Multimodal.encodePpm(w, h, px))
-    for (payload <- Seq(Multimodal.encodePpm(w, h, px), Multimodal.encodeBmp24(w, h, px))) {
+    for (payload <- Seq(Multimodal.encodePpm(w, h, px), Multimodal.encodeBmp24(w, h, px),
+        Multimodal.encodePng(w, h, px))) {
       val d = Multimodal.RealFirstCodec.decode(1L, "image", payload)
       assert(d.dim_a == w && d.dim_b == h && d.n_units == w.toLong * h)
       assert(d.feat_a == expected.sum_r && d.feat_b == expected.sum_g &&
         d.feat_c == expected.sum_b,
-        "both containers must decode to the SAME pixel features")
+        "all containers must decode to the SAME pixel features")
     }
+  }
+
+  // --- JDK ImageIO codecs (PNG exact, JPEG lossy) ---------------------
+
+  test("PNG round-trip: stored-deflate encode, JDK ImageIO decode, bit-exact; size arithmetic") {
+    val (w, h) = (5, 4)
+    val px = Array.tabulate(w * h * 3)(i => ((i * 89 + 17) % 256).toByte)
+    val bytes = Multimodal.encodePng(w, h, px)
+    // the size formula the q36 oracle mirrors: 63 + 5·nblocks + raw
+    val raw = h * (1 + 3 * w)
+    assert(bytes.length == 63 + 5 * ((raw + 65534) / 65535) + raw,
+      "PNG byte length must be the documented arithmetic function of (w, h)")
+    assert(Multimodal.isPng(bytes) && !Multimodal.isJpeg(bytes) && !Multimodal.isBmp(bytes))
+    // decode through the REAL JDK ImageIO PNG reader — lossless, so the
+    // round trip is bit-exact, like PPM/BMP
+    val (dw, dh, dp) = Multimodal.decodeImageIo(bytes)
+    assert(dw == w && dh == h && dp.toSeq == px.toSeq,
+      "PNG round-trip through ImageIO must be exact")
+    // multi-block path: raw > 65535 forces >1 stored deflate block
+    val (bw, bh) = (200, 120) // raw = 120·601 = 72120 → 2 blocks
+    val bpx = Array.tabulate(bw * bh * 3)(i => ((i * 31 + 7) % 256).toByte)
+    val big = Multimodal.encodePng(bw, bh, bpx)
+    val bigRaw = bh * (1 + 3 * bw)
+    assert(big.length == 63 + 5 * ((bigRaw + 65534) / 65535) + bigRaw)
+    val (gw, gh, gp) = Multimodal.decodeImageIo(big)
+    assert(gw == bw && gh == bh && gp.toSeq == bpx.toSeq,
+      "multi-block PNG must round-trip exactly")
+    // fail-loud: PNG magic with garbage body raises, never garbage pixels
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImageIo(bytes.take(8) ++ Array.fill[Byte](20)(42))
+    }
+    intercept[IllegalArgumentException] { Multimodal.decodeImageIo(Array[Byte](1, 2, 3)) }
+  }
+
+  test("JPEG: real ImageIO decode — exact dimensions, bounded pixel error (lossy codec)") {
+    val (w, h) = (16, 12)
+    // a smooth gradient (JPEG handles it well; hard edges would ring)
+    val px = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3
+      (((p % w) * 8 + (p / w) * 4) % 256).toByte
+    }
+    val bytes = Multimodal.encodeJpeg(w, h, px)
+    assert(Multimodal.isJpeg(bytes), "ImageIO must emit a JFIF/JPEG payload")
+    val (dw, dh, dp) = Multimodal.decodeImageIo(bytes)
+    assert(dw == w && dh == h, "JPEG dimensions are lossless")
+    // lossy: per-pixel error bounded, mean error small
+    val errs = px.indices.map(i => math.abs((dp(i) & 0xff) - (px(i) & 0xff)))
+    assert(errs.max <= 48, s"per-channel JPEG error too large: ${errs.max}")
+    assert(errs.sum.toDouble / errs.size <= 8.0,
+      s"mean JPEG error too large: ${errs.sum.toDouble / errs.size}")
+    // the unified codec routes JPEG through the real ImageIO lane:
+    // dims/pixel-sum features, not stub byte features
+    val d = Multimodal.RealFirstCodec.decode(2L, "image", bytes)
+    assert(d.dim_a == w && d.dim_b == h && d.n_units == w.toLong * h)
+    val sumR = px.indices.filter(_ % 3 == 0).map(i => (dp(i) & 0xff).toLong).sum
+    assert(d.feat_a == sumR, "features must come from DECODED pixels")
   }
 }
 
