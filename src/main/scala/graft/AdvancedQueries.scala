@@ -130,17 +130,23 @@ object AdvancedQueries {
     },
 
     // SimHash banded near-dup pairs (pigeonhole Hamming search),
-    // oracle-exact: md5-SimHash fingerprints (cross-engine long
-    // arithmetic) through the REAL banded machinery with the bucket
-    // cap lifted for this lane — the SQL mirror pairs all band-bucket
-    // members, so star/salted degraded modes stay DedupSpec-proven
-    // (q85's oracle-lane split). The murmur3 SimHash64 production path
-    // keeps its banded==brute-force DedupSpec property.
+    // oracle-exact IN THE SCALE-SAFE CONFIGURATION: md5-SimHash
+    // fingerprints (cross-engine long arithmetic) through the REAL
+    // banded machinery with a bounded bucket cap and the salted
+    // sub-bucket degraded mode — the guard that keeps one degenerate
+    // band (boilerplate/empty docs sharing a fingerprint prefix) from
+    // going quadratic in a single join at scale. The SQL mirror
+    // reproduces the capped star + md5-salted sub-bucket split exactly
+    // (Dedup.saltOf is md5-based precisely so it is SQL-expressible;
+    // same recipe as q81), and sf0.01's band buckets reach ~54 members,
+    // so the degraded lanes run FOR REAL under the oracle. The murmur3
+    // SimHash64 production path keeps its banded==brute-force DedupSpec
+    // property.
     Q("q44_simhash_neardup",
-      graft.ExtensionOracles.md5SimHashPairsSql(48, maxHamming = 3)) { (s, dir) =>
+      graft.ExtensionOracles.md5SimHashPairsSql(48, maxHamming = 3, maxBucket = 16)) { (s, dir) =>
       graft.ext.Dedup.simhashNearDupPairsFromSignatures(
           graft.ext.Dedup.md5SimHash(s.read.parquet(s"$dir/documents.parquet")),
-          sigBits = 48, maxHamming = 3, maxBucket = Int.MaxValue)
+          sigBits = 48, maxHamming = 3, maxBucket = 16, saltOversized = true)
         .orderBy("a_id", "b_id")
     },
 

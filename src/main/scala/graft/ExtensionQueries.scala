@@ -483,11 +483,17 @@ object ExtensionOracles {
        |FROM sig ORDER BY doc_id""".stripMargin
 
   /** q44: banded Hamming near-dup pairs over md5-SimHash fingerprints —
-    * mirrors Dedup.simhashNearDupPairsFromSignatures with the bucket
-    * cap lifted (the SQL pairs ALL band-bucket members; the capped
-    * star/salted degraded modes are DedupSpec-proven instead, same
-    * split as q85's oracle lane). */
-  def md5SimHashPairsSql(bits: Int, maxHamming: Int): String = {
+    * mirrors Dedup.simhashNearDupPairsFromSignatures in its SCALE-SAFE
+    * registered configuration: bounded `maxBucket` with the salted
+    * sub-bucket degraded mode on (`saltOversized = true`). The mirror
+    * reproduces all three candidate lanes exactly — small buckets pair
+    * exhaustively, oversized buckets emit star edges to the min member
+    * plus exhaustive pairs inside each md5-salted sub-bucket (the salt
+    * is Dedup.saltOf's md5 arithmetic, so the sub-bucket split is
+    * engine-portable, same recipe as q81's oracle). sf0.01 has band
+    * buckets up to ~54 members, so with a cap of 16 the degraded lanes
+    * are genuinely exercised under the oracle, not just spec-proven. */
+  def md5SimHashPairsSql(bits: Int, maxHamming: Int, maxBucket: Int): String = {
     val bands = maxHamming + 1
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
@@ -495,16 +501,34 @@ object ExtensionOracles {
        |banded AS (
        |  SELECT doc_id, sig, b, (sig & (CAST($mask AS BIGINT) << (b * $bandBits))) AS bb
        |  FROM sig, (SELECT unnest(generate_series(0, ${bands - 1})) AS b)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM banded a JOIN banded b
-       |    ON a.b = b.b AND a.bb = b.bb AND a.doc_id < b.doc_id)
-       |SELECT a_id, b_id,
-       |  CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
-       |FROM cand
-       |JOIN sig sa ON sa.doc_id = a_id
-       |JOIN sig sb ON sb.doc_id = b_id
-       |WHERE bit_count(xor(sa.sig, sb.sig)) <= $maxHamming
+       |stats AS (
+       |  SELECT doc_id, sig, b, bb,
+       |    count(*) OVER (PARTITION BY b, bb) AS bucket_n,
+       |    min(doc_id) OVER (PARTITION BY b, bb) AS min_id,
+       |    arg_min(sig, doc_id) OVER (PARTITION BY b, bb) AS min_sig
+       |  FROM banded),
+       |smallb AS (SELECT * FROM stats WHERE bucket_n BETWEEN 2 AND $maxBucket),
+       |small AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS a_sig, b.sig AS b_sig
+       |  FROM smallb a JOIN smallb b
+       |    ON a.b = b.b AND a.bb = b.bb AND a.doc_id < b.doc_id),
+       |star AS (
+       |  SELECT min_id AS a_id, doc_id AS b_id, min_sig AS a_sig, sig AS b_sig
+       |  FROM stats WHERE bucket_n > $maxBucket AND doc_id <> min_id),
+       |saltassign AS (
+       |  SELECT doc_id, sig, b, bb,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % ((bucket_n + ${maxBucket - 1}) // $maxBucket) AS salt
+       |  FROM stats WHERE bucket_n > $maxBucket),
+       |salted AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS a_sig, b.sig AS b_sig
+       |  FROM saltassign a JOIN saltassign b
+       |    ON a.b = b.b AND a.bb = b.bb AND a.salt = b.salt AND a.doc_id < b.doc_id)
+       |SELECT DISTINCT a_id, b_id,
+       |  CAST(bit_count(xor(a_sig, b_sig)) AS INTEGER) AS hamming
+       |FROM (SELECT * FROM small UNION ALL SELECT * FROM star
+       |      UNION ALL SELECT * FROM salted)
+       |WHERE bit_count(xor(a_sig, b_sig)) <= $maxHamming
        |ORDER BY a_id, b_id""".stripMargin
   }
 

@@ -210,4 +210,60 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, s"banded=$got brute=$brute")
     assert(got.contains((0L, 10000L)), "exact copies must be found (hamming 0)")
   }
+
+  test("q44's registered config: capped + salted banding on a hot band matches the model") {
+    // the REGISTERED scale-safe q44 configuration (bounded cap, salted
+    // degraded mode) against an independent reimplementation of all
+    // three candidate lanes — the same model the DuckDB oracle mirrors.
+    // Corpus: real docs plus a 40-clone hot group so at least one band
+    // bucket far exceeds the cap.
+    val (maxHamming, maxBucket, bits) = (3, 16, 48)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .union(spark.read.parquet(s"${sf()}/documents.parquet")
+        .filter(col("doc_id") === 0)
+        .crossJoin(spark.range(40).select((col("id") + 20000).as("nid")))
+        .select(col("nid").as("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")))
+    val sigFrame = Dedup.md5SimHash(docs)
+    val got = Dedup.simhashNearDupPairsFromSignatures(
+        sigFrame, sigBits = bits, maxHamming = maxHamming,
+        maxBucket = maxBucket, saltOversized = true)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // independent model over the collected signatures
+    val sigs = sigFrame.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bandBits = bits / (maxHamming + 1)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def saltOf(id: Long, nSub: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % nSub
+    }
+    val buckets = sigs.toSeq.flatMap { case (id, sig) =>
+      (0 to maxHamming).map { b =>
+        ((b, sig & (((1L << bandBits) - 1) << (b * bandBits))), id)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = buckets.values.flatMap { ids =>
+      if (ids.size <= maxBucket) ids.combinations(2).map(p => (p(0), p(1))).toSeq
+      else {
+        val minId = ids.min
+        val nSub = (ids.size + maxBucket - 1) / maxBucket
+        val star: Seq[(Long, Long)] =
+          ids.filter(_ != minId).map(i => (math.min(minId, i), math.max(minId, i)))
+        val salted: Seq[(Long, Long)] = ids.groupBy(saltOf(_, nSub)).values.toSeq
+          .flatMap(_.sorted.combinations(2).map(p => (p(0), p(1))).toSeq)
+        star ++ salted
+      }
+    }.toSet.filter { p: (Long, Long) => hamming(sigs(p._1), sigs(p._2)) <= maxHamming }
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // the hot group really went through the degraded lanes: clones pair
+    // via star edges AND member-member sub-bucket pairs exist
+    val clonePairs = got.filter { case (a, b) => a >= 20000 || b >= 20000 }
+    assert(clonePairs.nonEmpty, "hot clone group must emit pairs")
+    assert(clonePairs.exists { case (a, b) => a >= 20000 && b >= 20000 },
+      "salted mode must recover member-member pairs inside the hot bucket")
+  }
 }
