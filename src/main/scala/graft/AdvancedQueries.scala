@@ -163,7 +163,9 @@ object AdvancedQueries {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val centroids = graft.ext.Ivf.centroidsFor(emb, dir, k = 8, iters = 3)
       val radii = graft.ext.Ivf.radiiFor(emb, dir, centroids)
-      graft.ext.Ivf.topKExact(emb, 7L, 20, centroids, radii, nProbe0 = 3)
+      // the persisted cell-assignment memo: probe jobs read the cached
+      // (id, label, unit, cell) frame instead of re-deriving it per pass
+      graft.ext.Ivf.topKExactCached(emb, dir, 7L, 20, centroids, radii, nProbe0 = 3)
     },
 
     // Grouped top-k via the custom LogicalPlan/Strategy/SparkPlan

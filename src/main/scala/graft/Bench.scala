@@ -94,6 +94,7 @@ object Bench {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val ivfCentroids = graft.ext.Ivf.centroidsFor(emb, sfDir, k = 8, iters = 3)
     graft.ext.Ivf.radiiFor(emb, sfDir, ivfCentroids)
+    graft.ext.Ivf.cellsFor(emb, sfDir, ivfCentroids).count()
     graft.ext.Pq.codebooksFor(emb, sfDir)
     // streaming machinery warm-up: the micro-batch planner, state-store
     // provider and sink classes load once per JVM — without this the

@@ -54,12 +54,41 @@ object Ivf {
     * after the underlying corpus at `key` changes (mirrors
     * [[graft.analysis.EventsFact.invalidate]] and
     * [[Dedup.invalidateSignatures]]; without it [[centroidsFor]] would
-    * silently serve stale centroids forever). Radii are part of the
-    * same index artifact, so they drop together. */
+    * silently serve stale centroids forever). Radii and the persisted
+    * cell-assignment frame are part of the same index artifact, so
+    * they drop together. */
   def invalidate(spark: org.apache.spark.sql.SparkSession, key: String): Unit = {
     trainedCache.filterInPlace { case ((s, k2, _, _), _) => !((s eq spark) && k2 == key) }
     radiiCache.filterInPlace { case ((s, k2, _), _) => !((s eq spark) && k2 == key) }
+    cellsCache.synchronized {
+      cellsCache.filterInPlace { case ((s, k2, _), df) =>
+        val drop = (s eq spark) && k2 == key
+        if (drop) df.unpersist()
+        !drop
+      }
+    }
   }
+
+  /** The cell-assigned unitized corpus, persisted per (session, key,
+    * centroid identity) — the at-rest half of the IVF index next to
+    * the centroid/radii memos. Every probe job ([[topKExact]]'s query
+    * lookup, provisional pass and final pass) reads THIS frame; without
+    * it each job re-derives unit vectors + k dot products per row over
+    * the whole corpus (q45 paid that 3–4× per call). Keyed on the
+    * centroid content digest like [[radiiFor]] — cells are only valid
+    * against the centroids they were assigned by. MEMORY_AND_DISK:
+    * (id, label, unit, cell) is the corpus projection an IVF index IS;
+    * at rest this would be the `cell`-partitioned table layout. */
+  def cellsFor(emb: DataFrame, key: String, centroids: Array[Array[Double]]): DataFrame =
+    cellsCache.synchronized { // losing getOrElseUpdate racer would leak its persist
+      cellsCache.getOrElseUpdate(
+        (emb.sparkSession, key, centroidDigest(centroids)),
+        withCells(emb, centroids)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  private val cellsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Long), DataFrame]
 
   /** Train spherical k-means centroids (unit-normalized).
     *
@@ -122,7 +151,10 @@ object Ivf {
   def radiiFor(emb: DataFrame, key: String, centroids: Array[Array[Double]]): Array[Double] =
     radiiCache.getOrElseUpdate(
       (emb.sparkSession, key, centroidDigest(centroids)),
-      cellRadii(emb, centroids))
+      // measure over the persisted cell frame: the radii pass is the
+      // first consumer, so it both builds the shared cells cache and
+      // avoids its own full unitize+assign scan
+      cellRadiiOf(cellsFor(emb, key, centroids), centroids))
 
   /** Content digest of the centroid matrix for the radii memo key:
     * radii are only valid AGAINST the centroids they were measured to,
@@ -139,9 +171,12 @@ object Ivf {
   private val radiiCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Long), Array[Double]]
 
-  def cellRadii(emb: DataFrame, centroids: Array[Array[Double]]): Array[Double] = {
+  def cellRadii(emb: DataFrame, centroids: Array[Array[Double]]): Array[Double] =
+    cellRadiiOf(withCells(emb, centroids), centroids)
+
+  private def cellRadiiOf(cells: DataFrame, centroids: Array[Array[Double]]): Array[Double] = {
     val centroidLookup = array(centroids.map(c => array(c.map(lit): _*)): _*)
-    val rows = withCells(emb, centroids)
+    val rows = cells
       .filter(col("unit").isNotNull)
       // materialize the looked-up centroid as an attribute before the
       // dot (interpreted-HOF discipline: one lookup per row, not per
@@ -175,7 +210,17 @@ object Ivf {
   def topKExact(emb: DataFrame, queryVecId: Long, topK: Int,
                 centroids: Array[Array[Double]], radii: Array[Double],
                 nProbe0: Int = 3, eps: Double = 1e-6): DataFrame =
-    exactPlan(emb, queryVecId, topK, centroids, radii, nProbe0, eps)._1
+    exactPlan(withCells(emb, centroids), queryVecId, topK, centroids, radii, nProbe0, eps)._1
+
+  /** [[topKExact]] over the PERSISTED per-(session, key) cell frame
+    * ([[cellsFor]]): the query-serving shape — lookup, provisional and
+    * final passes all read the cached assignment instead of re-deriving
+    * unit vectors and k dot products per corpus row per job. */
+  def topKExactCached(emb: DataFrame, key: String, queryVecId: Long, topK: Int,
+                      centroids: Array[Array[Double]], radii: Array[Double],
+                      nProbe0: Int = 3, eps: Double = 1e-6): DataFrame =
+    exactPlan(cellsFor(emb, key, centroids), queryVecId, topK, centroids, radii,
+      nProbe0, eps)._1
 
   /** The cells [[topKExact]] reads for this query — the pruning
     * diagnostic (and the spec's assertion surface): on clustered data
@@ -183,7 +228,7 @@ object Ivf {
   def probeCells(emb: DataFrame, queryVecId: Long, topK: Int,
                  centroids: Array[Array[Double]], radii: Array[Double],
                  nProbe0: Int = 3, eps: Double = 1e-6): Seq[Int] =
-    exactPlan(emb, queryVecId, topK, centroids, radii, nProbe0, eps)._2
+    exactPlan(withCells(emb, centroids), queryVecId, topK, centroids, radii, nProbe0, eps)._2
 
   /** [[topKExact]] AND its probed-cell diagnostic from ONE probe pass.
     * The single-value entry points each run the driver-side query-unit
@@ -193,12 +238,11 @@ object Ivf {
   def topKExactProbed(emb: DataFrame, queryVecId: Long, topK: Int,
                       centroids: Array[Array[Double]], radii: Array[Double],
                       nProbe0: Int = 3, eps: Double = 1e-6): (DataFrame, Seq[Int]) =
-    exactPlan(emb, queryVecId, topK, centroids, radii, nProbe0, eps)
+    exactPlan(withCells(emb, centroids), queryVecId, topK, centroids, radii, nProbe0, eps)
 
-  private def exactPlan(emb: DataFrame, queryVecId: Long, topK: Int,
+  private def exactPlan(cells: DataFrame, queryVecId: Long, topK: Int,
                         centroids: Array[Array[Double]], radii: Array[Double],
                         nProbe0: Int, eps: Double): (DataFrame, Seq[Int]) = {
-    val cells = withCells(emb, centroids)
     val qUnit = cells.filter(col("vec_id") === queryVecId)
       .select("unit").head().getSeq[Double](0).toArray
     val centroidSims = centroids.map(_.zip(qUnit).map { case (a, b) => a * b }.sum)

@@ -103,6 +103,28 @@ class IvfSpec extends SparkSpec {
     Ivf.invalidate(spark, "radii-spec-key")
   }
 
+  test("cells cache: persisted per (session, key, centroid content); cached probe = uncached") {
+    val cs = Ivf.centroidsFor(emb, "cells-spec-key", k = 4, iters = 1)
+    val a = Ivf.cellsFor(emb, "cells-spec-key", cs)
+    assert(Ivf.cellsFor(emb, "cells-spec-key", cs) eq a, "second call must hit the cache")
+    assert(a.storageLevel.useMemory, "cell frame must be persisted")
+    // content-keyed like radii: different centroids → different entry
+    val cs3 = Ivf.centroidsFor(emb, "cells-spec-key", k = 4, iters = 3)
+    assume(!cs.zip(cs3).forall { case (x, y) => x.sameElements(y) })
+    assert(!(Ivf.cellsFor(emb, "cells-spec-key", cs3) eq a),
+      "different centroid content must not alias a cell assignment")
+    // the cached probe path returns exactly the uncached result
+    val radii = Ivf.radiiFor(emb, "cells-spec-key", cs)
+    val direct = Ivf.topKExact(emb, 7L, 20, cs, radii, nProbe0 = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val cached = Ivf.topKExactCached(emb, "cells-spec-key", 7L, 20, cs, radii, nProbe0 = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(cached == direct)
+    Ivf.invalidate(spark, "cells-spec-key")
+    assert(!(Ivf.cellsFor(emb, "cells-spec-key", cs) eq a), "invalidate must drop the cell tier")
+    Ivf.invalidate(spark, "cells-spec-key")
+  }
+
   test("narrow probe keeps useful recall at a fraction of the scan") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
