@@ -123,6 +123,32 @@ object CoreParityQueries {
       ).orderBy("country", "antigen")
     },
 
+    // A7's SEM lane, split out of q06 as its own oracle row: SEM =
+    // exact sample stddev / sqrt(n) is plain SQL (exact decimal
+    // moments ⇒ bitwise cross-engine, compared UNROUNDED), so after
+    // q05 (t/df) and this row, the ONLY spec-carried arithmetic left
+    // in q06 is the Student-t quantile/CDF multiplication itself.
+    // Selected from beforeAfterFull's own frame — this proves q06's
+    // actual SEM columns, not a parallel reimplementation.
+    Q("q101_before_after_sem",
+      cte(s"""SELECT country, antigen, n_before, n_after,
+             |  sem_before, sem_after, mean_after - mean_before AS diff
+             |FROM (
+             |  SELECT country, antigen,
+             |    count($beforeCase) AS n_before, count($afterCase) AS n_after,
+             |    ${exactAvgSql(beforeCase)} AS mean_before,
+             |    ${exactAvgSql(afterCase)} AS mean_after,
+             |    ${graft.stats.ExactMoments.exactStddevSql(beforeCase)} / sqrt(count($beforeCase)) AS sem_before,
+             |    ${graft.stats.ExactMoments.exactStddevSql(afterCase)} / sqrt(count($afterCase)) AS sem_after
+             |  FROM fact GROUP BY country, antigen)
+             |ORDER BY country, antigen""".stripMargin)) { (s, dir) =>
+      CoverageQueries.beforeAfterFull(EventsFact.fact(s, dir), W)
+        .select(
+          col("country"), col("antigen"), col("n_before"), col("n_after"),
+          col("sem_before"), col("sem_after"), col("diff"))
+        .orderBy("country", "antigen")
+    },
+
     // L3 — ordered head(20): TakeOrderedAndProject, not a full sort
     // (report_generator.py:77-78).
     Q("q07_series_head",

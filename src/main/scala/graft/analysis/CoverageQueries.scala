@@ -118,20 +118,31 @@ object CoverageQueries {
   }
 
   /** Full before/after analysis: means, 95% CIs (A7 — scipy
-    * `sem * t.ppf`, ddof=1 ⇒ stddev_samp), Welch t/df/p (A8), and the
+    * `sem * t.ppf`, ddof=1 ⇒ sample stddev), Welch t/df/p (A8), and the
     * reference's tri-state significance narrative (F8,
-    * `/root/reference/streamlit_app.py:331-342`). */
+    * `/root/reference/streamlit_app.py:331-342`).
+    *
+    * Moment discipline: means via [[exactAvg]] and var/SEM via
+    * [[graft.stats.ExactMoments]] — order-independent AND
+    * bitwise-mirrorable, so every column UP TO the Student-t factor
+    * (n, mean, SEM, diff, t, df) is oracle-checkable SQL (q05 covers
+    * t/df, q101 the SEM lane); only the t-quantile/CDF multiplication
+    * itself (ci_*, p_value, verdict) rides on spec-carried
+    * commons-math3 constants ([[graft.stats.StudentT]]). */
   def beforeAfterFull(fact: DataFrame, w: CampaignWindow, conf: Double = 0.95): DataFrame = {
     val v = col("coverage_pct")
+    import graft.stats.ExactMoments
     val withStats = fact.groupBy("country", "antigen").agg(
       count(when(inBefore(w), v)).as("n_before"),
       count(when(inAfter(w), v)).as("n_after"),
-      avg(when(inBefore(w), v)).as("mean_before"),
-      avg(when(inAfter(w), v)).as("mean_after"),
-      var_samp(when(inBefore(w), v)).as("var_before"),
-      var_samp(when(inAfter(w), v)).as("var_after"),
-      (stddev_samp(when(inBefore(w), v)) / sqrt(count(when(inBefore(w), v)))).as("sem_before"),
-      (stddev_samp(when(inAfter(w), v)) / sqrt(count(when(inAfter(w), v)))).as("sem_after"),
+      exactAvg(when(inBefore(w), v)).as("mean_before"),
+      exactAvg(when(inAfter(w), v)).as("mean_after"),
+      ExactMoments.exactVar(when(inBefore(w), v)).as("var_before"),
+      ExactMoments.exactVar(when(inAfter(w), v)).as("var_after"),
+      (ExactMoments.exactStddev(when(inBefore(w), v)) /
+        sqrt(count(when(inBefore(w), v)))).as("sem_before"),
+      (ExactMoments.exactStddev(when(inAfter(w), v)) /
+        sqrt(count(when(inAfter(w), v)))).as("sem_after"),
     )
     val tested = withStats
       .withColumn("ci_before", StudentT.ciHalfWidth(col("sem_before"), col("n_before"), conf))
