@@ -81,6 +81,15 @@ object Bench {
     // by whichever query happens to touch each table first in the
     // serial order
     // (lineitem is already listed + footer-probed by the groupBy above)
+    //
+    // METHODOLOGY NOTE: this warm-up moves first-touch costs OUT of all
+    // measured queries. The recorded r1 baseline this bench is gated
+    // against was measured by the SAME harness (this file's lineage),
+    // which has always pre-warmed lineitem before its first query, so
+    // the comparison is warm-vs-warm; a cross-engine comparison against
+    // a harness WITHOUT an equivalent warm-up would be flattered by
+    // one-time costs the other engine pays in-measurement — re-run with
+    // the warm-up block disabled for that case.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())

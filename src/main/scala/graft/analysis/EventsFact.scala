@@ -45,14 +45,36 @@ object EventsFact {
   /** The on-disk schema of the events table (probed from the parquet
     * footer) — streaming readers need an explicit schema, and guessing
     * the ts shape instead of probing is how a data regeneration turns
-    * into silently-wrong timestamps (a micros column read as long). */
+    * into silently-wrong timestamps (a micros column read as long).
+    *
+    * Session-conf contract: the probe runs under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (a TIMESTAMP(NANOS)
+    * footer would otherwise fail schema conversion outright). If the
+    * probe finds a long-typed ts the conf STAYS set — the subsequent
+    * reads/streams built from this schema need it at execution time
+    * too, and [[canonicalTs]] is the single place that long shape is
+    * rebuilt into a timestamp. On non-nanos generations (the current
+    * micros one) the prior value is RESTORED, so probing a schema no
+    * longer mutates how unrelated long-nanos parquet reads behave for
+    * the rest of the session. */
   def eventsSchema(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.StructType = {
+    val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val tsIsNanosLong = schema.fields.exists(f =>
+      f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+    if (!tsIsNanosLong) prior match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+    schema
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the probe decides whether the nanosAsLong conf must stay set for
+    // this generation (and restores it otherwise) — same contract as
+    // the streaming readers; the footer re-read is FileStatusCache-warm
+    eventsSchema(spark, sfDir)
     canonicalTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 

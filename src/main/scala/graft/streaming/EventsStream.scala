@@ -19,8 +19,17 @@ import org.apache.spark.sql.streaming.Trigger
 object EventsStream {
 
   /** Daily per-type counts/sums as a streaming aggregation. Runs the
-    * stream to completion over the available files (AvailableNow) and
-    * returns the final result — which equals the batch answer. */
+    * stream to completion over the available files and returns the
+    * final result — which equals the batch answer.
+    *
+    * Contract: the returned frame is DRIVER-LOCALIZED, not a lazy
+    * plan — the last-update-per-key read-back is collected (it is
+    * output-sized by construction: #days × #types rows) so the temp
+    * file sink can be deleted instead of pinned forever. A variant of
+    * this pattern whose grouping keys are high-cardinality (per-user,
+    * per-document) must NOT collect — keep the sink on disk and return
+    * the lazy read-back instead, or the driver pays the full result in
+    * memory. */
   def dailyTypeCounts(spark: SparkSession, sfDir: String, queryName: String = "daily_counts"): DataFrame = {
     // The file stream source wants a directory; select just the events
     // table out of the shared sf dir with a glob filter. Schema is
