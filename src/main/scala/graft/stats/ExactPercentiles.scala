@@ -29,11 +29,12 @@ import org.apache.spark.sql.functions._
   *      prefix-sum across buckets over a ≤ #keys·B frame, and the
   *      broadcast offsets turn within-bucket cumulative counts into
   *      GLOBAL 1-based rank spans [lo, hi] per distinct value;
-  *   4. the target ranks — `index = p·(n−1)` per (key, fraction), its
-  *      floor/ceil ranks and interpolation fraction — are probed per
-  *      ROW (a scalar any-fraction pre-filter, then a #fractions
-  *      explode over the ≤ 2·#fractions survivors per key);
-  *   5. survivors interpolate:
+  *   4. the target ranks — `index = p·(n−1)` per (key, fraction) and
+  *      its floor/ceil ranks — are probed per ROW inside ONE
+  *      conditional aggregate (`max(when(rank ∈ [lo, hi], v))` per
+  *      fraction, map-side combined into ≤ #keys·2·#fractions
+  *      partials);
+  *   5. the bracketing values interpolate per key:
   *      `(ceil(i)−i)·lower + (i−floor(i))·higher` — the exact
   *      two-product form `percentile` and DuckDB's `quantile_cont`
   *      evaluate, on the same doubles, so results are bitwise
@@ -133,44 +134,33 @@ object ExactPercentiles {
         col("_pk") <=> col("_opk") && col("_bkt") === col("_obkt"))
       .withColumn("_hi", col("_off") + sum(col("_c")).over(wIn))
       .withColumn("_lo", col("_hi") - col("_c") + 1)
-    val targets = ps.map { case (name, p) =>
-      struct(lit(name).as("name"), lit(p).as("p"))
+    // Rank probe + interpolation in ONE conditional aggregate: for each
+    // fraction, `index = p·(n−1)` and its floor/ceil ranks are per-row
+    // codegen'd arithmetic over the spans, and `max(when(rank ∈
+    // [lo, hi], v))` picks the lower/upper bracketing values directly —
+    // map-side combined into ≤ #keys·(2·#fractions) partials, no
+    // explode, no intermediate per-(key, fraction) aggregate (an
+    // earlier formulation pre-filtered + exploded + aggregated twice;
+    // same bitwise result, two more stages of plan+codegen on the
+    // critical path). The interpolation is the exact two-product form
+    // `percentile`/`quantile_cont` evaluate, on the same doubles.
+    def idxOf(p: Double, n: Column): Column = lit(p) * (n - 1).cast("double")
+    val aggs = max(col("_n")).as("_kn") +: ps.zipWithIndex.flatMap { case ((_, p), i) =>
+      val idx = idxOf(p, col("_n"))
+      val rlo = floor(idx).cast("long") + 1
+      val rhi = ceil(idx).cast("long") + 1
+      Seq(
+        max(when(rlo.between(col("_lo"), col("_hi")), col("_pv"))).as(s"_vlo$i"),
+        max(when(rhi.between(col("_lo"), col("_hi")), col("_pv"))).as(s"_vhi$i"))
     }
-    // Cheap scalar pre-filter BEFORE the #fractions explode: a row
-    // survives probing iff SOME fraction's floor/ceil rank lands in its
-    // span — ≤ 2 rows per (key, fraction). Without it the explode
-    // multiplies the whole distinct-value frame by #fractions just to
-    // discard ~all of it; the predicate is codegen'd per-row arithmetic
-    // on already-computed spans, so the explode cost scales with the
-    // OUTPUT (≤ 2·#keys·#fractions rows), not the value frame.
-    val probeAny = ps.map { case (_, p) =>
-      val idx = lit(p) * (col("_n") - 1).cast("double")
-      (floor(idx).cast("long") + 1).between(col("_lo"), col("_hi")) ||
-        (ceil(idx).cast("long") + 1).between(col("_lo"), col("_hi"))
-    }.reduce(_ || _)
-    val probed = spans
-      .filter(probeAny)
-      .withColumn("_t", explode(array(targets: _*)))
-      .withColumn("_idx", col("_t.p") * (col("_n") - 1).cast("double"))
-      .withColumn("_rlo", floor(col("_idx")).cast("long") + 1)
-      .withColumn("_rhi", ceil(col("_idx")).cast("long") + 1)
-      .filter(col("_rlo").between(col("_lo"), col("_hi")) ||
-        col("_rhi").between(col("_lo"), col("_hi")))
-    val interpolated = probed
-      .groupBy(col("_pk"), col("_t.name").as("_pname"), col("_idx"))
-      .agg(
-        max(when(col("_rlo").between(col("_lo"), col("_hi")), col("_pv"))).as("_vlo"),
-        max(when(col("_rhi").between(col("_lo"), col("_hi")), col("_pv"))).as("_vhi"))
-      .withColumn("_val",
-        when(floor(col("_idx")) === ceil(col("_idx")), col("_vlo"))
-          .otherwise((ceil(col("_idx")) - col("_idx")) * col("_vlo") +
-            (col("_idx") - floor(col("_idx"))) * col("_vhi")))
-    interpolated
-      .groupBy(col("_pk").as(keyCol))
-      .agg(
-        max(when(col("_pname") === ps.head._1, col("_val"))).as(ps.head._1),
-        ps.tail.map { case (name, _) =>
-          max(when(col("_pname") === name, col("_val"))).as(name)
-        }: _*)
+    val agged = spans.groupBy(col("_pk")).agg(aggs.head, aggs.tail: _*)
+    val outCols = col("_pk").as(keyCol) +: ps.zipWithIndex.map { case ((name, p), i) =>
+      val idx = idxOf(p, col("_kn"))
+      when(floor(idx) === ceil(idx), col(s"_vlo$i"))
+        .otherwise((ceil(idx) - idx) * col(s"_vlo$i") +
+          (idx - floor(idx)) * col(s"_vhi$i"))
+        .as(name)
+    }
+    agged.select(outCols: _*)
   }
 }
