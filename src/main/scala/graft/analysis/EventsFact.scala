@@ -59,14 +59,20 @@ object EventsFact {
     * the rest of the session. */
   def eventsSchema(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.StructType = {
     val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val tsIsNanosLong = schema.fields.exists(f =>
-      f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-    if (!tsIsNanosLong) prior match {
+    def restore(): Unit = prior match {
       case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
       case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // restore on the throw path too (missing/corrupt path must not
+    // leave the probe's conf mutation behind), and on the success path
+    // unless this generation's ts really is long-nanos
+    val schema =
+      try spark.read.parquet(s"$sfDir/events.parquet").schema
+      catch { case e: Throwable => restore(); throw e }
+    val tsIsNanosLong = schema.fields.exists(f =>
+      f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+    if (!tsIsNanosLong) restore()
     schema
   }
 

@@ -240,6 +240,14 @@ object Ivf {
                       nProbe0: Int = 3, eps: Double = 1e-6): (DataFrame, Seq[Int]) =
     exactPlan(withCells(emb, centroids), queryVecId, topK, centroids, radii, nProbe0, eps)
 
+  /** [[topKExactProbed]] over the persisted [[cellsFor]] frame — the
+    * query-serving shape when both the result and the pruning
+    * diagnostic are wanted (mirrors [[topKExactCached]]). */
+  def topKExactProbedCached(emb: DataFrame, key: String, queryVecId: Long, topK: Int,
+                            centroids: Array[Array[Double]], radii: Array[Double],
+                            nProbe0: Int = 3, eps: Double = 1e-6): (DataFrame, Seq[Int]) =
+    exactPlan(cellsFor(emb, key, centroids), queryVecId, topK, centroids, radii, nProbe0, eps)
+
   private def exactPlan(cells: DataFrame, queryVecId: Long, topK: Int,
                         centroids: Array[Array[Double]], radii: Array[Double],
                         nProbe0: Int, eps: Double): (DataFrame, Seq[Int]) = {

@@ -563,6 +563,10 @@ object Multimodal {
     bytes != null && bytes.length >= 3 &&
       (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
 
+  def isGif(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8'
+
   /** Deterministic 8-bit-RGB PNG writer with STORED (uncompressed)
     * deflate blocks — a fully standard PNG any decoder reads, chosen
     * over `ImageIO.write` for the fixture lane because its byte length
@@ -633,27 +637,46 @@ object Multimodal {
     * pixel error (spec-carried, not oracle-carried). */
   def decodeImageIo(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(bytes != null && bytes.length > 0, "empty image payload")
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalArgumentException(s"undecodable image: ${e.getMessage}", e)
-      }
-    require(img != null, "undecodable image: no ImageIO reader accepted the payload")
-    val (w, h) = (img.getWidth, img.getHeight)
-    require(w > 0 && h > 0, s"bad decoded dimensions ${w}x$h")
-    require(3L * w * h <= Int.MaxValue, s"implausible image pixel volume ${w}x$h")
-    val argb = img.getRGB(0, 0, w, h, null, 0, w)
-    val out = new Array[Byte](w * h * 3)
-    var i = 0
-    while (i < argb.length) {
-      val p = argb(i)
-      out(i * 3) = ((p >> 16) & 0xff).toByte
-      out(i * 3 + 1) = ((p >> 8) & 0xff).toByte
-      out(i * 3 + 2) = (p & 0xff).toByte
-      i += 1
-    }
-    (w, h, out)
+    // header-first decode (the round-8 byte-parser checklist applies to
+    // library decoders too): reader.getWidth/getHeight parse ONLY the
+    // header, so declared dimensions are range-checked BEFORE the full
+    // decode may allocate pixel buffers — a crafted IHDR/SOF declaring
+    // 2^31-ish dimensions is rejected here instead of driving the JDK
+    // reader into multi-GB allocations. Reader exceptions of any
+    // non-fatal kind (IIOException, but also the unchecked kinds JDK
+    // readers throw on truncated bodies) surface as the seam's
+    // documented IllegalArgumentException.
+    def bad(stage: String, e: Throwable): Nothing =
+      throw new IllegalArgumentException(s"undecodable image ($stage): ${e.getMessage}", e)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "undecodable image: no ImageIO reader accepted the payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val (w, h) =
+          try (reader.getWidth(0), reader.getHeight(0))
+          catch { case scala.util.control.NonFatal(e) => bad("header", e) }
+        require(w > 0 && h > 0, s"bad declared dimensions ${w}x$h")
+        require(3L * w * h <= Int.MaxValue, s"implausible image pixel volume ${w}x$h")
+        val img =
+          try reader.read(0)
+          catch { case scala.util.control.NonFatal(e) => bad("body", e) }
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
+        val out = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < argb.length) {
+          val p = argb(i)
+          out(i * 3) = ((p >> 16) & 0xff).toByte
+          out(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+          out(i * 3 + 2) = (p & 0xff).toByte
+          i += 1
+        }
+        (w, h, out)
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   /** JPEG writer for fixtures/specs (ImageIO's real lossy encoder —
@@ -749,7 +772,8 @@ object Multimodal {
           // 'P6' netpbm)
           val f =
             if (isBmp(payload)) bmpFeatures(assetId, payload)
-            else if (isPng(payload) || isJpeg(payload)) imageIoFeatures(assetId, payload)
+            else if (isPng(payload) || isJpeg(payload) || isGif(payload))
+              imageIoFeatures(assetId, payload)
             else ppmFeatures(assetId, payload)
           MediaDecoded(assetId, mediaType, nb, f.width.toLong * f.height,
             f.width.toLong, f.height.toLong, f.sum_r, f.sum_g, f.sum_b)

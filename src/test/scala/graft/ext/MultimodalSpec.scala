@@ -351,6 +351,52 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeImageIo(bytes.take(8) ++ Array.fill[Byte](20)(42))
     }
     intercept[IllegalArgumentException] { Multimodal.decodeImageIo(Array[Byte](1, 2, 3)) }
+    // a crafted IHDR declaring ~2^30 × 2^30 pixels (valid CRC) must be
+    // rejected from the HEADER check, before the decoder can attempt
+    // pixel-buffer allocations
+    val huge = bytes.clone()
+    def putBe32(off: Int, v: Int): Unit = {
+      huge(off) = (v >> 24).toByte; huge(off + 1) = (v >> 16).toByte
+      huge(off + 2) = (v >> 8).toByte; huge(off + 3) = v.toByte
+    }
+    putBe32(16, 0x40000000); putBe32(20, 0x40000000) // IHDR width/height
+    val crc = new java.util.zip.CRC32
+    crc.update(huge, 12, 4 + 13) // chunk type + IHDR data
+    putBe32(8 + 4 + 4 + 13, crc.getValue.toInt)
+    val t0 = System.nanoTime()
+    intercept[IllegalArgumentException] { Multimodal.decodeImageIo(huge) }
+    assert((System.nanoTime() - t0) / 1e9 < 2.0,
+      "huge-dimension rejection must come from the header parse, not an allocation attempt")
+  }
+
+  test("GIF: real ImageIO decode, lossless round-trip for palette-sized color sets") {
+    // GIF is palette-indexed: for an image with <= 256 distinct colors
+    // the ImageIO round trip is exact, like PNG
+    val (w, h) = (6, 5)
+    val palette = Array(0x102030, 0x405060, 0x708090, 0xa0b0c0)
+    val px = new Array[Byte](w * h * 3)
+    for (p <- 0 until w * h) {
+      val c = palette(p % palette.length)
+      px(p * 3) = ((c >> 16) & 0xff).toByte
+      px(p * 3 + 1) = ((c >> 8) & 0xff).toByte
+      px(p * 3 + 2) = (c & 0xff).toByte
+    }
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (p <- 0 until w * h)
+      img.setRGB(p % w, p / w,
+        ((px(p * 3) & 0xff) << 16) | ((px(p * 3 + 1) & 0xff) << 8) | (px(p * 3 + 2) & 0xff))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos), "no GIF ImageIO writer")
+    val bytes = bos.toByteArray
+    assert(Multimodal.isGif(bytes) && !Multimodal.isPng(bytes))
+    val (dw, dh, dp) = Multimodal.decodeImageIo(bytes)
+    assert(dw == w && dh == h && dp.toSeq == px.toSeq,
+      "palette-sized GIF round-trip through ImageIO must be exact")
+    // the unified codec sniffs GIF into the ImageIO lane (a GIF payload
+    // must never fall through to the netpbm parser)
+    val d = Multimodal.RealFirstCodec.decode(3L, "image", bytes)
+    assert(d.dim_a == w && d.dim_b == h && d.n_units == w.toLong * h)
   }
 
   test("JPEG: real ImageIO decode — exact dimensions, bounded pixel error (lossy codec)") {
