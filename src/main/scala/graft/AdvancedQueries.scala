@@ -145,7 +145,7 @@ object AdvancedQueries {
     Q("q44_simhash_neardup",
       graft.ExtensionOracles.md5SimHashPairsSql(48, maxHamming = 3, maxBucket = 16)) { (s, dir) =>
       graft.ext.Dedup.simhashNearDupPairsFromSignatures(
-          graft.ext.Dedup.md5SimHash(s.read.parquet(s"$dir/documents.parquet")),
+          graft.ext.Dedup.md5SignaturesFor(s, dir),
           sigBits = 48, maxHamming = 3, maxBucket = 16, saltOversized = true)
         .orderBy("a_id", "b_id")
     },

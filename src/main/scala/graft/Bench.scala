@@ -95,6 +95,7 @@ object Bench {
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     graft.analysis.EventsFact.fact(spark, sfDir).count()
     graft.ext.Dedup.signaturesFor(spark, sfDir).count()
+    graft.ext.Dedup.md5SignaturesFor(spark, sfDir).count()
     graft.ext.Dedup.pairsFor(spark, sfDir).count()
     graft.ext.Dedup.componentsFor(spark, sfDir).count()
     // the ANN index models are the same build-once serving tier

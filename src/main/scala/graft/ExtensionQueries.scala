@@ -134,7 +134,7 @@ object ExtensionQueries {
     // the fast production default (exercised by Dedup.simhashNearDupPairs'
     // spec lane and GraftExtensionsSpec SQL registration).
     Q("q32_simhash", ExtensionOracles.md5SimHashSql(48)) { (s, dir) =>
-      Dedup.md5SimHash(s.read.parquet(s"$dir/documents.parquet"))
+      Dedup.md5SignaturesFor(s, dir)
         .select(col("id").as("doc_id"), col("sig").as("simhash"),
           bit_count(col("sig")).as("bits"))
         .orderBy("doc_id")

@@ -528,6 +528,25 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  private val md5SigCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int), Cell]
+
+  /** Memoized persisted md5-SimHash fingerprint frame (id, sig) for a
+    * documents parquet dir — the SimHash sibling of [[signaturesFor]],
+    * same serving-state tier: one long per doc, built once per
+    * (session, dir), served to every banded-pairing query over the
+    * same corpus (the per-token md5 aggregation is the dominant cost
+    * of the oracle-mirrorable SimHash lane). Refresh via
+    * [[invalidateSignatures]] (all signature tiers drop together). */
+  def md5SignaturesFor(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      bits: Int = 48): DataFrame =
+    memo(md5SigCache, (spark, sfDir, bits)) {
+      md5SimHash(spark.read.parquet(s"$sfDir/documents.parquet"), bits = bits)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   private val pairsCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Double, Int), Cell]
   private val compCache = scala.collection.concurrent.TrieMap
@@ -590,6 +609,11 @@ object Dedup {
     * builds. */
   def invalidateSignatures(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
     sigCache.filterInPlace { case ((s, d, _, _), cell) =>
+      val stale = (s eq spark) && d == sfDir
+      if (stale) cell.drop()
+      !stale
+    }
+    md5SigCache.filterInPlace { case ((s, d, _), cell) =>
       val stale = (s eq spark) && d == sfDir
       if (stale) cell.drop()
       !stale

@@ -167,6 +167,20 @@ class DedupSpec extends SparkSpec {
     Dedup.invalidateSignatures(spark, sf())
   }
 
+  test("md5-simhash signature frame memoizes per (session, dir) and invalidates") {
+    val a = Dedup.md5SignaturesFor(spark, sf())
+    assert(Dedup.md5SignaturesFor(spark, sf()) eq a, "second call must hit the cache")
+    assert(a.storageLevel.useMemory, "cached frame must be persisted")
+    // cached frame carries the same fingerprints as a direct build
+    val direct = Dedup.md5SimHash(spark.read.parquet(s"${sf()}/documents.parquet"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cached = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cached == direct)
+    Dedup.invalidateSignatures(spark, sf())
+    assert(!(Dedup.md5SignaturesFor(spark, sf()) eq a), "invalidate must evict the md5 tier")
+    Dedup.invalidateSignatures(spark, sf())
+  }
+
   test("simhash banded near-dup pairs equal brute-force hamming pairs") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       // add guaranteed near-dups: two exact copies of doc 0's text
