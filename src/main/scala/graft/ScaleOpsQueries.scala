@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 breadth batch: storage-format parity (ORC, JSON lines),
+  * sketch-based profiling (equi-width histogram quantiles, HyperLogLog
+  * distinct), bounded-state streaming dedup, and the salted skew join.
+  *
+  * Shared discipline with the rest of the registry: every query has a
+  * DuckDB oracle; format round-trips prove the sink AND source by
+  * aggregating the read-back against the oracle's view of the original
+  * parquet; sketch estimates are deterministic IEEE expression trees
+  * mirrored verbatim (see [[graft.ext.Hll]] /
+  * [[graft.stats.HistogramSketch]] scaladoc for why that is possible
+  * without rounding bridges — only q105's linear-counting `ln` branch
+  * rounds, the q65 precedent).
+  */
+object ScaleOpsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Collect a BOUNDED result (all callers here are small-group
+    * aggregates) so round-trip temp dirs can be deleted instead of
+    * pinned under a lazy plan — the EventsStream read-back contract. */
+  private def localized(df: DataFrame): DataFrame = {
+    val rows = df.collect().toSeq
+    val schema = df.schema
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(rows.asJava, schema)
+  }
+
+  private def inTempDir[T](prefix: String)(f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+      .toFile.getAbsolutePath
+    try f(dir)
+    finally Fs.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  val histFractions: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+  val histBins = 256
+
+  val all: Seq[Q] = Seq(
+
+    // ORC sink + source parity: write a column-pruned lineitem slice
+    // partitioned by l_returnflag, read it back through the ORC
+    // reader with a partition-pruning filter (only the R directory is
+    // listed/scanned), and aggregate. The oracle sees only the
+    // original parquet — the numbers agree iff the ORC round-trip was
+    // lossless and the pruned read complete.
+    Q("q102_orc_roundtrip",
+      """SELECT l_linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      inTempDir("graft_orc") { orcDir =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linestatus", "l_returnflag",
+            "l_quantity", "l_extendedprice")
+          // co-locate each partition value before the write: without
+          // this every task opens a writer per value (tasks x values
+          // small files — the classic partitioned-write explosion);
+          // with it each value gets ~1 writer. 8 > 3 values keeps the
+          // write parallel if values ever hash-collide.
+          .repartition(8, col("l_returnflag"))
+          .write.mode("overwrite").partitionBy("l_returnflag").orc(orcDir)
+        localized(s.read.orc(orcDir)
+          .where(col("l_returnflag") === "R")
+          .groupBy("l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_linestatus"))
+      }
+    },
+
+    // JSON-lines sink + source parity (the interchange format every
+    // scraped-corpus pipeline ingests): write an orders slice as JSON,
+    // read it back with an EXPLICIT schema (schema inference on 100 TB
+    // of JSON is a full extra scan), aggregate against the parquet
+    // oracle. Dates ride as ISO strings and come back typed.
+    Q("q103_json_roundtrip",
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS d_min,
+        |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS d_max
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      inTempDir("graft_json") { jsonDir =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            to_date(col("o_orderdate")).as("o_orderdate"))
+          .write.mode("overwrite").json(jsonDir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("o_orderdate", org.apache.spark.sql.types.DateType)))
+        localized(s.read.schema(schema).json(jsonDir)
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            min(col("o_orderdate")).cast("string").as("d_min"),
+            max(col("o_orderdate")).cast("string").as("d_max"))
+          .orderBy("o_orderstatus"))
+      }
+    },
+
+    // Equi-width histogram quantile sketch over l_extendedprice: the
+    // approximate-percentile scale path (2 combinable scans, constant
+    // shuffle) next to q48's exact rank election. The estimates are
+    // deterministic IEEE arithmetic — compared UNROUNDED.
+    Q("q104_hist_quantiles", ScaleOpsOracles.histQuantiles) { (s, dir) =>
+      graft.stats.HistogramSketch.quantiles(
+        t(s, dir, "lineitem"), col("l_extendedprice"), histBins, histFractions)
+        .withColumnRenamed("est", "est_price")
+    },
+
+    // HyperLogLog distinct users per event type (mirrorable md5 lane;
+    // xxhash64 is the production lane, HllSpec covers both). Exact
+    // integer register fold (s_total) + one double division — only the
+    // linear-counting ln branch rounds.
+    Q("q105_hll_distinct", ScaleOpsOracles.hllDistinct) { (s, dir) =>
+      graft.ext.Hll.distinctEstimate(
+        t(s, dir, "events"), Seq("event_type"), col("user_id"), mirrorable = true)
+        .select(col("event_type"), col("n_regs"), col("v_empty"), col("s_total"),
+          round(col("est_distinct"), 4).as("est_distinct"))
+        .orderBy("event_type")
+    },
+
+    // Streaming dedup with bounded (within-watermark) state: the input
+    // stream carries every event twice; the per-type counts equal the
+    // batch answer only because every duplicate was dropped.
+    Q("q106_stream_dedup",
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.streaming.DedupStream.dedupedTypeCounts(s, dir)
+    },
+
+    // Salted skew join: lineitem fact against the supplier dim with
+    // the key spread over 8 salts (the pre-salting shape for when AQE
+    // can't re-split — see SkewJoin scaladoc). Result must equal the
+    // plain join bit for bit.
+    Q("q107_salted_skew_join",
+      """SELECT s_nationkey,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+      val probe = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val build = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.ext.SkewJoin.saltedJoin(probe, build, "suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("s_nationkey")
+    },
+  )
+}
+
+object ScaleOpsOracles {
+
+  /** Verbatim mirror of [[graft.stats.HistogramSketch.quantiles]]'s
+    * IEEE expression tree: same width `(mx-mn)/256.0`, same bin guard,
+    * same interpolation association order. */
+  val histQuantiles: String = {
+    val b = ScaleOpsQueries.histBins
+    val fracs = ScaleOpsQueries.histFractions
+      .map(f => s"(${f})").mkString(",")
+    s"""WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+       |  CAST(max(l_extendedprice) AS DOUBLE) AS mx,
+       |  count(l_extendedprice) AS n FROM lineitem),
+       |h AS (SELECT
+       |  CASE WHEN b.mx = b.mn THEN 0
+       |    ELSE CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - b.mn)
+       |      / ((b.mx - b.mn)/$b.0)), ${b - 1}) AS INTEGER) END AS bin,
+       |  b.mn AS mn, b.mx AS mx, b.n AS n, count(*) AS cnt
+       |  FROM lineitem, b GROUP BY 1, 2, 3, 4),
+       |c AS (SELECT *, sum(cnt) OVER (ORDER BY bin) AS cum,
+       |  sum(cnt) OVER (ORDER BY bin) - cnt AS cumb FROM h),
+       |f AS (SELECT CAST(x AS DOUBLE) AS fraction FROM (VALUES $fracs) t(x))
+       |SELECT f.fraction,
+       |  CASE WHEN c.mx = c.mn THEN c.mn
+       |    ELSE c.mn + ((c.mx - c.mn)/$b.0)
+       |      * (c.bin + (f.fraction*c.n - c.cumb)/c.cnt) END AS est_price
+       |FROM f, c WHERE c.cum >= f.fraction*c.n AND c.cumb < f.fraction*c.n
+       |ORDER BY f.fraction""".stripMargin
+  }
+
+  /** Verbatim mirror of [[graft.ext.Hll]]'s md5 lane: 60-bit hex
+    * prefix, register = top 8 bits, rho from `bin()` length (both
+    * engines print no leading zeros), exact integer fold, one double
+    * division; only the linear-counting `ln` rounds (via the shared
+    * round(_, 4) on the output). */
+  val hllDistinct: String = {
+    val num = graft.ext.Hll.Numerator.toString
+    s"""WITH h AS (SELECT event_type,
+       |  CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+       |  FROM events),
+       |r AS (SELECT event_type, (h60 >> 52) AS reg,
+       |  CAST(max(CASE WHEN (h60 & ((CAST(1 AS BIGINT) << 52) - 1)) = 0 THEN 53
+       |    ELSE 53 - length(bin(h60 & ((CAST(1 AS BIGINT) << 52) - 1))) END)
+       |    AS INTEGER) AS m
+       |  FROM h GROUP BY 1, 2),
+       |s AS (SELECT event_type, count(*) AS n_regs,
+       |  CAST(256 - count(*) AS BIGINT) AS v_empty,
+       |  CAST(sum(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT)
+       |    + CAST(256 - count(*) AS BIGINT) * (CAST(1 AS BIGINT) << 53) AS s_total
+       |  FROM r GROUP BY 1)
+       |SELECT event_type, n_regs, v_empty, s_total,
+       |  round(CASE WHEN v_empty > 0 AND $num / CAST(s_total AS DOUBLE) <= 640.0
+       |    THEN 256.0 * ln(256.0 / v_empty)
+       |    ELSE $num / CAST(s_total AS DOUBLE) END, 4) AS est_distinct
+       |FROM s ORDER BY event_type""".stripMargin
+  }
+}
