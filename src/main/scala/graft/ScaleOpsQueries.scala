@@ -167,6 +167,53 @@ object ScaleOpsQueries {
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy("s_nationkey")
     },
+
+    // Iterative graph analytics: 4 rounds of integer-exact PageRank
+    // over the symmetric supplier<->customer trade graph (suppliers at
+    // 2k, customers at 2k+1 so the id spaces stay disjoint). The
+    // oracle replays every iteration — integer fixed-point is what
+    // makes that possible (see Graph scaladoc).
+    Q("q108_pagerank", ScaleOpsOracles.pageRank) { (s, dir) =>
+      val pairs = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))
+        .distinct()
+      val edges = pairs
+        .select((col("sk") * 2).as("src"), (col("ck") * 2 + 1).as("dst"))
+        .unionAll(pairs
+          .select((col("ck") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+      graft.ext.Graph.pageRank(edges, iterations = 4)
+        .orderBy(desc("pr"), asc("node")).limit(50)
+    },
+
+    // CSV sink + source parity (headered, explicit schema on the way
+    // back — inference on 100 TB of CSV is an extra full scan): the
+    // format the reference itself ingests (SURVEY §2.1 S1/S6).
+    Q("q109_csv_roundtrip",
+      """SELECT p_brand,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(max(p_size) AS INTEGER) AS max_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      inTempDir("graft_csv") { csvDir =>
+        t(s, dir, "part")
+          .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+          .write.mode("overwrite").option("header", "true").csv(csvDir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("p_partkey", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("p_brand", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("p_size", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("p_retailprice", org.apache.spark.sql.types.DoubleType)))
+        localized(s.read.option("header", "true").schema(schema).csv(csvDir)
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("p_retailprice")).as("sum_price"),
+            max(col("p_size")).as("max_size"))
+          .orderBy("p_brand"))
+      }
+    },
   )
 }
 
@@ -197,6 +244,36 @@ object ScaleOpsOracles {
        |      * (c.bin + (f.fraction*c.n - c.cumb)/c.cnt) END AS est_price
        |FROM f, c WHERE c.cum >= f.fraction*c.n AND c.cumb < f.fraction*c.n
        |ORDER BY f.fraction""".stripMargin
+  }
+
+  /** Exact replay of [[graft.ext.Graph.pageRank]]: the integer
+    * fixed-point arithmetic (floor divisions, `(85*m)//100` damping)
+    * makes every iteration SQL-expressible bit for bit, so the oracle
+    * simply unrolls the same 4 rounds as CTEs. */
+  val pageRank: String = {
+    val base = graft.ext.Graph.Base
+    val scale = graft.ext.Graph.Scale
+    def iter(i: Int): String =
+      s"""pr$i AS (SELECT n.node,
+         |  CAST($base + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(p.pr // o.d) AS BIGINT) AS m
+         |    FROM edges e
+         |    JOIN pr${i - 1} p ON e.src = p.node
+         |    JOIN outdeg o ON e.src = o.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    s"""WITH eraw AS (
+       |  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT sk*2 AS src, ck*2+1 AS dst FROM eraw
+       |  UNION ALL
+       |  SELECT ck*2+1 AS src, sk*2 AS dst FROM eraw),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |pr0 AS (SELECT node, CAST($scale AS BIGINT) AS pr FROM nodes),
+       |${(1 to 4).map(iter).mkString(",\n")}
+       |SELECT node, pr FROM pr4 ORDER BY pr DESC, node LIMIT 50""".stripMargin
   }
 
   /** Verbatim mirror of [[graft.ext.Hll]]'s md5 lane: 60-bit hex
