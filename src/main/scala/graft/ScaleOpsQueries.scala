@@ -214,6 +214,72 @@ object ScaleOpsQueries {
           .orderBy("p_brand"))
       }
     },
+
+    // Dataset profiling (the Deequ-style validation suite's read
+    // side): per-column nulls / exact distinct / min / max in ONE scan
+    // (the distincts share an Expand; everything else is a plain
+    // combinable agg), melted to a row per column. Doubles profile
+    // through DECIMAL(18,4) so the min/max strings are engine-exact.
+    Q("q110_column_profile", ScaleOpsOracles.columnProfile) { (s, dir) =>
+      graft.ext.Validation.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"),
+        decimal4 = Set("l_quantity"))
+    },
+
+    // Constraint checks (the validation suite's verdict side): PK
+    // uniqueness, range, domain, completeness in one conditional-agg
+    // scan + referential containment as an anti-join, each a
+    // (check_name, violations, passed) row.
+    Q("q111_constraint_checks", ScaleOpsOracles.constraintChecks) { (s, dir) =>
+      import graft.ext.Validation._
+      val li = t(s, dir, "lineitem")
+      suite(
+        rowChecks(li, Seq(
+          RowCheck("quantity_range", !col("l_quantity").between(1, 50)),
+          RowCheck("returnflag_domain", !col("l_returnflag").isin("A", "N", "R")),
+          RowCheck("shipdate_complete", col("l_shipdate").isNull))),
+        uniquenessCheck("pk_unique", li, Seq("l_orderkey", "l_linenumber")),
+        referentialCheck("orderkey_referential", li, "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"))
+    },
+
+    // Stream-static join: the events feed enriched against a broadcast
+    // dimension inside the stream, then watermark-windowed per
+    // category — equals the batch join+agg run to completion.
+    Q("q112_stream_static_join", ScaleOpsOracles.streamStaticJoin) { (s, dir) =>
+      graft.streaming.StreamStatic.dailyCategoryStats(s, dir)
+        .orderBy("day", "category")
+    },
+
+    // Bigram language-model self-scoring (the CCNet/DCLM-style LM
+    // quality filter, trained and applied on the corpus in one flow):
+    // add-1-smoothed P(w2|w1), per-doc sum of floor-quantized
+    // log-probs. The quantized-long sum is order-free; ln's last-ulp
+    // risk is confined to the floor boundary (the q66 bridge).
+    Q("q113_bigram_lm_score", ScaleOpsOracles.bigramLmScore) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val arrs = docs.select(col("doc_id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("a"))
+      val bi = arrs.where(size(col("a")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), size(col("a")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val inst = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = arrs.select(explode(col("a")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      inst.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("qln",
+          floor(log((col("c2") + lit(1L)).cast("double") /
+            (col("c1") + col("v")).cast("double")) * lit(1000000.0)).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("m")).as("n_bigrams"), sum(col("m") * col("qln")).as("score_q"))
+        .orderBy("doc_id")
+    },
   )
 }
 
@@ -245,6 +311,77 @@ object ScaleOpsOracles {
        |FROM f, c WHERE c.cum >= f.fraction*c.n AND c.cumb < f.fraction*c.n
        |ORDER BY f.fraction""".stripMargin
   }
+
+  /** One UNION ALL branch per profiled column; numeric min/max through
+    * DECIMAL(18,4) exactly like the Spark lane. */
+  val columnProfile: String = {
+    def branch(c: String, castMin: String => String): String =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  ${castMin(s"min($c)")} AS min_value,
+         |  ${castMin(s"max($c)")} AS max_value
+         |FROM lineitem""".stripMargin
+    val plain = (e: String) => s"CAST($e AS VARCHAR)"
+    val dec = (e: String) => s"CAST(CAST($e AS DECIMAL(18,4)) AS VARCHAR)"
+    Seq(
+      branch("l_orderkey", plain), branch("l_quantity", dec),
+      branch("l_returnflag", plain), branch("l_shipdate", plain))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  val constraintChecks: String =
+    """WITH s AS (SELECT
+      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS pk_unique,
+      |    CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS quantity_range,
+      |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_domain,
+      |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_complete
+      |  FROM lineitem),
+      |r AS (SELECT count(*) AS orderkey_referential
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderkey IS NULL)
+      |SELECT check_name, violations, violations = 0 AS passed FROM (
+      |  SELECT 'pk_unique' AS check_name, pk_unique AS violations FROM s
+      |  UNION ALL SELECT 'quantity_range', quantity_range FROM s
+      |  UNION ALL SELECT 'returnflag_domain', returnflag_domain FROM s
+      |  UNION ALL SELECT 'shipdate_complete', shipdate_complete FROM s
+      |  UNION ALL SELECT 'orderkey_referential', orderkey_referential FROM r)
+      |ORDER BY check_name""".stripMargin
+
+  val streamStaticJoin: String =
+    """WITH dim(event_type, category, weight) AS (VALUES
+      |  ('click', 'engagement', 1), ('view', 'engagement', 1),
+      |  ('purchase', 'conversion', 3), ('signup', 'conversion', 5),
+      |  ('error', 'ops', 0))
+      |SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+      |  category, count(*) AS n,
+      |  CAST(sum(weight) AS BIGINT) AS weight_sum,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events JOIN dim USING (event_type)
+      |GROUP BY 1, 2 ORDER BY day, category""".stripMargin
+
+  /** Mirror of q113: same whitespace tokenizer as q65, bigrams by
+    * 1-based index, add-1-smoothed conditional probability, per-doc
+    * sum of floor-quantized log-probs (exact long arithmetic after
+    * the single ln). */
+  val bigramLmScore: String =
+    """WITH a AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS arr FROM documents),
+      |bx AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i
+      |  FROM a WHERE len(arr) >= 2),
+      |bi AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2 FROM bx),
+      |inst AS (SELECT doc_id, w1, w2, count(*) AS m FROM bi GROUP BY 1, 2, 3),
+      |cc2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+      |cc1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT tok) AS v
+      |  FROM (SELECT unnest(arr) AS tok FROM a) u),
+      |q AS (SELECT inst.doc_id, inst.m,
+      |    CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS qln
+      |  FROM inst JOIN cc2 USING (w1, w2) JOIN cc1 USING (w1) CROSS JOIN vv)
+      |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(m * qln) AS BIGINT) AS score_q
+      |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Exact replay of [[graft.ext.Graph.pageRank]]: the integer
     * fixed-point arithmetic (floor divisions, `(85*m)//100` damping)
