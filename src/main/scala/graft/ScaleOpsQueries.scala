@@ -280,6 +280,123 @@ object ScaleOpsQueries {
         .agg(sum(col("m")).as("n_bigrams"), sum(col("m") * col("qln")).as("score_q"))
         .orderBy("doc_id")
     },
+
+    // Snapshot reconciliation: two corpus snapshots (derived here by
+    // deterministic id arithmetic from one table) diffed by a FULL
+    // OUTER join on the key — added/removed/changed/unchanged counts.
+    // The anti-entropy pass an incremental pipeline runs before
+    // deciding what to reprocess; at scale both sides shuffle once on
+    // the key (or zero times off pre-bucketed snapshots).
+    Q("q114_snapshot_diff",
+      """WITH a AS (SELECT event_id, value FROM events WHERE event_id % 7 <> 0),
+        |b AS (SELECT event_id,
+        |        CASE WHEN event_id % 3 = 0 THEN value + 1 ELSE value END AS value
+        |      FROM events WHERE event_id % 5 <> 0)
+        |SELECT CASE
+        |    WHEN a.event_id IS NULL THEN 'added'
+        |    WHEN b.event_id IS NULL THEN 'removed'
+        |    WHEN a.value <> b.value THEN 'changed'
+        |    ELSE 'unchanged' END AS status,
+        |  count(*) AS n
+        |FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+        |GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val a = ev.where(col("event_id") % 7 =!= 0)
+        .select(col("event_id").as("a_id"), col("value").as("a_value"))
+      val b = ev.where(col("event_id") % 5 =!= 0)
+        .select(col("event_id").as("b_id"),
+          when(col("event_id") % 3 === 0, col("value") + 1)
+            .otherwise(col("value")).as("b_value"))
+      a.join(b, col("a_id") === col("b_id"), "full_outer")
+        .select(
+          when(col("a_id").isNull, "added")
+            .when(col("b_id").isNull, "removed")
+            .when(col("a_value") =!= col("b_value"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    },
+
+    // Funnel analysis: view -> click -> purchase, each step's first
+    // occurrence strictly after the previous step's, per user. Three
+    // conditional-min rounds, each a combinable agg shuffling only
+    // #users rows; the per-step user counts are the funnel.
+    Q("q115_funnel",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT step, users FROM (
+        |  SELECT 'step1_view' AS step, count(*) AS users FROM s1
+        |  UNION ALL SELECT 'step2_click', count(*) FROM s2
+        |  UNION ALL SELECT 'step3_purchase', count(*) FROM s3)
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, "user_id").where(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, "user_id").where(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      def cnt(df: DataFrame, step: String) =
+        df.agg(count(lit(1)).as("users")).select(lit(step).as("step"), col("users"))
+      cnt(s1, "step1_view").unionAll(cnt(s2, "step2_click"))
+        .unionAll(cnt(s3, "step3_purchase")).orderBy("step")
+    },
+
+    // Cohort retention: users grouped by first-seen day, distinct
+    // actives per (cohort, day-offset). Two aggs on the user key plus
+    // one distinct — the standard growth-analytics matrix.
+    Q("q116_retention",
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+        |SELECT CAST(c.cohort AS VARCHAR) AS cohort_day,
+        |  date_diff('day', c.cohort, d.day) AS day_offset,
+        |  count(DISTINCT d.user_id) AS users
+        |FROM d JOIN c ON d.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin) { (s, dir) =>
+      val d = graft.analysis.EventsFact.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val c = d.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      d.join(c, "user_id")
+        .groupBy(col("cohort").cast("string").as("cohort_day"),
+          datediff(col("day"), col("cohort")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // Dynamic pivot: revenue per customer nation split across return
+    // flags via the pivot() relational API (values pinned so schema is
+    // static — the oracle mirrors each pivoted column as a
+    // conditional aggregate).
+    Q("q117_pivot",
+      """SELECT n_name,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_A,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_N,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_R
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"))
+        .withColumnRenamed("A", "rev_A")
+        .withColumnRenamed("N", "rev_N")
+        .withColumnRenamed("R", "rev_R")
+        .orderBy("n_name")
+    },
   )
 }
 
