@@ -397,6 +397,91 @@ object ScaleOpsQueries {
         .withColumnRenamed("R", "rev_R")
         .orderBy("n_name")
     },
+
+    // Schema evolution: two parquet generations (v2 adds a column),
+    // read through mergeSchema — old rows surface the new column as
+    // null. The agg proves both generations' rows arrive and the
+    // missing column nulls out exactly where it should.
+    Q("q118_schema_evolution",
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<missing>'
+        |    ELSE o_orderstatus END AS status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
+      inTempDir("graft_evolution") { d =>
+        val o = t(s, dir, "orders")
+        o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.parquet(s"$d/v=1")
+        o.where(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.parquet(s"$d/v=2")
+        localized(s.read.option("mergeSchema", "true").parquet(d)
+          .groupBy(coalesce(col("o_orderstatus"), lit("<missing>")).as("status"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("status"))
+      }
+    },
+
+    // Nested JSON both directions: build struct{id, meta{st, tp},
+    // ks[]} per row, to_json it, parse back with an explicit schema,
+    // aggregate through the parsed struct's dot/array paths. Doubles
+    // survive bit-exact (shortest-representation round trip), so the
+    // oracle is the plain relational aggregate.
+    Q("q119_json_nested",
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_tp,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_k1
+        |FROM orders GROUP BY 1 ORDER BY st""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val j = t(s, dir, "orders").select(to_json(struct(
+        col("o_orderkey").as("id"),
+        struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp")).as("meta"),
+        array(col("o_custkey"), col("o_orderkey")).as("ks"))).as("js"))
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("meta", StructType(Seq(
+          StructField("st", StringType), StructField("tp", DoubleType)))),
+        StructField("ks", ArrayType(LongType))))
+      j.select(from_json(col("js"), schema).as("p"))
+        .groupBy(col("p.meta.st").as("st"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("p.meta.tp")).as("sum_tp"),
+          sum(element_at(col("p.ks"), 1)).as("sum_k1"))
+        .orderBy("st")
+    },
+
+    // binaryFile source — the multimodal ingest path: opaque asset
+    // files land as (path, length, content) rows, ids parsed from the
+    // path, payloads decoded by the real PPM decoder; the oracle
+    // recomputes every feature from the generator arithmetic (the q36
+    // recipe, but entering through the FILE source instead of a
+    // binary column).
+    Q("q120_binary_source", ScaleOpsOracles.binarySource) { (s, dir) =>
+      import s.implicits._
+      inTempDir("graft_binsrc") { binDir =>
+        (1L to 20L).foreach { id =>
+          val w = (2 + id % 4).toInt
+          val h = (2 + id % 5).toInt
+          val px = Array.tabulate(3 * w * h)(j =>
+            java.lang.Math.floorMod(id * 131071L + (j + 1) * 2654435761L, 256L).toByte)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$binDir/img_$id.ppm"),
+            graft.ext.Multimodal.encodePpm(w, h, px))
+        }
+        val bin = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.ppm").load(binDir)
+        val feats = bin.select(
+          regexp_extract(col("path"), "img_(\\d+)\\.ppm$", 1).cast("long").as("asset_id"),
+          col("length").as("n_bytes"), col("content"))
+          .as[(Long, Long, Array[Byte])]
+          .map { case (id, len, bytes) =>
+            val f = graft.ext.Multimodal.ppmFeatures(id, bytes)
+            (id, len, f.width, f.height, f.sum_r, f.sum_g, f.sum_b)
+          }.toDF("asset_id", "n_bytes", "w", "h", "sum_r", "sum_g", "sum_b")
+        localized(feats.orderBy("asset_id"))
+      }
+    },
   )
 }
 
@@ -499,6 +584,22 @@ object ScaleOpsOracles {
       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
       |  CAST(sum(m * qln) AS BIGINT) AS score_q
       |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q120's generator arithmetic replayed without any table — the
+    * q36 recipe via the binaryFile source. */
+  val binarySource: String =
+    """WITH a AS (SELECT i AS id, 2 + i % 4 AS w, 2 + i % 5 AS h
+      |  FROM (SELECT unnest(generate_series(1, 20)) AS i)),
+      |px AS (SELECT id, w, h, j,
+      |    (((id * 131071 + j * 2654435761) % 256) + 256) % 256 AS b
+      |  FROM (SELECT id, w, h, unnest(generate_series(1, 3 * w * h)) AS j FROM a))
+      |SELECT id AS asset_id,
+      |  9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h AS n_bytes,
+      |  w, h,
+      |  CAST(sum(CASE WHEN (j - 1) % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+      |  CAST(sum(CASE WHEN (j - 1) % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+      |  CAST(sum(CASE WHEN (j - 1) % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
+      |FROM px GROUP BY id, w, h ORDER BY asset_id""".stripMargin
 
   /** Exact replay of [[graft.ext.Graph.pageRank]]: the integer
     * fixed-point arithmetic (floor divisions, `(85*m)//100` damping)
