@@ -86,4 +86,56 @@ object Graph {
     }
     pr
   }
+
+  /** Per-node triangle counts over an undirected graph given as a
+    * DEDUPLICATED edge list `(src, dst)` with `src < dst`, one row per
+    * edge, no self-loops. Returns `(node, n_triangles)` — every corner
+    * of every triangle credited once.
+    *
+    * Algorithm: degree orientation (the MapReduce-era
+    * Suri–Vassilvitskii discipline). Define the total order
+    * `x ≺ y ⇔ (deg(x), x) < (deg(y), y)` and orient every edge from
+    * its ≺-smaller endpoint. Every triangle then has EXACTLY one
+    * corner with two out-edges (its ≺-minimum), so enumerating
+    * out-neighbor pairs `(b, c)` of each node with `b ≺ c` and closing
+    * against the oriented edge `b→c` finds each triangle once.
+    *
+    * Scale shape — why orientation instead of the naive `a<b<c` id
+    * ordering: the wedge frame is Σ_a outdeg(a)², and under degree
+    * orientation outdeg is bounded by O(√E) REGARDLESS of skew (a
+    * celebrity node of degree millions has huge IN-degree but only
+    * edges to ≺-larger, i.e. rarer, nodes as OUT-edges), while id
+    * ordering leaves Σ deg² — quadratic in the hottest node. The
+    * degree frame is #nodes-sized (broadcast); the wedge→close join
+    * shuffles on the (b, c) pair key with map-side-combinable counts
+    * after. All arithmetic is integer, so the whole computation is
+    * SQL-mirrorable bit for bit (the q124 oracle replays it).
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(broadcast(deg.select(col("node").as("src"), col("d").as("d1"))), "src")
+      .join(broadcast(deg.select(col("node").as("dst"), col("d").as("d2"))), "dst")
+    val srcFirst = struct(col("d1"), col("src")) < struct(col("d2"), col("dst"))
+    // carry the out-endpoint's degree: the wedge join's b ≺ c
+    // comparison needs it
+    val oriented = withDeg.select(
+      when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
+      when(srcFirst, col("dst")).otherwise(col("src")).as("v"),
+      when(srcFirst, col("d2")).otherwise(col("d1")).as("dv"))
+    val x = oriented.select(col("u"), col("v").as("b"), col("dv").as("db"))
+    val y = oriented.select(col("u"), col("v").as("c"), col("dv").as("dc"))
+    val wedges = x.join(y, Seq("u"))
+      .where(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+    val closing = oriented.select(col("u").as("b"), col("v").as("c"))
+    val tri = wedges.join(closing, Seq("b", "c"))
+      .select(col("u").as("a"), col("b"), col("c"))
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }
