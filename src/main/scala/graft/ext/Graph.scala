@@ -110,9 +110,19 @@ object Graph {
     * shuffles on the (b, c) pair key with map-side-combinable counts
     * after. All arithmetic is integer, so the whole computation is
     * SQL-mirrorable bit for bit (the q124 oracle replays it).
+    *
+    * Like [[pageRank]], the input and the oriented edge frame are
+    * materialized (`localCheckpoint`) by default: `edges` is read
+    * three times (degrees twice, orientation once) and `oriented`
+    * three more (both wedge sides + the closing join), and the
+    * re-derived subtrees do NOT canonicalize equal across differing
+    * projections — without the cut the caller's whole edge pipeline
+    * executes ~6× (the q124 plan showed 139 Exchanges before the cut).
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+  def triangleCounts(edges: DataFrame, materialize: Boolean = true): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
+    val e = mat(edges.select(col("src").cast("long"), col("dst").cast("long")))
     val deg = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -122,10 +132,10 @@ object Graph {
     val srcFirst = struct(col("d1"), col("src")) < struct(col("d2"), col("dst"))
     // carry the out-endpoint's degree: the wedge join's b ≺ c
     // comparison needs it
-    val oriented = withDeg.select(
+    val oriented = mat(withDeg.select(
       when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
       when(srcFirst, col("dst")).otherwise(col("src")).as("v"),
-      when(srcFirst, col("d2")).otherwise(col("d1")).as("dv"))
+      when(srcFirst, col("d2")).otherwise(col("d1")).as("dv")))
     val x = oriented.select(col("u"), col("v").as("b"), col("dv").as("db"))
     val y = oriented.select(col("u"), col("v").as("c"), col("dv").as("dc"))
     val wedges = x.join(y, Seq("u"))
