@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar int8 embedding quantization — the vector-store compression
+  * path next to [[Pq]]'s product quantization: each vector is mapped
+  * to 256 levels over its own [min, max] range (per-vector scale, the
+  * `SQ8` layout every ANN store ships), and the report quantifies the
+  * information loss per label.
+  *
+  * Determinism discipline: the quantization level
+  * `q = ⌊(x − min)/scale⌋` and the reconstruction error
+  * `x − (min + q·scale)` are plain IEEE expression chains over the
+  * float-widened inputs — identical in any engine evaluating the same
+  * association order — and every aggregate is either an integer sum
+  * or a floor-quantized long (the q36/q113 discipline), so the DuckDB
+  * oracle matches bit for bit. Degenerate vectors (min = max) map to
+  * level 0 with zero error.
+  *
+  * Scale shape: one explode over the vectors with per-vector min/max
+  * hoisted ABOVE the generate (evaluated once per vector, not per
+  * element), then one map-side-combinable groupBy(label) — no joins,
+  * no windows, no driver collects.
+  */
+object Quantize {
+
+  /** Per-label int8 quantization report over `(vecCol: array<float>,
+    * labelCol)`: element count, quantized total squared
+    * reconstruction error (×1e12, floored), total of the assigned
+    * levels, and the level histogram extremes. */
+  def int8Report(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val exploded = df.select(
+      col(labelCol).as("label"),
+      array_min(col(vecCol)).cast("double").as("mn"),
+      array_max(col(vecCol)).cast("double").as("mx"),
+      explode(col(vecCol)).as("xf"))
+    val x = col("xf").cast("double")
+    val scale = (col("mx") - col("mn")) / lit(255.0)
+    val q = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(least(lit(255L), floor((x - col("mn")) / scale)))
+    val err = when(col("mx") === col("mn"), lit(0.0))
+      .otherwise(x - (col("mn") + q.cast("double") * scale))
+    exploded
+      .withColumn("q", q)
+      .withColumn("e2q", floor(err * err * lit(1000000000000.0)).cast("long"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_elems"),
+        sum(col("e2q")).as("sq_err_q"),
+        sum(col("q")).as("level_sum"),
+        min(col("q")).as("level_min"),
+        max(col("q")).as("level_max"))
+  }
+}

@@ -72,6 +72,73 @@ class DataOpsSpec extends SparkSpec {
     assert(got == Set((1L, 0L), (2L, 1L), (3L, 0L), (3L, 1L)))
   }
 
+  // -------------------------------------------------------------- digest
+
+  test("bucket digests: identical content matches, a one-row change " +
+      "flips exactly its bucket, a missing row flips count and digest") {
+    import spark.implicits._
+    def digest(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("h", conv(substring(
+        md5(concat_ws(":", col("id"), col("v"))), 1, 15), 16, 10).cast("long"))
+      .groupBy((col("id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = (0L until 100L).map(i => (i, i * 7)).toDF("id", "v")
+    assert(digest(base) == digest(base.orderBy(rand(42))),
+      "digest is order-independent")
+    val changed = (0L until 100L).map(i => (i, if (i == 13L) 999L else i * 7))
+      .toDF("id", "v")
+    val diff = digest(base).toSet.diff(digest(changed).toSet).map(_._1)
+    assert(diff == Set(13L % 8), "exactly the changed row's bucket differs")
+    val missing = (0L until 100L).filter(_ != 20L).map(i => (i, i * 7))
+      .toDF("id", "v")
+    val d0 = digest(base)(20L % 8); val d1 = digest(missing)(20L % 8)
+    assert(d1._1 == d0._1 - 1 && d1._2 != d0._2)
+  }
+
+  // --------------------------------------------------------- concurrency
+
+  test("sweep-line concurrency: hand-built overlapping intervals") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // [1,3] [2,5] [4,6] as day numbers -> open counts: d1:1 d2:2 d3:2
+    // (first closes AFTER d3) ... deltas at start, -1 at end+1
+    val iv = Seq((1, 3), (2, 5), (4, 6)).toDF("d0", "d1")
+      .select(to_date(concat(lit("2024-01-0"), col("d0"))).as("s"),
+        to_date(concat(lit("2024-01-0"), col("d1"))).as("e"))
+    val deltas = iv.select(col("s").as("d"), lit(1L).as("delta"))
+      .unionAll(iv.select(date_add(col("e"), 1).as("d"), lit(-1L).as("delta")))
+      .groupBy("d").agg(sum("delta").as("delta"))
+    val run = deltas.withColumn("open", sum(col("delta")).over(Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    assert(run("2024-01-01") == 1L)
+    assert(run("2024-01-02") == 2L) // [1,3] and [2,5] open
+    assert(run("2024-01-04") == 2L) // [2,5] and [4,6] open ([1,3] closed)
+    assert(run("2024-01-07") == 0L) // everything closed
+  }
+
+  // ------------------------------------------------------------ quantize
+
+  test("int8 quantization: hand-computed levels, degenerate vector, " +
+      "error bounded by one quantization step") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(0.0f, 255.0f)),        // exact endpoints: q=0,255, err=0
+      (2, Seq(3.0f, 3.0f, 3.0f)),    // degenerate: q=0, err=0
+      (3, Seq(0.0f, 100.0f, 255.0f)) // interior point quantizes below step
+    ).toDF("label", "embedding")
+    val out = graft.ext.Quantize.int8Report(df, "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1) == ((2L, 0L, 255L, 0L, 255L)))
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0L)))
+    val (n3, err3, _, min3, max3) = out(3)
+    assert(n3 == 3L && min3 == 0L && max3 == 255L)
+    // max error per element < one step = 1.0 -> e2q < 1e12 per element
+    assert(err3 >= 0L && err3 < 1000000000000L)
+  }
+
   // ----------------------------------------------------------------- MAD
 
   test("MAD composition: hand-computed medians and deviations") {

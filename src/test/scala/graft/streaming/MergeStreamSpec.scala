@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class MergeStreamSpec extends SparkSpec {
+
+  private val changesSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("op", StringType),
+    StructField("value", DoubleType), StructField("pbucket", LongType)))
+
+  private def inTempDir[T](f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_spec")
+      .toFile.getAbsolutePath
+    try f(dir)
+    finally graft.Fs.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("streamed merge equals the one-shot batch apply; only touched " +
+      "partitions are rewritten; batch count = change files") {
+    import spark.implicits._
+    inTempDir { tmp =>
+      val snapshot = (0L until 40L).map(i => (i, i * 1.0, i % 4))
+        .toDF("event_id", "value", "pbucket")
+      snapshot.repartition(4, col("pbucket"))
+        .write.partitionBy("pbucket").parquet(s"$tmp/snapshot")
+      // changes touch ONLY pbuckets 0 and 1; two files -> two batches
+      val changes = Seq(
+        (0L, "delete", 0.0, 0L), (4L, "update", 999.0, 0L),
+        (41L, "insert", 41.0, 1L), (9L, "update", 888.0, 1L))
+        .toDF("event_id", "op", "value", "pbucket")
+      // two physical files (one per bucket) => two micro-batches; a
+      // hash repartition can land both bucket values in one partition
+      changes.where(col("pbucket") === 0).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/changes")
+      changes.where(col("pbucket") === 1).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/changes")
+      val untouchedBefore =
+        new java.io.File(s"$tmp/snapshot/pbucket=3").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+      val batches = MergeStream.mergeAvailable(
+        spark, s"$tmp/snapshot", s"$tmp/changes", changesSchema, s"$tmp/ckpt")
+      assert(batches == 2, s"expected 2 micro-batches, got $batches")
+      val untouchedAfter =
+        new java.io.File(s"$tmp/snapshot/pbucket=3").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+      assert(untouchedAfter == untouchedBefore,
+        "dynamic overwrite must not rewrite untouched partitions")
+      val expected = graft.ext.Cdc.applyChangeSet(snapshot, changes, "event_id", "op")
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = spark.read.parquet(s"$tmp/snapshot")
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expected)
+    }
+  }
+
+  test("an empty change feed leaves the snapshot untouched (0 batches)") {
+    import spark.implicits._
+    inTempDir { tmp =>
+      Seq((1L, 1.0, 0L)).toDF("event_id", "value", "pbucket")
+        .write.partitionBy("pbucket").parquet(s"$tmp/snapshot")
+      Seq.empty[(Long, String, Double, Long)]
+        .toDF("event_id", "op", "value", "pbucket")
+        .write.parquet(s"$tmp/changes")
+      val batches = MergeStream.mergeAvailable(
+        spark, s"$tmp/snapshot", s"$tmp/changes", changesSchema, s"$tmp/ckpt")
+      assert(batches == 0)
+      assert(spark.read.parquet(s"$tmp/snapshot").count() == 1)
+    }
+  }
+}
