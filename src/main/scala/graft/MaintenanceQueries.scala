@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 fourth batch: streaming LEFT OUTER join semantics,
+  * small-file compaction fidelity, and two classic star-join revenue
+  * analyses (the TPC-H Q3/Q10 shapes) over the synthetic star schema.
+  */
+object MaintenanceQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def localized(df: DataFrame): DataFrame = {
+    val rows = df.collect().toSeq
+    val schema = df.schema
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(rows.asJava, schema)
+  }
+
+  private def inTempDir[T](prefix: String)(f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+      .toFile.getAbsolutePath
+    try f(dir)
+    finally Fs.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Streaming LEFT OUTER interval join run to completion: unmatched
+    // purchases emit with signup_us = -1 only after the watermark
+    // passes their window — the sentinel-drain recipe
+    // (graft.streaming.StreamJoin scaladoc). Equals the batch LEFT
+    // JOIN, which is the oracle.
+    Q("q139_stream_outer_join", MaintenanceOracles.streamOuterJoin) { (s, dir) =>
+      inTempDir("graft_outer") { tmp =>
+        localized(graft.streaming.StreamJoin
+          .purchaseAttributionLeftOuter(s, dir, s"$tmp/staging",
+            s"outer_${java.util.UUID.randomUUID().toString.take(8)}")
+          .orderBy("event_id", "signup_us"))
+      }
+    },
+
+    // Compaction fidelity: a deliberately fragmented write (64 tiny
+    // files) compacted by byte-sized targeting
+    // (graft.ingest.Compaction), then aggregated — the numbers agree
+    // with the oracle's view of the ORIGINAL table iff the rewrite
+    // was lossless. CompactionSpec asserts the file-count collapse;
+    // this lane pins content fidelity.
+    Q("q140_compaction", MaintenanceOracles.compaction) { (s, dir) =>
+      inTempDir("graft_compact") { tmp =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+          .repartition(64)
+          .write.parquet(s"$tmp/small")
+        graft.ingest.Compaction.compactTo(
+          s, s"$tmp/small", s"$tmp/compact", targetBytes = 8L * 1024 * 1024)
+        localized(s.read.parquet(s"$tmp/compact")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
+          .orderBy("l_returnflag"))
+      }
+    },
+
+    // Shipping-priority revenue (the TPC-H Q3 shape): top-10 orders by
+    // open revenue — ordered before the cutoff, shipped after it.
+    // Broadcast-free: both sides are fact-sized, the join shuffles on
+    // the order key once; revenue is DECIMAL-exact so the top-10
+    // double sort keys are engine-identical.
+    Q("q141_top_open_orders", MaintenanceOracles.topOpenOrders) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate").cast("date") > lit("1998-01-01").cast("date"))
+        .join(t(s, dir, "orders")
+          .where(col("o_orderdate").cast("date") < lit("1998-01-01").cast("date")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").cast("string").as("orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    },
+
+    // Returned-item reporting (the TPC-H Q10 shape): which customers
+    // returned the most revenue — 3-way star join with the nation dim
+    // broadcast, top-20 by exact-decimal revenue.
+    Q("q142_returned_customers", MaintenanceOracles.returnedCustomers) { (s, dir) =>
+      t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+  )
+}
+
+object MaintenanceOracles {
+
+  val streamOuterJoin: String =
+    """WITH p AS (SELECT event_id, user_id, ts AS pts FROM events
+      |  WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id, epoch_us(pts) AS purchase_us,
+      |  coalesce(epoch_us(sts), -1) AS signup_us
+      |FROM p LEFT JOIN s ON p.user_id = s.user_id
+      |  AND pts >= sts AND pts <= sts + INTERVAL 7 DAY
+      |ORDER BY event_id, signup_us""".stripMargin
+
+  val compaction: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  val topOpenOrders: String =
+    """SELECT l_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+      |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  val returnedCustomers: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+}

@@ -70,4 +70,71 @@ object StreamJoin {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** LEFT OUTER stream-stream interval join — purchases with NO signup
+    * in the window must also emit (with a −1 sentinel), which is the
+    * semantically hard half of streaming joins: an unmatched left row
+    * can only be declared unmatched once the WATERMARK has passed its
+    * whole join window, so emission is driven by watermark advance,
+    * not data arrival.
+    *
+    * A terminating query therefore needs the watermark pushed PAST the
+    * last real event or every late-window unmatched purchase stays
+    * buffered in the state store and the run-to-completion result
+    * diverges from the batch LEFT JOIN. The staging pass appends two
+    * far-future SENTINEL events (one per side, filtered back out of
+    * the result); after the data batch the watermark sits beyond every
+    * real window and the engine's no-data batch flushes the remaining
+    * unmatched rows. That sentinel discipline is the operational
+    * recipe for draining an outer-join stream at end-of-feed.
+    *
+    * State boundedness: same two-sided time bound as the inner
+    * variant; outer rows additionally wait out the watermark — state ≈
+    * window + delay, independent of stream length. */
+  def purchaseAttributionLeftOuter(
+      spark: SparkSession,
+      sfDir: String,
+      stagingDir: String,
+      queryName: String = "purchase_attribution_outer"): DataFrame = {
+    val ev = graft.analysis.EventsFact.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    ev.write.mode("overwrite").parquet(stagingDir)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    import spark.implicits._
+    Seq(
+      (-1L, -1L, "purchase", new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)),
+      (-2L, -1L, "signup", new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("append").parquet(stagingDir)
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("ts", TimestampType))))
+      .parquet(stagingDir)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+        col("user_id") === col("s_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"),
+        "leftOuter")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        coalesce(unix_micros(col("s_ts")), lit(-1L)).as("signup_us"))
+    val q = StreamTuning.withStreamPartitions(spark, 4) {
+      joined.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    // sentinel rows out; real rows only
+    spark.table(queryName).where(col("event_id") >= 0)
+  }
 }
