@@ -99,6 +99,25 @@ object MaintenanceQueries {
         .orderBy(desc("revenue"), asc("c_custkey"))
         .limit(20)
     },
+
+    // Content-defined chunking (graft.ext.CdcChunks — native codegen'd
+    // Rabin rolling hash): per-doc chunk counts plus how many of each
+    // doc's chunks recur elsewhere in the corpus — the delta-storage /
+    // sub-document-dedup signal that is robust to insertions (chunk
+    // boundaries realign within one window). The oracle recomputes
+    // every rolling hash from the 8-term window-sum form and must
+    // reproduce the exact cut set.
+    Q("q143_cdc_chunks", MaintenanceOracles.cdcChunks) { (s, dir) =>
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.ext.CdcChunks(col("text"))).as("chunk"))
+      val cf = chunks.groupBy("chunk").agg(count(lit(1)).as("cfn"))
+      chunks.join(cf, "chunk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("cfn") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .orderBy("doc_id")
+    },
   )
 }
 
@@ -129,6 +148,36 @@ object MaintenanceOracles {
       |WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
       |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
       |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Mirror of [[graft.ext.CdcChunks]]: each rolling hash recomputed
+    * as the direct 8-term window sum `Σ ascii(s[i−k])·B^k mod P`
+    * (mod is a ring homomorphism, so the incremental roll agrees),
+    * cuts strictly before the end merge into the final boundary. */
+  val cdcChunks: String = {
+    val pows = Seq(1L, 257L, 66049L, 974545L, 457315L, 529604L, 107820L, 709659L)
+    val terms = pows.zipWithIndex.map { case (p, k) =>
+      s"ascii(substring(text, i - $k, 1)) * $p"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE length(text) > 0),
+       |pos AS (SELECT doc_id, unnest(range(8, n + 1)) AS i FROM d),
+       |h AS (SELECT p.doc_id, i, ($terms) % 1000003 AS hv
+       |  FROM pos p JOIN d USING (doc_id)),
+       |cuts AS (SELECT h.doc_id, i FROM h JOIN d USING (doc_id)
+       |  WHERE hv % 64 = 0 AND i < n),
+       |bounds AS (SELECT doc_id, i FROM cuts
+       |  UNION ALL SELECT doc_id, n FROM d),
+       |seg AS (SELECT doc_id, i,
+       |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS prev
+       |  FROM bounds),
+       |chunks AS (SELECT s.doc_id, substring(text, prev + 1, i - prev) AS chunk
+       |  FROM seg s JOIN d USING (doc_id)),
+       |cf AS (SELECT chunk, count(*) AS cfn FROM chunks GROUP BY 1)
+       |SELECT c.doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN cfn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |FROM chunks c JOIN cf USING (chunk)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
 
   val returnedCustomers: String =
     """SELECT c_custkey, c_name, n_name,
