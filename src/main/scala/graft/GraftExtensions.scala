@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // the custom grouped-top-k physical operator (graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // rewrite row_number-top-k window patterns onto that operator
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }
 

@@ -100,6 +100,30 @@ object MaintenanceQueries {
         .limit(20)
     },
 
+    // The optimizer-rule face of the custom top-k operator
+    // (graft.plans.TopKWindowRewrite): the query is written in the
+    // PLAIN row_number window idiom — the injected rule rewrites it
+    // onto TopKPerKeyExec (bounded heaps, no per-key sort), and
+    // TopKWindowRewriteSpec asserts WindowExec is gone from the plan.
+    // Total order (revenue desc, suppkey) so ties cannot differ.
+    Q("q144_topk_rewrite", MaintenanceOracles.topkRewrite) { (s, dir) =>
+      // scoped: the rule is session-global; localized() forces the
+      // optimization inside the scope, so no other query's plan ever
+      // sees it
+      graft.plans.TopKWindowRewrite.scoped(s) {
+        val rev = t(s, dir, "lineitem")
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_nationkey", "l_suppkey")
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("s_nationkey").orderBy(desc("revenue"), asc("l_suppkey"))
+        localized(rev.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3).drop("rn")
+          .orderBy(col("s_nationkey"), desc("revenue"), col("l_suppkey")))
+      }
+    },
+
     // Content-defined chunking (graft.ext.CdcChunks — native codegen'd
     // Rabin rolling hash): per-doc chunk counts plus how many of each
     // doc's chunks recur elsewhere in the corpus — the delta-storage /
@@ -148,6 +172,17 @@ object MaintenanceOracles {
       |WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
       |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
       |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  val topkRewrite: String =
+    """WITH rev AS (SELECT s_nationkey, l_suppkey,
+      |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS DOUBLE) AS revenue
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY s_nationkey
+      |    ORDER BY revenue DESC, l_suppkey) AS rn FROM rev)
+      |SELECT s_nationkey, l_suppkey, revenue FROM r WHERE rn <= 3
+      |ORDER BY s_nationkey, revenue DESC, l_suppkey""".stripMargin
 
   /** Mirror of [[graft.ext.CdcChunks]]: each rolling hash recomputed
     * as the direct 8-term window sum `Σ ascii(s[i−k])·B^k mod P`
