@@ -21,22 +21,10 @@ object DataOpsQueries {
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast("decimal(18,6)")).cast("double")
 
-  /** Collect a BOUNDED result so round-trip temp dirs can be deleted
-    * instead of pinned under a lazy plan (the EventsStream read-back
-    * contract). */
-  private def localized(df: DataFrame): DataFrame = {
-    val rows = df.collect().toSeq
-    val schema = df.schema
-    import scala.jdk.CollectionConverters._
-    df.sparkSession.createDataFrame(rows.asJava, schema)
-  }
+  private def localized(df: DataFrame): DataFrame = QueryUtil.localized(df)
 
-  private def inTempDir[T](prefix: String)(f: String => T): T = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-      .toFile.getAbsolutePath
-    try f(dir)
-    finally Fs.deleteTree(java.nio.file.Paths.get(dir))
-  }
+  private def inTempDir[T](prefix: String)(f: String => T): T =
+    QueryUtil.inTempDir(prefix)(f)
 
   val all: Seq[Q] = Seq(
 

@@ -12,19 +12,10 @@ object MaintenanceQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private def localized(df: DataFrame): DataFrame = {
-    val rows = df.collect().toSeq
-    val schema = df.schema
-    import scala.jdk.CollectionConverters._
-    df.sparkSession.createDataFrame(rows.asJava, schema)
-  }
+  private def localized(df: DataFrame): DataFrame = QueryUtil.localized(df)
 
-  private def inTempDir[T](prefix: String)(f: String => T): T = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-      .toFile.getAbsolutePath
-    try f(dir)
-    finally Fs.deleteTree(java.nio.file.Paths.get(dir))
-  }
+  private def inTempDir[T](prefix: String)(f: String => T): T =
+    QueryUtil.inTempDir(prefix)(f)
 
   val all: Seq[Q] = Seq(
 
@@ -132,9 +123,13 @@ object MaintenanceQueries {
     // every rolling hash from the 8-term window-sum form and must
     // reproduce the exact cut set.
     Q("q143_cdc_chunks", MaintenanceOracles.cdcChunks) { (s, dir) =>
+      // localCheckpoint: consumed by the frequency aggregate AND the
+      // join probe — without the cut the scan+chunking runs twice
+      // (the multi-consumer lineage discipline)
       val chunks = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.ext.CdcChunks(col("text"))).as("chunk"))
+        .localCheckpoint()
       val cf = chunks.groupBy("chunk").agg(count(lit(1)).as("cfn"))
       chunks.join(cf, "chunk")
         .groupBy("doc_id")

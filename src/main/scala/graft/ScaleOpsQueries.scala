@@ -24,22 +24,10 @@ object ScaleOpsQueries {
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast("decimal(18,4)")).cast("double")
 
-  /** Collect a BOUNDED result (all callers here are small-group
-    * aggregates) so round-trip temp dirs can be deleted instead of
-    * pinned under a lazy plan — the EventsStream read-back contract. */
-  private def localized(df: DataFrame): DataFrame = {
-    val rows = df.collect().toSeq
-    val schema = df.schema
-    import scala.jdk.CollectionConverters._
-    df.sparkSession.createDataFrame(rows.asJava, schema)
-  }
+  private def localized(df: DataFrame): DataFrame = QueryUtil.localized(df)
 
-  private def inTempDir[T](prefix: String)(f: String => T): T = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-      .toFile.getAbsolutePath
-    try f(dir)
-    finally Fs.deleteTree(java.nio.file.Paths.get(dir))
-  }
+  private def inTempDir[T](prefix: String)(f: String => T): T =
+    QueryUtil.inTempDir(prefix)(f)
 
   val histFractions: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
   val histBins = 256

@@ -20,19 +20,10 @@ object WarehouseQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private def localized(df: DataFrame): DataFrame = {
-    val rows = df.collect().toSeq
-    val schema = df.schema
-    import scala.jdk.CollectionConverters._
-    df.sparkSession.createDataFrame(rows.asJava, schema)
-  }
+  private def localized(df: DataFrame): DataFrame = QueryUtil.localized(df)
 
-  private def inTempDir[T](prefix: String)(f: String => T): T = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-      .toFile.getAbsolutePath
-    try f(dir)
-    finally Fs.deleteTree(java.nio.file.Paths.get(dir))
-  }
+  private def inTempDir[T](prefix: String)(f: String => T): T =
+    QueryUtil.inTempDir(prefix)(f)
 
   /** BM25 query terms (high-df tokens of the synthetic corpus) and the
     * standard parameters. */
@@ -340,7 +331,7 @@ object WarehouseOracles {
     * predicate in pure integers. */
   val weightedPercentiles: String =
     """WITH w AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
-      |    CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+      |    CAST(trunc(l_quantity) AS BIGINT) AS wt FROM lineitem),
       |g AS (SELECT l_returnflag, v, sum(wt) AS c FROM w GROUP BY 1, 2),
       |c AS (SELECT l_returnflag, v, c,
       |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY v

@@ -29,6 +29,12 @@ object Compaction {
       outDir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    // overwrite-from-own-input fails mid-write (and a nested outDir
+    // corrupts the next read's listing) — reject up front
+    val inPath = java.nio.file.Paths.get(inDir).toAbsolutePath.normalize
+    val outPath = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize
+    require(!outPath.startsWith(inPath) && !inPath.startsWith(outPath),
+      s"outDir must not overlap inDir: $inDir -> $outDir")
     val df = spark.read.parquet(inDir)
     val files = df.inputFiles
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -43,9 +43,14 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
   private object RankLimit {
     def unapply(e: Expression): Option[(Attribute, Int)] = e match {
       case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) => Some((a, k))
-      case LessThan(a: Attribute, Literal(k: Int, _)) => Some((a, k - 1))
+      // k > MinValue: the strict forms decrement, and Int.MinValue − 1
+      // would wrap to MaxValue — turning an always-false filter into
+      // keep-everything
+      case LessThan(a: Attribute, Literal(k: Int, _)) if k > Int.MinValue =>
+        Some((a, k - 1))
       case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute) => Some((a, k))
-      case GreaterThan(Literal(k: Int, _), a: Attribute) => Some((a, k - 1))
+      case GreaterThan(Literal(k: Int, _), a: Attribute) if k > Int.MinValue =>
+        Some((a, k - 1))
       case EqualTo(a: Attribute, Literal(1, _)) => Some((a, 1))
       case EqualTo(Literal(1, _), a: Attribute) => Some((a, 1))
       case _ => None
@@ -65,18 +70,28 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
       }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p @ Project(projectList,
-        Filter(RankLimit(rn, k), w @ RowNumberWindow(rankAttr, keys, order, wchild)))
-        if k >= 1 && rn.semanticEquals(rankAttr) &&
-          projectList.forall(_.references.subsetOf(wchild.outputSet)) =>
-      val inner = wchild match {
-        // the built-in rank-limit pre-filter is subsumed by the exact operator
-        case wgl: WindowGroupLimit => wgl.child
-        case other => other
-      }
-      Project(projectList, TopKPerKeyNode(keys, order, k, inner))
-  }
+  /** Opt-in gate: the rule is injected into every
+    * [[graft.GraftExtensions]] session (injected rules cannot be
+    * removed at runtime), so it stays INERT unless this session conf
+    * enables it — a silent always-on rewrite could flip `row_number`
+    * tie selections of third-party queries between extension and
+    * non-extension sessions. [[install]]/[[scoped]] flip the flag. */
+  final val EnabledKey = "spark.graft.topkRewrite.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(EnabledKey, "false") != "true") plan
+    else plan.transformUp {
+      case p @ Project(projectList,
+          Filter(RankLimit(rn, k), w @ RowNumberWindow(rankAttr, keys, order, wchild)))
+          if k >= 1 && rn.semanticEquals(rankAttr) &&
+            projectList.forall(_.references.subsetOf(wchild.outputSet)) =>
+        val inner = wchild match {
+          // the built-in rank-limit pre-filter is subsumed by the exact operator
+          case wgl: WindowGroupLimit => wgl.child
+          case other => other
+        }
+        Project(projectList, TopKPerKeyNode(keys, order, k, inner))
+    }
 
   /** Idempotently register the rule + the planner strategy on a live
     * session (the `spark.experimental` hooks; new sessions get both
@@ -88,18 +103,18 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    spark.conf.set(EnabledKey, "true")
   }
 
-  /** Remove the rule again (the strategy is harmless to leave — it
-    * only plans nodes this rule creates). The q144 lane installs
-    * SCOPED around a forced materialization: the `experimental` hooks
-    * are session-global, and a rule left behind would rewrite OTHER
-    * queries' window plans as a side effect of having run q144 first
-    * — correctness-neutral, but plan snapshots must not depend on
-    * query execution order. */
+  /** Disable the rule again via [[EnabledKey]] — the registration
+    * itself is inert while disabled, and an extensions-injected copy
+    * could not be deregistered anyway. The q144 lane installs SCOPED
+    * around a forced materialization: a rule left enabled would
+    * rewrite OTHER queries' window plans as a side effect of having
+    * run q144 first — correctness-neutral, but plan snapshots must
+    * not depend on query execution order. */
   def uninstall(spark: SparkSession): Unit = synchronized {
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == TopKWindowRewrite)
+    spark.conf.set(EnabledKey, "false")
   }
 
   /** install → run `body` (which must FORCE optimization/execution —

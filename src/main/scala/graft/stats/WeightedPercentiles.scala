@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
   * budgetSelect). A key whose rows are all excluded is absent from
   * the output. Overflow: num·W must stay below 2^63 — fine for any
   * realistic (fraction, corpus) pair, documented rather than checked
-  * row-wise.
+  * row-wise. Non-integral weights TRUNCATE (Spark long cast); an
+  * oracle mirroring this utility must truncate too (DuckDB's bare
+  * BIGINT cast rounds — q126's mirror casts through trunc()).
   */
 object WeightedPercentiles {
 

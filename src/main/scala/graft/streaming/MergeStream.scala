@@ -66,6 +66,18 @@ object MergeStream {
             // written
             merged.write.mode("overwrite")
               .partitionBy("pbucket").parquet(snapshotDir)
+            // dynamic overwrite replaces only partitions the write
+            // EMITS — a batch that deletes a partition's last row
+            // writes nothing for it, and the stale directory would
+            // survive (diverging from the batch apply). Drop touched
+            // partitions the merge left empty explicitly; the distinct
+            // is bounded by #touched.
+            val present = merged.select(col("pbucket")).distinct()
+              .collect().map(_.getLong(0)).toSet
+            touched.filterNot(present).foreach { b =>
+              val dir = java.nio.file.Paths.get(snapshotDir, s"pbucket=$b")
+              if (java.nio.file.Files.exists(dir)) graft.Fs.deleteTree(dir)
+            }
             batches.incrementAndGet()
           }
           ()

@@ -100,6 +100,14 @@ object StreamJoin {
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
     ev.write.mode("overwrite").parquet(stagingDir)
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // empty/all-NULL-ts input: the batch LEFT JOIN is empty; starting
+    // a stream just to drain nothing (and NPE-ing on the sentinel
+    // arithmetic) is wrong on both counts
+    if (maxTs == null) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("event_id", "user_id", "purchase_us", "signup_us")
+    }
     import spark.implicits._
     Seq(
       (-1L, -1L, "purchase", new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)),

@@ -56,6 +56,25 @@ class MergeStreamSpec extends SparkSpec {
     }
   }
 
+  test("a batch that deletes a partition's last row removes the " +
+      "partition directory (dynamic overwrite writes nothing for it)") {
+    import spark.implicits._
+    inTempDir { tmp =>
+      val snapshot = Seq((1L, 1.0, 0L), (2L, 2.0, 1L)).toDF("event_id", "value", "pbucket")
+      snapshot.repartition(2, col("pbucket"))
+        .write.partitionBy("pbucket").parquet(s"$tmp/snapshot")
+      Seq((2L, "delete", 0.0, 1L)).toDF("event_id", "op", "value", "pbucket")
+        .coalesce(1).write.parquet(s"$tmp/changes")
+      MergeStream.mergeAvailable(
+        spark, s"$tmp/snapshot", s"$tmp/changes", changesSchema, s"$tmp/ckpt")
+      assert(!new java.io.File(s"$tmp/snapshot/pbucket=1").exists(),
+        "the emptied partition directory must be dropped")
+      val rows = spark.read.parquet(s"$tmp/snapshot")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == Seq((1L, 1.0)), "only the untouched partition survives")
+    }
+  }
+
   test("an empty change feed leaves the snapshot untouched (0 batches)") {
     import spark.implicits._
     inTempDir { tmp =>
