@@ -26,10 +26,13 @@ object MaintenanceQueries {
     // JOIN, which is the oracle.
     Q("q139_stream_outer_join", MaintenanceOracles.streamOuterJoin) { (s, dir) =>
       inTempDir("graft_outer") { tmp =>
-        localized(graft.streaming.StreamJoin
-          .purchaseAttributionLeftOuter(s, dir, s"$tmp/staging",
-            s"outer_${java.util.UUID.randomUUID().toString.take(8)}")
+        val name = s"outer_${java.util.UUID.randomUUID().toString.take(8)}"
+        try localized(graft.streaming.StreamJoin
+          .purchaseAttributionLeftOuter(s, dir, s"$tmp/staging", name)
           .orderBy("event_id", "signup_us"))
+        // self-cleaning: the memory sink pins its row batches under
+        // the temp view until dropped — don't rely on harness hygiene
+        finally s.catalog.dropTempView(name)
       }
     },
 
