@@ -98,9 +98,13 @@ object WarehouseQueries {
     // Scale: the basket self-join fans out ≤ |type-domain|² per
     // basket — bounded by the 5-value domain, not by data volume.
     Q("q123_cooccurrence", WarehouseOracles.cooccurrence) { (s, dir) =>
+      // localCheckpoint: the basket frame feeds FOUR consumers (total,
+      // marginals, both self-join sides) — without the cut the events
+      // scan + distinct executes once per consumer
       val base = graft.analysis.EventsFact.events(s, dir)
         .select(col("user_id"), col("ts").cast("date").as("day"), col("event_type"))
         .distinct()
+        .localCheckpoint()
       val total = base.select("user_id", "day").distinct()
         .agg(count(lit(1)).as("total"))
       val marg = base.groupBy("event_type").agg(count(lit(1)).as("n"))
