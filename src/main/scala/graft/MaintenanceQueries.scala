@@ -118,6 +118,34 @@ object MaintenanceQueries {
       }
     },
 
+    // Rolling-window anomaly detection over the per-(cohort, type)
+    // daily series — |x − μ| ≥ 2σ against the trailing 7-day window,
+    // evaluated ENTIRELY in integers: quantize x once (1e4 grid),
+    // then cross-multiply the flag to (n·qx − S)² ≥ 4·(n·SS − S²)
+    // so no float mean/variance ever exists to diverge (the q90/q123
+    // cross-multiplication discipline applied to second moments).
+    // Windows shorter than 4 days don't flag. One per-key window over
+    // day-grain rows — frame sizes are calendar-bounded.
+    Q("q145_anomaly_flags", MaintenanceOracles.anomalyFlags) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("country", "antigen").orderBy("day").rowsBetween(-6, 0)
+      val ser = graft.analysis.EventsFact.fact(s, dir)
+        .select(col("country"), col("antigen"), col("year").as("day"),
+          floor(col("coverage_pct") * 10000).cast("long").as("qx"))
+      ser
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sw", sum(col("qx")).over(w))
+        .withColumn("ssw", sum(col("qx") * col("qx")).over(w))
+        .withColumn("flag",
+          col("n") >= 4 &&
+            (col("n") * col("qx") - col("sw")) * (col("n") * col("qx") - col("sw")) >=
+            lit(4L) * (col("n") * col("ssw") - col("sw") * col("sw")))
+        .groupBy("country", "antigen")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_anomalies"))
+        .orderBy("country", "antigen")
+    },
+
     // Content-defined chunking (graft.ext.CdcChunks — native codegen'd
     // Rabin rolling hash): per-doc chunk counts plus how many of each
     // doc's chunks recur elsewhere in the corpus — the delta-storage /
@@ -170,6 +198,25 @@ object MaintenanceOracles {
       |WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
       |  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
       |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Same integer cross-multiplied flag over the shared fact CTE. */
+  val anomalyFlags: String = graft.analysis.EventsFact.withFactCte(
+    """SELECT country, antigen, count(*) AS n_days,
+      |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM (
+      |  SELECT country, antigen,
+      |    n >= 4 AND (n*qx - sw)*(n*qx - sw) >= 4*(n*ssw - sw*sw) AS flag
+      |  FROM (
+      |    SELECT country, antigen, year,
+      |      CAST(floor(coverage_pct * 10000) AS BIGINT) AS qx,
+      |      count(*) OVER w AS n,
+      |      sum(CAST(floor(coverage_pct * 10000) AS BIGINT)) OVER w AS sw,
+      |      sum(CAST(floor(coverage_pct * 10000) AS BIGINT)
+      |        * CAST(floor(coverage_pct * 10000) AS BIGINT)) OVER w AS ssw
+      |    FROM fact
+      |    WINDOW w AS (PARTITION BY country, antigen ORDER BY year
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)))
+      |GROUP BY 1, 2 ORDER BY country, antigen""".stripMargin)
 
   val topkRewrite: String =
     """WITH rev AS (SELECT s_nationkey, l_suppkey,
