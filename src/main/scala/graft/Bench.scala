@@ -27,12 +27,18 @@ object Bench {
     // loaded until the (60 s-interval) maintenance thread notices;
     // unload deterministically — providers re-load lazily if needed
     org.apache.spark.sql.execution.streaming.state.GraftStateHygiene.unloadAll()
-    // localCheckpoint blocks (components rounds, materialized pipeline
-    // lanes) are freed by ContextCleaner only after their RDD object is
-    // GC'd — on a mostly-idle 8 GB heap that can be never. Nudge
-    // periodically, off the per-query clock and often enough that dead
-    // blocks from the iterative queries never stack more than a few
-    // queries deep.
+    // localCheckpoint blocks (components rounds, PageRank mass frames,
+    // materialized pipeline lanes) are freed by ContextCleaner only
+    // after their RDD object is GC'd — on a mostly-idle 8 GB heap that
+    // can be never, and the r9 driver bench showed the cost: a 7–12×
+    // regression cluster on UNTOUCHED queries sitting after the
+    // checkpoint-heavy q1xx block in the serial order. Release the
+    // dead checkpoint RDDs explicitly after EVERY query (the finished
+    // query's frames are unreachable by construction; the .persist()ed
+    // serving caches are not locally-checkpointed and survive).
+    org.apache.spark.rdd.GraftRddHygiene.unpersistLocalCheckpoints(spark.sparkContext)
+    // ... and still nudge GC periodically for everything else the
+    // explicit release cannot reach (broadcast blocks, codegen classes)
     if (queryIdx % 10 == 9) System.gc()
   }
 
@@ -151,10 +157,15 @@ object Bench {
     }
     // local-iteration subset: SPARK_GRAFT_ONLY=q87,q90 times only those
     // queries (comma-separated name prefixes). Unset for the driver run.
+    // The bench population = every oracle-registered query PLUS the
+    // bench-only production hash lanes (BenchProdLanes — murmur3/
+    // xxhash64 faces of the md5 oracle mirrors; spec-tied, not
+    // oracle-checked, named `*_prod`).
+    val allQueries = SparkEntry.queries ++ BenchProdLanes.queries.toMap
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
     val selected = only match {
-      case Some(prefixes) => SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
-      case None => SparkEntry.queries
+      case Some(prefixes) => allQueries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => allQueries
     }
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), idx) =>

@@ -25,9 +25,10 @@ object BenchFocus {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val pool = SparkEntry.queries ++ BenchProdLanes.queries.toMap
+    val names = if (args.nonEmpty) args.toSeq else pool.keys.toSeq.sorted
     for (name <- names) {
-      val fn = SparkEntry.queries.getOrElse(name,
+      val fn = pool.getOrElse(name,
         sys.error(s"unknown query '$name'"))
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

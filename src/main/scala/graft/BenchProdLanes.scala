@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench-only PRODUCTION hash lanes (VERDICT r9 finding #2): the
+  * registered sketch/fingerprint queries deliberately bench their
+  * md5-keyed ORACLE mirrors (md5 is what DuckDB can replay bit for
+  * bit), while a deployment would run the cheaper murmur3/xxhash64
+  * lanes that the specs tie to the same semantics. These entries put a
+  * number on the lanes a deployment actually runs, next to the mirror
+  * numbers the correctness gate is defined against.
+  *
+  * NOT part of [[SparkEntry.queries]] — no DuckDB oracle can replay
+  * murmur3/xxhash64, and the driver contract reserves `no_oracle` rows
+  * for genuinely SQL-inexpressible semantics (q06 only). Each lane's
+  * CORRECTNESS is spec-tied instead: DedupSpec (banded == brute-force
+  * for SimHash64, fast-vs-md5 minhash family properties), CountMinSpec
+  * (estimate ≥ exact, ε·n bound), HllSpec (md5 and xxhash lanes within
+  * the same error envelope).
+  *
+  * Naming: `<registered twin>_prod` — e.g. `q29_minhash_prod` is the
+  * xxhash64 face of `q29_minhash_signature`'s md5 lane.
+  */
+object BenchProdLanes {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // xxhash64 minhash signatures (production face of q29's md5 lane)
+    "q29_minhash_prod" -> { (s: SparkSession, dir: String) =>
+      graft.ext.Dedup.withTokenArray(
+          s.read.parquet(s"$dir/documents.parquet"), "text")
+        .withColumn("_sh", graft.ext.Dedup.shinglesOfTokens(col("_toks"), 3))
+        .withColumn("sig", graft.ext.Dedup.minhashSignatureFast(col("_sh"), 4))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("h0"),
+          element_at(col("sig"), 2).as("h1"),
+          element_at(col("sig"), 3).as("h2"),
+          element_at(col("sig"), 4).as("h3"))
+        .orderBy("doc_id")
+    },
+
+    // murmur3 SimHash64 banded near-dup pairs (production face of
+    // q44's salted md5 lane; same band/bucket/salt configuration)
+    "q44_simhash_prod" -> { (s: SparkSession, dir: String) =>
+      graft.ext.Dedup.simhashNearDupPairs(
+          s.read.parquet(s"$dir/documents.parquet"),
+          maxHamming = 3, maxBucket = 16, saltOversized = true)
+        .orderBy("a_id", "b_id")
+    },
+
+    // murmur3-affine count–min lanes (production face of q78's
+    // md5-affine mirror; same depth×width, same exact top-10 check)
+    "q78_cms_prod" -> { (s: SparkSession, dir: String) =>
+      import s.implicits._
+      import graft.ext.{CountMin, TextAnalysis}
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val cms = toks.as[String].select(CountMin.sketch(md5Lanes = false)).head().counters
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(10).collect()
+      top.map { r =>
+        val t = r.getString(0)
+        (t, r.getLong(1),
+          CountMin.estimate(cms, t, CountMin.DefaultDepth, CountMin.DefaultWidth))
+      }.toSeq.toDF("token", "exact_cnt", "cms_est")
+        .orderBy(col("exact_cnt").desc, col("token"))
+    },
+
+    // xxhash64 HLL registers (production face of q105's md5 mirror)
+    "q105_hll_prod" -> { (s: SparkSession, dir: String) =>
+      graft.ext.Hll.distinctEstimate(
+          s.read.parquet(s"$dir/events.parquet"),
+          Seq("event_type"), col("user_id"), mirrorable = false)
+        .select(col("event_type"), col("n_regs"), col("v_empty"), col("s_total"),
+          round(col("est_distinct"), 4).as("est_distinct"))
+        .orderBy("event_type")
+    },
+  )
+}

@@ -17,21 +17,22 @@ import org.apache.spark.sql.functions._
   * division floors away < 1 ulp of 1e-9 per edge — immaterial next to
   * the O(0.85^k) truncation of stopping at k iterations.
   *
-  * Scale shape per iteration: one equi-join pr⋈edges on the source key
-  * and one `groupBy(dst)` — both map-side-combinable shuffles on the
-  * same keys every round, so a production deployment pre-buckets
-  * `edges` by src (write-once shuffle, [[graft.ingest.Layout]]) and
-  * every iteration's join is exchange-free on the edge side.
+  * Scale shape per iteration: one equi-join mass⋈edges on the source
+  * key (mass broadcast — it is #nodes-sized) and one `groupBy(dst)` —
+  * map-side-combinable shuffles on the same keys every round, so a
+  * production deployment pre-buckets `edges` by src (write-once
+  * shuffle, [[graft.ingest.Layout]]) and every iteration's join is
+  * exchange-free on the edge side.
   *
   * Iteration is where dataframe loops quietly go quadratic: without a
   * cut, round k's plan re-executes rounds 1..k-1 (measured 11-16 s for
   * 4 rounds at sf0.1 — the static edge subtree alone appeared ~20x in
   * the plan). `materialize = true` (default, the [[Curation]]
   * localCheckpoint pattern: RDD blocks, GC-cleaned, never
-  * CacheManager) cuts lineage at the static frames (edges+outdeg,
-  * nodes) AND at each round's rank frame, so every round executes
-  * exactly once and plan depth stays O(1). Same bitwise result either
-  * way ([[GraphSpec]] asserts it).
+  * CacheManager) cuts lineage at the degree-annotated edge frame and
+  * at every second round's mass frame, so every round executes exactly
+  * once and plan depth stays O(1). Same bitwise result either way
+  * ([[GraphSpec]] asserts it).
   *
   * Dangling nodes (no out-edges) simply do not redistribute their
   * mass — the standard simplification; feed symmetric edge sets when
@@ -56,35 +57,66 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     def mat(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint() else df
-    // Cut at the INPUT first: e is read 4x below (nodes' union reads
-    // it twice, edgesDeg twice more via outdeg) and each eager
-    // localCheckpoint otherwise re-executes the caller's whole edge
-    // pipeline — for q108 that re-ran a join+distinct over the fact
-    // table five times.
-    val e = mat(edges.select(col("src").cast("long"), col("dst").cast("long")))
-    val nodes = mat(e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct())
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = mat(e.join(outdeg, "src"))
-    var pr = nodes.withColumn("pr", lit(Scale))
-    // Rank-side frames are #nodes-sized while the edge frame is
+    // ONE materialization of the caller's edge pipeline: out-degree is
+    // annotated by a window count over src (one shuffle on src, no
+    // outdeg join, no second pass over the input), and the cut lands
+    // on the finished (src, dst, outdeg) frame — every downstream
+    // consumer (nodes' union, all iterations) reads the RDD blocks.
+    // The earlier shape (cut the raw edges, groupBy outdeg, join back,
+    // cut again) materialized the edge frame TWICE and paid a
+    // broadcast build per run; the window form is the same single
+    // src-clustered shuffle the join's aggregation needed anyway.
+    val edgesDeg = mat(edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src"))))
+    // consumed ONCE (the final output join) — no cut needed
+    val nodes = edgesDeg.select(col("src").as("node"))
+      .unionAll(edgesDeg.select(col("dst").as("node"))).distinct()
+    // The loop iterates on the IN-MASS frame, not the rank frame: the
+    // rank is the pure expression `Base + 85·m div 100` of a node's
+    // in-mass (0 for nodes nobody links to), so intermediate rounds
+    // never need the per-node frame at all — round 1's contribution is
+    // the constant initial rank spread over outdeg, and each later
+    // round turns the previous round's mass into contributions INSIDE
+    // the edge join (a left join: un-linked sources contribute Base
+    // div outdeg). That removes one #nodes-sized join + broadcast per
+    // round vs the textbook rank-frame loop; only the final output
+    // materializes per-node ranks. Integer arithmetic is unchanged
+    // expression-for-expression, so results are bitwise identical.
+    //
+    // Mass frames are #nodes-sized while the edge frame is
     // #edges-sized — broadcast the small side so no iteration ever
     // sorts or shuffles the edges (checkpointed stats don't propagate,
     // so without the hint Catalyst falls back to SMJ over the full
     // edge frame every round — measured 2x the whole query). At node
     // counts past broadcast reach, drop the hints and pre-bucket both
     // sides by the join key instead (see class scaladoc).
-    for (_ <- 1 to iterations) {
-      val inMass = edgesDeg
-        .join(broadcast(pr), edgesDeg("src") === pr("node"))
+    //
+    // Lineage cut cadence: every SECOND round (and never the last —
+    // the caller's action executes the ≤2 un-cut rounds inline). Each
+    // mass frame is consumed exactly once by the next round, so a
+    // 2-round un-cut chain still executes every round once; what the
+    // cut buys is bounded PLAN DEPTH, and depth 2 is as bounded as
+    // depth 1. Joins are by-name (renames instead of df("col")
+    // references): an un-cut mass frame CONTAINS the edgesDeg subtree,
+    // and a dataframe-column condition against edgesDeg would then be
+    // a self-join ambiguity.
+    val prOfMass = lit(Base) + expr("85 * coalesce(m, 0L) div 100")
+    var inMass = edgesDeg
+      .select(col("dst"), expr(s"${Scale}L div outdeg").as("contrib"))
+      .groupBy("dst").agg(sum("contrib").as("m"))
+    for (i <- 2 to iterations) {
+      val next = edgesDeg
+        .join(broadcast(inMass.withColumnRenamed("dst", "src")), Seq("src"), "left")
+        .select(col("dst"), prOfMass.as("pr"), col("outdeg"))
         .select(col("dst"), expr("pr div outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("m"))
-      pr = mat(nodes
-        .join(broadcast(inMass), nodes("node") === inMass("dst"), "left")
-        .select(col("node"),
-          (lit(Base) + expr("85 * coalesce(m, 0L) div 100")).as("pr")))
+      inMass = if (i % 2 == 0 && i < iterations) mat(next) else next
     }
-    pr
+    nodes
+      .join(broadcast(inMass.withColumnRenamed("dst", "node")), Seq("node"), "left")
+      .select(col("node"), prOfMass.as("pr"))
   }
 
   /** Per-node triangle counts over an undirected graph given as a

@@ -28,7 +28,18 @@ object Quantize {
   /** Per-label int8 quantization report over `(vecCol: array<float>,
     * labelCol)`: element count, quantized total squared
     * reconstruction error (×1e12, floored), total of the assigned
-    * levels, and the level histogram extremes. */
+    * levels, and the level histogram extremes.
+    *
+    * Input-range bound (the [[graft.stats.WeightedPercentiles]]
+    * overflow discipline): the per-element error is bounded by one
+    * quantization step `(mx − mn)/255`, so
+    * `e2q ≤ ((mx − mn)/255)² · 1e12` — which fits a long only while
+    * the per-vector range `mx − mn ≤ ~7.7e5` (beyond that Spark's
+    * non-ANSI long cast WRAPS where DuckDB's BIGINT cast raises,
+    * breaking the bit-for-bit oracle contract). Embedding coordinates
+    * live in O(1) ranges, so the bound holds by orders of magnitude;
+    * callers quantizing un-normalized magnitudes past ~1e5 must
+    * rescale first or lower the 1e12 error quantum. */
   def int8Report(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
     val exploded = df.select(
       col(labelCol).as("label"),

@@ -118,7 +118,15 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
   }
 
   /** install → run `body` (which must FORCE optimization/execution —
-    * laziness deferred past the uninstall sees no rule) → uninstall. */
+    * laziness deferred past the uninstall sees no rule) → uninstall.
+    *
+    * Concurrency contract: [[EnabledKey]] is SESSION-global, so two
+    * threads calling `scoped` on the SAME SparkSession can disable the
+    * rewrite under each other mid-query — correctness-neutral (the
+    * row_number tie contract), but plan-shape assertions must not race
+    * it. Callers needing isolation under concurrency run the scoped
+    * body on `spark.newSession()` (own conf, shared catalog/state),
+    * where the flag flip is invisible to every other session. */
   def scoped[T](spark: SparkSession)(body: => T): T = {
     install(spark)
     try body finally uninstall(spark)
