@@ -1,0 +1,308 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-isolated, versioned parquet tables via a manifest commit
+  * log — the missing atomicity layer under plain-directory MERGE
+  * (r9's standing hazard: [[Cdc.applyChangeSet]] + dynamic partition
+  * overwrite REWRITES live directories, so a reader racing a merge
+  * sees a half-written snapshot and two writers corrupt each other).
+  *
+  * Layout (the Delta/Iceberg commit-log shape, reduced to its core):
+  * {{{
+  *   table/
+  *     data/v<N>-<token>/...          immutable data files, one dir per commit
+  *     _graft_log/<N padded>.json     manifest: the COMPLETE live-file list of version N
+  * }}}
+  *
+  * Invariants that buy the isolation:
+  *   - data files are IMMUTABLE: a commit only ever writes into its
+  *     own fresh `data/v<N>-<token>/` directory — no existing file is
+  *     touched, so every already-published version stays byte-stable
+  *     under any number of concurrent commits;
+  *   - a version is BORN ATOMICALLY: the manifest is staged to a temp
+  *     name and renamed into place — readers either see version N
+  *     complete or not at all, never half a commit;
+  *   - conflicts are DETECTED, not merged: a commit targets manifest
+  *     `base+1`; if a competing writer published it first the rename
+  *     refuses and the commit throws (first writer wins) — the loser's
+  *     data files are orphans that [[vacuum]] reclaims, and the table
+  *     is still exactly the winner's version. A crash BEFORE the
+  *     rename likewise leaves only orphan data files: the table stays
+  *     at N−1 by construction.
+  *
+  * Scale shape: the manifest is file-list-sized (MBs at 100 TB /
+  * ~100 k files), and it REPLACES directory listing at read-planning
+  * time — the object-store listing tax disappears, and manifest-level
+  * partition pruning ([[readPruned]]) selects files before Spark ever
+  * sees a path. [[mergeChangeSet]] rewrites only the files of touched
+  * partitions (cost ∝ touched data, the q138 property) and carries
+  * every untouched file entry forward by reference. A partition whose
+  * rows are all deleted simply contributes NO files to the new
+  * manifest — the stale-directory divergence dynamic overwrite had to
+  * patch around (MergeStream r9) cannot exist here structurally.
+  *
+  * Not in scope (documented trade-offs, not oversights): rename
+  * atomicity is the HDFS/local contract — S3-style object stores need
+  * a put-if-absent coordination service exactly as Delta's LogStore
+  * does; manifests are complete per version (no incremental log +
+  * checkpoint compaction yet); schema is carried by the parquet files
+  * themselves. Partition values are rendered as path strings — keys
+  * should be integral/simple-string typed (the Spark partition-dir
+  * value contract).
+  */
+object TxTable {
+
+  /** One live data file: `path` relative to the table root; `bucket`
+    * is the partition value rendered as Spark renders it into the
+    * `col=value` directory name (None for unpartitioned commits). */
+  final case class FileEntry(path: String, bucket: Option[String])
+
+  final case class Manifest(version: Long, files: Seq[FileEntry])
+
+  final class CommitConflictException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  private def logDir(root: Path) = new Path(root, "_graft_log")
+  private def manifestPath(root: Path, v: Long) =
+    new Path(logDir(root), f"$v%020d.json")
+
+  private val ManifestName = """(\d{20})\.json""".r
+
+  /** Highest published version, if any — one log-dir listing. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val ld = logDir(root)
+    if (!fs.exists(ld)) None
+    else {
+      val vs = fs.listStatus(ld).toSeq.map(_.getPath.getName).collect {
+        case ManifestName(d) => d.toLong
+      }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Parse the manifest of `version` (JSON-lines within `.json`: one
+    * header object, then one object per live file — written by
+    * [[commit]], so the shapes are closed). */
+  def readManifest(spark: SparkSession, dir: String, version: Long): Manifest = {
+    val (fs, root) = fsOf(spark, dir)
+    val mp = manifestPath(root, version)
+    require(fs.exists(mp), s"no manifest for version $version at $mp")
+    val in = fs.open(mp)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val pathRe = """"path":"([^"]+)"""".r
+    val bucketRe = """"bucket":"([^"]*)"""".r
+    val files = text.linesIterator.drop(1).filter(_.nonEmpty).map { line =>
+      val p = pathRe.findFirstMatchIn(line).getOrElse(
+        sys.error(s"malformed manifest line in $mp: $line")).group(1)
+      FileEntry(p, bucketRe.findFirstMatchIn(line).map(_.group(1)))
+    }.toSeq
+    Manifest(version, files)
+  }
+
+  /** Stage-and-rename publication of version `base + 1`. Refuses (and
+    * throws [[CommitConflictException]]) if that manifest already
+    * exists — the competing writer won; this writer's data files are
+    * orphans for [[vacuum]]. */
+  private def commit(
+      fs: FileSystem, root: Path, base: Long, files: Seq[FileEntry]): Long = {
+    val version = base + 1
+    val dst = manifestPath(root, version)
+    val tmp = new Path(logDir(root),
+      s".tmp-${java.util.UUID.randomUUID().toString}.json")
+    fs.mkdirs(logDir(root))
+    val out = fs.create(tmp, false)
+    try {
+      val sb = new StringBuilder
+      sb.append(s"""{"version":$version,"base":$base,"n_files":${files.size}}""")
+        .append('\n')
+      files.foreach { f =>
+        sb.append(s"""{"path":"${f.path}"""")
+        f.bucket.foreach(b => sb.append(s""","bucket":"$b""""))
+        sb.append("}\n")
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    // rename-no-overwrite = the atomic swap + conflict detection in
+    // one move on HDFS; the local FS needs the explicit exists check
+    // (POSIX rename replaces silently). Object stores: see scaladoc.
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new CommitConflictException(
+        s"version $version already published at $dst — concurrent writer won; " +
+          "re-read the table and retry the merge against the new base")
+    }
+    version
+  }
+
+  /** List the parquet files a commit's write produced, as entries
+    * relative to the table root, with partition values parsed from the
+    * `col=value` directory names when `partitionCol` is set. */
+  private def listCommitFiles(
+      fs: FileSystem, root: Path, commitDir: Path,
+      partitionCol: Option[String]): Seq[FileEntry] = {
+    val it = fs.listFiles(commitDir, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    val rootStr = root.toString + "/"
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toString
+      if (st.isFile && p.endsWith(".parquet")) {
+        val rel = p.stripPrefix(rootStr)
+        val bucket = partitionCol.flatMap { c =>
+          val re = (java.util.regex.Pattern.quote(c) + "=([^/]+)/").r
+          re.findFirstMatchIn(rel + "/").map(_.group(1))
+        }
+        out += FileEntry(rel, bucket)
+      }
+    }
+    out.toSeq
+  }
+
+  private def newCommitDir(root: Path, version: Long): Path =
+    new Path(new Path(root, "data"),
+      s"v$version-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** Publish `df` as the COMPLETE next version (full replace; also the
+    * init path for version 1). Partitioned layout when `partitionCol`
+    * is set — required later for [[mergeChangeSet]]'s pruning. */
+  def commitReplace(
+      spark: SparkSession, dir: String, df: DataFrame,
+      partitionCol: Option[String] = None): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val base = latestVersion(spark, dir).getOrElse(0L)
+    val commitDir = newCommitDir(root, base + 1)
+    val writer = df.write.mode("errorifexists")
+    partitionCol.fold(writer)(c => writer.partitionBy(c))
+      .parquet(commitDir.toString)
+    commit(fs, root, base, listCommitFiles(fs, root, commitDir, partitionCol))
+  }
+
+  /** Read entries as one DataFrame. Files are grouped by their commit
+    * directory so each group reads with its own `basePath` (restoring
+    * the partition column the `col=value` layout encodes); the union
+    * is bounded by the number of commits still contributing files. */
+  private def readFiles(
+      spark: SparkSession, root: Path, files: Seq[FileEntry]): DataFrame = {
+    require(files.nonEmpty,
+      "cannot read an empty version (schema lives in the data files)")
+    val byCommit = files.groupBy(f => f.path.split('/').take(2).mkString("/"))
+    byCommit.toSeq.sortBy(_._1).map { case (commitRel, fs0) =>
+      spark.read
+        .option("basePath", new Path(root, commitRel).toString)
+        .parquet(fs0.map(f => new Path(root, f.path).toString): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Snapshot read: latest version, or `versionAsOf` (time travel). */
+  def read(
+      spark: SparkSession, dir: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    readFiles(spark, root, readManifest(spark, dir, v).files)
+  }
+
+  /** Manifest-level partition pruning: read only the files whose
+    * bucket is in `buckets` — no listing, no footer reads for pruned
+    * files. Empty selection yields an empty frame shaped like the
+    * full table (schema from one representative file). */
+  def readPruned(
+      spark: SparkSession, dir: String, buckets: Set[String],
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    val m = readManifest(spark, dir, v)
+    val hit = m.files.filter(_.bucket.exists(buckets))
+    if (hit.nonEmpty) readFiles(spark, root, hit)
+    else readFiles(spark, root, m.files).limit(0)
+  }
+
+  /** MERGE a changeset (the [[Cdc.applyChangeSet]] contract: `keyCol`,
+    * `opCol` ∈ insert/update/delete, full payload columns) into the
+    * table as one atomic commit. Only the files of TOUCHED partitions
+    * are read and rewritten; untouched entries carry forward by
+    * reference. Readers at any published version are unaffected; a
+    * concurrent commit on the same base makes this one throw
+    * [[CommitConflictException]] with the table left at the winner's
+    * version. Returns the new version. */
+  def mergeChangeSet(
+      spark: SparkSession, dir: String, changes: DataFrame,
+      keyCol: String, opCol: String, partitionCol: String,
+      expectedBase: Option[Long] = None): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    // expectedBase = optimistic concurrency from a version the caller
+    // read earlier: if someone else committed since, the publication
+    // of expectedBase+1 conflicts and this merge throws instead of
+    // silently dropping the competing commit's changes
+    val base = expectedBase.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"mergeChangeSet needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    // bounded driver collect: ≤ #partition values by definition
+    val touched = changes.select(col(partitionCol)).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSet
+    val (touchedFiles, keep) = m.files.partition(_.bucket.exists(touched))
+    val slice =
+      if (touchedFiles.nonEmpty) readFiles(spark, root, touchedFiles)
+      else readFiles(spark, root, m.files).limit(0)
+    // no overwrite-from-own-input here, ever: the merge READS version
+    // `base`'s files and WRITES a brand-new commit dir — the
+    // localCheckpoint the dynamic-overwrite path needed is gone
+    val merged = Cdc.applyChangeSet(slice, changes, keyCol, opCol)
+    val commitDir = newCommitDir(root, base + 1)
+    merged.write.mode("errorifexists")
+      .partitionBy(partitionCol).parquet(commitDir.toString)
+    val fresh = listCommitFiles(fs, root, commitDir, Some(partitionCol))
+    commit(fs, root, base, keep ++ fresh)
+  }
+
+  /** Reclaim files referenced by NO manifest (crashed/conflicted
+    * commits' orphans) and, when `keepVersions` is set, drop manifests
+    * older than the newest `keepVersions` first (time travel shrinks
+    * accordingly). Returns the number of data files deleted. Safe by
+    * the immutability invariant: anything unreferenced can never
+    * become referenced again. */
+  def vacuum(
+      spark: SparkSession, dir: String,
+      keepVersions: Option[Int] = None): Int = {
+    val (fs, root) = fsOf(spark, dir)
+    val ld = logDir(root)
+    if (!fs.exists(ld)) return 0
+    val versions = fs.listStatus(ld).toSeq.map(_.getPath.getName).collect {
+      case ManifestName(d) => d.toLong
+    }.sorted
+    val dropped = keepVersions match {
+      case Some(k) if versions.size > k => versions.dropRight(k)
+      case _ => Seq.empty
+    }
+    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
+    val live = (versions.diff(dropped)).flatMap(v =>
+      readManifest(spark, dir, v).files.map(_.path)).toSet
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return 0
+    val it = fs.listFiles(dataDir, true)
+    val rootStr = root.toString + "/"
+    var n = 0
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(rootStr)
+      if (st.isFile && rel.endsWith(".parquet") && !live(rel)) doomed += st.getPath
+    }
+    doomed.foreach { p => if (fs.delete(p, false)) n += 1 }
+    n
+  }
+}

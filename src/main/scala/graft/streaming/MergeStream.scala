@@ -29,13 +29,27 @@ object MergeStream {
 
   /** Drain `changesDir` (parquet change files, one micro-batch per
     * file) into the snapshot at `snapshotDir` (parquet partitioned by
-    * `pbucket`). Returns the number of micro-batches applied. */
+    * `partitionCol`). Returns the number of micro-batches applied.
+    *
+    * Column contract: `changesSchema` must carry `keyCol` (the merge
+    * key), `opCol` ∈ {insert, update, delete} and `partitionCol` (the
+    * snapshot's partition column) — all three default to the q138
+    * lane's names but are parameters precisely so a caller whose
+    * schema happens to contain, say, an unrelated "op" column merges
+    * on the columns it MEANS. */
   def mergeAvailable(
       spark: SparkSession,
       snapshotDir: String,
       changesDir: String,
       changesSchema: org.apache.spark.sql.types.StructType,
-      checkpoint: String): Long = {
+      checkpoint: String,
+      keyCol: String = "event_id",
+      opCol: String = "op",
+      partitionCol: String = "pbucket"): Long = {
+    Seq(keyCol, opCol, partitionCol).foreach { c =>
+      require(changesSchema.fieldNames.contains(c),
+        s"changesSchema must carry '$c': ${changesSchema.fieldNames.mkString(", ")}")
+    }
     val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -50,33 +64,40 @@ object MergeStream {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (changes: DataFrame, _: Long) =>
           // bounded collect: ≤ #partition values by definition
-          val touched = changes.select(col("pbucket")).distinct()
-            .collect().map(_.getLong(0))
+          val touched = changes.select(col(partitionCol)).distinct()
+            .collect().map(_.get(0))
           if (touched.nonEmpty) {
             val slice = spark.read.parquet(snapshotDir)
-              .where(col("pbucket").isin(touched.toIndexedSeq: _*))
+              .where(col(partitionCol).isin(touched.toIndexedSeq: _*))
             // localCheckpoint: the merged plan lazily READS the very
             // partitions the write below overwrites — Spark rejects
             // overwrite-from-own-input; materializing the (touched-
             // partition-sized) merge breaks the file dependency
             val merged = graft.ext.Cdc.applyChangeSet(
-              slice, changes, "event_id", "op").localCheckpoint()
-            // dynamic overwrite: ONLY the touched pbucket directories
+              slice, changes, keyCol, opCol).localCheckpoint()
+            // dynamic overwrite: ONLY the touched partition directories
             // are replaced; untouched partitions are never read or
             // written
             merged.write.mode("overwrite")
-              .partitionBy("pbucket").parquet(snapshotDir)
+              .partitionBy(partitionCol).parquet(snapshotDir)
             // dynamic overwrite replaces only partitions the write
             // EMITS — a batch that deletes a partition's last row
             // writes nothing for it, and the stale directory would
             // survive (diverging from the batch apply). Drop touched
             // partitions the merge left empty explicitly; the distinct
-            // is bounded by #touched.
-            val present = merged.select(col("pbucket")).distinct()
-              .collect().map(_.getLong(0)).toSet
+            // is bounded by #touched. Deletion goes through the SAME
+            // Hadoop FS abstraction as the snapshot read/write — a
+            // java.nio local-path delete would silently no-op on
+            // hdfs://-s3a://-style snapshot URIs, resurrecting exactly
+            // the stale-directory divergence this block prevents.
+            val present = merged.select(col(partitionCol)).distinct()
+              .collect().map(_.get(0)).toSet
+            val hconf = spark.sessionState.newHadoopConf()
             touched.filterNot(present).foreach { b =>
-              val dir = java.nio.file.Paths.get(snapshotDir, s"pbucket=$b")
-              if (java.nio.file.Files.exists(dir)) graft.Fs.deleteTree(dir)
+              val dir = new org.apache.hadoop.fs.Path(
+                snapshotDir, s"$partitionCol=$b")
+              val fs = dir.getFileSystem(hconf)
+              if (fs.exists(dir)) fs.delete(dir, true)
             }
             batches.incrementAndGet()
           }
@@ -91,5 +112,53 @@ object MergeStream {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+  }
+
+  /** [[mergeAvailable]]'s SNAPSHOT-ISOLATED sibling: drain the change
+    * feed into a [[graft.ext.TxTable]] (manifest commit log), one
+    * atomic version per non-empty micro-batch. Same touched-partition
+    * economics — [[graft.ext.TxTable.mergeChangeSet]] rewrites only
+    * the files of partitions the batch touches and carries every
+    * other file forward by reference — but readers racing the stream
+    * see only complete committed versions (and can time-travel to any
+    * previous batch boundary), concurrent writers conflict loudly
+    * instead of corrupting the directory, and the emptied-partition
+    * reconciliation [[mergeAvailable]] needs is structural here (an
+    * emptied partition simply has no files in the new manifest).
+    * `tableDir` must hold an initialized TxTable (version ≥ 1).
+    * Returns the number of versions committed. */
+  def mergeAvailableVersioned(
+      spark: SparkSession,
+      tableDir: String,
+      changesDir: String,
+      changesSchema: org.apache.spark.sql.types.StructType,
+      checkpoint: String,
+      keyCol: String = "event_id",
+      opCol: String = "op",
+      partitionCol: String = "pbucket"): Long = {
+    Seq(keyCol, opCol, partitionCol).foreach { c =>
+      require(changesSchema.fieldNames.contains(c),
+        s"changesSchema must carry '$c': ${changesSchema.fieldNames.mkString(", ")}")
+    }
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream
+      .schema(changesSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(changesDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (changes: DataFrame, _: Long) =>
+        if (!changes.isEmpty) {
+          graft.ext.TxTable.mergeChangeSet(
+            spark, tableDir, changes, keyCol, opCol, partitionCol)
+          batches.incrementAndGet()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
   }
 }

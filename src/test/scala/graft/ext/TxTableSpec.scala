@@ -1,0 +1,137 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TxTableSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def snap(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, i * 10.0, (i % 4).toLong))
+      .toDF("event_id", "value", "pbucket")
+  }
+
+  private def changes(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (100L, "insert", 1000.0, 0L),
+      (1L, "update", -1.0, 1L),
+      (2L, "delete", 0.0, 2L)
+    ).toDF("event_id", "op", "value", "pbucket")
+  }
+
+  // pbucket cast: partition-dir read-back infers INT where the source
+  // column was LONG — value-identical, so normalize for set compare
+  private def rows(df: DataFrame): Set[(Long, Double, Long)] =
+    df.select(col("event_id"), col("value"), col("pbucket").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+
+  private def inDir[T](f: String => T): T = graft.QueryUtil.inTempDir("graft_tx")(f)
+
+  /** byte-image of every data file under the table (path -> bytes). */
+  private def dataBytes(dir: String): Map[String, Seq[Byte]] = {
+    val root = java.nio.file.Paths.get(dir, "data")
+    if (!java.nio.file.Files.isDirectory(root)) Map.empty
+    else java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> java.nio.file.Files.readAllBytes(p).toSeq)
+      .toMap
+  }
+
+  test("commitReplace + read round-trips; merge equals the batch Cdc apply") {
+    inDir { dir =>
+      val base = snap(12)
+      val v1 = TxTable.commitReplace(spark, dir, base, Some("pbucket"))
+      assert(v1 === 1L)
+      assert(rows(TxTable.read(spark, dir)) === rows(base))
+      val v2 = TxTable.mergeChangeSet(spark, dir, changes(), "event_id", "op", "pbucket")
+      assert(v2 === 2L)
+      val expected = Cdc.applyChangeSet(base, changes(), "event_id", "op")
+      assert(rows(TxTable.read(spark, dir)) === rows(expected))
+    }
+  }
+
+  test("reader at version N-1 is byte-stable while version N commits") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      val v1Rows = rows(TxTable.read(spark, dir, versionAsOf = Some(1L)))
+      val v1Bytes = dataBytes(dir)
+      TxTable.mergeChangeSet(spark, dir, changes(), "event_id", "op", "pbucket")
+      // every pre-existing data file is byte-identical after the commit
+      val after = dataBytes(dir)
+      v1Bytes.foreach { case (p, bytes) =>
+        assert(after.get(p).contains(bytes), s"file mutated by commit: $p")
+      }
+      // and the time-travel read returns exactly the old content
+      assert(rows(TxTable.read(spark, dir, versionAsOf = Some(1L))) === v1Rows)
+    }
+  }
+
+  test("conflicting commit throws and leaves the table at the winner's version") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      // winner publishes version 2
+      TxTable.mergeChangeSet(spark, dir, changes(), "event_id", "op", "pbucket")
+      val winner = rows(TxTable.read(spark, dir))
+      // the losing writer raced from base 1 (it read the table before
+      // the winner's commit): its publication of version 2 conflicts
+      import spark.implicits._
+      val competing = Seq((200L, "insert", 5.0, 3L))
+        .toDF("event_id", "op", "value", "pbucket")
+      val e = intercept[TxTable.CommitConflictException] {
+        TxTable.mergeChangeSet(spark, dir, competing, "event_id", "op",
+          "pbucket", expectedBase = Some(1L))
+      }
+      assert(e.getMessage.contains("concurrent writer won"))
+      // the table is exactly the winner's version — nothing from the
+      // losing merge leaked
+      assert(TxTable.latestVersion(spark, dir) === Some(2L))
+      assert(rows(TxTable.read(spark, dir)) === winner)
+    }
+  }
+
+  test("a crashed commit (data written, manifest never published) leaves N-1; vacuum reclaims") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      val before = rows(TxTable.read(spark, dir))
+      // simulate the crash: orphan data files, no manifest
+      snap(3).write.parquet(s"$dir/data/v2-deadbeef")
+      assert(TxTable.latestVersion(spark, dir) === Some(1L))
+      assert(rows(TxTable.read(spark, dir)) === before)
+      val reclaimed = TxTable.vacuum(spark, dir)
+      assert(reclaimed >= 1)
+      // the live version is untouched by vacuum
+      assert(rows(TxTable.read(spark, dir)) === before)
+      assert(TxTable.vacuum(spark, dir) === 0)
+    }
+  }
+
+  test("emptied partition has no files in the new version, still time-travels") {
+    inDir { dir =>
+      // bucket 3 holds only event_id 3 and 7 in snap(8)
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      import spark.implicits._
+      val killBucket3 = Seq(
+        (3L, "delete", 0.0, 3L), (7L, "delete", 0.0, 3L)
+      ).toDF("event_id", "op", "value", "pbucket")
+      TxTable.mergeChangeSet(spark, dir, killBucket3, "event_id", "op", "pbucket")
+      val m2 = TxTable.readManifest(spark, dir, 2L)
+      assert(!m2.files.exists(_.bucket.contains("3")), "emptied bucket must vanish")
+      assert(TxTable.readPruned(spark, dir, Set("3")).count() === 0L)
+      assert(TxTable.readPruned(spark, dir, Set("3"), versionAsOf = Some(1L)).count() === 2L)
+    }
+  }
+
+  test("readPruned plans only the selected buckets' files from the manifest") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(16), Some("pbucket"))
+      val pruned = TxTable.readPruned(spark, dir, Set("1"))
+      assert(rows(pruned) === rows(snap(16).where(col("pbucket") === 1)))
+      // the scan's input files are exactly bucket 1's manifest entries
+      val files = pruned.inputFiles.toSet
+      assert(files.nonEmpty && files.forall(_.contains("pbucket=1")))
+    }
+  }
+}

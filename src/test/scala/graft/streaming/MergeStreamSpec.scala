@@ -75,6 +75,51 @@ class MergeStreamSpec extends SparkSpec {
     }
   }
 
+  test("versioned streamed merge: one atomic version per batch, final " +
+      "state equals the batch apply, untouched files byte-identical, " +
+      "time travel to the initial snapshot") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    inTempDir { tmp =>
+      val table = s"$tmp/table"
+      val snapshot = (0L until 40L).map(i => (i, i * 1.0, i % 4))
+        .toDF("event_id", "value", "pbucket")
+      graft.ext.TxTable.commitReplace(spark, table, snapshot, Some("pbucket"))
+      val changes = Seq(
+        (0L, "delete", 0.0, 0L), (4L, "update", 999.0, 0L),
+        (41L, "insert", 41.0, 1L), (9L, "update", 888.0, 1L))
+        .toDF("event_id", "op", "value", "pbucket")
+      changes.where(col("pbucket") === 0).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/changes")
+      changes.where(col("pbucket") === 1).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/changes")
+      val v1Bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(table, "data"))
+        .iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.readAllBytes(p).toSeq).toMap
+      val versionsCommitted = MergeStream.mergeAvailableVersioned(
+        spark, table, s"$tmp/changes", changesSchema, s"$tmp/ckpt")
+      assert(versionsCommitted == 2, s"expected 2 commits, got $versionsCommitted")
+      assert(graft.ext.TxTable.latestVersion(spark, table) === Some(3L))
+      // v1's data files are byte-identical after both commits
+      v1Bytes.foreach { case (p, bytes) =>
+        assert(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)).toSeq == bytes, s"file mutated: $p")
+      }
+      val expected = graft.ext.Cdc.applyChangeSet(snapshot, changes, "event_id", "op")
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = graft.ext.TxTable.read(spark, table)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expected)
+      // time travel: version 1 is still the untouched initial snapshot
+      val v1 = graft.ext.TxTable.read(spark, table, versionAsOf = Some(1L))
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(v1 == snapshot.orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    }
+  }
+
   test("an empty change feed leaves the snapshot untouched (0 batches)") {
     import spark.implicits._
     inTempDir { tmp =>
