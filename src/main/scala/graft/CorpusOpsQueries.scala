@@ -10,6 +10,30 @@ import graft.ext.{Curation, Dedup, Layout, Packing, TextAnalysis}
   */
 object CorpusOpsQueries {
 
+  /** q92's oracle — shared with q148, which answers the SAME question
+    * through the plain row_number window idiom under the
+    * TopKWindowRewrite optimizer rule (same rows, different plan). */
+  val canonicalByQualityOracle: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT a_id, b_id FROM (${ExtensionOracles.minhashPairs})),
+       |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |        UNION SELECT b_id, a_id FROM pairs),
+       |cc AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM sym
+       |  UNION
+       |  SELECT s.src AS id, cc.label FROM cc JOIN sym s ON cc.id = s.dst
+       |),
+       |comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+       |cl AS (SELECT d.doc_id, d.n_chars,
+       |         coalesce(comp.component, d.doc_id) AS cluster
+       |       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+       |r AS (SELECT doc_id, cluster, n_chars,
+       |        row_number() OVER (PARTITION BY cluster
+       |                           ORDER BY n_chars DESC, doc_id) AS rn
+       |      FROM cl)
+       |SELECT doc_id, cluster, n_chars FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** DuckDB mirror of the cross-side incremental-dedup lanes — same
     * split, digests, minhash lanes, bands, and verify kernel as
     * [[graft.ext.Dedup.incrementalDuplicates]] (the q30 oracle's
@@ -341,26 +365,7 @@ object CorpusOpsQueries {
     // min-id canonical keeps an arbitrary one. Singletons survive as
     // their own cluster. Oracle replays the same recursive-CTE closure
     // + argmax.
-    Q("q92_canonical_by_quality",
-      s"""WITH RECURSIVE
-         |pairs AS (SELECT a_id, b_id FROM (${ExtensionOracles.minhashPairs})),
-         |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
-         |        UNION SELECT b_id, a_id FROM pairs),
-         |cc AS (
-         |  SELECT DISTINCT src AS id, src AS label FROM sym
-         |  UNION
-         |  SELECT s.src AS id, cc.label FROM cc JOIN sym s ON cc.id = s.dst
-         |),
-         |comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
-         |cl AS (SELECT d.doc_id, d.n_chars,
-         |         coalesce(comp.component, d.doc_id) AS cluster
-         |       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
-         |r AS (SELECT doc_id, cluster, n_chars,
-         |        row_number() OVER (PARTITION BY cluster
-         |                           ORDER BY n_chars DESC, doc_id) AS rn
-         |      FROM cl)
-         |SELECT doc_id, cluster, n_chars FROM r WHERE rn = 1
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Q("q92_canonical_by_quality", CorpusOpsQueries.canonicalByQualityOracle) { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Dedup.keepClusterCanonicalBy(
           docs.select("doc_id", "n_chars"),

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Round-10 batch: snapshot-isolated table commits (graft.ext.TxTable
   * — manifest commit log, atomic version swap, time travel) in both
-  * their batch (q146) and streaming (q147) faces. The oracles replay
-  * every version's changeset relationally — which is exactly what the
-  * commit log promises a reader at any version sees.
+  * their batch (q146) and streaming (q147) faces, plus the rn = 1
+  * dedup idiom through the TopKWindowRewrite optimizer rule against
+  * q92's oracle (q148). The TxTable oracles replay every version's
+  * changeset relationally — which is exactly what the commit log
+  * promises a reader at any version sees.
   */
 object SnapshotQueries {
 
@@ -98,6 +100,34 @@ object SnapshotQueries {
           .groupBy((col("event_id") % 7).as("k"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
           .orderBy("k"))
+      }
+    },
+
+    // q92's canonical election asked through the PLAIN window idiom
+    // (rn = 1 over the cluster partition) under the TopKWindowRewrite
+    // rule: the rn = 1 dedup shape — not just rn <= k (q144) — must
+    // land on TopKPerKeyExec's bounded heaps, with q92's oracle
+    // unchanged. TopKWindowRewriteSpec asserts the executed plan
+    // (TopKPerKeyExec present, WindowExec gone) for this exact shape;
+    // here the ROWS are held to the recursive-CTE oracle. localized()
+    // forces optimization inside scoped() (the q144 discipline; the
+    // result is one row per cluster — #docs-bounded at any SF this
+    // lane runs at; the production form stays q92's explicit
+    // keepClusterCanonicalBy operator).
+    Q("q148_canonical_window_rewrite", CorpusOpsQueries.canonicalByQualityOracle) { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars")
+      val comp = graft.ext.Dedup.componentsFor(s, dir, minJaccard = 0.4, maxBucket = 256)
+        .withColumnRenamed("id", "doc_id")
+      val clustered = docs.join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        .drop("component")
+      graft.plans.TopKWindowRewrite.scoped(s) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster").orderBy(desc("n_chars"), asc("doc_id"))
+        localized(clustered.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).drop("rn")
+          .select("doc_id", "cluster", "n_chars")
+          .orderBy("doc_id"))
       }
     },
   )

@@ -50,6 +50,35 @@ class TopKWindowRewriteSpec extends SparkSpec {
     }
   }
 
+  test("the q92 canonical-election shape (join + coalesce cluster, rn = 1) " +
+      "rewrites and matches the explicit operator") {
+    import spark.implicits._
+    // docs with a partial cluster map — exactly keepClusterCanonicalBy's
+    // frame shape: left join, coalesce to own id, elect per cluster
+    val docs = (1L to 40L).map(i => (i, (i * 37 % 100)))
+      .toDF("doc_id", "n_chars")
+    val comp = Seq((2L, 1L), (5L, 1L), (9L, 7L), (7L, 7L), (1L, 1L))
+      .toDF("doc_id", "component")
+    val clustered = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .drop("component")
+    val viaOperator = graft.plans.TopKPerKey.topKPerKey(
+        clustered, Seq("cluster"), "n_chars",
+        descending = true, k = 1, tiebreakCols = Seq("doc_id"))
+      .select("doc_id", "cluster", "n_chars")
+    TopKWindowRewrite.scoped(spark) {
+      val w = Window.partitionBy("cluster").orderBy(desc("n_chars"), asc("doc_id"))
+      val viaWindow = clustered.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+        .select("doc_id", "cluster", "n_chars")
+      val plan = planOf(viaWindow)
+      assert(plan.contains("TopKPerKey"), s"rn=1 dedup shape must rewrite:\n$plan")
+      assert(!plan.contains("Window"), s"WindowExec must be gone:\n$plan")
+      val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(viaWindow.collect().map(key).toSet === viaOperator.collect().map(key).toSet)
+    }
+  }
+
   test("guard: a surviving rank column prevents the rewrite") {
     TopKWindowRewrite.scoped(spark) {
     val w = Window.partitionBy("k").orderBy(desc("v"), asc("id"))
