@@ -103,6 +103,68 @@ object SnapshotQueries {
       }
     },
 
+    // OPTIMIZE as a version: a deliberately fragmented table (12-way
+    // repartition before the commit puts ~12 files in every pbucket
+    // dir) compacted to one file per partition — published as a
+    // normal atomic commit, so the rewrite is invisible to content
+    // (this oracle: plain SQL over the slice) while TxTableSpec pins
+    // the file counts and the old version's integrity.
+    Q("q149_tx_compact", SnapshotOracles.txCompact) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txc") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s,
+          table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket"))
+            .repartition(12),
+          Some("pbucket"))
+        graft.ext.TxTable.compact(s, table, "pbucket")
+        localized(graft.ext.TxTable.read(s, table)
+          .groupBy((col("event_id") % 9).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("k"))
+      }
+    },
+
+    // CDC read: the NET changeset between version 1 and version 3 of
+    // the q146 chain, in applyChangeSet's own input shape — what an
+    // incremental downstream consumes instead of re-diffing
+    // snapshots. Only partitions whose manifest file sets differ are
+    // read (the immutability invariant makes equal file lists proof
+    // of equal content). The oracle full-outer-diffs the replayed s1
+    // and s3 relationally.
+    Q("q150_tx_change_feed", SnapshotOracles.txChangeFeed) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txf") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s,
+          table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        val changesA = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesA, "event_id", "op", "pbucket")
+        val changesB = ev.where(col("event_id") % 5 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0 && col("event_id") % 3 =!= 0, "insert")
+              .when(col("event_id") % 20 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 900).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesB, "event_id", "op", "pbucket")
+        localized(graft.ext.TxTable.changesBetween(s, table, 1L, 3L, "event_id")
+          .select("event_id", "op", "value")
+          .orderBy("event_id"))
+      }
+    },
+
     // q92's canonical election asked through the PLAIN window idiom
     // (rn = 1 over the cluster partition) under the TopKWindowRewrite
     // rule: the rn = 1 dedup shape — not just rn <= k (q144) — must
@@ -179,4 +241,49 @@ object SnapshotOracles {
       |SELECT version, bucket, n, value_sum FROM (
       |  SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
       |ORDER BY version, bucket""".stripMargin
+
+  /** Compaction is content-invisible — the oracle is the plain slice. */
+  val txCompact: String =
+    """SELECT CAST(event_id % 9 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events WHERE event_id % 2 = 0
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** Net diff of the replayed s1 vs s3 — insert where only s3 has the
+    * key, delete where only s1, update where the payload differs
+    * (value carries the AFTER image except for deletes). */
+  val txChangeFeed: String =
+    """WITH s1 AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |ca AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 THEN 'insert'
+      |      WHEN event_id % 12 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    value + 500 AS value
+      |  FROM events WHERE event_id % 3 = 0),
+      |s2 AS (
+      |  SELECT s1.event_id, s1.value FROM s1
+      |  LEFT JOIN ca ON s1.event_id = ca.event_id AND ca.op IN ('update', 'delete')
+      |  WHERE ca.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value FROM ca WHERE op IN ('insert', 'update')),
+      |cb AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 AND event_id % 3 <> 0 THEN 'insert'
+      |      WHEN event_id % 20 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    value + 900 AS value
+      |  FROM events WHERE event_id % 5 = 0),
+      |s3 AS (
+      |  SELECT s2.event_id, s2.value FROM s2
+      |  LEFT JOIN cb ON s2.event_id = cb.event_id AND cb.op IN ('update', 'delete')
+      |  WHERE cb.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value FROM cb WHERE op IN ('insert', 'update'))
+      |SELECT coalesce(s1.event_id, s3.event_id) AS event_id,
+      |  CASE WHEN s1.event_id IS NULL THEN 'insert'
+      |    WHEN s3.event_id IS NULL THEN 'delete'
+      |    ELSE 'update' END AS op,
+      |  CASE WHEN s3.event_id IS NULL THEN s1.value ELSE s3.value END AS value
+      |FROM s1 FULL OUTER JOIN s3 ON s1.event_id = s3.event_id
+      |WHERE s1.event_id IS NULL OR s3.event_id IS NULL OR s1.value <> s3.value
+      |ORDER BY event_id""".stripMargin
 }

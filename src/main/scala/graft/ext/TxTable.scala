@@ -269,6 +269,87 @@ object TxTable {
     commit(fs, root, base, keep ++ fresh)
   }
 
+  /** OPTIMIZE: rewrite every partition holding more than one file
+    * into a single file per partition, published as a normal commit —
+    * content-identical, atomic, conflict-detected, and every previous
+    * version still time-travels (the old small files stay referenced
+    * by the old manifests until [[vacuum]] retires them). Partitions
+    * already at one file carry forward by reference. Returns the new
+    * version, or the current one if nothing needed compaction.
+    *
+    * Scale shape: the `repartition(partitionCol)` puts each rewritten
+    * partition in exactly one task → exactly one output file; cost ∝
+    * the fragmented partitions' bytes, never the table. The
+    * size-targeted variant for over-large partitions is
+    * [[graft.ingest.Compaction]]'s byte math — here the streaming-
+    * sink fragmentation case (many tiny files per partition) is the
+    * one the commit log itself creates. */
+  def compact(spark: SparkSession, dir: String, partitionCol: String): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"compact needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    val byBucket = m.files.groupBy(_.bucket)
+    val fragmented = byBucket.filter(_._2.size > 1).keys.toSet
+    if (fragmented.isEmpty) return base
+    val (doomed, keep) = m.files.partition(f => fragmented(f.bucket))
+    val merged = readFiles(spark, root, doomed)
+      .repartition(col(partitionCol))
+    val commitDir = newCommitDir(root, base + 1)
+    merged.write.mode("errorifexists")
+      .partitionBy(partitionCol).parquet(commitDir.toString)
+    val fresh = listCommitFiles(fs, root, commitDir, Some(partitionCol))
+    commit(fs, root, base, keep ++ fresh)
+  }
+
+  /** CDC READ: the net changeset that turns version `vFrom` into
+    * `vTo`, in [[Cdc.applyChangeSet]]'s own input shape (`keyCol`,
+    * `op` ∈ insert/update/delete, full payload) — so
+    * `applyChangeSet(read(vFrom), changesBetween(vFrom, vTo))` equals
+    * `read(vTo)` (the round-trip [[TxTableSpec]] asserts). Downstream
+    * incremental consumers subscribe to this instead of re-diffing
+    * snapshots.
+    *
+    * Scale shape — the manifest IS the diff index: a partition whose
+    * FILE LIST is identical in both manifests is byte-identical by
+    * the immutability invariant, so only partitions whose file sets
+    * differ are read on either side (cost ∝ changed data, not table
+    * size; a compaction rewrite makes its partitions "changed" and
+    * simply diffs to zero rows). One full-outer join on the key over
+    * that slice. */
+  def changesBetween(
+      spark: SparkSession, dir: String, vFrom: Long, vTo: Long,
+      keyCol: String): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val ma = readManifest(spark, dir, vFrom)
+    val mb = readManifest(spark, dir, vTo)
+    def byBucket(m: Manifest): Map[Option[String], Set[String]] =
+      m.files.groupBy(_.bucket).map { case (b, fs0) => b -> fs0.map(_.path).toSet }
+    val fa = byBucket(ma); val fb = byBucket(mb)
+    val changed = (fa.keySet ++ fb.keySet)
+      .filter(b => fa.getOrElse(b, Set.empty) != fb.getOrElse(b, Set.empty))
+    def slice(m: Manifest): DataFrame = {
+      val hit = m.files.filter(f => changed(f.bucket))
+      if (hit.nonEmpty) readFiles(spark, root, hit)
+      else readFiles(spark, root, (ma.files ++ mb.files).distinct).limit(0)
+    }
+    val a = slice(ma); val b = slice(mb)
+    val payload = a.columns.filterNot(_ == keyCol).toSeq
+    val af = a.select(col(keyCol).as("_k"),
+      struct(payload.map(col): _*).as("_before"))
+    val bf = b.select(col(keyCol).as("_k"),
+      struct(payload.map(col): _*).as("_after"))
+    af.join(bf, Seq("_k"), "full_outer")
+      .where(col("_before").isNull || col("_after").isNull ||
+        !(col("_before") <=> col("_after")))
+      .select(col("_k").as(keyCol),
+        when(col("_before").isNull, "insert")
+          .when(col("_after").isNull, "delete")
+          .otherwise("update").as("op"),
+        coalesce(col("_after"), col("_before")).as("_p"))
+      .select(col(keyCol) +: col("op") +: payload.map(c => col(s"_p.$c")): _*)
+  }
+
   /** Reclaim files referenced by NO manifest (crashed/conflicted
     * commits' orphans) and, when `keepVersions` is set, drop manifests
     * older than the newest `keepVersions` first (time travel shrinks

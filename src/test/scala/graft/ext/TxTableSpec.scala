@@ -124,6 +124,62 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("compact: one file per fragmented partition, content identical, old version intact") {
+    inDir { dir =>
+      // 6 files per bucket -> fragmented
+      TxTable.commitReplace(spark, dir, snap(48).repartition(6), Some("pbucket"))
+      val m1 = TxTable.readManifest(spark, dir, 1L)
+      assert(m1.files.groupBy(_.bucket).exists(_._2.size > 1), "setup must fragment")
+      val before = rows(TxTable.read(spark, dir))
+      val v2 = TxTable.compact(spark, dir, "pbucket")
+      assert(v2 === 2L)
+      val m2 = TxTable.readManifest(spark, dir, 2L)
+      assert(m2.files.groupBy(_.bucket).forall(_._2.size == 1),
+        "every partition must be a single file after compaction")
+      assert(rows(TxTable.read(spark, dir)) === before)
+      assert(rows(TxTable.read(spark, dir, versionAsOf = Some(1L))) === before)
+      // idempotent: nothing fragmented -> no new version
+      assert(TxTable.compact(spark, dir, "pbucket") === 2L)
+    }
+  }
+
+  test("changesBetween inverts mergeChangeSet: apply(read(v1), diff(v1,v3)) == read(v3)") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      TxTable.mergeChangeSet(spark, dir, changes(), "event_id", "op", "pbucket")
+      import spark.implicits._
+      val more = Seq((101L, "insert", 7.0, 1L), (4L, "update", 44.0, 0L))
+        .toDF("event_id", "op", "value", "pbucket")
+      TxTable.mergeChangeSet(spark, dir, more, "event_id", "op", "pbucket")
+      val diff = TxTable.changesBetween(spark, dir, 1L, 3L, "event_id")
+      val replayed = Cdc.applyChangeSet(
+        TxTable.read(spark, dir, versionAsOf = Some(1L)), diff, "event_id", "op")
+      assert(rows(replayed) === rows(TxTable.read(spark, dir, versionAsOf = Some(3L))))
+      // ... and the op classification is the net one
+      val ops = diff.select("event_id", "op").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(ops(100L) === "insert" && ops(101L) === "insert")
+      assert(ops(2L) === "delete")
+      assert(ops(1L) === "update" && ops(4L) === "update")
+    }
+  }
+
+  test("changesBetween reads only partitions whose manifest file sets differ") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(16), Some("pbucket"))
+      import spark.implicits._
+      // touch ONLY bucket 2
+      val only2 = Seq((2L, "update", -2.0, 2L)).toDF("event_id", "op", "value", "pbucket")
+      TxTable.mergeChangeSet(spark, dir, only2, "event_id", "op", "pbucket")
+      val diff = TxTable.changesBetween(spark, dir, 1L, 2L, "event_id")
+      val files = diff.inputFiles.toSet
+      assert(files.nonEmpty && files.forall(_.contains("pbucket=2")),
+        s"untouched partitions must never be read: $files")
+      assert(diff.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        === Seq((2L, "update")))
+    }
+  }
+
   test("readPruned plans only the selected buckets' files from the manifest") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(16), Some("pbucket"))
