@@ -165,6 +165,38 @@ object SnapshotQueries {
       }
     },
 
+    // Additive schema evolution through the commit log: the changeset
+    // carries a NEW column (src = 'feed'); the evolving merge writes
+    // it only into the rewritten partitions' files, carried-forward
+    // old-shape files read NULL through the allowMissingColumns union
+    // — and version 1 still time-travels WITHOUT the column at all.
+    // The oracle replays the merge with NULL src for surviving rows.
+    Q("q151_tx_schema_evolution", SnapshotOracles.txSchemaEvolution) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txe") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s,
+          table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        val changes = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"),
+            lit("feed").as("src"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changes,
+          "event_id", "op", "pbucket", evolveSchema = true)
+        localized(graft.ext.TxTable.read(s, table)
+          .groupBy(coalesce(col("src"), lit("(legacy)")).as("src"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("src"))
+      }
+    },
+
     // q92's canonical election asked through the PLAIN window idiom
     // (rn = 1 over the cluster partition) under the TopKWindowRewrite
     // rule: the rn = 1 dedup shape — not just rn <= k (q144) — must
@@ -248,6 +280,26 @@ object SnapshotOracles {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM events WHERE event_id % 2 = 0
       |GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** Evolving merge replay: surviving snapshot rows have NULL in the
+    * added column, insert/update rows carry the changeset's value. */
+  val txSchemaEvolution: String =
+    """WITH s AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |c AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 THEN 'insert'
+      |      WHEN event_id % 12 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    value + 500 AS value, 'feed' AS src
+      |  FROM events WHERE event_id % 3 = 0),
+      |m AS (
+      |  SELECT s.event_id, s.value, CAST(NULL AS VARCHAR) AS src FROM s
+      |  LEFT JOIN c ON s.event_id = c.event_id AND c.op IN ('update', 'delete')
+      |  WHERE c.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value, src FROM c WHERE op IN ('insert', 'update'))
+      |SELECT coalesce(src, '(legacy)') AS src, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM m GROUP BY 1 ORDER BY src""".stripMargin
 
   /** Net diff of the replayed s1 vs s3 — insert where only s3 has the
     * key, delete where only s1, update where the payload differs

@@ -31,19 +31,39 @@ object Cdc {
 
   /** `changes` must carry `keyCol`, `opCol` ∈ {insert, update, delete},
     * and the snapshot's payload columns (same names). Returns the
-    * merged snapshot with the snapshot's column order. */
+    * merged snapshot with the snapshot's column order.
+    *
+    * `evolveSchema = true` additionally admits NEW payload columns in
+    * the changeset (the Delta `mergeSchema` contract): the output
+    * carries `snapshot.columns ++ (new change columns)`, with kept
+    * snapshot rows NULL in the new columns — additive-only evolution,
+    * never a type change or drop (both are rewrites, not merges). */
   def applyChangeSet(
       snapshot: DataFrame,
       changes: DataFrame,
       keyCol: String,
-      opCol: String): DataFrame = {
+      opCol: String,
+      evolveSchema: Boolean = false): DataFrame = {
+    val extras = changes.schema.fields.toSeq
+      .filterNot(f => f.name == opCol || snapshot.columns.contains(f.name))
+    // fail loud rather than silently dropping a column the caller
+    // provided: an unnoticed drop is how evolution bugs ship
+    require(evolveSchema || extras.isEmpty,
+      s"changeset carries columns the snapshot lacks " +
+        s"(${extras.map(_.name).mkString(", ")}) — pass evolveSchema = true " +
+        "to admit them (additive evolution) or project them away")
     val gone = changes
       .where(col(opCol).isin("update", "delete"))
       .select(col(keyCol))
     val kept = snapshot.join(gone, Seq(keyCol), "left_anti")
+    val newCols = if (!evolveSchema) Seq.empty else extras
+    val outCols = snapshot.columns.toIndexedSeq ++ newCols.map(_.name)
+    val keptWide = newCols.foldLeft(kept) { (df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
     val added = changes
       .where(col(opCol).isin("insert", "update"))
-      .select(snapshot.columns.map(col).toIndexedSeq: _*)
-    kept.unionByName(added)
+      .select(outCols.map(col): _*)
+    keptWide.select(outCols.map(col): _*).unionByName(added)
   }
 }

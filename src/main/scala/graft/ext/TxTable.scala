@@ -202,7 +202,12 @@ object TxTable {
       spark.read
         .option("basePath", new Path(root, commitRel).toString)
         .parquet(fs0.map(f => new Path(root, f.path).toString): _*)
-    }.reduce(_ unionByName _)
+    // allowMissingColumns: commits published under an EVOLVED schema
+    // (mergeChangeSet evolveSchema=true) coexist with carried-forward
+    // files of the old shape in the same version — older files read
+    // NULL in the added columns, exactly the additive-evolution
+    // contract. Identical-schema groups are unaffected.
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Snapshot read: latest version, or `versionAsOf` (time travel). */
@@ -242,7 +247,8 @@ object TxTable {
   def mergeChangeSet(
       spark: SparkSession, dir: String, changes: DataFrame,
       keyCol: String, opCol: String, partitionCol: String,
-      expectedBase: Option[Long] = None): Long = {
+      expectedBase: Option[Long] = None,
+      evolveSchema: Boolean = false): Long = {
     val (fs, root) = fsOf(spark, dir)
     // expectedBase = optimistic concurrency from a version the caller
     // read earlier: if someone else committed since, the publication
@@ -261,7 +267,10 @@ object TxTable {
     // no overwrite-from-own-input here, ever: the merge READS version
     // `base`'s files and WRITES a brand-new commit dir — the
     // localCheckpoint the dynamic-overwrite path needed is gone
-    val merged = Cdc.applyChangeSet(slice, changes, keyCol, opCol)
+    // schema evolution here touches only the REWRITTEN partitions'
+    // files; carried-forward files keep the old shape and read NULL in
+    // the new columns through readFiles' allowMissingColumns union
+    val merged = Cdc.applyChangeSet(slice, changes, keyCol, opCol, evolveSchema)
     val commitDir = newCommitDir(root, base + 1)
     merged.write.mode("errorifexists")
       .partitionBy(partitionCol).parquet(commitDir.toString)

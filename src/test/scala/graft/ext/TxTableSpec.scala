@@ -180,6 +180,36 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("additive schema evolution: new column NULL for carried rows, absent at v1") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      import spark.implicits._
+      val evolved = Seq(
+        (100L, "insert", 1000.0, 0L, "feed"),
+        (1L, "update", -1.0, 1L, "feed")
+      ).toDF("event_id", "op", "value", "pbucket", "src")
+      val e = intercept[IllegalArgumentException] {
+        // without evolveSchema the new column must be rejected, not
+        // silently dropped
+        TxTable.mergeChangeSet(spark, dir, evolved, "event_id", "op", "pbucket")
+      }
+      assert(e.getMessage.contains("src"), e.getMessage)
+      TxTable.mergeChangeSet(spark, dir, evolved, "event_id", "op", "pbucket",
+        evolveSchema = true)
+      val v2 = TxTable.read(spark, dir)
+      assert(v2.columns.contains("src"))
+      val bySrc = v2.select(col("event_id"), col("src")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(bySrc(100L) === Some("feed") && bySrc(1L) === Some("feed"))
+      // carried rows — both same-partition survivors and untouched
+      // partitions — read NULL
+      assert(bySrc(4L) === None, "kept row in a touched partition")
+      assert(bySrc(2L) === None, "row in an untouched partition")
+      // version 1 time-travels WITHOUT the column
+      assert(!TxTable.read(spark, dir, versionAsOf = Some(1L)).columns.contains("src"))
+    }
+  }
+
   test("readPruned plans only the selected buckets' files from the manifest") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(16), Some("pbucket"))
