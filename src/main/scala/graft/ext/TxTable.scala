@@ -134,15 +134,29 @@ object TxTable {
       }
       out.write(sb.toString.getBytes("UTF-8"))
     } finally out.close()
-    // rename-no-overwrite = the atomic swap + conflict detection in
-    // one move on HDFS; the local FS needs the explicit exists check
-    // (POSIX rename replaces silently). Object stores: see scaladoc.
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+    // Atomic no-overwrite publish. HDFS: rename refuses an existing
+    // destination atomically. Local FS: POSIX rename REPLACES silently
+    // and an exists-check leaves a race window — hard-link (link(2)
+    // fails atomically if the destination exists) then drop the temp
+    // name. Object stores need a put-if-absent service: see scaladoc.
+    val published =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(dst) && fs.rename(tmp, dst)
+    if (!published) {
       fs.delete(tmp, false)
       throw new CommitConflictException(
         s"version $version already published at $dst — concurrent writer won; " +
           "re-read the table and retry the merge against the new base")
     }
+    if (fs.getScheme == "file") fs.delete(tmp, false)
     version
   }
 
@@ -276,6 +290,32 @@ object TxTable {
       .partitionBy(partitionCol).parquet(commitDir.toString)
     val fresh = listCommitFiles(fs, root, commitDir, Some(partitionCol))
     commit(fs, root, base, keep ++ fresh)
+  }
+
+  /** [[mergeChangeSet]] under optimistic-concurrency RETRY: on a
+    * [[CommitConflictException]] the merge re-reads the (new) latest
+    * version and recomputes against it, up to `maxRetries` times —
+    * the standard multi-writer loop. Sound because the merge's inputs
+    * are re-derived from the fresh base every attempt (nothing of the
+    * failed attempt is reused; its data files are vacuum-able
+    * orphans). Writers whose changesets touch the same KEYS still
+    * serialize correctly: last committed merge wins per key, exactly
+    * as sequential application would. */
+  def mergeChangeSetWithRetry(
+      spark: SparkSession, dir: String, changes: DataFrame,
+      keyCol: String, opCol: String, partitionCol: String,
+      maxRetries: Int = 5, evolveSchema: Boolean = false): Long = {
+    var attempt = 0
+    while (true) {
+      try return mergeChangeSet(spark, dir, changes, keyCol, opCol,
+        partitionCol, evolveSchema = evolveSchema)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** OPTIMIZE: rewrite every partition holding more than one file

@@ -210,6 +210,38 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("two concurrent writers with retry both land; result equals sequential apply") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      import spark.implicits._
+      // disjoint key ranges -> order-independent final state
+      val left = Seq((200L, "insert", 2.0, 0L), (1L, "delete", 0.0, 1L))
+        .toDF("event_id", "op", "value", "pbucket")
+      val right = Seq((300L, "insert", 3.0, 3L), (2L, "update", 22.0, 2L))
+        .toDF("event_id", "op", "value", "pbucket")
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = Seq(left, right).map { cs =>
+        new Thread(() => {
+          start.await()
+          try TxTable.mergeChangeSetWithRetry(
+            spark, dir, cs, "event_id", "op", "pbucket", maxRetries = 10)
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(120000))
+      assert(errs.isEmpty, s"writers must both land: ${errs.peek()}")
+      assert(TxTable.latestVersion(spark, dir) === Some(3L))
+      val expected = rows(Cdc.applyChangeSet(
+        Cdc.applyChangeSet(snap(12), left, "event_id", "op"),
+        right, "event_id", "op"))
+      assert(rows(TxTable.read(spark, dir)) === expected)
+      // the losing attempts' orphan files are reclaimable
+      TxTable.vacuum(spark, dir)
+      assert(rows(TxTable.read(spark, dir)) === expected)
+    }
+  }
+
   test("readPruned plans only the selected buckets' files from the manifest") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(16), Some("pbucket"))
