@@ -168,10 +168,100 @@ object MaintenanceQueries {
           sum(when(col("cfn") >= 2, 1L).otherwise(0L)).as("n_shared"))
         .orderBy("doc_id")
     },
+
+    // (round-10) Sharded inverted index with delta-encoded postings —
+    // the materialized data product BESIDE q125's BM25 scoring: per
+    // (term, shard) a sorted posting list stored as gaps (first id
+    // absolute, rest deltas — the classic postings compression, exact
+    // integers both engines). SHARDING by doc-id range is the 100 TB
+    // shape: a stopword's postings would otherwise be one corpus-sized
+    // array in one row; per-shard arrays are bounded by the shard
+    // width, and shards of one term merge by concatenation (ids are
+    // range-disjoint). One distinct (term, doc) collapse, one
+    // grouped sort_array — no corpus-wide window, no self-join.
+    Q("q152_inverted_index", MaintenanceOracles.invertedIndex) { (s, dir) =>
+      val shardW = 100L
+      val postings = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
+        .where(col("term") =!= "") // empty split artifact of blank docs
+        .distinct()
+        .groupBy(col("term"), expr(s"doc_id div $shardW").as("shard"))
+        .agg(count(lit(1)).as("df_shard"),
+          sort_array(collect_list(col("doc_id"))).as("ids"))
+      postings.select(col("term"), col("shard"), col("df_shard"),
+          concat_ws(",", expr(
+            "transform(ids, (x, i) -> CAST(IF(i = 0, x, x - ids[i-1]) AS STRING))"))
+            .as("gaps"))
+        .orderBy("term", "shard")
+    },
+
+    // (round-10) Winsorization: per-group [p05, p95] capping from the
+    // EXACT percentile election (q48 machinery), then decimal-exact
+    // aggregates of the capped values — the robust-mean treatment a
+    // feature pipeline applies before training. The #keys bounds
+    // frame broadcasts; capping is a per-row least/greatest.
+    Q("q153_winsorize", MaintenanceOracles.winsorize) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val bounds = graft.stats.ExactPercentiles.percentiles(
+          li, "l_returnflag", "l_extendedprice",
+          Seq(("p05", 0.05), ("p95", 0.95)))
+        .localCheckpoint() // consumed by broadcast + the output join
+      // capped values mix raw 2-dp prices with INTERPOLATED bound
+      // doubles — summing via a half-way-rounding decimal cast would
+      // hand engines a tie to disagree on; floor-quantize instead
+      // (the q36/q113 discipline; 1e5 · 1e6 · 600 k rows ≪ Long.Max)
+      li.select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))
+        .join(broadcast(bounds), "l_returnflag")
+        .withColumn("capped", least(greatest(col("x"), col("p05")), col("p95")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("capped") * lit(1000000.0)).cast("long")).as("capped_q"),
+          sum(when(col("x") < col("p05"), 1L)
+            .when(col("x") > col("p95"), 1L)
+            .otherwise(0L)).as("n_capped"))
+        .orderBy("l_returnflag")
+    },
   )
 }
 
 object MaintenanceOracles {
+
+  /** Gap encoding replayed with a lag window (DuckDB's 1-based list
+    * lambdas have no index form, so the mirror builds gaps BEFORE the
+    * string aggregation). Tokens mirror q132's split. */
+  val invertedIndex: String =
+    """WITH t AS (SELECT DISTINCT doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, term FROM t WHERE term <> ''),
+      |g AS (SELECT term, doc_id // 100 AS shard, doc_id,
+      |    CASE WHEN lag(doc_id) OVER (
+      |      PARTITION BY term, doc_id // 100 ORDER BY doc_id) IS NULL
+      |      THEN doc_id
+      |      ELSE doc_id - lag(doc_id) OVER (
+      |        PARTITION BY term, doc_id // 100 ORDER BY doc_id) END AS gap2
+      |  FROM t2)
+      |SELECT term, CAST(shard AS BIGINT) AS shard, count(*) AS df_shard,
+      |  string_agg(CAST(gap2 AS VARCHAR), ',' ORDER BY doc_id) AS gaps
+      |FROM g GROUP BY 1, 2 ORDER BY term, shard""".stripMargin
+
+  /** Exact [p05, p95] winsorization — interpolated bounds are the
+    * q48-proven bitwise parity; the capped sum rides floor-quantized. */
+  val winsorize: String =
+    """WITH b AS (SELECT l_returnflag,
+      |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS p05,
+      |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag AS l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(floor(least(greatest(
+      |    CAST(l_extendedprice AS DOUBLE), p05), p95) * 1000000.0) AS BIGINT))
+      |    AS BIGINT) AS capped_q,
+      |  CAST(sum(CASE WHEN CAST(l_extendedprice AS DOUBLE) < p05
+      |      OR CAST(l_extendedprice AS DOUBLE) > p95 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_capped
+      |FROM lineitem l JOIN b USING (l_returnflag)
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
   val streamOuterJoin: String =
     """WITH p AS (SELECT event_id, user_id, ts AS pts FROM events
