@@ -197,6 +197,31 @@ object SnapshotQueries {
       }
     },
 
+    // Manifest-stats file skipping: the table is committed
+    // range-clustered on event_id with per-file min/max recorded in
+    // the manifest; the range read prunes files on the MANIFEST (no
+    // footer ever opened for skipped files) and then applies the
+    // exact row filter — so the result equals the plain predicate,
+    // which is the oracle. TxTableSpec asserts the scan touches a
+    // strict subset of the files.
+    Q("q154_tx_file_skipping", SnapshotOracles.txFileSkipping) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txr") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s,
+          table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"))
+            .repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          partitionCol = None, statsCol = Some("event_id"))
+        localized(graft.ext.TxTable.readRange(s, table, "event_id", 1000L, 3000L)
+          .groupBy((col("event_id") % 5).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("k"))
+      }
+    },
+
     // q92's canonical election asked through the PLAIN window idiom
     // (rn = 1 over the cluster partition) under the TopKWindowRewrite
     // rule: the rn = 1 dedup shape — not just rn <= k (q144) — must
@@ -279,6 +304,14 @@ object SnapshotOracles {
     """SELECT CAST(event_id % 9 AS BIGINT) AS k, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM events WHERE event_id % 2 = 0
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** File skipping is a pure scan optimization — the oracle is the
+    * plain range predicate. */
+  val txFileSkipping: String =
+    """SELECT CAST(event_id % 5 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events WHERE event_id % 2 = 0 AND event_id BETWEEN 1000 AND 3000
       |GROUP BY 1 ORDER BY k""".stripMargin
 
   /** Evolving merge replay: surviving snapshot rows have NULL in the

@@ -57,8 +57,15 @@ object TxTable {
 
   /** One live data file: `path` relative to the table root; `bucket`
     * is the partition value rendered as Spark renders it into the
-    * `col=value` directory name (None for unpartitioned commits). */
-  final case class FileEntry(path: String, bucket: Option[String])
+    * `col=value` directory name (None for unpartitioned commits);
+    * `stats` is an optional per-file (column, min, max) triple for
+    * LONG-valued skipping columns (rendered as decimal strings in the
+    * manifest) — [[readRange]] prunes on it, conservatively keeping
+    * any file without stats. */
+  final case class FileEntry(
+      path: String,
+      bucket: Option[String],
+      stats: Option[(String, Long, Long)] = None)
 
   final case class Manifest(version: Long, files: Seq[FileEntry])
 
@@ -103,10 +110,13 @@ object TxTable {
       finally in.close()
     val pathRe = """"path":"([^"]+)"""".r
     val bucketRe = """"bucket":"([^"]*)"""".r
+    val statsRe = """"sc":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)""".r
     val files = text.linesIterator.drop(1).filter(_.nonEmpty).map { line =>
       val p = pathRe.findFirstMatchIn(line).getOrElse(
         sys.error(s"malformed manifest line in $mp: $line")).group(1)
-      FileEntry(p, bucketRe.findFirstMatchIn(line).map(_.group(1)))
+      FileEntry(p, bucketRe.findFirstMatchIn(line).map(_.group(1)),
+        statsRe.findFirstMatchIn(line).map(m =>
+          (m.group(1), m.group(2).toLong, m.group(3).toLong)))
     }.toSeq
     Manifest(version, files)
   }
@@ -130,6 +140,9 @@ object TxTable {
       files.foreach { f =>
         sb.append(s"""{"path":"${f.path}"""")
         f.bucket.foreach(b => sb.append(s""","bucket":"$b""""))
+        f.stats.foreach { case (c, lo, hi) =>
+          sb.append(s""","sc":"$c","lo":$lo,"hi":$hi""")
+        }
         sb.append("}\n")
       }
       out.write(sb.toString.getBytes("UTF-8"))
@@ -188,19 +201,73 @@ object TxTable {
     new Path(new Path(root, "data"),
       s"v$version-${java.util.UUID.randomUUID().toString.take(8)}")
 
+  /** Per-file min/max of a LONG column for the files just written —
+    * one bounded scan of the commit's own data (column-pruned to the
+    * stats column), collected as #files rows. */
+  private def gatherStats(
+      spark: SparkSession, root: Path, entries: Seq[FileEntry],
+      statsCol: String): Seq[FileEntry] = {
+    val byFile = spark.read.parquet(
+        entries.map(f => new Path(root, f.path).toString): _*)
+      .groupBy(input_file_name().as("_f"))
+      .agg(min(col(statsCol).cast("long")).as("_lo"),
+        max(col(statsCol).cast("long")).as("_hi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    entries.map { f =>
+      val abs = new Path(root, f.path).toString
+      // input_file_name renders a URI; match on suffix to be
+      // scheme-normalization-proof
+      byFile.collectFirst { case (k, v) if k.endsWith(f.path) || k == abs => v }
+        .fold(f)(lohi => f.copy(stats = Some((statsCol, lohi._1, lohi._2))))
+    }
+  }
+
   /** Publish `df` as the COMPLETE next version (full replace; also the
     * init path for version 1). Partitioned layout when `partitionCol`
-    * is set — required later for [[mergeChangeSet]]'s pruning. */
+    * is set — required later for [[mergeChangeSet]]'s pruning.
+    * `statsCol` records per-file min/max of a long column in the
+    * manifest for [[readRange]] file skipping — pair it with a
+    * range-clustered `df` (repartitionByRange + sortWithinPartitions)
+    * so file ranges are disjoint and skipping actually bites. */
   def commitReplace(
       spark: SparkSession, dir: String, df: DataFrame,
-      partitionCol: Option[String] = None): Long = {
+      partitionCol: Option[String] = None,
+      statsCol: Option[String] = None): Long = {
     val (fs, root) = fsOf(spark, dir)
     val base = latestVersion(spark, dir).getOrElse(0L)
     val commitDir = newCommitDir(root, base + 1)
     val writer = df.write.mode("errorifexists")
     partitionCol.fold(writer)(c => writer.partitionBy(c))
       .parquet(commitDir.toString)
-    commit(fs, root, base, listCommitFiles(fs, root, commitDir, partitionCol))
+    val listed = listCommitFiles(fs, root, commitDir, partitionCol)
+    val entries = statsCol.fold(listed)(c => gatherStats(spark, root, listed, c))
+    commit(fs, root, base, entries)
+  }
+
+  /** Manifest-stats file skipping: read only files whose recorded
+    * [min, max] for `statsCol` OVERLAPS [lo, hi] — plus, conservatively,
+    * every file without stats for that column — then apply the exact
+    * row filter. At 100 TB this is the scan reducer for range
+    * predicates on the clustering key: pruning happens on the
+    * manifest, before any footer is opened. */
+  def readRange(
+      spark: SparkSession, dir: String, statsCol: String, lo: Long, hi: Long,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    val m = readManifest(spark, dir, v)
+    val hit = m.files.filter { f =>
+      f.stats match {
+        case Some((c, fLo, fHi)) if c == statsCol => fLo <= hi && fHi >= lo
+        case _ => true // no stats for this column -> must read
+      }
+    }
+    val base =
+      if (hit.nonEmpty) readFiles(spark, root, hit)
+      else readFiles(spark, root, m.files).limit(0)
+    base.where(col(statsCol).cast("long").between(lo, hi))
   }
 
   /** Read entries as one DataFrame. Files are grouped by their commit

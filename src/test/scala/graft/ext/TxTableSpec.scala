@@ -242,6 +242,30 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("manifest min/max stats skip files for range reads; conservative without stats") {
+    inDir { dir =>
+      import spark.implicits._
+      val data = (0L until 800L).map(i => (i, i * 1.0)).toDF("event_id", "value")
+      TxTable.commitReplace(spark, dir,
+        data.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"),
+        partitionCol = None, statsCol = Some("event_id"))
+      val m = TxTable.readManifest(spark, dir, 1L)
+      assert(m.files.forall(_.stats.exists(_._1 == "event_id")))
+      val ranged = TxTable.readRange(spark, dir, "event_id", 100L, 199L)
+      // rows are exact...
+      assert(ranged.agg(count(lit(1)), sum("event_id")).collect().head match {
+        case r => r.getLong(0) === 100L && r.getLong(1) === (100L to 199L).sum
+      })
+      // ...and the scan touched a strict subset of the files
+      assert(ranged.inputFiles.length < m.files.size,
+        s"expected skipping: ${ranged.inputFiles.length} of ${m.files.size}")
+      // a column with no recorded stats reads everything, still exact
+      val noStats = TxTable.readRange(spark, dir, "value", 100L, 199L)
+      assert(noStats.inputFiles.length === m.files.size)
+      assert(noStats.count() === 100L)
+    }
+  }
+
   test("readPruned plans only the selected buckets' files from the manifest") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(16), Some("pbucket"))
