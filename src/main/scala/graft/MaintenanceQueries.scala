@@ -222,10 +222,97 @@ object MaintenanceQueries {
             .otherwise(0L)).as("n_capped"))
         .orderBy("l_returnflag")
     },
+
+    // (round-10) NATIVE session windows: Spark's session_window
+    // aggregation (dynamic-gap merge inside the aggregate — the
+    // operator itself, vs q41's lag-island formulation and q41's
+    // flatMapGroupsWithState streaming sibling). Same watermark-ready
+    // shape streams unchanged. Boundary semantics: a gap ≥ the window
+    // gap starts a new session (windows merge only on strict
+    // overlap), which is what the oracle's island replay encodes.
+    Q("q155_session_window", MaintenanceOracles.sessionWindow) { (s, dir) =>
+      graft.analysis.EventsFact.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "24 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    },
+
+    // (round-10) observe(): data-quality metrics PIGGYBACKED on the
+    // main action — the accumulator-backed Observation API computes
+    // row count / sums / null count in the same pass as the real
+    // query (zero extra scans; at 100 TB a separate metrics pass is a
+    // second full read). The observed numbers ARE the result frame,
+    // so the oracle holds them to the exact aggregates.
+    Q("q156_observe_metrics", MaintenanceOracles.observeMetrics) { (s, dir) =>
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val li = t(s, dir, "lineitem").observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdates"))
+      li.write.format("noop").mode("overwrite").save() // the "real" action
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+          m("sum_qty").asInstanceOf[Double],
+          m("null_shipdates").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_qty", "null_shipdates")
+    },
+
+    // (round-10) SHA-2 pseudonymization: salted sha256 of the user id
+    // — referential integrity survives (equal ids map to equal
+    // pseudonyms, so joins/groupBys still work) while raw ids leave
+    // the pipeline; the release-side sibling of q131's k-anonymity
+    // audit. Both engines compute the identical lowercase hex.
+    Q("q157_pseudonymize", MaintenanceOracles.pseudonymize) { (s, dir) =>
+      graft.analysis.EventsFact.events(s, dir)
+        .select(sha2(concat(lit("graft-salt:"),
+          col("user_id").cast("string")), 256).as("pid"),
+          col("value"))
+        .groupBy("pid")
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("value_sum"))
+        .orderBy("pid").limit(40)
+    },
   )
+
+  private def dsum2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
 }
 
 object MaintenanceOracles {
+
+  /** session_window replay as lag islands: boundary at gap ≥ G (a
+    * window [t, t+G) merges only on STRICT overlap); end = last + G. */
+  val sessionWindow: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |m AS (SELECT user_id, us,
+      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+      |      >= 86400000000 THEN 1 ELSE 0 END AS b
+      |  FROM e),
+      |x AS (SELECT user_id, us,
+      |    sum(b) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, min(us) AS start_us,
+      |  max(us) + 86400000000 AS end_us, count(*) AS n_events
+      |FROM x GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+
+  val observeMetrics: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS null_shipdates
+      |FROM lineitem""".stripMargin
+
+  val pseudonymize: String =
+    """SELECT sha256('graft-salt:' || CAST(user_id AS VARCHAR)) AS pid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1 ORDER BY pid LIMIT 40""".stripMargin
 
   /** Gap encoding replayed with a lag window (DuckDB's 1-based list
     * lambdas have no index form, so the mirror builds gaps BEFORE the
