@@ -277,6 +277,27 @@ object MaintenanceQueries {
         .agg(count(lit(1)).as("n"), dsum2(col("value")).as("value_sum"))
         .orderBy("pid").limit(40)
     },
+
+    // (round-10) Leakage-safe splits: train/val/test assignment hashed
+    // on the NEAR-DUP CLUSTER id, not the doc id — near-duplicates can
+    // never straddle train and test (the eval-contamination mode
+    // doc-hashed splits (q77) cannot prevent), because the split is a
+    // pure function of the cluster. Composes the served component
+    // closure (q30/q60/q92 machinery) with the md5-banded assigner;
+    // the oracle replays closure + assignment.
+    Q("q158_cluster_safe_splits", MaintenanceOracles.clusterSafeSplits) { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id")
+      val comp = graft.ext.Dedup.componentsFor(s, dir, minJaccard = 0.4, maxBucket = 256)
+        .withColumnRenamed("id", "doc_id")
+      val clustered = docs.join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        .drop("component")
+      graft.ext.Curation.assignSplits(clustered, idCol = "cluster")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"))
+        .orderBy("split")
+    },
   )
 
   private def dsum2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -313,6 +334,33 @@ object MaintenanceOracles {
       |  count(*) AS n,
       |  CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1 ORDER BY pid LIMIT 40""".stripMargin
+
+  /** Closure + cluster-hashed banding: the q92 component CTE feeding
+    * q77's band rule keyed on the cluster id. */
+  val clusterSafeSplits: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT a_id, b_id FROM (${ExtensionOracles.minhashPairs})),
+       |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |        UNION SELECT b_id, a_id FROM pairs),
+       |cc AS (
+       |  SELECT DISTINCT src AS id, src AS label FROM sym
+       |  UNION
+       |  SELECT s.src AS id, cc.label FROM cc JOIN sym s ON cc.id = s.dst
+       |),
+       |comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+       |cl AS (SELECT d.doc_id,
+       |         coalesce(comp.component, d.doc_id) AS cluster
+       |       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+       |sp AS (SELECT doc_id, cluster,
+       |    CASE WHEN h < 800000 THEN 'train'
+       |      WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, cluster,
+       |      ('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 15))::BIGINT
+       |        % 1000000 AS h
+       |    FROM cl))
+       |SELECT split, count(*) AS n_docs,
+       |  count(DISTINCT cluster) AS n_clusters
+       |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
 
   /** Gap encoding replayed with a lag window (DuckDB's 1-based list
     * lambdas have no index form, so the mirror builds gaps BEFORE the
