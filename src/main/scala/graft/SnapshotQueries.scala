@@ -222,6 +222,37 @@ object SnapshotQueries {
       }
     },
 
+    // Predicate DML through the commit log: DELETE WHERE then UPDATE
+    // WHERE as two atomic versions — only files CONTAINING matching
+    // rows are rewritten (one match-location pass, bounded collect of
+    // file names), everything else carries by reference, and the
+    // pre-DML version still time-travels. The right-to-be-forgotten
+    // purge and the backfill correction in one recipe; oracle replays
+    // both statements relationally.
+    Q("q159_tx_dml", SnapshotOracles.txDml) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txd") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s,
+          table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("user_id"), col("value"),
+              (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        // the forget-this-user purge
+        graft.ext.TxTable.deleteWhere(s, table,
+          col("user_id") % 100 === 7, Some("pbucket"))
+        // the backfill correction
+        graft.ext.TxTable.updateWhere(s, table,
+          col("value") < 0,
+          Seq("value" -> (col("value") * -1)), Some("pbucket"))
+        localized(graft.ext.TxTable.read(s, table)
+          .groupBy((col("event_id") % 6).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("k"))
+      }
+    },
+
     // q92's canonical election asked through the PLAIN window idiom
     // (rn = 1 over the cluster partition) under the TopKWindowRewrite
     // rule: the rn = 1 dedup shape — not just rn <= k (q144) — must
@@ -305,6 +336,19 @@ object SnapshotOracles {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM events WHERE event_id % 2 = 0
       |GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** DELETE then UPDATE replayed relationally. */
+  val txDml: String =
+    """WITH s AS (SELECT event_id, user_id, value FROM events
+      |  WHERE event_id % 2 = 0),
+      |d AS (SELECT * FROM s
+      |  WHERE NOT coalesce(user_id % 100 = 7, false)),
+      |u AS (SELECT event_id, user_id,
+      |    CASE WHEN value < 0 THEN value * -1 ELSE value END AS value
+      |  FROM d)
+      |SELECT CAST(event_id % 6 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM u GROUP BY 1 ORDER BY k""".stripMargin
 
   /** File skipping is a pure scan optimization — the oracle is the
     * plain range predicate. */

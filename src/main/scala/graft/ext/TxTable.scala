@@ -466,6 +466,68 @@ object TxTable {
       .select(col(keyCol) +: col("op") +: payload.map(c => col(s"_p.$c")): _*)
   }
 
+  /** Shared machinery for predicate DML ([[deleteWhere]] /
+    * [[updateWhere]]): ONE pass over the current version finds the
+    * files that actually CONTAIN matching rows (bounded collect —
+    * ≤ #files); only those are rewritten through `transform`, every
+    * other file entry carries forward by reference, and the result is
+    * one atomic commit. `transform` must preserve non-matching rows
+    * (the wrappers do). Returns the committed version — the current
+    * one unchanged if nothing matched. */
+  private def rewriteTouched(
+      spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column,
+      partitionCol: Option[String])(transform: DataFrame => DataFrame): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"DML needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    val touchedPaths = readFiles(spark, root, m.files)
+      .where(pred)
+      .select(input_file_name().as("_f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedPaths.isEmpty) return base
+    def isTouched(f: FileEntry): Boolean = {
+      val abs = new Path(root, f.path).toString
+      touchedPaths.exists(p => p == abs || p.endsWith(f.path))
+    }
+    val (doomed, keep) = m.files.partition(isTouched)
+    val rewritten = transform(readFiles(spark, root, doomed))
+    val commitDir = newCommitDir(root, base + 1)
+    val writer = rewritten.write.mode("errorifexists")
+    partitionCol.fold(writer)(c => writer.partitionBy(c))
+      .parquet(commitDir.toString)
+    commit(fs, root, base,
+      keep ++ listCommitFiles(fs, root, commitDir, partitionCol))
+  }
+
+  /** DELETE WHERE as an atomic commit: rows matching `pred` are
+    * removed; only files CONTAINING matches are rewritten (file-level
+    * pruning — at 100 TB a point delete rewrites a handful of files,
+    * not the table), the rest carry by reference, and every previous
+    * version still time-travels with the rows present. */
+  def deleteWhere(
+      spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column,
+      partitionCol: Option[String] = None): Long =
+    // delete only rows where pred is definitively TRUE: a NULL
+    // predicate must KEEP the row — `!pred` would drop NULL rows in
+    // rewritten files while identical rows in untouched files survive
+    // (file-placement-dependent results)
+    rewriteTouched(spark, dir, pred, partitionCol)(
+      _.where(!coalesce(pred, lit(false))))
+
+  /** UPDATE ... SET assignments WHERE pred, same economics as
+    * [[deleteWhere]]: non-matching rows in touched files are rewritten
+    * verbatim; untouched files never move. */
+  def updateWhere(
+      spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      partitionCol: Option[String] = None): Long =
+    rewriteTouched(spark, dir, pred, partitionCol) { df =>
+      assignments.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, when(pred, e).otherwise(col(c)))
+      }
+    }
+
   /** Reclaim files referenced by NO manifest (crashed/conflicted
     * commits' orphans) and, when `keepVersions` is set, drop manifests
     * older than the newest `keepVersions` first (time travel shrinks

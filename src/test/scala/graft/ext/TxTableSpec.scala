@@ -266,6 +266,42 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("deleteWhere/updateWhere rewrite only files containing matches") {
+    inDir { dir =>
+      import scala.jdk.CollectionConverters._
+      TxTable.commitReplace(spark, dir, snap(16), Some("pbucket"))
+      val before = dataBytes(dir)
+      // event_id 5 lives in pbucket=1 only
+      val v2 = TxTable.deleteWhere(spark, dir, col("event_id") === 5L, Some("pbucket"))
+      assert(v2 === 2L)
+      val after = dataBytes(dir)
+      // every pre-existing file still byte-identical (immutability) and
+      // the untouched buckets' entries carried by reference
+      before.foreach { case (p, b) => assert(after.get(p).contains(b)) }
+      val m2 = TxTable.readManifest(spark, dir, 2L)
+      val m1 = TxTable.readManifest(spark, dir, 1L)
+      val carried = m1.files.map(_.path).toSet.intersect(m2.files.map(_.path).toSet)
+      assert(carried.nonEmpty, "untouched files must carry by reference")
+      assert(rows(TxTable.read(spark, dir)) ===
+        rows(snap(16).where(col("event_id") =!= 5)))
+      // no-match DML is a no-op at the same version
+      assert(TxTable.deleteWhere(spark, dir, col("event_id") === 999L, Some("pbucket")) === 2L)
+      // conditional update
+      val v3 = TxTable.updateWhere(spark, dir, col("event_id") === 6L,
+        Seq("value" -> lit(600.0)), Some("pbucket"))
+      assert(v3 === 3L)
+      val got = TxTable.read(spark, dir).where(col("event_id") === 6L)
+        .select("value").collect().map(_.getDouble(0)).toSeq
+      assert(got === Seq(600.0))
+      // others in the same rewritten file are verbatim
+      assert(rows(TxTable.read(spark, dir)) ===
+        rows(snap(16).where(col("event_id") =!= 5)
+          .withColumn("value", when(col("event_id") === 6, 600.0).otherwise(col("value")))))
+      // time travel still shows the deleted/pre-update rows
+      assert(rows(TxTable.read(spark, dir, versionAsOf = Some(1L))) === rows(snap(16)))
+    }
+  }
+
   test("readPruned plans only the selected buckets' files from the manifest") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(16), Some("pbucket"))
