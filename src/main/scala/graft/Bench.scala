@@ -112,6 +112,12 @@ object Bench {
     graft.ext.Ivf.radiiFor(emb, sfDir, ivfCentroids)
     graft.ext.Ivf.cellsFor(emb, sfDir, ivfCentroids).count()
     graft.ext.Pq.codebooksFor(emb, sfDir)
+    // (A toy-graph warm-up for the iterative lanes was tried and
+    // REVERTED: whole-stage codegen units span the scan+join
+    // pipelines, which differ between a toy frame and the real edge
+    // build, so the generator cache stayed cold — measured ≤0.5 s of
+    // noise-level effect on q108's one-shot. The honest floor evidence
+    // for those lanes is the BenchFocus steady state in NOTES.)
     // streaming machinery warm-up: the micro-batch planner, state-store
     // provider and sink classes load once per JVM — without this the
     // first streaming query in the serial order absorbs all of it

@@ -121,12 +121,47 @@ object TxTable {
     Manifest(version, files)
   }
 
+  /** DESCRIBE HISTORY: one row per published version — (version, op,
+    * base, n_files, n_added, n_carried), where added/carried compare
+    * the file list against the PARENT manifest (a carried file is
+    * referenced by both). Driver-built frame, bounded by #versions. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    val ld = logDir(root)
+    val versions: Seq[Long] =
+      if (!fs.exists(ld)) Seq.empty
+      else fs.listStatus(ld).toSeq.map(_.getPath.getName).collect {
+        case ManifestName(d) => d.toLong
+      }.sorted
+    val opRe = """"op":"([^"]+)"""".r
+    val baseRe = """"base":(\d+)""".r
+    val rows = versions.map { v =>
+      val mp = manifestPath(root, v)
+      val in = fs.open(mp)
+      val header =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+        finally in.close()
+      val op = opRe.findFirstMatchIn(header).map(_.group(1)).getOrElse("unknown")
+      val base = baseRe.findFirstMatchIn(header).map(_.group(1).toLong).getOrElse(v - 1)
+      val files = readManifest(spark, dir, v).files.map(_.path).toSet
+      val parent: Set[String] =
+        if (versions.contains(base) && base >= 1)
+          readManifest(spark, dir, base).files.map(_.path).toSet
+        else Set.empty
+      (v, op, base, files.size.toLong,
+        files.diff(parent).size.toLong, files.intersect(parent).size.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "base", "n_files", "n_added", "n_carried")
+  }
+
   /** Stage-and-rename publication of version `base + 1`. Refuses (and
     * throws [[CommitConflictException]]) if that manifest already
     * exists — the competing writer won; this writer's data files are
     * orphans for [[vacuum]]. */
   private def commit(
-      fs: FileSystem, root: Path, base: Long, files: Seq[FileEntry]): Long = {
+      fs: FileSystem, root: Path, base: Long, files: Seq[FileEntry],
+      op: String): Long = {
     val version = base + 1
     val dst = manifestPath(root, version)
     val tmp = new Path(logDir(root),
@@ -135,7 +170,7 @@ object TxTable {
     val out = fs.create(tmp, false)
     try {
       val sb = new StringBuilder
-      sb.append(s"""{"version":$version,"base":$base,"n_files":${files.size}}""")
+      sb.append(s"""{"version":$version,"base":$base,"op":"$op","n_files":${files.size}}""")
         .append('\n')
       files.foreach { f =>
         sb.append(s"""{"path":"${f.path}"""")
@@ -242,7 +277,7 @@ object TxTable {
       .parquet(commitDir.toString)
     val listed = listCommitFiles(fs, root, commitDir, partitionCol)
     val entries = statsCol.fold(listed)(c => gatherStats(spark, root, listed, c))
-    commit(fs, root, base, entries)
+    commit(fs, root, base, entries, "replace")
   }
 
   /** Manifest-stats file skipping: read only files whose recorded
@@ -356,7 +391,7 @@ object TxTable {
     merged.write.mode("errorifexists")
       .partitionBy(partitionCol).parquet(commitDir.toString)
     val fresh = listCommitFiles(fs, root, commitDir, Some(partitionCol))
-    commit(fs, root, base, keep ++ fresh)
+    commit(fs, root, base, keep ++ fresh, "merge")
   }
 
   /** [[mergeChangeSet]] under optimistic-concurrency RETRY: on a
@@ -415,7 +450,7 @@ object TxTable {
     merged.write.mode("errorifexists")
       .partitionBy(partitionCol).parquet(commitDir.toString)
     val fresh = listCommitFiles(fs, root, commitDir, Some(partitionCol))
-    commit(fs, root, base, keep ++ fresh)
+    commit(fs, root, base, keep ++ fresh, "compact")
   }
 
   /** CDC READ: the net changeset that turns version `vFrom` into
@@ -476,7 +511,8 @@ object TxTable {
     * one unchanged if nothing matched. */
   private def rewriteTouched(
       spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column,
-      partitionCol: Option[String])(transform: DataFrame => DataFrame): Long = {
+      partitionCol: Option[String], op: String)(
+      transform: DataFrame => DataFrame): Long = {
     val (fs, root) = fsOf(spark, dir)
     val base = latestVersion(spark, dir).getOrElse(
       sys.error(s"DML needs an initialized table at $dir"))
@@ -497,7 +533,7 @@ object TxTable {
     partitionCol.fold(writer)(c => writer.partitionBy(c))
       .parquet(commitDir.toString)
     commit(fs, root, base,
-      keep ++ listCommitFiles(fs, root, commitDir, partitionCol))
+      keep ++ listCommitFiles(fs, root, commitDir, partitionCol), op)
   }
 
   /** DELETE WHERE as an atomic commit: rows matching `pred` are
@@ -512,7 +548,7 @@ object TxTable {
     // predicate must KEEP the row — `!pred` would drop NULL rows in
     // rewritten files while identical rows in untouched files survive
     // (file-placement-dependent results)
-    rewriteTouched(spark, dir, pred, partitionCol)(
+    rewriteTouched(spark, dir, pred, partitionCol, "delete")(
       _.where(!coalesce(pred, lit(false))))
 
   /** UPDATE ... SET assignments WHERE pred, same economics as
@@ -522,7 +558,7 @@ object TxTable {
       spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       partitionCol: Option[String] = None): Long =
-    rewriteTouched(spark, dir, pred, partitionCol) { df =>
+    rewriteTouched(spark, dir, pred, partitionCol, "update") { df =>
       assignments.foldLeft(df) { case (d, (c, e)) =>
         d.withColumn(c, when(pred, e).otherwise(col(c)))
       }

@@ -302,6 +302,21 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("history reports op, added and carried files per version") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      TxTable.mergeChangeSet(spark, dir, changes(), "event_id", "op", "pbucket")
+      TxTable.deleteWhere(spark, dir, col("event_id") === 4L, Some("pbucket"))
+      val h = TxTable.history(spark, dir).orderBy("version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getLong(5)))
+      assert(h.map(x => (x._1, x._2)).toSeq ===
+        Seq((1L, "replace"), (2L, "merge"), (3L, "delete")))
+      // the merge and the delete both carried untouched files forward
+      assert(h(1)._4 > 0 && h(2)._4 > 0, s"carried files expected: ${h.toSeq}")
+      assert(h(0)._3 > 0 && h(1)._3 > 0, "every commit added files")
+    }
+  }
+
   test("readPruned plans only the selected buckets' files from the manifest") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(16), Some("pbucket"))
