@@ -286,12 +286,8 @@ object MaintenanceQueries {
     // closure (q30/q60/q92 machinery) with the md5-banded assigner;
     // the oracle replays closure + assignment.
     Q("q158_cluster_safe_splits", MaintenanceOracles.clusterSafeSplits) { (s, dir) =>
-      val docs = t(s, dir, "documents").select("doc_id")
-      val comp = graft.ext.Dedup.componentsFor(s, dir, minJaccard = 0.4, maxBucket = 256)
-        .withColumnRenamed("id", "doc_id")
-      val clustered = docs.join(comp, Seq("doc_id"), "left")
-        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
-        .drop("component")
+      val clustered = graft.ext.Dedup.withServedClusters(
+        t(s, dir, "documents").select("doc_id"), s, dir)
       graft.ext.Curation.assignSplits(clustered, idCol = "cluster")
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),

@@ -159,9 +159,15 @@ object SnapshotQueries {
             (col("value") + 900).as("value"),
             (col("event_id") % 8).as("pbucket"))
         graft.ext.TxTable.mergeChangeSet(s, table, changesB, "event_id", "op", "pbucket")
+        // aggregate BEFORE localizing: the raw changeset is
+        // corpus-proportional (~|events|·8/15 keys), and localized()'s
+        // fail-loud bound is for output-sized frames — the per-(op,
+        // bucket) aggregate checks the same op classifications and
+        // values at any SF
         localized(graft.ext.TxTable.changesBetween(s, table, 1L, 3L, "event_id")
-          .select("event_id", "op", "value")
-          .orderBy("event_id"))
+          .groupBy(col("op"), (col("event_id") % 7).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("op", "k"))
       }
     },
 
@@ -265,12 +271,8 @@ object SnapshotQueries {
     // lane runs at; the production form stays q92's explicit
     // keepClusterCanonicalBy operator).
     Q("q148_canonical_window_rewrite", CorpusOpsQueries.canonicalByQualityOracle) { (s, dir) =>
-      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars")
-      val comp = graft.ext.Dedup.componentsFor(s, dir, minJaccard = 0.4, maxBucket = 256)
-        .withColumnRenamed("id", "doc_id")
-      val clustered = docs.join(comp, Seq("doc_id"), "left")
-        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
-        .drop("component")
+      val clustered = graft.ext.Dedup.withServedClusters(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), s, dir)
       graft.plans.TopKWindowRewrite.scoped(s) {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("cluster").orderBy(desc("n_chars"), asc("doc_id"))
@@ -406,13 +408,16 @@ object SnapshotOracles {
       |  LEFT JOIN cb ON s2.event_id = cb.event_id AND cb.op IN ('update', 'delete')
       |  WHERE cb.event_id IS NULL
       |  UNION ALL
-      |  SELECT event_id, value FROM cb WHERE op IN ('insert', 'update'))
-      |SELECT coalesce(s1.event_id, s3.event_id) AS event_id,
-      |  CASE WHEN s1.event_id IS NULL THEN 'insert'
-      |    WHEN s3.event_id IS NULL THEN 'delete'
-      |    ELSE 'update' END AS op,
-      |  CASE WHEN s3.event_id IS NULL THEN s1.value ELSE s3.value END AS value
-      |FROM s1 FULL OUTER JOIN s3 ON s1.event_id = s3.event_id
-      |WHERE s1.event_id IS NULL OR s3.event_id IS NULL OR s1.value <> s3.value
-      |ORDER BY event_id""".stripMargin
+      |  SELECT event_id, value FROM cb WHERE op IN ('insert', 'update')),
+      |d AS (SELECT coalesce(s1.event_id, s3.event_id) AS event_id,
+      |    CASE WHEN s1.event_id IS NULL THEN 'insert'
+      |      WHEN s3.event_id IS NULL THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    CASE WHEN s3.event_id IS NULL THEN s1.value ELSE s3.value END AS value
+      |  FROM s1 FULL OUTER JOIN s3 ON s1.event_id = s3.event_id
+      |  WHERE s1.event_id IS NULL OR s3.event_id IS NULL
+      |    OR s1.value <> s3.value)
+      |SELECT op, CAST(event_id % 7 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM d GROUP BY 1, 2 ORDER BY op, k""".stripMargin
 }

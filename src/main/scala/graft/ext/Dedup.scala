@@ -601,6 +601,25 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Attach the served near-dup CLUSTER label to a doc frame: left
+    * join against [[componentsFor]]'s closure, singletons fall back to
+    * their own id. The shared frame under q92's canonical election,
+    * q148's window-rewrite twin and q158's leakage-safe splits — one
+    * definition so the lanes cannot silently diverge from the common
+    * oracle closure. */
+  def withServedClusters(
+      docs: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      idCol: String = "doc_id",
+      minJaccard: Double = 0.4,
+      maxBucket: Int = 256): DataFrame =
+    docs
+      .join(componentsFor(spark, sfDir, minJaccard, maxBucket)
+        .withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol)))
+      .drop("component")
+
   /** Drop the persisted signatures AND the pair/component frames
     * derived from them for a dir (the refresh path — the three tiers
     * invalidate together so no query can join a fresh signature frame

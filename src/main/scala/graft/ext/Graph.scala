@@ -66,8 +66,14 @@ object Graph {
     // cut again) materialized the edge frame TWICE and paid a
     // broadcast build per run; the window form is the same single
     // src-clustered shuffle the join's aggregation needed anyway.
+    // null endpoints (e.g. a silent non-ANSI cast failure upstream)
+    // are DROPPED explicitly: the r9 rank-frame loop ignored null-src
+    // edges implicitly (inner join never matched) while the mass loop
+    // would count them — normalizing at entry makes the semantics
+    // explicit and identical for both loop formulations
     val edgesDeg = mat(edges
       .select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("src"))))
     // consumed ONCE (the final output join) — no cut needed

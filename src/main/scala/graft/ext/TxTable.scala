@@ -72,6 +72,22 @@ object TxTable {
   final class CommitConflictException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
 
+  /** Partition values ride in `col=value` directory names AND raw in
+    * manifests/deletes: Spark ESCAPES non-literal characters when
+    * writing the directory (space → %20, null → a sentinel dir), so a
+    * raw-string match against an exotic value silently misses — fail
+    * loud at the boundary instead. Shared with
+    * [[graft.streaming.MergeStream]]'s emptied-partition delete. */
+  private[graft] def requirePathSafe(values: Iterable[String], colName: String): Unit =
+    values.find(v => v == "null" || !v.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.')).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"partition column '$colName' value '$bad' is not path-literal " +
+          "(letters/digits/-_./ only, non-null): Spark escapes such values in " +
+          "directory names, so raw-string partition matching would silently " +
+          "miss — use an integral or simple-string partition key")
+    }
+
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -135,19 +151,32 @@ object TxTable {
       }.sorted
     val opRe = """"op":"([^"]+)"""".r
     val baseRe = """"base":(\d+)""".r
-    val rows = versions.map { v =>
+    // ONE read + parse per manifest: headers and path sets are cached
+    // and parent lookups hit the maps — the naive per-row re-read is
+    // O(V²) manifest opens, which on an object store is V² round
+    // trips for a streaming table with thousands of commits.
+    val headers = new scala.collection.mutable.HashMap[Long, String]
+    val pathSets = new scala.collection.mutable.HashMap[Long, Set[String]]
+    versions.foreach { v =>
       val mp = manifestPath(root, v)
       val in = fs.open(mp)
-      val header =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
+      val lines = text.linesIterator.toSeq
+      headers(v) = lines.headOption.getOrElse("")
+      val pathRe = """"path":"([^"]+)"""".r
+      pathSets(v) = lines.drop(1).flatMap(l =>
+        pathRe.findFirstMatchIn(l).map(_.group(1))).toSet
+    }
+    val versionSet = versions.toSet
+    val rows = versions.map { v =>
+      val header = headers(v)
       val op = opRe.findFirstMatchIn(header).map(_.group(1)).getOrElse("unknown")
       val base = baseRe.findFirstMatchIn(header).map(_.group(1).toLong).getOrElse(v - 1)
-      val files = readManifest(spark, dir, v).files.map(_.path).toSet
+      val files = pathSets(v)
       val parent: Set[String] =
-        if (versions.contains(base) && base >= 1)
-          readManifest(spark, dir, base).files.map(_.path).toSet
-        else Set.empty
+        if (base >= 1 && versionSet.contains(base)) pathSets(base) else Set.empty
       (v, op, base, files.size.toLong,
         files.diff(parent).size.toLong, files.intersect(parent).size.toLong)
     }
@@ -248,6 +277,10 @@ object TxTable {
       .agg(min(col(statsCol).cast("long")).as("_lo"),
         max(col(statsCol).cast("long")).as("_hi"))
       .collect()
+      // a file whose statsCol is all-NULL has NULL min/max: record NO
+      // stats for it (readRange's "no stats -> must read" conservative
+      // path) instead of NPE-ing the whole commit
+      .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     entries.map { f =>
       val abs = new Path(root, f.path).toString
@@ -359,7 +392,20 @@ object TxTable {
     * reference. Readers at any published version are unaffected; a
     * concurrent commit on the same base makes this one throw
     * [[CommitConflictException]] with the table left at the winner's
-    * version. Returns the new version. */
+    * version. Returns the new version.
+    *
+    * Partition-immutability contract (shared with
+    * [[graft.streaming.MergeStream]]): `partitionCol` must be a pure
+    * function of `keyCol` (every lane derives it as `key % N`), so an
+    * update/delete row always lands in the partition its stored row
+    * lives in. A changeset row carrying a DIFFERENT partition value
+    * for an existing key would leave the old row alive in a
+    * carried-forward file (the touched set comes from the changeset's
+    * partition values) — that is a key-relocation, which in a
+    * partition-pruned merge is modeled as delete-in-old + insert-in-new.
+    * Partition values must also be path-literal (integral / simple
+    * strings) — enforced below, because Spark ESCAPES exotic values in
+    * directory names while the manifest carries them raw. */
   def mergeChangeSet(
       spark: SparkSession, dir: String, changes: DataFrame,
       keyCol: String, opCol: String, partitionCol: String,
@@ -376,6 +422,7 @@ object TxTable {
     // bounded driver collect: ≤ #partition values by definition
     val touched = changes.select(col(partitionCol)).distinct()
       .collect().map(r => String.valueOf(r.get(0))).toSet
+    requirePathSafe(touched, partitionCol)
     val (touchedFiles, keep) = m.files.partition(_.bucket.exists(touched))
     val slice =
       if (touchedFiles.nonEmpty) readFiles(spark, root, touchedFiles)
@@ -485,10 +532,22 @@ object TxTable {
       else readFiles(spark, root, (ma.files ++ mb.files).distinct).limit(0)
     }
     val a = slice(ma); val b = slice(mb)
-    val payload = a.columns.filterNot(_ == keyCol).toSeq
-    val af = a.select(col(keyCol).as("_k"),
+    // payload = UNION of both versions' columns: vTo may carry columns
+    // evolution added after vFrom (and vice versa under time travel) —
+    // diffing on one side's columns alone would silently drop the
+    // evolved column from the feed AND misclassify rows differing only
+    // in it as unchanged. The side lacking a column contributes typed
+    // NULLs, exactly what applyChangeSet(evolveSchema = true) replays.
+    val payload = (a.columns ++ b.columns).distinct.filterNot(_ == keyCol).toSeq
+    def widen(df: DataFrame, other: DataFrame): DataFrame =
+      payload.foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(other.schema(c).dataType))
+      }
+    val aw = widen(a, b); val bw = widen(b, a)
+    val af = aw.select(col(keyCol).as("_k"),
       struct(payload.map(col): _*).as("_before"))
-    val bf = b.select(col(keyCol).as("_k"),
+    val bf = bw.select(col(keyCol).as("_k"),
       struct(payload.map(col): _*).as("_after"))
     af.join(bf, Seq("_k"), "full_outer")
       .where(col("_before").isNull || col("_after").isNull ||
@@ -553,26 +612,50 @@ object TxTable {
 
   /** UPDATE ... SET assignments WHERE pred, same economics as
     * [[deleteWhere]]: non-matching rows in touched files are rewritten
-    * verbatim; untouched files never move. */
+    * verbatim; untouched files never move.
+    *
+    * SQL UPDATE semantics: the predicate AND every assignment's
+    * right-hand side are evaluated against the OLD row — they are
+    * staged into temp columns BEFORE any target column mutates, so a
+    * later assignment never sees an earlier one's write (a naive
+    * sequential `withColumn(c, when(pred, e))` fold would re-evaluate
+    * `pred` and RHS against already-mutated columns). */
   def updateWhere(
       spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       partitionCol: Option[String] = None): Long =
     rewriteTouched(spark, dir, pred, partitionCol, "update") { df =>
-      assignments.foldLeft(df) { case (d, (c, e)) =>
-        d.withColumn(c, when(pred, e).otherwise(col(c)))
+      val staged = assignments.zipWithIndex.map { case ((c, e), i) =>
+        (c, s"__graft_set_$i", e)
       }
+      val withOldValues = staged.foldLeft(
+        df.withColumn("__graft_pred", coalesce(pred, lit(false)))) {
+        case (d, (_, tmp, e)) => d.withColumn(tmp, e)
+      }
+      val applied = staged.foldLeft(withOldValues) { case (d, (c, tmp, _)) =>
+        d.withColumn(c, when(col("__graft_pred"), col(tmp)).otherwise(col(c)))
+      }
+      applied.drop("__graft_pred" +: staged.map(_._2): _*)
     }
 
-  /** Reclaim files referenced by NO manifest (crashed/conflicted
-    * commits' orphans) and, when `keepVersions` is set, drop manifests
-    * older than the newest `keepVersions` first (time travel shrinks
-    * accordingly). Returns the number of data files deleted. Safe by
-    * the immutability invariant: anything unreferenced can never
-    * become referenced again. */
+  /** Reclaim files referenced by NO manifest and, when `keepVersions`
+    * is set, drop manifests older than the newest `keepVersions` first
+    * (time travel shrinks accordingly). Returns the number of data
+    * files deleted.
+    *
+    * Retention guard: an IN-FLIGHT commit's data files are also
+    * "referenced by no manifest" until its publish — deleting them
+    * would corrupt the version it is about to publish. Files modified
+    * within `retentionMs` of now are therefore spared (the Delta
+    * VACUUM retention discipline; default 7 days). Pass 0 only when
+    * no writer can be active (tests, decommission). Unreferenced
+    * files OLDER than any plausible commit duration truly can never
+    * become referenced — publication always targets freshly written
+    * dirs. */
   def vacuum(
       spark: SparkSession, dir: String,
-      keepVersions: Option[Int] = None): Int = {
+      keepVersions: Option[Int] = None,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val (fs, root) = fsOf(spark, dir)
     val ld = logDir(root)
     if (!fs.exists(ld)) return 0
@@ -588,6 +671,7 @@ object TxTable {
       readManifest(spark, dir, v).files.map(_.path)).toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - retentionMs
     val it = fs.listFiles(dataDir, true)
     val rootStr = root.toString + "/"
     var n = 0
@@ -595,7 +679,8 @@ object TxTable {
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toString.stripPrefix(rootStr)
-      if (st.isFile && rel.endsWith(".parquet") && !live(rel)) doomed += st.getPath
+      if (st.isFile && rel.endsWith(".parquet") && !live(rel) &&
+        st.getModificationTime <= cutoff) doomed += st.getPath
     }
     doomed.foreach { p => if (fs.delete(p, false)) n += 1 }
     n

@@ -63,9 +63,16 @@ object MergeStream {
         .option("checkpointLocation", checkpoint)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (changes: DataFrame, _: Long) =>
-          // bounded collect: ≤ #partition values by definition
+          // bounded collect: ≤ #partition values by definition.
+          // Values must be path-literal (see TxTable.requirePathSafe):
+          // the emptied-partition delete below matches the RAW value
+          // against the directory name, while Spark escapes exotic
+          // values when writing it — a silent mismatch would resurrect
+          // the stale-directory divergence this path exists to prevent.
           val touched = changes.select(col(partitionCol)).distinct()
             .collect().map(_.get(0))
+          graft.ext.TxTable.requirePathSafe(
+            touched.map(String.valueOf(_)), partitionCol)
           if (touched.nonEmpty) {
             val slice = spark.read.parquet(snapshotDir)
               .where(col(partitionCol).isin(touched.toIndexedSeq: _*))

@@ -100,11 +100,15 @@ class TxTableSpec extends SparkSpec {
       snap(3).write.parquet(s"$dir/data/v2-deadbeef")
       assert(TxTable.latestVersion(spark, dir) === Some(1L))
       assert(rows(TxTable.read(spark, dir)) === before)
-      val reclaimed = TxTable.vacuum(spark, dir)
+      // freshly written orphans are SPARED by the default retention (an
+      // in-flight commit looks exactly like this) — reclamation needs
+      // the explicit no-writers override
+      assert(TxTable.vacuum(spark, dir) === 0)
+      val reclaimed = TxTable.vacuum(spark, dir, retentionMs = 0L)
       assert(reclaimed >= 1)
       // the live version is untouched by vacuum
       assert(rows(TxTable.read(spark, dir)) === before)
-      assert(TxTable.vacuum(spark, dir) === 0)
+      assert(TxTable.vacuum(spark, dir, retentionMs = 0L) === 0)
     }
   }
 
@@ -237,7 +241,7 @@ class TxTableSpec extends SparkSpec {
         right, "event_id", "op"))
       assert(rows(TxTable.read(spark, dir)) === expected)
       // the losing attempts' orphan files are reclaimable
-      TxTable.vacuum(spark, dir)
+      TxTable.vacuum(spark, dir, retentionMs = 0L)
       assert(rows(TxTable.read(spark, dir)) === expected)
     }
   }
@@ -299,6 +303,81 @@ class TxTableSpec extends SparkSpec {
           .withColumn("value", when(col("event_id") === 6, 600.0).otherwise(col("value")))))
       // time travel still shows the deleted/pre-update rows
       assert(rows(TxTable.read(spark, dir, versionAsOf = Some(1L))) === rows(snap(16)))
+    }
+  }
+
+  test("updateWhere evaluates predicate and all assignments against OLD values") {
+    inDir { dir =>
+      import spark.implicits._
+      val base = Seq((1L, -5.0, 0L, false), (2L, 3.0, 0L, false))
+        .toDF("event_id", "value", "pbucket", "audited")
+      TxTable.commitReplace(spark, dir, base, Some("pbucket"))
+      // first assignment flips value positive; the second must still
+      // see the OLD (negative) value when deciding — SQL UPDATE
+      // semantics, not sequential withColumn folding
+      TxTable.updateWhere(spark, dir, col("value") < 0,
+        Seq("value" -> (col("value") * -1), "audited" -> lit(true)),
+        Some("pbucket"))
+      val got = TxTable.read(spark, dir)
+        .select("event_id", "value", "audited").orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+      assert(got === Seq((1L, 5.0, true), (2L, 3.0, false)))
+    }
+  }
+
+  test("changesBetween spans schema evolution; round trip with evolveSchema") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      import spark.implicits._
+      val evolved = Seq((100L, "insert", 1.0, 0L, "feed"), (1L, "update", -1.0, 1L, "feed"))
+        .toDF("event_id", "op", "value", "pbucket", "src")
+      TxTable.mergeChangeSet(spark, dir, evolved, "event_id", "op", "pbucket",
+        evolveSchema = true)
+      val diff = TxTable.changesBetween(spark, dir, 1L, 2L, "event_id")
+      // the evolved column is in the feed, with the after-image values
+      assert(diff.columns.contains("src"))
+      val bySrc = diff.select("event_id", "op", "src").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+      assert(bySrc(100L) === ("insert", Some("feed")))
+      assert(bySrc(1L) === ("update", Some("feed")))
+      // replaying the diff onto v1 (with evolution) equals v2, src included
+      val replayed = Cdc.applyChangeSet(
+        TxTable.read(spark, dir, versionAsOf = Some(1L)), diff,
+        "event_id", "op", evolveSchema = true)
+      def withSrc(df: DataFrame) = df
+        .select(col("event_id"), col("value"), col("pbucket").cast("long"),
+          coalesce(col("src"), lit("-")))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3))).toSet
+      assert(withSrc(replayed) === withSrc(TxTable.read(spark, dir)))
+    }
+  }
+
+  test("stats gathering skips all-NULL files instead of failing the commit") {
+    inDir { dir =>
+      import spark.implicits._
+      // one range partition will hold only null-keyed rows
+      val data = Seq[(java.lang.Long, Double)]((null, 1.0), (null, 2.0))
+        .toDF("event_id", "value")
+      TxTable.commitReplace(spark, dir, data.repartition(1),
+        partitionCol = None, statsCol = Some("event_id"))
+      val m = TxTable.readManifest(spark, dir, 1L)
+      assert(m.files.forall(_.stats.isEmpty), "all-NULL file must carry no stats")
+      // conservative read still returns the (non-matching) empty result
+      assert(TxTable.readRange(spark, dir, "event_id", 0L, 10L).count() === 0L)
+    }
+  }
+
+  test("non-path-literal partition values fail loud at the merge boundary") {
+    inDir { dir =>
+      import spark.implicits._
+      val base = Seq((1L, 1.0, "a")).toDF("event_id", "value", "pbucket")
+      TxTable.commitReplace(spark, dir, base, Some("pbucket"))
+      val weird = Seq((2L, "insert", 2.0, "a b"))
+        .toDF("event_id", "op", "value", "pbucket")
+      val e = intercept[IllegalArgumentException] {
+        TxTable.mergeChangeSet(spark, dir, weird, "event_id", "op", "pbucket")
+      }
+      assert(e.getMessage.contains("path-literal"))
     }
   }
 
