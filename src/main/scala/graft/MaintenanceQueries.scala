@@ -294,6 +294,44 @@ object MaintenanceQueries {
           countDistinct(col("cluster")).as("n_clusters"))
         .orderBy("split")
     },
+
+    // (round-10) VARIANT round trip (Spark 4 semi-structured type):
+    // values serialized to JSON, parsed into VARIANT once, fields
+    // extracted with typed variant_get paths — the open-schema
+    // ingestion shape (parse once, extract many, no per-path string
+    // re-parse). The oracle computes from the base columns directly,
+    // so any loss anywhere in the to_json -> parse_json -> variant_get
+    // chain (numeric round-trip included) breaks the hash.
+    Q("q160_variant_extract", MaintenanceOracles.variantExtract) { (s, dir) =>
+      graft.analysis.EventsFact.events(s, dir)
+        .select(to_json(struct(col("user_id"), col("value"))).as("js"))
+        .select(parse_json(col("js")).as("vr"))
+        .select(
+          expr("variant_get(vr, '$.user_id', 'long')").as("uid"),
+          expr("variant_get(vr, '$.value', 'double')").as("v"))
+        .groupBy((col("uid") % 10).as("k"))
+        .agg(count(lit(1)).as("n"), dsum2(col("v")).as("value_sum"))
+        .orderBy("k")
+    },
+
+    // (round-10) RECURSIVE CTE (landed in Spark 4): iterate-to-fixpoint
+    // inside ONE SQL statement — depth of every supplier under the
+    // synthetic div-10 management chain, no driver-side loop, no
+    // localCheckpoint staging. Both engines run their own recursive
+    // SQL over the same base relation.
+    Q("q161_recursive_cte", MaintenanceOracles.recursiveCte) { (s, dir) =>
+      val name = s"sup_${java.util.UUID.randomUUID().toString.take(8)}"
+      t(s, dir, "supplier").select("s_suppkey").createOrReplaceTempView(name)
+      try localized(s.sql(
+        s"""WITH RECURSIVE chain(k, cur, depth) AS (
+           |  SELECT s_suppkey, s_suppkey, 0 FROM $name
+           |  UNION ALL
+           |  SELECT k, cur div 10, depth + 1 FROM chain WHERE cur > 0)
+           |SELECT depth, count(*) AS n
+           |FROM chain WHERE cur = 0
+           |GROUP BY depth ORDER BY depth""".stripMargin))
+      finally s.catalog.dropTempView(name)
+    },
   )
 
   private def dsum2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -301,6 +339,23 @@ object MaintenanceQueries {
 }
 
 object MaintenanceOracles {
+
+  val variantExtract: String =
+    """SELECT CAST(user_id % 10 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** DuckDB's own recursive CTE over the same chain (// is its
+    * integer division; the engines need not share SQL text, only
+    * results). */
+  val recursiveCte: String =
+    """WITH RECURSIVE chain(k, cur, depth) AS (
+      |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      |  UNION ALL
+      |  SELECT k, cur // 10, depth + 1 FROM chain WHERE cur > 0)
+      |SELECT depth, count(*) AS n
+      |FROM chain WHERE cur = 0
+      |GROUP BY depth ORDER BY depth""".stripMargin
 
   /** session_window replay as lag islands: boundary at gap ≥ G (a
     * window [t, t+G) merges only on STRICT overlap); end = last + G. */
