@@ -80,6 +80,10 @@ object GraftExtensions {
       info("z_value3", "z_value3(x, y, z) - 3-D Morton/Z-order curve index of three 21-bit dims"),
       (children: Seq[Expression]) =>
         graft.ext.Layout.zValue3Expr(children(0), children(1), children(2))),
+    (FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks",
+        "cdc_chunks(text) - content-defined chunks (Rabin rolling hash) of a string"),
+      (children: Seq[Expression]) => graft.ext.CdcChunks(children.head)),
   )
 
   /** Register the SQL functions on an existing session (notebooks,

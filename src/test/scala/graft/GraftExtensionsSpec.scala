@@ -35,6 +35,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("cdc_chunks is callable from SQL and matches the column API") {
+    val text = ("lorem ipsum dolor sit amet " * 40).trim
+    val viaSql = spark.sql(s"SELECT cdc_chunks('$text') AS c")
+      .head().getSeq[String](0)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaApi = Seq(text).toDF("t")
+      .select(graft.ext.CdcChunks(col("t"))).head().getSeq[String](0)
+    assert(viaSql == viaApi && viaSql.mkString == text)
+  }
+
   test("t_cdf/t_ppf round-trip and match reference values") {
     val r = spark.sql(
       """SELECT t_cdf(2.0, 10.0) AS c,
