@@ -259,6 +259,55 @@ object SnapshotQueries {
       }
     },
 
+    // The commit log AS a stream: graft.streaming.ChangeFeedStream
+    // subscribes to _graft_log through the file source (exactly-once
+    // version delivery via the stream checkpoint — a manifest, once
+    // processed, is never re-delivered) and hands each version's NET
+    // changeset to the consumer. Here the q146 chain is consumed from
+    // version 1: two deliveries (v2, v3), each aggregated per (op,
+    // bucket); the oracle replays diff(s1,s2) ∪ diff(s2,s3) — note
+    // v3's feed contains only B's EFFECTIVE ops (a delete of a key A
+    // already removed is absent), which is exactly what "net
+    // changeset" means.
+    Q("q162_tx_change_stream", SnapshotOracles.txChangeStream) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txcs") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s,
+          table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        val changesA = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesA, "event_id", "op", "pbucket")
+        val changesB = ev.where(col("event_id") % 5 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0 && col("event_id") % 3 =!= 0, "insert")
+              .when(col("event_id") % 20 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 900).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesB, "event_id", "op", "pbucket")
+        val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        graft.streaming.ChangeFeedStream.followAvailable(
+          s, table, "event_id", s"$tmp/ckpt") { (v, changes) =>
+          acc += localized(changes
+            .groupBy(col("op"), (col("event_id") % 7).as("k"))
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+            .withColumn("version", lit(v.toInt)))
+        }
+        acc.reduce(_ unionByName _)
+          .select("version", "op", "k", "n", "value_sum")
+          .orderBy("version", "op", "k")
+      }
+    },
+
     // q92's canonical election asked through the PLAIN window idiom
     // (rn = 1 over the cluster partition) under the TopKWindowRewrite
     // rule: the rn = 1 dedup shape — not just rn <= k (q144) — must
@@ -351,6 +400,58 @@ object SnapshotOracles {
       |SELECT CAST(event_id % 6 AS BIGINT) AS k, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM u GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** Per-version net diffs of the q146 chain: diff(s1,s2) tagged
+    * version 2 plus diff(s2,s3) tagged version 3 (delete rows carry
+    * the BEFORE image, insert/update the AFTER — changesBetween's
+    * contract), aggregated per (op, bucket). */
+  val txChangeStream: String =
+    """WITH s1 AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |ca AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 THEN 'insert'
+      |      WHEN event_id % 12 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    value + 500 AS value
+      |  FROM events WHERE event_id % 3 = 0),
+      |s2 AS (
+      |  SELECT s1.event_id, s1.value FROM s1
+      |  LEFT JOIN ca ON s1.event_id = ca.event_id AND ca.op IN ('update', 'delete')
+      |  WHERE ca.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value FROM ca WHERE op IN ('insert', 'update')),
+      |cb AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 AND event_id % 3 <> 0 THEN 'insert'
+      |      WHEN event_id % 20 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    value + 900 AS value
+      |  FROM events WHERE event_id % 5 = 0),
+      |s3 AS (
+      |  SELECT s2.event_id, s2.value FROM s2
+      |  LEFT JOIN cb ON s2.event_id = cb.event_id AND cb.op IN ('update', 'delete')
+      |  WHERE cb.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value FROM cb WHERE op IN ('insert', 'update')),
+      |d2 AS (SELECT coalesce(s1.event_id, s2.event_id) AS event_id,
+      |    CASE WHEN s1.event_id IS NULL THEN 'insert'
+      |      WHEN s2.event_id IS NULL THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    CASE WHEN s2.event_id IS NULL THEN s1.value ELSE s2.value END AS value
+      |  FROM s1 FULL OUTER JOIN s2 ON s1.event_id = s2.event_id
+      |  WHERE s1.event_id IS NULL OR s2.event_id IS NULL
+      |    OR s1.value <> s2.value),
+      |d3 AS (SELECT coalesce(s2.event_id, s3.event_id) AS event_id,
+      |    CASE WHEN s2.event_id IS NULL THEN 'insert'
+      |      WHEN s3.event_id IS NULL THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    CASE WHEN s3.event_id IS NULL THEN s2.value ELSE s3.value END AS value
+      |  FROM s2 FULL OUTER JOIN s3 ON s2.event_id = s3.event_id
+      |  WHERE s2.event_id IS NULL OR s3.event_id IS NULL
+      |    OR s2.value <> s3.value),
+      |u AS (SELECT 2 AS version, * FROM d2
+      |  UNION ALL SELECT 3 AS version, * FROM d3)
+      |SELECT version, op, CAST(event_id % 7 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM u GROUP BY 1, 2, 3 ORDER BY version, op, k""".stripMargin
 
   /** File skipping is a pure scan optimization — the oracle is the
     * plain range predicate. */
