@@ -308,6 +308,66 @@ object SnapshotQueries {
       }
     },
 
+    // Incremental view maintenance from the change feed: a per-bucket
+    // (count, floor-quantized sum) aggregate of version 1 is brought
+    // to version 3 by DELTAS ONLY — each feed row contributes
+    // (−before, +after) through changesBetweenImages, so updates
+    // subtract the old value and add the new, never touching the
+    // table. The oracle aggregates the FINAL state directly: equality
+    // proves baseline + Σdeltas = full recompute, which is the whole
+    // point of maintaining a 100 TB rollup without re-scanning it.
+    // Quantized longs make the delta arithmetic exact (a float
+    // baseline would accumulate different rounding than the direct
+    // aggregation).
+    Q("q163_tx_incremental_view", SnapshotOracles.txIncrementalView) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txiv") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s,
+          table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        val changesA = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesA, "event_id", "op", "pbucket")
+        val changesB = ev.where(col("event_id") % 5 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0 && col("event_id") % 3 =!= 0, "insert")
+              .when(col("event_id") % 20 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 900).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesB, "event_id", "op", "pbucket")
+        def q(c: org.apache.spark.sql.Column) =
+          coalesce(floor(c * lit(1000000.0)).cast("long"), lit(0L))
+        // the maintained view starts as version 1's aggregate...
+        val baseline = graft.ext.TxTable.read(s, table, versionAsOf = Some(1L))
+          .groupBy((col("event_id") % 7).as("k"))
+          .agg(count(lit(1)).as("dn"), sum(q(col("value"))).as("dq"))
+        // ...and every version's feed contributes (−before, +after)
+        val deltas = (2L to 3L).map { v =>
+          graft.ext.TxTable.changesBetweenImages(s, table, v - 1, v, "event_id")
+            .groupBy((col("event_id") % 7).as("k"))
+            .agg(
+              sum(when(col("after").isNotNull, 1L).otherwise(0L) -
+                when(col("before").isNotNull, 1L).otherwise(0L)).as("dn"),
+              sum(when(col("after").isNotNull, q(col("after.value"))).otherwise(0L) -
+                when(col("before").isNotNull, q(col("before.value"))).otherwise(0L)).as("dq"))
+        }
+        localized((baseline +: deltas).reduce(_ unionByName _)
+          .groupBy("k")
+          .agg(sum(col("dn")).as("n"), sum(col("dq")).as("value_q"))
+          .where(col("n") > 0)
+          .orderBy("k"))
+      }
+    },
+
     // q92's canonical election asked through the PLAIN window idiom
     // (rn = 1 over the cluster partition) under the TopKWindowRewrite
     // rule: the rn = 1 dedup shape — not just rn <= k (q144) — must
@@ -400,6 +460,41 @@ object SnapshotOracles {
       |SELECT CAST(event_id % 6 AS BIGINT) AS k, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM u GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** The maintained view must equal the DIRECT aggregate of the final
+    * state — baseline(v1) + Σ deltas == full recompute of s3. NULL
+    * values quantize to 0 on both paths (coalesce in the engine, the
+    * CASE here), so null-valued rows count toward n but not the sum. */
+  val txIncrementalView: String =
+    """WITH s1 AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |ca AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 THEN 'insert'
+      |      WHEN event_id % 12 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    value + 500 AS value
+      |  FROM events WHERE event_id % 3 = 0),
+      |s2 AS (
+      |  SELECT s1.event_id, s1.value FROM s1
+      |  LEFT JOIN ca ON s1.event_id = ca.event_id AND ca.op IN ('update', 'delete')
+      |  WHERE ca.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value FROM ca WHERE op IN ('insert', 'update')),
+      |cb AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 AND event_id % 3 <> 0 THEN 'insert'
+      |      WHEN event_id % 20 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    value + 900 AS value
+      |  FROM events WHERE event_id % 5 = 0),
+      |s3 AS (
+      |  SELECT s2.event_id, s2.value FROM s2
+      |  LEFT JOIN cb ON s2.event_id = cb.event_id AND cb.op IN ('update', 'delete')
+      |  WHERE cb.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value FROM cb WHERE op IN ('insert', 'update'))
+      |SELECT CAST(event_id % 7 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0))
+      |    AS BIGINT) AS value_q
+      |FROM s3 GROUP BY 1 ORDER BY k""".stripMargin
 
   /** Per-version net diffs of the q146 chain: diff(s1,s2) tagged
     * version 2 plus diff(s2,s3) tagged version 3 (delete rows carry

@@ -518,6 +518,41 @@ object TxTable {
   def changesBetween(
       spark: SparkSession, dir: String, vFrom: Long, vTo: Long,
       keyCol: String): DataFrame = {
+    val (diff, payload) = diffCore(spark, dir, vFrom, vTo, keyCol)
+    diff
+      .select(col("_k").as(keyCol),
+        when(col("_before").isNull, "insert")
+          .when(col("_after").isNull, "delete")
+          .otherwise("update").as("op"),
+        coalesce(col("_after"), col("_before")).as("_p"))
+      .select(col(keyCol) +: col("op") +: payload.map(c => col(s"_p.$c")): _*)
+  }
+
+  /** [[changesBetween]] with BOTH row images: `(keyCol, op, before,
+    * after)` where `before`/`after` are structs of the payload columns
+    * (NULL struct for the absent side of an insert/delete). This is
+    * the incremental-view-maintenance input shape: an aggregate
+    * maintains itself by SUBTRACTING the before image and ADDING the
+    * after image — the single-image feed cannot express the subtract
+    * half of an update. */
+  def changesBetweenImages(
+      spark: SparkSession, dir: String, vFrom: Long, vTo: Long,
+      keyCol: String): DataFrame = {
+    val (diff, _) = diffCore(spark, dir, vFrom, vTo, keyCol)
+    diff.select(col("_k").as(keyCol),
+      when(col("_before").isNull, "insert")
+        .when(col("_after").isNull, "delete")
+        .otherwise("update").as("op"),
+      col("_before").as("before"),
+      col("_after").as("after"))
+  }
+
+  /** Shared manifest-pruned full-outer diff: returns the joined frame
+    * with `_k`, `_before`, `_after` (rows differing between versions
+    * only) plus the payload column list. */
+  private def diffCore(
+      spark: SparkSession, dir: String, vFrom: Long, vTo: Long,
+      keyCol: String): (DataFrame, Seq[String]) = {
     val (_, root) = fsOf(spark, dir)
     val ma = readManifest(spark, dir, vFrom)
     val mb = readManifest(spark, dir, vTo)
@@ -549,15 +584,10 @@ object TxTable {
       struct(payload.map(col): _*).as("_before"))
     val bf = bw.select(col(keyCol).as("_k"),
       struct(payload.map(col): _*).as("_after"))
-    af.join(bf, Seq("_k"), "full_outer")
+    val diff = af.join(bf, Seq("_k"), "full_outer")
       .where(col("_before").isNull || col("_after").isNull ||
         !(col("_before") <=> col("_after")))
-      .select(col("_k").as(keyCol),
-        when(col("_before").isNull, "insert")
-          .when(col("_after").isNull, "delete")
-          .otherwise("update").as("op"),
-        coalesce(col("_after"), col("_before")).as("_p"))
-      .select(col(keyCol) +: col("op") +: payload.map(c => col(s"_p.$c")): _*)
+    (diff, payload)
   }
 
   /** Shared machinery for predicate DML ([[deleteWhere]] /
