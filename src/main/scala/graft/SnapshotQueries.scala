@@ -368,6 +368,73 @@ object SnapshotQueries {
       }
     },
 
+    // The composed pipeline: versioned source -> exactly-once change
+    // stream -> VERSIONED rollup. The view is itself a TxTable
+    // (rollups are #keys-sized, so full-replace per refresh is the
+    // right commit shape); every source version becomes one view
+    // version via the (−before, +after) delta merge, and the refresh
+    // reads the view's OLD files while committing NEW ones — no
+    // overwrite-from-own-input, no checkpoint staging, and a reader
+    // of the view never sees a half-refresh. Same oracle as q163:
+    // the maintained view must equal the direct aggregate of the
+    // final source state.
+    Q("q164_tx_streaming_view", SnapshotOracles.txIncrementalView) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txsv") { tmp =>
+        val table = s"$tmp/table"
+        val viewDir = s"$tmp/view"
+        graft.ext.TxTable.commitReplace(s,
+          table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        val changesA = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesA, "event_id", "op", "pbucket")
+        val changesB = ev.where(col("event_id") % 5 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0 && col("event_id") % 3 =!= 0, "insert")
+              .when(col("event_id") % 20 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 900).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesB, "event_id", "op", "pbucket")
+        def q(c: org.apache.spark.sql.Column) =
+          coalesce(floor(c * lit(1000000.0)).cast("long"), lit(0L))
+        // view version 1 = the baseline rollup of source version 1
+        graft.ext.TxTable.commitReplace(s, viewDir,
+          graft.ext.TxTable.read(s, table, versionAsOf = Some(1L))
+            .groupBy((col("event_id") % 7).as("k"))
+            .agg(count(lit(1)).as("n"), sum(q(col("value"))).as("value_q")))
+        // every delivered source version refreshes the view by deltas
+        graft.streaming.ChangeFeedStream.followAvailable(
+          s, table, "event_id", s"$tmp/ckpt") { (v, _) =>
+          val deltas = graft.ext.TxTable
+            .changesBetweenImages(s, table, v - 1, v, "event_id")
+            .groupBy((col("event_id") % 7).as("k"))
+            .agg(
+              sum(when(col("after").isNotNull, 1L).otherwise(0L) -
+                when(col("before").isNotNull, 1L).otherwise(0L)).as("n"),
+              sum(when(col("after").isNotNull, q(col("after.value"))).otherwise(0L) -
+                when(col("before").isNotNull, q(col("before.value"))).otherwise(0L))
+                .as("value_q"))
+          val refreshed = graft.ext.TxTable.read(s, viewDir)
+            .unionByName(deltas)
+            .groupBy("k")
+            .agg(sum(col("n")).as("n"), sum(col("value_q")).as("value_q"))
+            .where(col("n") > 0)
+          graft.ext.TxTable.commitReplace(s, viewDir, refreshed)
+        }
+        localized(graft.ext.TxTable.read(s, viewDir)
+          .select("k", "n", "value_q").orderBy("k"))
+      }
+    },
+
     // q92's canonical election asked through the PLAIN window idiom
     // (rn = 1 over the cluster partition) under the TopKWindowRewrite
     // rule: the rn = 1 dedup shape — not just rn <= k (q144) — must
