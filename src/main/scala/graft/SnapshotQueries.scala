@@ -220,7 +220,7 @@ object SnapshotQueries {
             .select(col("event_id"), col("value"))
             .repartitionByRange(8, col("event_id"))
             .sortWithinPartitions("event_id"),
-          partitionCol = None, statsCol = Some("event_id"))
+          partitionCol = None, statsCols = Seq("event_id"))
         localized(graft.ext.TxTable.readRange(s, table, "event_id", 1000L, 3000L)
           .groupBy((col("event_id") % 5).as("k"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))

@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
   * Layout (the Delta/Iceberg commit-log shape, reduced to its core):
   * {{{
   *   table/
-  *     data/v<N>-<token>/...          immutable data files, one dir per commit
-  *     _graft_log/<N padded>.json     manifest: the COMPLETE live-file list of version N
+  *     data/v<N>-<token>/...            immutable data files, one dir per commit
+  *     _graft_log/<N padded>.json       manifest of version N: header + the
+  *                                      commit's ADD/REMOVE delta ("kind":"delta"),
+  *                                      or the complete live-file list for
+  *                                      full-replace commits ("kind":"full")
+  *     _graft_log/_ckpt-<N padded>.json checkpoint: the COMPLETE live-file list
+  *                                      at version N — derivable, written every
+  *                                      [[checkpointInterval]] versions and at
+  *                                      every full commit; underscore-prefixed so
+  *                                      Spark file sources (the change feed) skip it
   * }}}
   *
   * Invariants that buy the isolation:
@@ -22,55 +30,85 @@ import org.apache.spark.sql.functions._
   *     own fresh `data/v<N>-<token>/` directory — no existing file is
   *     touched, so every already-published version stays byte-stable
   *     under any number of concurrent commits;
-  *   - a version is BORN ATOMICALLY: the manifest is staged to a temp
-  *     name and renamed into place — readers either see version N
+  *   - a version is BORN ATOMICALLY: the manifest is published through
+  *     [[LogStore.writeIfAbsent]] — readers either see version N
   *     complete or not at all, never half a commit;
   *   - conflicts are DETECTED, not merged: a commit targets manifest
-  *     `base+1`; if a competing writer published it first the rename
+  *     `base+1`; if a competing writer published it first the publish
   *     refuses and the commit throws (first writer wins) — the loser's
   *     data files are orphans that [[vacuum]] reclaims, and the table
   *     is still exactly the winner's version. A crash BEFORE the
-  *     rename likewise leaves only orphan data files: the table stays
+  *     publish likewise leaves only orphan data files: the table stays
   *     at N−1 by construction.
   *
-  * Scale shape: the manifest is file-list-sized (MBs at 100 TB /
-  * ~100 k files), and it REPLACES directory listing at read-planning
-  * time — the object-store listing tax disappears, and manifest-level
-  * partition pruning ([[readPruned]]) selects files before Spark ever
+  * Scale shape: a DELTA manifest is change-sized, so a streaming table
+  * committing per micro-batch writes O(changed files) log bytes per
+  * version — NOT O(live files) (the r10 full-manifest trade-off,
+  * retired). Reconstructing any version reads ONE checkpoint plus at
+  * most [[checkpointInterval]] delta manifests (never all V), and the
+  * checkpoint REPLACES directory listing at read-planning time — the
+  * object-store listing tax disappears, and manifest-level pruning
+  * ([[readPruned]], [[readRanges]]) selects files before Spark ever
   * sees a path. [[mergeChangeSet]] rewrites only the files of touched
   * partitions (cost ∝ touched data, the q138 property) and carries
   * every untouched file entry forward by reference. A partition whose
   * rows are all deleted simply contributes NO files to the new
   * manifest — the stale-directory divergence dynamic overwrite had to
   * patch around (MergeStream r9) cannot exist here structurally.
+  * Checkpoints are pure read optimization: correctness never depends
+  * on them (a "full" manifest encountered mid-replay resets state), so
+  * a crash between manifest publish and checkpoint write costs a few
+  * extra delta reads, nothing else.
   *
-  * Not in scope (documented trade-offs, not oversights): rename
-  * atomicity is the HDFS/local contract — S3-style object stores need
-  * a put-if-absent coordination service exactly as Delta's LogStore
-  * does; manifests are complete per version (no incremental log +
-  * checkpoint compaction yet); schema is carried by the parquet files
-  * themselves. Partition values are rendered as path strings — keys
+  * Log I/O rides the [[LogStore]] seam ([[logStoreFactory]]) — the
+  * HDFS/local impl ships; S3-style stores swap in a put-if-absent
+  * coordinated implementation without touching this layer. Remaining
+  * documented trade-offs: schema is carried by the parquet files
+  * themselves; partition values are rendered as path strings — keys
   * should be integral/simple-string typed (the Spark partition-dir
-  * value contract).
+  * value contract, enforced loud by [[requirePathSafe]]).
   */
 object TxTable {
 
   /** One live data file: `path` relative to the table root; `bucket`
     * is the partition value rendered as Spark renders it into the
     * `col=value` directory name (None for unpartitioned commits);
-    * `stats` is an optional per-file (column, min, max) triple for
-    * LONG-valued skipping columns (rendered as decimal strings in the
-    * manifest) — [[readRange]] prunes on it, conservatively keeping
-    * any file without stats. */
+    * `stats` maps a skipping column to its per-file (min, max) for
+    * LONG-valued columns — [[readRanges]] prunes on it, conservatively
+    * keeping any file without stats for a queried column. */
   final case class FileEntry(
       path: String,
       bucket: Option[String],
-      stats: Option[(String, Long, Long)] = None)
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   final case class Manifest(version: Long, files: Seq[FileEntry])
 
   final class CommitConflictException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
+
+  /** Full live-file checkpoint cadence: every Nth version (and every
+    * full-replace commit) also writes a `_ckpt-` snapshot, bounding any
+    * version reconstruction at one checkpoint + < N delta manifests.
+    * Tunable for tests; 10 keeps the read fan-in small while keeping
+    * checkpoint write amplification ≤ 1/10 of a full manifest per
+    * commit (amortized). */
+  @volatile var checkpointInterval: Int = 10
+
+  /** The [[LogStore]] seam: all commit-log I/O resolves its store
+    * through this factory. Deployments targeting object stores install
+    * a put-if-absent-coordinated implementation; tests install
+    * counting/racing fakes via [[withLogStore]]. */
+  @volatile var logStoreFactory: FileSystem => LogStore =
+    fs => new HadoopLogStore(fs)
+
+  /** Run `body` with a replacement [[LogStore]] factory, restoring the
+    * previous one on ANY exit path (test seam — the suite runs its
+    * specs sequentially in one JVM). */
+  def withLogStore[T](factory: FileSystem => LogStore)(body: => T): T = {
+    val prev = logStoreFactory
+    logStoreFactory = factory
+    try body finally logStoreFactory = prev
+  }
 
   /** Partition values ride in `col=value` directory names AND raw in
     * manifests/deletes: Spark ESCAPES non-literal characters when
@@ -94,146 +132,255 @@ object TxTable {
     (fs, fs.makeQualified(p))
   }
 
+  private def storeOf(spark: SparkSession, dir: String): (LogStore, Path) = {
+    val (fs, root) = fsOf(spark, dir)
+    (logStoreFactory(fs), root)
+  }
+
   private def logDir(root: Path) = new Path(root, "_graft_log")
   private def manifestPath(root: Path, v: Long) =
     new Path(logDir(root), f"$v%020d.json")
+  private def checkpointPath(root: Path, v: Long) =
+    new Path(logDir(root), f"_ckpt-$v%020d.json")
 
   private val ManifestName = """(\d{20})\.json""".r
+  private val CheckpointName = """_ckpt-(\d{20})\.json""".r
+
+  /** One parsed log file (manifest or checkpoint): `kind` ∈
+    * full/delta/checkpoint; full and checkpoint carry the COMPLETE
+    * live-file list in `adds`. */
+  private[graft] final case class ParsedLog(
+      version: Long, base: Long, op: String, kind: String,
+      adds: Seq[FileEntry], removes: Seq[String])
+
+  /** Manifest/checkpoint (de)serialization — Jackson on both sides
+    * (one shared writer/parser pair, WITH string escaping: a path or
+    * bucket containing quotes/spaces round-trips instead of silently
+    * drifting between a hand-built writer and a regex reader — the r10
+    * finding). JSON-lines: one header object, then one object per add
+    * (`{"a":{...}}`) or remove (`{"r":"path"}`). */
+  private[graft] object ManifestJson {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    private val mapper = new ObjectMapper() // thread-safe for read/write
+
+    private def entryNode(f: FileEntry): ObjectNode = {
+      val n = mapper.createObjectNode()
+      n.put("path", f.path)
+      f.bucket.foreach(b => n.put("bucket", b))
+      if (f.stats.nonEmpty) {
+        val st = n.putObject("stats")
+        // sorted for deterministic bytes (checkpoint writers may race;
+        // identical content makes the race harmless)
+        f.stats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val a = st.putArray(c); a.add(lo); a.add(hi)
+        }
+      }
+      n
+    }
+
+    def render(
+        version: Long, base: Long, op: String, kind: String,
+        adds: Seq[FileEntry], removes: Seq[String]): String = {
+      val sb = new StringBuilder
+      val h = mapper.createObjectNode()
+      h.put("version", version); h.put("base", base)
+      h.put("op", op); h.put("kind", kind)
+      h.put("n_add", adds.size); h.put("n_remove", removes.size)
+      sb.append(mapper.writeValueAsString(h)).append('\n')
+      removes.foreach { p =>
+        val n = mapper.createObjectNode(); n.put("r", p)
+        sb.append(mapper.writeValueAsString(n)).append('\n')
+      }
+      adds.foreach { f =>
+        val n = mapper.createObjectNode(); n.set[ObjectNode]("a", entryNode(f))
+        sb.append(mapper.writeValueAsString(n)).append('\n')
+      }
+      sb.toString
+    }
+
+    private def parseEntry(node: com.fasterxml.jackson.databind.JsonNode): FileEntry = {
+      val stats =
+        if (!node.has("stats")) Map.empty[String, (Long, Long)]
+        else {
+          val st = node.get("stats")
+          val it = st.fieldNames()
+          val b = Map.newBuilder[String, (Long, Long)]
+          while (it.hasNext) {
+            val c = it.next(); val a = st.get(c)
+            b += c -> (a.get(0).asLong(), a.get(1).asLong())
+          }
+          b.result()
+        }
+      FileEntry(node.get("path").asText(),
+        Option(node.get("bucket")).map(_.asText()), stats)
+    }
+
+    def parse(text: String, src: String): ParsedLog = {
+      val lines = text.linesIterator.filter(_.nonEmpty)
+      require(lines.hasNext, s"empty log file: $src")
+      val h = mapper.readTree(lines.next())
+      require(h.has("version") && h.has("kind"), s"malformed header in $src")
+      val adds = Seq.newBuilder[FileEntry]
+      val removes = Seq.newBuilder[String]
+      lines.foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("a")) adds += parseEntry(n.get("a"))
+        else if (n.has("r")) removes += n.get("r").asText()
+        else sys.error(s"malformed manifest line in $src: $line")
+      }
+      ParsedLog(h.get("version").asLong(),
+        Option(h.get("base")).map(_.asLong()).getOrElse(h.get("version").asLong() - 1),
+        Option(h.get("op")).map(_.asText()).getOrElse("unknown"),
+        h.get("kind").asText(), adds.result(), removes.result())
+    }
+  }
+
+  /** Manifest and checkpoint versions present in the log — ONE
+    * listing. */
+  private def listLog(store: LogStore, root: Path): (Seq[Long], Seq[Long]) = {
+    val names = store.list(logDir(root))
+    (names.collect { case ManifestName(d) => d.toLong }.sorted,
+      names.collect { case CheckpointName(d) => d.toLong }.sorted)
+  }
 
   /** Highest published version, if any — one log-dir listing. */
   def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
-    val (fs, root) = fsOf(spark, dir)
-    val ld = logDir(root)
-    if (!fs.exists(ld)) None
-    else {
-      val vs = fs.listStatus(ld).toSeq.map(_.getPath.getName).collect {
-        case ManifestName(d) => d.toLong
-      }
-      if (vs.isEmpty) None else Some(vs.max)
-    }
+    val (store, root) = storeOf(spark, dir)
+    listLog(store, root)._1.lastOption
   }
 
-  /** Parse the manifest of `version` (JSON-lines within `.json`: one
-    * header object, then one object per live file — written by
-    * [[commit]], so the shapes are closed). */
+  /** Reconstruct the live-file list at each requested version: ONE
+    * log listing, the nearest checkpoint at or below the smallest
+    * request, then a single forward delta replay — ≤ checkpointInterval
+    * + (max − min) log reads TOTAL, never O(V). A "full" manifest
+    * encountered mid-replay resets state, so correctness never depends
+    * on a checkpoint having been written. */
+  private def readSnapshots(
+      store: LogStore, root: Path, versions: Seq[Long]): Map[Long, Seq[FileEntry]] = {
+    require(versions.nonEmpty, "readSnapshots needs at least one version")
+    val want = versions.distinct.sorted
+    val wantSet = want.toSet
+    val (manifestVs, ckptVs) = listLog(store, root)
+    require(manifestVs.nonEmpty || ckptVs.nonEmpty, s"no committed version at $root")
+    val manifestSet = manifestVs.toSet
+    val base = ckptVs.filter(_ <= want.head).lastOption
+    val state = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    base.foreach { b =>
+      ManifestJson.parse(store.read(checkpointPath(root, b)), s"ckpt $b")
+        .adds.foreach(e => state.update(e.path, e))
+    }
+    val out = Map.newBuilder[Long, Seq[FileEntry]]
+    if (base.contains(want.head)) out += want.head -> state.values.toSeq
+    var v = base.getOrElse(0L) + 1
+    while (v <= want.last) {
+      require(manifestSet.contains(v),
+        s"manifest for version $v is missing under ${logDir(root)} " +
+          "(vacuumed past its retention horizon, or never published)")
+      val pm = ManifestJson.parse(store.read(manifestPath(root, v)), s"manifest $v")
+      if (pm.kind == "full") state.clear()
+      pm.removes.foreach(state.remove)
+      pm.adds.foreach(e => state.update(e.path, e))
+      if (wantSet.contains(v)) out += v -> state.values.toSeq
+      v += 1
+    }
+    out.result()
+  }
+
+  /** The live-file list of `version` (checkpoint + delta-tail replay —
+    * see [[readSnapshots]]). */
   def readManifest(spark: SparkSession, dir: String, version: Long): Manifest = {
-    val (fs, root) = fsOf(spark, dir)
-    val mp = manifestPath(root, version)
-    require(fs.exists(mp), s"no manifest for version $version at $mp")
-    val in = fs.open(mp)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val pathRe = """"path":"([^"]+)"""".r
-    val bucketRe = """"bucket":"([^"]*)"""".r
-    val statsRe = """"sc":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)""".r
-    val files = text.linesIterator.drop(1).filter(_.nonEmpty).map { line =>
-      val p = pathRe.findFirstMatchIn(line).getOrElse(
-        sys.error(s"malformed manifest line in $mp: $line")).group(1)
-      FileEntry(p, bucketRe.findFirstMatchIn(line).map(_.group(1)),
-        statsRe.findFirstMatchIn(line).map(m =>
-          (m.group(1), m.group(2).toLong, m.group(3).toLong)))
-    }.toSeq
-    Manifest(version, files)
+    val (store, root) = storeOf(spark, dir)
+    Manifest(version, readSnapshots(store, root, Seq(version))(version))
   }
 
-  /** DESCRIBE HISTORY: one row per published version — (version, op,
-    * base, n_files, n_added, n_carried), where added/carried compare
-    * the file list against the PARENT manifest (a carried file is
-    * referenced by both). Driver-built frame, bounded by #versions. */
+  /** [[readManifest]] for several versions sharing ONE listing and ONE
+    * replay — what the change-feed consumer uses to resolve a batch of
+    * versions without per-version log walks. */
+  private[graft] def readManifests(
+      spark: SparkSession, dir: String, versions: Seq[Long]): Map[Long, Manifest] = {
+    val (store, root) = storeOf(spark, dir)
+    readSnapshots(store, root, versions).map { case (v, fs0) => v -> Manifest(v, fs0) }
+  }
+
+  /** DESCRIBE HISTORY: one row per RETAINED version — (version, op,
+    * base, n_files, n_added, n_carried). One read per delta manifest
+    * (change-sized) in a single forward replay; on a vacuumed table the
+    * replay starts from the retention-horizon checkpoint. Driver-built
+    * frame, bounded by #versions. */
   def history(spark: SparkSession, dir: String): DataFrame = {
-    val (fs, root) = fsOf(spark, dir)
-    val ld = logDir(root)
-    val versions: Seq[Long] =
-      if (!fs.exists(ld)) Seq.empty
-      else fs.listStatus(ld).toSeq.map(_.getPath.getName).collect {
-        case ManifestName(d) => d.toLong
-      }.sorted
-    val opRe = """"op":"([^"]+)"""".r
-    val baseRe = """"base":(\d+)""".r
-    // ONE read + parse per manifest: headers and path sets are cached
-    // and parent lookups hit the maps — the naive per-row re-read is
-    // O(V²) manifest opens, which on an object store is V² round
-    // trips for a streaming table with thousands of commits.
-    val headers = new scala.collection.mutable.HashMap[Long, String]
-    val pathSets = new scala.collection.mutable.HashMap[Long, Set[String]]
-    versions.foreach { v =>
-      val mp = manifestPath(root, v)
-      val in = fs.open(mp)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val lines = text.linesIterator.toSeq
-      headers(v) = lines.headOption.getOrElse("")
-      val pathRe = """"path":"([^"]+)"""".r
-      pathSets(v) = lines.drop(1).flatMap(l =>
-        pathRe.findFirstMatchIn(l).map(_.group(1))).toSet
-    }
-    val versionSet = versions.toSet
-    val rows = versions.map { v =>
-      val header = headers(v)
-      val op = opRe.findFirstMatchIn(header).map(_.group(1)).getOrElse("unknown")
-      val base = baseRe.findFirstMatchIn(header).map(_.group(1).toLong).getOrElse(v - 1)
-      val files = pathSets(v)
-      val parent: Set[String] =
-        if (base >= 1 && versionSet.contains(base)) pathSets(base) else Set.empty
-      (v, op, base, files.size.toLong,
-        files.diff(parent).size.toLong, files.intersect(parent).size.toLong)
-    }
     import spark.implicits._
+    val (store, root) = storeOf(spark, dir)
+    val (manifestVs, ckptVs) = listLog(store, root)
+    if (manifestVs.isEmpty)
+      return Seq.empty[(Long, String, Long, Long, Long, Long)]
+        .toDF("version", "op", "base", "n_files", "n_added", "n_carried")
+    // start state: the checkpoint at (first manifest − 1) when the
+    // table was vacuumed exactly to a horizon; empty for a fresh table
+    val start = ckptVs.filter(_ < manifestVs.head).lastOption
+    val state = scala.collection.mutable.LinkedHashSet.empty[String]
+    start.foreach { b =>
+      ManifestJson.parse(store.read(checkpointPath(root, b)), s"ckpt $b")
+        .adds.foreach(e => state += e.path)
+    }
+    // if the horizon checkpoint sits AT the first manifest's version
+    // (vacuum's contract), the first row's carried count is derived
+    // from its own delta (n_files − n_added) rather than a parent diff
+    val rows = manifestVs.map { v =>
+      val pm = ManifestJson.parse(store.read(manifestPath(root, v)), s"manifest $v")
+      val prevPaths = state.toSet
+      if (pm.kind == "full") state.clear()
+      pm.removes.foreach(state -= _)
+      pm.adds.foreach(state += _.path)
+      val nFiles =
+        if (v == manifestVs.head && ckptVs.contains(v) && prevPaths.isEmpty && pm.kind != "full") {
+          // horizon row of a vacuumed table: the parent state is gone;
+          // the checkpoint AT v is the ground truth for n_files
+          val ck = ManifestJson.parse(store.read(checkpointPath(root, v)), s"ckpt $v")
+          state.clear(); ck.adds.foreach(state += _.path)
+          state.size.toLong
+        } else state.size.toLong
+      val nAdded = pm.adds.size.toLong
+      (v, pm.op, pm.base, nFiles, nAdded, nFiles - nAdded)
+    }
     rows.toDF("version", "op", "base", "n_files", "n_added", "n_carried")
   }
 
-  /** Stage-and-rename publication of version `base + 1`. Refuses (and
-    * throws [[CommitConflictException]]) if that manifest already
-    * exists — the competing writer won; this writer's data files are
-    * orphans for [[vacuum]]. */
+  /** Publish version `base + 1`: a change-sized DELTA manifest (adds =
+    * fresh paths, removes = base paths absent from the new state) or a
+    * "full" manifest for replace commits; plus a checkpoint when the
+    * version hits the [[checkpointInterval]] cadence or the commit is
+    * full. Refuses (and throws [[CommitConflictException]]) if that
+    * manifest already exists — the competing writer won; this writer's
+    * data files are orphans for [[vacuum]]. */
   private def commit(
-      fs: FileSystem, root: Path, base: Long, files: Seq[FileEntry],
-      op: String): Long = {
+      store: LogStore, root: Path, base: Long,
+      baseFiles: Seq[FileEntry], newFiles: Seq[FileEntry],
+      op: String, full: Boolean): Long = {
     val version = base + 1
-    val dst = manifestPath(root, version)
-    val tmp = new Path(logDir(root),
-      s".tmp-${java.util.UUID.randomUUID().toString}.json")
-    fs.mkdirs(logDir(root))
-    val out = fs.create(tmp, false)
-    try {
-      val sb = new StringBuilder
-      sb.append(s"""{"version":$version,"base":$base,"op":"$op","n_files":${files.size}}""")
-        .append('\n')
-      files.foreach { f =>
-        sb.append(s"""{"path":"${f.path}"""")
-        f.bucket.foreach(b => sb.append(s""","bucket":"$b""""))
-        f.stats.foreach { case (c, lo, hi) =>
-          sb.append(s""","sc":"$c","lo":$lo,"hi":$hi""")
-        }
-        sb.append("}\n")
+    val content =
+      if (full) ManifestJson.render(version, base, op, "full", newFiles, Seq.empty)
+      else {
+        val basePaths = baseFiles.map(_.path).toSet
+        val newPaths = newFiles.map(_.path).toSet
+        val adds = newFiles.filterNot(f => basePaths.contains(f.path))
+        val removes = baseFiles.collect { case f if !newPaths.contains(f.path) => f.path }
+        ManifestJson.render(version, base, op, "delta", adds, removes)
       }
-      out.write(sb.toString.getBytes("UTF-8"))
-    } finally out.close()
-    // Atomic no-overwrite publish. HDFS: rename refuses an existing
-    // destination atomically. Local FS: POSIX rename REPLACES silently
-    // and an exists-check leaves a race window — hard-link (link(2)
-    // fails atomically if the destination exists) then drop the temp
-    // name. Object stores need a put-if-absent service: see scaladoc.
-    val published =
-      if (fs.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else !fs.exists(dst) && fs.rename(tmp, dst)
-    if (!published) {
-      fs.delete(tmp, false)
+    if (!store.writeIfAbsent(manifestPath(root, version), content))
       throw new CommitConflictException(
-        s"version $version already published at $dst — concurrent writer won; " +
-          "re-read the table and retry the merge against the new base")
+        s"version $version already published at ${manifestPath(root, version)} — " +
+          "concurrent writer won; re-read the table and retry the merge " +
+          "against the new base")
+    if (full || version % checkpointInterval == 0) {
+      // derivable artifact: put-if-absent and IGNORE a loss — racing
+      // writers of the same checkpoint render identical bytes (entries
+      // and stats are deterministically ordered), and a missing
+      // checkpoint only costs replay depth, never correctness
+      store.writeIfAbsent(checkpointPath(root, version),
+        ManifestJson.render(version, version, "checkpoint", "checkpoint",
+          newFiles, Seq.empty))
     }
-    if (fs.getScheme == "file") fs.delete(tmp, false)
     version
   }
 
@@ -265,77 +412,102 @@ object TxTable {
     new Path(new Path(root, "data"),
       s"v$version-${java.util.UUID.randomUUID().toString.take(8)}")
 
-  /** Per-file min/max of a LONG column for the files just written —
-    * one bounded scan of the commit's own data (column-pruned to the
-    * stats column), collected as #files rows. */
+  /** Per-file min/max of LONG columns for the files just written —
+    * ONE bounded scan of the commit's own data (column-pruned to the
+    * stats columns), collected as #files rows covering every requested
+    * column at once. */
   private def gatherStats(
       spark: SparkSession, root: Path, entries: Seq[FileEntry],
-      statsCol: String): Seq[FileEntry] = {
+      statsCols: Seq[String]): Seq[FileEntry] = {
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"_lo_$c"),
+      max(col(c).cast("long")).as(s"_hi_$c")))
     val byFile = spark.read.parquet(
         entries.map(f => new Path(root, f.path).toString): _*)
       .groupBy(input_file_name().as("_f"))
-      .agg(min(col(statsCol).cast("long")).as("_lo"),
-        max(col(statsCol).cast("long")).as("_hi"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      // a file whose statsCol is all-NULL has NULL min/max: record NO
-      // stats for it (readRange's "no stats -> must read" conservative
-      // path) instead of NPE-ing the whole commit
-      .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map { r =>
+        // a file whose column is all-NULL has NULL min/max: record NO
+        // stats for that column (readRanges' "no stats -> must read"
+        // conservative path) instead of NPE-ing the whole commit
+        val m = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+          else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+        }.toMap
+        r.getString(0) -> m
+      }.toMap
     entries.map { f =>
       val abs = new Path(root, f.path).toString
       // input_file_name renders a URI; match on suffix to be
       // scheme-normalization-proof
       byFile.collectFirst { case (k, v) if k.endsWith(f.path) || k == abs => v }
-        .fold(f)(lohi => f.copy(stats = Some((statsCol, lohi._1, lohi._2))))
+        .fold(f)(m => f.copy(stats = m))
     }
   }
 
   /** Publish `df` as the COMPLETE next version (full replace; also the
     * init path for version 1). Partitioned layout when `partitionCol`
     * is set — required later for [[mergeChangeSet]]'s pruning.
-    * `statsCol` records per-file min/max of a long column in the
-    * manifest for [[readRange]] file skipping — pair it with a
-    * range-clustered `df` (repartitionByRange + sortWithinPartitions)
-    * so file ranges are disjoint and skipping actually bites. */
+    * `statsCols` records per-file min/max of long columns in the
+    * manifest for [[readRanges]] file skipping — pair it with a
+    * range-clustered `df` (repartitionByRange + sortWithinPartitions,
+    * or [[Layout.zOrderBy]] for two dimensions) so file ranges are
+    * tight and skipping actually bites. */
   def commitReplace(
       spark: SparkSession, dir: String, df: DataFrame,
       partitionCol: Option[String] = None,
-      statsCol: Option[String] = None): Long = {
+      statsCols: Seq[String] = Seq.empty): Long = {
     val (fs, root) = fsOf(spark, dir)
+    val store = logStoreFactory(fs)
     val base = latestVersion(spark, dir).getOrElse(0L)
     val commitDir = newCommitDir(root, base + 1)
     val writer = df.write.mode("errorifexists")
     partitionCol.fold(writer)(c => writer.partitionBy(c))
       .parquet(commitDir.toString)
     val listed = listCommitFiles(fs, root, commitDir, partitionCol)
-    val entries = statsCol.fold(listed)(c => gatherStats(spark, root, listed, c))
-    commit(fs, root, base, entries, "replace")
+    val entries =
+      if (statsCols.isEmpty) listed else gatherStats(spark, root, listed, statsCols)
+    commit(store, root, base, Seq.empty, entries, "replace", full = true)
   }
 
-  /** Manifest-stats file skipping: read only files whose recorded
-    * [min, max] for `statsCol` OVERLAPS [lo, hi] — plus, conservatively,
-    * every file without stats for that column — then apply the exact
-    * row filter. At 100 TB this is the scan reducer for range
-    * predicates on the clustering key: pruning happens on the
-    * manifest, before any footer is opened. */
+  /** Manifest-stats file skipping over ONE long column — see
+    * [[readRanges]]. */
   def readRange(
       spark: SparkSession, dir: String, statsCol: String, lo: Long, hi: Long,
+      versionAsOf: Option[Long] = None): DataFrame =
+    readRanges(spark, dir, Seq((statsCol, lo, hi)), versionAsOf)
+
+  /** Manifest-stats file skipping over MULTIPLE columns: read only
+    * files whose recorded [min, max] OVERLAPS [lo, hi] for EVERY
+    * queried column — plus, conservatively, files without stats for a
+    * column — then apply the exact row filters. With a Z-ordered
+    * layout ([[Layout.zOrderBy]]) both dimensions' per-file ranges are
+    * tight, so a 2-D box prunes on the manifest alone, before any
+    * footer is opened — the 100 TB scan reducer for multi-predicate
+    * range queries on the clustering keys. */
+  def readRanges(
+      spark: SparkSession, dir: String, ranges: Seq[(String, Long, Long)],
       versionAsOf: Option[Long] = None): DataFrame = {
+    require(ranges.nonEmpty, "readRanges needs at least one (col, lo, hi)")
     val (_, root) = fsOf(spark, dir)
     val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
       sys.error(s"no committed version at $dir"))
     val m = readManifest(spark, dir, v)
     val hit = m.files.filter { f =>
-      f.stats match {
-        case Some((c, fLo, fHi)) if c == statsCol => fLo <= hi && fHi >= lo
-        case _ => true // no stats for this column -> must read
+      ranges.forall { case (c, lo, hi) =>
+        f.stats.get(c) match {
+          case Some((fLo, fHi)) => fLo <= hi && fHi >= lo
+          case None => true // no stats for this column -> must read
+        }
       }
     }
     val base =
       if (hit.nonEmpty) readFiles(spark, root, hit)
       else readFiles(spark, root, m.files).limit(0)
-    base.where(col(statsCol).cast("long").between(lo, hi))
+    base.where(ranges.map { case (c, lo, hi) =>
+      col(c).cast("long").between(lo, hi)
+    }.reduce(_ && _))
   }
 
   /** Read entries as one DataFrame. Files are grouped by their commit
@@ -389,8 +561,9 @@ object TxTable {
     * `opCol` ∈ insert/update/delete, full payload columns) into the
     * table as one atomic commit. Only the files of TOUCHED partitions
     * are read and rewritten; untouched entries carry forward by
-    * reference. Readers at any published version are unaffected; a
-    * concurrent commit on the same base makes this one throw
+    * reference (and never appear in the delta manifest at all).
+    * Readers at any published version are unaffected; a concurrent
+    * commit on the same base makes this one throw
     * [[CommitConflictException]] with the table left at the winner's
     * version. Returns the new version.
     *
@@ -412,6 +585,7 @@ object TxTable {
       expectedBase: Option[Long] = None,
       evolveSchema: Boolean = false): Long = {
     val (fs, root) = fsOf(spark, dir)
+    val store = logStoreFactory(fs)
     // expectedBase = optimistic concurrency from a version the caller
     // read earlier: if someone else committed since, the publication
     // of expectedBase+1 conflicts and this merge throws instead of
@@ -438,7 +612,7 @@ object TxTable {
     merged.write.mode("errorifexists")
       .partitionBy(partitionCol).parquet(commitDir.toString)
     val fresh = listCommitFiles(fs, root, commitDir, Some(partitionCol))
-    commit(fs, root, base, keep ++ fresh, "merge")
+    commit(store, root, base, m.files, keep ++ fresh, "merge", full = false)
   }
 
   /** [[mergeChangeSet]] under optimistic-concurrency RETRY: on a
@@ -484,6 +658,7 @@ object TxTable {
     * one the commit log itself creates. */
   def compact(spark: SparkSession, dir: String, partitionCol: String): Long = {
     val (fs, root) = fsOf(spark, dir)
+    val store = logStoreFactory(fs)
     val base = latestVersion(spark, dir).getOrElse(
       sys.error(s"compact needs an initialized table at $dir"))
     val m = readManifest(spark, dir, base)
@@ -497,7 +672,7 @@ object TxTable {
     merged.write.mode("errorifexists")
       .partitionBy(partitionCol).parquet(commitDir.toString)
     val fresh = listCommitFiles(fs, root, commitDir, Some(partitionCol))
-    commit(fs, root, base, keep ++ fresh, "compact")
+    commit(store, root, base, m.files, keep ++ fresh, "compact", full = false)
   }
 
   /** CDC READ: the net changeset that turns version `vFrom` into
@@ -518,7 +693,19 @@ object TxTable {
   def changesBetween(
       spark: SparkSession, dir: String, vFrom: Long, vTo: Long,
       keyCol: String): DataFrame = {
-    val (diff, payload) = diffCore(spark, dir, vFrom, vTo, keyCol)
+    val ms = readManifests(spark, dir, Seq(vFrom, vTo))
+    changesBetweenManifests(spark, dir, ms(vFrom), ms(vTo), keyCol)
+  }
+
+  /** [[changesBetween]] against ALREADY-RESOLVED manifests — the
+    * change-feed consumer reconstructs a whole batch of versions with
+    * one log replay ([[readManifests]]) and diffs consecutive pairs
+    * here, instead of paying a log walk per version. */
+  private[graft] def changesBetweenManifests(
+      spark: SparkSession, dir: String, mFrom: Manifest, mTo: Manifest,
+      keyCol: String): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val (diff, payload) = diffFrames(spark, root, mFrom, mTo, keyCol)
     diff
       .select(col("_k").as(keyCol),
         when(col("_before").isNull, "insert")
@@ -538,7 +725,9 @@ object TxTable {
   def changesBetweenImages(
       spark: SparkSession, dir: String, vFrom: Long, vTo: Long,
       keyCol: String): DataFrame = {
-    val (diff, _) = diffCore(spark, dir, vFrom, vTo, keyCol)
+    val (_, root) = fsOf(spark, dir)
+    val ms = readManifests(spark, dir, Seq(vFrom, vTo))
+    val (diff, _) = diffFrames(spark, root, ms(vFrom), ms(vTo), keyCol)
     diff.select(col("_k").as(keyCol),
       when(col("_before").isNull, "insert")
         .when(col("_after").isNull, "delete")
@@ -550,12 +739,9 @@ object TxTable {
   /** Shared manifest-pruned full-outer diff: returns the joined frame
     * with `_k`, `_before`, `_after` (rows differing between versions
     * only) plus the payload column list. */
-  private def diffCore(
-      spark: SparkSession, dir: String, vFrom: Long, vTo: Long,
+  private def diffFrames(
+      spark: SparkSession, root: Path, ma: Manifest, mb: Manifest,
       keyCol: String): (DataFrame, Seq[String]) = {
-    val (_, root) = fsOf(spark, dir)
-    val ma = readManifest(spark, dir, vFrom)
-    val mb = readManifest(spark, dir, vTo)
     def byBucket(m: Manifest): Map[Option[String], Set[String]] =
       m.files.groupBy(_.bucket).map { case (b, fs0) => b -> fs0.map(_.path).toSet }
     val fa = byBucket(ma); val fb = byBucket(mb)
@@ -603,6 +789,7 @@ object TxTable {
       partitionCol: Option[String], op: String)(
       transform: DataFrame => DataFrame): Long = {
     val (fs, root) = fsOf(spark, dir)
+    val store = logStoreFactory(fs)
     val base = latestVersion(spark, dir).getOrElse(
       sys.error(s"DML needs an initialized table at $dir"))
     val m = readManifest(spark, dir, base)
@@ -621,8 +808,8 @@ object TxTable {
     val writer = rewritten.write.mode("errorifexists")
     partitionCol.fold(writer)(c => writer.partitionBy(c))
       .parquet(commitDir.toString)
-    commit(fs, root, base,
-      keep ++ listCommitFiles(fs, root, commitDir, partitionCol), op)
+    commit(store, root, base, m.files,
+      keep ++ listCommitFiles(fs, root, commitDir, partitionCol), op, full = false)
   }
 
   /** DELETE WHERE as an atomic commit: rows matching `pred` are
@@ -668,37 +855,61 @@ object TxTable {
       applied.drop("__graft_pred" +: staged.map(_._2): _*)
     }
 
-  /** Reclaim files referenced by NO manifest and, when `keepVersions`
-    * is set, drop manifests older than the newest `keepVersions` first
-    * (time travel shrinks accordingly). Returns the number of data
-    * files deleted.
+  /** Reclaim files referenced by NO retained manifest and, when
+    * `keepVersions` is set, retire manifests older than the newest
+    * `keepVersions` first (time travel shrinks accordingly). Before
+    * any manifest is dropped, the retention horizon gets a CHECKPOINT
+    * (if the cadence hasn't already written one) so the oldest
+    * retained version stays reconstructible without the dropped delta
+    * tail — the log-cleanup discipline incremental manifests require.
+    * Checkpoints older than the horizon are retired with their
+    * manifests. Returns the number of data files deleted.
     *
     * Retention guard: an IN-FLIGHT commit's data files are also
     * "referenced by no manifest" until its publish — deleting them
     * would corrupt the version it is about to publish. Files modified
     * within `retentionMs` of now are therefore spared (the Delta
     * VACUUM retention discipline; default 7 days). Pass 0 only when
-    * no writer can be active (tests, decommission). Unreferenced
-    * files OLDER than any plausible commit duration truly can never
-    * become referenced — publication always targets freshly written
-    * dirs. */
+    * no writer can be active (tests, decommission). The wall-clock
+    * here is the vacuum RUNNER's — writers on skewed clocks are
+    * covered only up to the skew, so keep `retentionMs` comfortably
+    * above any plausible clock drift + commit duration (the same
+    * exposure Delta's VACUUM documents). Unreferenced files OLDER
+    * than the window truly can never become referenced — publication
+    * always targets freshly written dirs. */
   def vacuum(
       spark: SparkSession, dir: String,
       keepVersions: Option[Int] = None,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val (fs, root) = fsOf(spark, dir)
-    val ld = logDir(root)
-    if (!fs.exists(ld)) return 0
-    val versions = fs.listStatus(ld).toSeq.map(_.getPath.getName).collect {
-      case ManifestName(d) => d.toLong
-    }.sorted
+    val store = logStoreFactory(fs)
+    val (manifestVs, ckptVs) = listLog(store, root)
+    if (manifestVs.isEmpty) return 0
     val dropped = keepVersions match {
-      case Some(k) if versions.size > k => versions.dropRight(k)
+      case Some(k) if manifestVs.size > k => manifestVs.dropRight(k)
       case _ => Seq.empty
     }
-    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
-    val live = (versions.diff(dropped)).flatMap(v =>
-      readManifest(spark, dir, v).files.map(_.path)).toSet
+    val retained = manifestVs.diff(dropped)
+    val horizon = retained.head
+    // live = state(horizon) ∪ every add in the retained delta tail: a
+    // path referenced by ANY retained version is either already live
+    // at the horizon or was added after it. ONE replay total.
+    val horizonState = readSnapshots(store, root, Seq(horizon))(horizon)
+    if (dropped.nonEmpty && !ckptVs.contains(horizon)) {
+      // the horizon must stay reconstructible once its delta ancestry
+      // is gone — identical-bytes rule makes a racing writer harmless
+      store.writeIfAbsent(checkpointPath(root, horizon),
+        ManifestJson.render(horizon, horizon, "checkpoint", "checkpoint",
+          horizonState, Seq.empty))
+    }
+    dropped.foreach(v => store.delete(manifestPath(root, v)))
+    ckptVs.filter(_ < horizon).foreach(v => store.delete(checkpointPath(root, v)))
+    val live = scala.collection.mutable.HashSet.empty[String]
+    horizonState.foreach(live += _.path)
+    retained.drop(1).foreach { v =>
+      ManifestJson.parse(store.read(manifestPath(root, v)), s"manifest $v")
+        .adds.foreach(live += _.path)
+    }
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - retentionMs

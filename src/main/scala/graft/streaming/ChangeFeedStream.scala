@@ -8,26 +8,33 @@ import org.apache.spark.sql.streaming.Trigger
   * published manifest is one file in `_graft_log/`, so the standard
   * file source turns the log itself into the change notification
   * channel — each micro-batch resolves the versions it saw and hands
-  * the per-version NET changeset ([[graft.ext.TxTable.changesBetween]]
-  * of (v−1, v)) to the consumer. Spark's file-source checkpoint gives
-  * EXACTLY-ONCE version delivery across restarts for free: a manifest
-  * file, once processed, is never re-delivered — the property a
-  * hand-rolled poll loop has to rebuild with its own offset store.
+  * the per-version NET changeset to the consumer in ascending version
+  * order. Spark's file-source checkpoint gives EXACTLY-ONCE version
+  * delivery across restarts for free: a manifest file, once processed,
+  * is never re-delivered — the property a hand-rolled poll loop has to
+  * rebuild with its own offset store.
   *
-  * Cost per version ∝ that commit's changed partitions (the
-  * changesBetween manifest-diff pruning), never table size.
+  * Catch-up shape: up to `maxVersionsPerTrigger` manifests land in ONE
+  * micro-batch (a consumer replaying N versions pays ~N/batch triggers,
+  * not N — the r10 `maxFilesPerTrigger=1` crawl, retired), and the
+  * whole batch's versions are reconstructed with ONE log replay
+  * ([[graft.ext.TxTable.readManifests]]) before consecutive pairs are
+  * diffed. Cost per version stays ∝ that commit's changed partitions
+  * (the manifest-diff pruning), never table size. Checkpoint files
+  * (`_ckpt-*`) are underscore-prefixed and thus invisible to the file
+  * source by Spark's hidden-file rule — only real commits notify.
   *
   * Ordering contract: versions are processed in ascending order WITHIN
   * a batch; across batches the file source lists manifests in
   * modification-time order, which matches version order for the
   * sequential writers the commit protocol enforces (concurrent losers
   * never publish). Staged `.tmp-*` manifests are dot-prefixed and thus
-  * invisible to the file source by Spark's hidden-file rule.
+  * also invisible.
   *
-  * Retention interplay: resolving version v needs manifest v−1 —
-  * consumers must run ahead of [[graft.ext.TxTable.vacuum]]'s
-  * `keepVersions` horizon (same contract as any CDC reader on any
-  * log-structured table).
+  * Retention interplay: resolving version v needs the log back to the
+  * nearest checkpoint at or below v−1 — consumers must run ahead of
+  * [[graft.ext.TxTable.vacuum]]'s `keepVersions` horizon (same
+  * contract as any CDC reader on any log-structured table).
   */
 object ChangeFeedStream {
 
@@ -42,34 +49,62 @@ object ChangeFeedStream {
       tableDir: String,
       keyCol: String,
       checkpoint: String,
-      fromVersion: Long = 1L)(f: (Long, DataFrame) => Unit): Long = {
+      fromVersion: Long = 1L,
+      maxVersionsPerTrigger: Int = 8)(f: (Long, DataFrame) => Unit): Long =
+    followAvailableCounted(spark, tableDir, keyCol, checkpoint, fromVersion,
+      maxVersionsPerTrigger)(f)._1
+
+  /** [[followAvailable]] that also reports how many NON-EMPTY triggers
+    * the drain took — the observable the catch-up contract is specified
+    * against (a 10-version replay at `maxVersionsPerTrigger=4` must
+    * complete in ≤ 3 triggers, not 10). */
+  def followAvailableCounted(
+      spark: SparkSession,
+      tableDir: String,
+      keyCol: String,
+      checkpoint: String,
+      fromVersion: Long = 1L,
+      maxVersionsPerTrigger: Int = 8)(f: (Long, DataFrame) => Unit): (Long, Long) = {
+    require(maxVersionsPerTrigger >= 1, "maxVersionsPerTrigger must be >= 1")
     val logDir = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(tableDir), "_graft_log").toString
     val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val versionRe = """"version":(\d+)""".r
     val q = spark.readStream.format("text")
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", maxVersionsPerTrigger.toString)
       .load(logDir)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // one manifest per trigger: the batch's header lines carry the
-        // version numbers (bounded collect — ≤ lines of one manifest)
+        // the batch holds up to maxVersionsPerTrigger manifests' lines;
+        // header lines carry the version numbers (bounded collect —
+        // ≤ header-count; delta body lines have no "version" field)
         val vs = batch.select(col("value"))
-          .where(col("value").contains("\"version\":"))
+          .where(col("value").contains("\"version\":") &&
+            col("value").contains("\"kind\":"))
           .collect()
           .flatMap(r => versionRe.findFirstMatchIn(r.getString(0)).map(_.group(1).toLong))
           .distinct.sorted
-        vs.filter(_ > fromVersion).foreach { v =>
-          f(v, graft.ext.TxTable.changesBetween(spark, tableDir, v - 1, v, keyCol))
-          delivered.incrementAndGet()
+          .filter(_ > fromVersion)
+        if (vs.nonEmpty) {
+          batches.incrementAndGet()
+          // ONE log replay resolves every manifest this batch needs
+          // (each version and its predecessor)
+          val needed = (vs.map(_ - 1) ++ vs).distinct.sorted
+          val ms = graft.ext.TxTable.readManifests(spark, tableDir, needed)
+          vs.foreach { v =>
+            f(v, graft.ext.TxTable.changesBetweenManifests(
+              spark, tableDir, ms(v - 1), ms(v), keyCol))
+            delivered.incrementAndGet()
+          }
         }
         ()
       }
       .start()
     q.awaitTermination()
-    delivered.get()
+    (delivered.get(), batches.get())
   }
 }

@@ -252,9 +252,9 @@ class TxTableSpec extends SparkSpec {
       val data = (0L until 800L).map(i => (i, i * 1.0)).toDF("event_id", "value")
       TxTable.commitReplace(spark, dir,
         data.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"),
-        partitionCol = None, statsCol = Some("event_id"))
+        partitionCol = None, statsCols = Seq("event_id"))
       val m = TxTable.readManifest(spark, dir, 1L)
-      assert(m.files.forall(_.stats.exists(_._1 == "event_id")))
+      assert(m.files.forall(_.stats.contains("event_id")))
       val ranged = TxTable.readRange(spark, dir, "event_id", 100L, 199L)
       // rows are exact...
       assert(ranged.agg(count(lit(1)), sum("event_id")).collect().head match {
@@ -359,7 +359,7 @@ class TxTableSpec extends SparkSpec {
       val data = Seq[(java.lang.Long, Double)]((null, 1.0), (null, 2.0))
         .toDF("event_id", "value")
       TxTable.commitReplace(spark, dir, data.repartition(1),
-        partitionCol = None, statsCol = Some("event_id"))
+        partitionCol = None, statsCols = Seq("event_id"))
       val m = TxTable.readManifest(spark, dir, 1L)
       assert(m.files.forall(_.stats.isEmpty), "all-NULL file must carry no stats")
       // conservative read still returns the (non-matching) empty result
@@ -393,6 +393,157 @@ class TxTableSpec extends SparkSpec {
       // the merge and the delete both carried untouched files forward
       assert(h(1)._4 > 0 && h(2)._4 > 0, s"carried files expected: ${h.toSeq}")
       assert(h(0)._3 > 0 && h(1)._3 > 0, "every commit added files")
+    }
+  }
+
+  /** LogStore wrapper counting every log read — the observable the
+    * checkpoint-replay bound is specified against. */
+  private final class CountingLogStore(inner: LogStore) extends LogStore {
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listed = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def list(dir: org.apache.hadoop.fs.Path) = { listed.incrementAndGet(); inner.list(dir) }
+    override def read(path: org.apache.hadoop.fs.Path) = { reads.incrementAndGet(); inner.read(path) }
+    override def writeIfAbsent(path: org.apache.hadoop.fs.Path, content: String) =
+      inner.writeIfAbsent(path, content)
+    override def delete(path: org.apache.hadoop.fs.Path) = inner.delete(path)
+  }
+
+  test("checkpointed log: a many-commit table reads through ckpt + tail, never all V manifests") {
+    inDir { dir =>
+      val prevInterval = TxTable.checkpointInterval
+      TxTable.checkpointInterval = 5
+      try {
+        TxTable.commitReplace(spark, dir, snap(64), Some("pbucket"))
+        // 24 delta commits -> 25 versions, checkpoints at 1 (full), 5, 10, 15, 20, 25
+        (1 to 24).foreach { i =>
+          TxTable.deleteWhere(spark, dir, col("event_id") === i.toLong, Some("pbucket"))
+        }
+        assert(TxTable.latestVersion(spark, dir) === Some(25L))
+        // the read plans from the nearest checkpoint: version 23 needs
+        // ckpt 20 + deltas 21..23 = 4 log reads (out of 25+ log files)
+        val counting = new CountingLogStore(new HadoopLogStore(
+          new org.apache.hadoop.fs.Path(dir).getFileSystem(
+            spark.sessionState.newHadoopConf())))
+        val m23 = TxTable.withLogStore(_ => counting) {
+          TxTable.readManifest(spark, dir, 23L)
+        }
+        assert(counting.reads.get() <= TxTable.checkpointInterval,
+          s"expected ≤ ${TxTable.checkpointInterval} log reads, got ${counting.reads.get()}")
+        assert(counting.listed.get() === 1, "one log listing per reconstruction")
+        // and the reconstruction is CORRECT: v23 = base minus deletes 1..22
+        val expect23 = rows(snap(64).where(!col("event_id").between(1, 22)))
+        assert(rows(TxTable.read(spark, dir, versionAsOf = Some(23L))) === expect23)
+        assert(m23.files.nonEmpty)
+        // latest reads exactly like before
+        assert(rows(TxTable.read(spark, dir)) ===
+          rows(snap(64).where(!col("event_id").between(1, 24))))
+        // history still reports every version off the delta-sized reads
+        val h = TxTable.history(spark, dir).orderBy("version").collect()
+        assert(h.length === 25)
+        assert(h.head.getString(1) === "replace" && h.last.getString(1) === "delete")
+      } finally TxTable.checkpointInterval = prevInterval
+    }
+  }
+
+  test("vacuum(keepVersions) writes the horizon checkpoint before dropping the delta tail") {
+    inDir { dir =>
+      val prevInterval = TxTable.checkpointInterval
+      TxTable.checkpointInterval = 100 // no cadence checkpoints beyond v1's full
+      try {
+        TxTable.commitReplace(spark, dir, snap(32), Some("pbucket"))
+        (1 to 7).foreach { i =>
+          TxTable.deleteWhere(spark, dir, col("event_id") === i.toLong, Some("pbucket"))
+        }
+        // keep the newest 3 versions (6, 7, 8); horizon = 6 has no
+        // checkpoint yet — vacuum must create it or v6..8 become
+        // unreconstructible once manifests 1..5 are gone
+        TxTable.vacuum(spark, dir, keepVersions = Some(3), retentionMs = 0L)
+        val logFiles = new java.io.File(s"$dir/_graft_log").listFiles().map(_.getName).toSet
+        assert(logFiles.exists(_.startsWith("_ckpt-00000000000000000006")),
+          s"horizon checkpoint missing: $logFiles")
+        assert(!logFiles.contains(f"${1L}%020d.json"), "dropped manifests must be gone")
+        // retained versions read exactly
+        assert(rows(TxTable.read(spark, dir, versionAsOf = Some(6L))) ===
+          rows(snap(32).where(!col("event_id").between(1, 5))))
+        assert(rows(TxTable.read(spark, dir)) ===
+          rows(snap(32).where(!col("event_id").between(1, 7))))
+        // a vacuumed version fails loud, not wrong
+        val e = intercept[IllegalArgumentException] {
+          TxTable.read(spark, dir, versionAsOf = Some(3L)).collect()
+        }
+        assert(e.getMessage.contains("missing"))
+        // history on the truncated log still reports the retained tail
+        val h = TxTable.history(spark, dir).orderBy("version").collect()
+          .map(r => (r.getLong(0), r.getLong(3)))
+        assert(h.map(_._1).toSeq === Seq(6L, 7L, 8L))
+        assert(h.forall(_._2 > 0), s"n_files must come from the horizon ckpt: ${h.toSeq}")
+      } finally TxTable.checkpointInterval = prevInterval
+    }
+  }
+
+  test("a racing LogStore losing every publish still detects the conflict (seam holds)") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      // a store whose publishes always LOSE (a competing writer beat
+      // every attempt) — conflict detection must come through the seam
+      val losing = new LogStore {
+        val inner = new HadoopLogStore(new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf()))
+        override def list(d: org.apache.hadoop.fs.Path) = inner.list(d)
+        override def read(p: org.apache.hadoop.fs.Path) = inner.read(p)
+        override def writeIfAbsent(p: org.apache.hadoop.fs.Path, c: String) = false
+        override def delete(p: org.apache.hadoop.fs.Path) = inner.delete(p)
+      }
+      val before = rows(TxTable.read(spark, dir))
+      intercept[TxTable.CommitConflictException] {
+        TxTable.withLogStore(_ => losing) {
+          TxTable.mergeChangeSet(spark, dir, changes(), "event_id", "op", "pbucket")
+        }
+      }
+      // nothing published; the table is exactly the pre-race version
+      assert(TxTable.latestVersion(spark, dir) === Some(1L))
+      assert(rows(TxTable.read(spark, dir)) === before)
+    }
+  }
+
+  test("manifest serializer round-trips exotic paths/buckets (quotes, spaces, backslash)") {
+    val entries = Seq(
+      TxTable.FileEntry("""data/v1-x/weird "name" with spaces.parquet""", Some("""a\b"c"""),
+        Map("event_id" -> (-5L, 42L), "user_id" -> (0L, 7L))),
+      TxTable.FileEntry("data/v1-x/plain.parquet", None))
+    val text = TxTable.ManifestJson.render(3L, 2L, "merge", "delta",
+      entries, Seq("""old "quoted" path.parquet"""))
+    val parsed = TxTable.ManifestJson.parse(text, "round-trip")
+    assert(parsed.version === 3L && parsed.base === 2L)
+    assert(parsed.op === "merge" && parsed.kind === "delta")
+    assert(parsed.adds === entries)
+    assert(parsed.removes === Seq("""old "quoted" path.parquet"""))
+  }
+
+  test("multi-column stats: a 2-D box prunes on BOTH dimensions via the manifest") {
+    inDir { dir =>
+      import spark.implicits._
+      // two correlated-but-distinct dims; Z-order the layout so
+      // per-file min/max is tight on both
+      val data = (0L until 4096L).map(i => (i % 64, (i / 64) % 64, i * 1.0))
+        .toDF("x", "y", "value")
+      TxTable.commitReplace(spark, dir,
+        graft.ext.Layout.zOrderBy(data, col("x"), col("y"), 16),
+        partitionCol = None, statsCols = Seq("x", "y"))
+      val m = TxTable.readManifest(spark, dir, 1L)
+      assert(m.files.forall(f => f.stats.contains("x") && f.stats.contains("y")))
+      // rows exact vs the plain predicate
+      val box = TxTable.readRanges(spark, dir, Seq(("x", 8L, 15L), ("y", 8L, 15L)))
+      val expect = data.where(col("x").between(8, 15) && col("y").between(8, 15))
+      assert(box.count() === expect.count())
+      assert(box.agg(sum("value")).head.getDouble(0) ===
+        expect.agg(sum("value")).head.getDouble(0))
+      // the second dimension must prune FURTHER than the first alone —
+      // that is the whole point of multi-column stats over a Z layout
+      val oneD = TxTable.readRanges(spark, dir, Seq(("x", 8L, 15L)))
+      assert(box.inputFiles.length < oneD.inputFiles.length,
+        s"2-D box ${box.inputFiles.length} files vs 1-D ${oneD.inputFiles.length}")
+      assert(oneD.inputFiles.length < m.files.size)
     }
   }
 
