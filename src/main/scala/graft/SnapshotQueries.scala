@@ -458,6 +458,106 @@ object SnapshotQueries {
           .orderBy("doc_id"))
       }
     },
+
+    // The CHECKPOINTED commit log under a long version chain: 13
+    // versions (one replace + 12 single-partition DELETEs), past the
+    // checkpoint cadence (default every 10) — so reading v13
+    // reconstructs from checkpoint 10 + three delta manifests, and v7
+    // from checkpoint 1 + six deltas, NEVER from 13 full file lists
+    // (TxTableSpec pins the ≤-interval log-read bound with a counting
+    // LogStore; here both reconstructions are held to the relational
+    // replay). Each delete's manifest is change-sized: one removed +
+    // one added file entry, not the live list — the write-amplification
+    // fix for per-micro-batch commit streams.
+    Q("q165_tx_checkpointed_log", SnapshotOracles.txCheckpointedLog) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txck") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("event_id") % 4 === 0)
+            .select(col("event_id"), col("value"), (col("event_id") % 32).as("pbucket")),
+          Some("pbucket"))
+        // versions 2..13; delete i touches exactly one pbucket (4i mod 32)
+        (1 to 12).foreach { i =>
+          graft.ext.TxTable.deleteWhere(s, table,
+            col("event_id") % 96 === (4L * i), Some("pbucket"))
+        }
+        val perVersion = Seq(7, 13).map { v =>
+          graft.ext.TxTable.read(s, table, versionAsOf = Some(v.toLong))
+            .groupBy((col("event_id") % 10).as("bucket"))
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+            .withColumn("version", lit(v))
+        }
+        localized(perVersion.reduce(_ unionByName _)
+          .select("version", "bucket", "n", "value_sum")
+          .orderBy("version", "bucket"))
+      }
+    },
+
+    // Multi-column manifest stats over a Z-ordered layout: the commit
+    // records per-file min/max for BOTH dimensions, the Z-curve keeps
+    // both tight per file, and a 2-D box prunes files on the manifest
+    // alone — the second predicate skips files the first would keep
+    // (TxTableSpec asserts the strict file-subset chain; here the box
+    // is held to the plain two-predicate SQL). At 100 TB this is the
+    // scan reducer for range queries on two correlated keys.
+    Q("q166_tx_zorder_skipping", SnapshotOracles.txZorderSkipping) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txz") { tmp =>
+        val table = s"$tmp/table"
+        // y spreads user_id across the dim even at tiny SFs (sf0.001
+        // holds only 15 distinct users — a bare % 256 leaves the
+        // [96, 127] band empty there)
+        val df = ev.select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("x", col("event_id") % 256)
+          .withColumn("y", (col("user_id") * 17) % 256)
+        graft.ext.TxTable.commitReplace(s, table,
+          graft.ext.Layout.zOrderBy(df, col("x"), col("y"), 16),
+          partitionCol = None, statsCols = Seq("x", "y"))
+        localized(graft.ext.TxTable.readRanges(s, table,
+            Seq(("x", 32L, 63L), ("y", 96L, 127L)))
+          .groupBy((col("event_id") % 7).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("k"))
+      }
+    },
+
+    // IVM beyond algebraic aggregates: the rollup maintains count/sum
+    // by (−before, +after) deltas (q163), but v3's DELETE removes
+    // rows that include per-key MAXes — not expressible as a delta, so
+    // graft.ext.Ivm recomputes max ONLY for the keys the feed touched,
+    // over the manifest-pruned partition slice (cost ∝ changed
+    // partitions — the q150 property, asserted in IvmSpec). The oracle
+    // aggregates the FINAL state directly: maintained == recomputed,
+    // max included, exactly.
+    Q("q167_tx_ivm_minmax", SnapshotOracles.txIvmMinmax) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txim") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        val changesA = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesA, "event_id", "op", "pbucket")
+        // v3: a broad DELETE — in every bucket it has a ~1/3 chance of
+        // taking the current max with it, which is the lane under test
+        graft.ext.TxTable.deleteWhere(s, table,
+          col("event_id") % 6 === 0, Some("pbucket"))
+        var view = localized(graft.ext.Ivm.baseline(s, table, 1L, "pbucket", "value"))
+        (2L to 3L).foreach { v =>
+          view = localized(graft.ext.Ivm.maintainStep(
+            s, table, view, v, "event_id", "pbucket", "value"))
+        }
+        localized(view.select("k", "n", "value_q", "max_q").orderBy("k"))
+      }
+    },
   )
 }
 
@@ -683,4 +783,59 @@ object SnapshotOracles {
       |SELECT op, CAST(event_id % 7 AS BIGINT) AS k, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM d GROUP BY 1, 2 ORDER BY op, k""".stripMargin
+
+  /** The 13-version delete chain replayed relationally: delete i
+    * removes residue 4i (mod 96) — all multiples of 4 in [4, 48] by
+    * v13, in [4, 24] by v7; the base slice (event_id % 4 = 0) only
+    * ever holds multiples-of-4 residues, so BETWEEN is exact. */
+  val txCheckpointedLog: String =
+    """WITH base AS (SELECT event_id, value FROM events WHERE event_id % 4 = 0),
+      |a7 AS (SELECT 7 AS version, CAST(event_id % 10 AS BIGINT) AS bucket,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  FROM base WHERE NOT (event_id % 96 BETWEEN 4 AND 24) GROUP BY 2),
+      |a13 AS (SELECT 13 AS version, CAST(event_id % 10 AS BIGINT) AS bucket,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  FROM base WHERE NOT (event_id % 96 BETWEEN 4 AND 48) GROUP BY 2)
+      |SELECT version, bucket, n, value_sum FROM (
+      |  SELECT * FROM a7 UNION ALL SELECT * FROM a13)
+      |ORDER BY version, bucket""".stripMargin
+
+  /** File skipping is a pure scan optimization — the oracle is the
+    * plain 2-D box predicate (a NULL user_id fails the BETWEEN in
+    * both engines). */
+  val txZorderSkipping: String =
+    """SELECT CAST(event_id % 7 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events
+      |WHERE event_id % 256 BETWEEN 32 AND 63
+      |  AND (user_id * 17) % 256 BETWEEN 96 AND 127
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** The maintained rollup (count/sum by deltas, max by affected-key
+    * recompute) must equal the DIRECT aggregate of the final state —
+    * max included: the v3 delete removes per-key maxes, which no delta
+    * can express. NULL values quantize to 0 in the sum but stay NULL
+    * under max (both engines skip them). */
+  val txIvmMinmax: String =
+    """WITH s1 AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |ca AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 THEN 'insert'
+      |      WHEN event_id % 12 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    value + 500 AS value
+      |  FROM events WHERE event_id % 3 = 0),
+      |s2 AS (
+      |  SELECT s1.event_id, s1.value FROM s1
+      |  LEFT JOIN ca ON s1.event_id = ca.event_id AND ca.op IN ('update', 'delete')
+      |  WHERE ca.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value FROM ca WHERE op IN ('insert', 'update')),
+      |s3 AS (SELECT * FROM s2 WHERE NOT (event_id % 6 = 0))
+      |SELECT CAST(event_id % 8 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0))
+      |    AS BIGINT) AS value_q,
+      |  CAST(max(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS max_q
+      |FROM s3 GROUP BY 1 ORDER BY k""".stripMargin
 }
