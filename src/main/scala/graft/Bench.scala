@@ -167,7 +167,8 @@ object Bench {
     // bench-only production hash lanes (BenchProdLanes — murmur3/
     // xxhash64 faces of the md5 oracle mirrors; spec-tied, not
     // oracle-checked, named `*_prod`).
-    val allQueries = SparkEntry.queries ++ BenchProdLanes.queries.toMap
+    val allQueries = SparkEntry.queries ++ BenchProdLanes.queries.toMap ++
+      BenchProbes.queries.toMap
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
     val selected = only match {
       case Some(prefixes) => allQueries.filter { case (n, _) => prefixes.exists(n.startsWith) }

@@ -25,7 +25,8 @@ object BenchFocus {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    val pool = SparkEntry.queries ++ BenchProdLanes.queries.toMap
+    val pool = SparkEntry.queries ++ BenchProdLanes.queries.toMap ++
+      BenchProbes.queries.toMap
     val names = if (args.nonEmpty) args.toSeq else pool.keys.toSeq.sorted
     for (name <- names) {
       val fn = pool.getOrElse(name,

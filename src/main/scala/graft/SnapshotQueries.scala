@@ -459,38 +459,44 @@ object SnapshotQueries {
       }
     },
 
-    // The CHECKPOINTED commit log under a long version chain: 13
-    // versions (one replace + 12 single-partition DELETEs), past the
-    // checkpoint cadence (default every 10) — so reading v13
-    // reconstructs from checkpoint 10 + three delta manifests, and v7
-    // from checkpoint 1 + six deltas, NEVER from 13 full file lists
-    // (TxTableSpec pins the ≤-interval log-read bound with a counting
-    // LogStore; here both reconstructions are held to the relational
-    // replay). Each delete's manifest is change-sized: one removed +
-    // one added file entry, not the live list — the write-amplification
-    // fix for per-micro-batch commit streams.
+    // The CHECKPOINTED commit log under a version chain past the
+    // cadence: 7 versions (one replace + 6 single-partition DELETEs)
+    // at checkpointInterval = 4, so checkpoints land at v1 (full) and
+    // v4 — reading v7 reconstructs from checkpoint 4 + three delta
+    // manifests, and v4 is served from its checkpoint DIRECTLY, with
+    // no delta replay at all (both reconstruction paths, held to the
+    // relational replay; TxTableSpec pins the ≤-interval log-read
+    // bound with a counting LogStore). Each delete's manifest is
+    // change-sized: one removed + one added file entry, not the live
+    // list — the write-amplification fix for per-micro-batch commit
+    // streams. (The interval override is restored on every exit path;
+    // the registry runs queries serially by contract.)
     Q("q165_tx_checkpointed_log", SnapshotOracles.txCheckpointedLog) { (s, dir) =>
       val ev = graft.analysis.EventsFact.events(s, dir)
       inTempDir("graft_txck") { tmp =>
         val table = s"$tmp/table"
-        graft.ext.TxTable.commitReplace(s, table,
-          ev.where(col("event_id") % 4 === 0)
-            .select(col("event_id"), col("value"), (col("event_id") % 32).as("pbucket")),
-          Some("pbucket"))
-        // versions 2..13; delete i touches exactly one pbucket (4i mod 32)
-        (1 to 12).foreach { i =>
-          graft.ext.TxTable.deleteWhere(s, table,
-            col("event_id") % 96 === (4L * i), Some("pbucket"))
-        }
-        val perVersion = Seq(7, 13).map { v =>
-          graft.ext.TxTable.read(s, table, versionAsOf = Some(v.toLong))
-            .groupBy((col("event_id") % 10).as("bucket"))
-            .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
-            .withColumn("version", lit(v))
-        }
-        localized(perVersion.reduce(_ unionByName _)
-          .select("version", "bucket", "n", "value_sum")
-          .orderBy("version", "bucket"))
+        val prevInterval = graft.ext.TxTable.checkpointInterval
+        graft.ext.TxTable.checkpointInterval = 4
+        try {
+          graft.ext.TxTable.commitReplace(s, table,
+            ev.where(col("event_id") % 4 === 0)
+              .select(col("event_id"), col("value"), (col("event_id") % 32).as("pbucket")),
+            Some("pbucket"))
+          // versions 2..7; delete i touches exactly one pbucket (4i mod 32)
+          (1 to 6).foreach { i =>
+            graft.ext.TxTable.deleteWhere(s, table,
+              col("event_id") % 96 === (4L * i), Some("pbucket"))
+          }
+          val perVersion = Seq(4, 7).map { v =>
+            graft.ext.TxTable.read(s, table, versionAsOf = Some(v.toLong))
+              .groupBy((col("event_id") % 10).as("bucket"))
+              .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+              .withColumn("version", lit(v))
+          }
+          localized(perVersion.reduce(_ unionByName _)
+            .select("version", "bucket", "n", "value_sum")
+            .orderBy("version", "bucket"))
+        } finally graft.ext.TxTable.checkpointInterval = prevInterval
       }
     },
 
@@ -784,22 +790,22 @@ object SnapshotOracles {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM d GROUP BY 1, 2 ORDER BY op, k""".stripMargin
 
-  /** The 13-version delete chain replayed relationally: delete i
-    * removes residue 4i (mod 96) — all multiples of 4 in [4, 48] by
-    * v13, in [4, 24] by v7; the base slice (event_id % 4 = 0) only
+  /** The 7-version delete chain replayed relationally: delete i
+    * removes residue 4i (mod 96) — all multiples of 4 in [4, 12] by
+    * v4, in [4, 24] by v7; the base slice (event_id % 4 = 0) only
     * ever holds multiples-of-4 residues, so BETWEEN is exact. */
   val txCheckpointedLog: String =
     """WITH base AS (SELECT event_id, value FROM events WHERE event_id % 4 = 0),
+      |a4 AS (SELECT 4 AS version, CAST(event_id % 10 AS BIGINT) AS bucket,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  FROM base WHERE NOT (event_id % 96 BETWEEN 4 AND 12) GROUP BY 2),
       |a7 AS (SELECT 7 AS version, CAST(event_id % 10 AS BIGINT) AS bucket,
       |    count(*) AS n,
       |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
-      |  FROM base WHERE NOT (event_id % 96 BETWEEN 4 AND 24) GROUP BY 2),
-      |a13 AS (SELECT 13 AS version, CAST(event_id % 10 AS BIGINT) AS bucket,
-      |    count(*) AS n,
-      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
-      |  FROM base WHERE NOT (event_id % 96 BETWEEN 4 AND 48) GROUP BY 2)
+      |  FROM base WHERE NOT (event_id % 96 BETWEEN 4 AND 24) GROUP BY 2)
       |SELECT version, bucket, n, value_sum FROM (
-      |  SELECT * FROM a7 UNION ALL SELECT * FROM a13)
+      |  SELECT * FROM a4 UNION ALL SELECT * FROM a7)
       |ORDER BY version, bucket""".stripMargin
 
   /** File skipping is a pure scan optimization — the oracle is the

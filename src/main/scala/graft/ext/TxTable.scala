@@ -81,7 +81,16 @@ object TxTable {
       bucket: Option[String],
       stats: Map[String, (Long, Long)] = Map.empty)
 
-  final case class Manifest(version: Long, files: Seq[FileEntry])
+  /** `schemas` maps a commit DATA DIRECTORY (`data/vN-token`) to the
+    * read-back schema (StructType JSON, partition column included) of
+    * the files it holds — carried by the log so reads NEVER open
+    * parquet footers for schema inference (at 100 TB that is one
+    * footer round-trip per live commit dir per query, and locally it
+    * was the single largest cost of every TxTable operation). A dir
+    * absent from the map falls back to inference. */
+  final case class Manifest(
+      version: Long, files: Seq[FileEntry],
+      schemas: Map[String, String] = Map.empty)
 
   final class CommitConflictException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
@@ -148,10 +157,14 @@ object TxTable {
 
   /** One parsed log file (manifest or checkpoint): `kind` ∈
     * full/delta/checkpoint; full and checkpoint carry the COMPLETE
-    * live-file list in `adds`. */
+    * live-file list in `adds`. `schema` is the read-back schema of
+    * THIS commit's own data dir; `schemas` is the full dir→schema map
+    * (checkpoints only). */
   private[graft] final case class ParsedLog(
       version: Long, base: Long, op: String, kind: String,
-      adds: Seq[FileEntry], removes: Seq[String])
+      adds: Seq[FileEntry], removes: Seq[String],
+      schema: Option[String] = None,
+      schemas: Map[String, String] = Map.empty)
 
   /** Manifest/checkpoint (de)serialization — Jackson on both sides
     * (one shared writer/parser pair, WITH string escaping: a path or
@@ -181,12 +194,19 @@ object TxTable {
 
     def render(
         version: Long, base: Long, op: String, kind: String,
-        adds: Seq[FileEntry], removes: Seq[String]): String = {
+        adds: Seq[FileEntry], removes: Seq[String],
+        schema: Option[String] = None,
+        schemas: Map[String, String] = Map.empty): String = {
       val sb = new StringBuilder
       val h = mapper.createObjectNode()
       h.put("version", version); h.put("base", base)
       h.put("op", op); h.put("kind", kind)
       h.put("n_add", adds.size); h.put("n_remove", removes.size)
+      schema.foreach(s => h.put("schema", s))
+      if (schemas.nonEmpty) {
+        val sn = h.putObject("schemas")
+        schemas.toSeq.sortBy(_._1).foreach { case (d, s) => sn.put(d, s) }
+      }
       sb.append(mapper.writeValueAsString(h)).append('\n')
       removes.foreach { p =>
         val n = mapper.createObjectNode(); n.put("r", p)
@@ -229,12 +249,24 @@ object TxTable {
         else if (n.has("r")) removes += n.get("r").asText()
         else sys.error(s"malformed manifest line in $src: $line")
       }
+      val schemas =
+        if (!h.has("schemas")) Map.empty[String, String]
+        else {
+          val sn = h.get("schemas"); val it = sn.fieldNames()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val d = it.next(); b += d -> sn.get(d).asText() }
+          b.result()
+        }
       ParsedLog(h.get("version").asLong(),
         Option(h.get("base")).map(_.asLong()).getOrElse(h.get("version").asLong() - 1),
         Option(h.get("op")).map(_.asText()).getOrElse("unknown"),
-        h.get("kind").asText(), adds.result(), removes.result())
+        h.get("kind").asText(), adds.result(), removes.result(),
+        Option(h.get("schema")).map(_.asText()), schemas)
     }
   }
+
+  /** The commit data dir (`data/vN-token`) a file entry belongs to. */
+  private def dirOf(path: String): String = path.split('/').take(2).mkString("/")
 
   /** Manifest and checkpoint versions present in the log — ONE
     * listing. */
@@ -257,7 +289,7 @@ object TxTable {
     * encountered mid-replay resets state, so correctness never depends
     * on a checkpoint having been written. */
   private def readSnapshots(
-      store: LogStore, root: Path, versions: Seq[Long]): Map[Long, Seq[FileEntry]] = {
+      store: LogStore, root: Path, versions: Seq[Long]): Map[Long, Manifest] = {
     require(versions.nonEmpty, "readSnapshots needs at least one version")
     val want = versions.distinct.sorted
     val wantSet = want.toSet
@@ -266,32 +298,37 @@ object TxTable {
     val manifestSet = manifestVs.toSet
     val base = ckptVs.filter(_ <= want.head).lastOption
     val state = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    val dirSchemas = scala.collection.mutable.HashMap.empty[String, String]
     base.foreach { b =>
-      ManifestJson.parse(store.read(checkpointPath(root, b)), s"ckpt $b")
-        .adds.foreach(e => state.update(e.path, e))
+      val ck = ManifestJson.parse(store.read(checkpointPath(root, b)), s"ckpt $b")
+      ck.adds.foreach(e => state.update(e.path, e))
+      dirSchemas ++= ck.schemas
     }
-    val out = Map.newBuilder[Long, Seq[FileEntry]]
-    if (base.contains(want.head)) out += want.head -> state.values.toSeq
+    def snap(v: Long) = Manifest(v, state.values.toSeq, dirSchemas.toMap)
+    val out = Map.newBuilder[Long, Manifest]
+    if (base.contains(want.head)) out += want.head -> snap(want.head)
     var v = base.getOrElse(0L) + 1
     while (v <= want.last) {
       require(manifestSet.contains(v),
         s"manifest for version $v is missing under ${logDir(root)} " +
           "(vacuumed past its retention horizon, or never published)")
       val pm = ManifestJson.parse(store.read(manifestPath(root, v)), s"manifest $v")
-      if (pm.kind == "full") state.clear()
+      if (pm.kind == "full") { state.clear(); dirSchemas.clear() }
       pm.removes.foreach(state.remove)
       pm.adds.foreach(e => state.update(e.path, e))
-      if (wantSet.contains(v)) out += v -> state.values.toSeq
+      pm.schema.foreach(s => pm.adds.map(e => dirOf(e.path)).distinct
+        .foreach(d => dirSchemas.update(d, s)))
+      if (wantSet.contains(v)) out += v -> snap(v)
       v += 1
     }
     out.result()
   }
 
-  /** The live-file list of `version` (checkpoint + delta-tail replay —
-    * see [[readSnapshots]]). */
+  /** The live-file list (and dir→schema map) of `version` — checkpoint
+    * + delta-tail replay, see [[readSnapshots]]. */
   def readManifest(spark: SparkSession, dir: String, version: Long): Manifest = {
     val (store, root) = storeOf(spark, dir)
-    Manifest(version, readSnapshots(store, root, Seq(version))(version))
+    readSnapshots(store, root, Seq(version))(version)
   }
 
   /** [[readManifest]] for several versions sharing ONE listing and ONE
@@ -300,7 +337,7 @@ object TxTable {
   private[graft] def readManifests(
       spark: SparkSession, dir: String, versions: Seq[Long]): Map[Long, Manifest] = {
     val (store, root) = storeOf(spark, dir)
-    readSnapshots(store, root, versions).map { case (v, fs0) => v -> Manifest(v, fs0) }
+    readSnapshots(store, root, versions)
   }
 
   /** DESCRIBE HISTORY: one row per RETAINED version — (version, op,
@@ -354,19 +391,20 @@ object TxTable {
     * manifest already exists — the competing writer won; this writer's
     * data files are orphans for [[vacuum]]. */
   private def commit(
-      store: LogStore, root: Path, base: Long,
-      baseFiles: Seq[FileEntry], newFiles: Seq[FileEntry],
+      store: LogStore, root: Path, baseManifest: Manifest,
+      newFiles: Seq[FileEntry], newSchema: Option[String],
       op: String, full: Boolean): Long = {
-    val version = base + 1
+    val version = baseManifest.version + 1
+    val baseFiles = if (full) Seq.empty else baseManifest.files
+    val basePaths = baseFiles.map(_.path).toSet
+    val newPaths = newFiles.map(_.path).toSet
+    val adds = newFiles.filterNot(f => basePaths.contains(f.path))
+    val removes = baseFiles.collect { case f if !newPaths.contains(f.path) => f.path }
     val content =
-      if (full) ManifestJson.render(version, base, op, "full", newFiles, Seq.empty)
-      else {
-        val basePaths = baseFiles.map(_.path).toSet
-        val newPaths = newFiles.map(_.path).toSet
-        val adds = newFiles.filterNot(f => basePaths.contains(f.path))
-        val removes = baseFiles.collect { case f if !newPaths.contains(f.path) => f.path }
-        ManifestJson.render(version, base, op, "delta", adds, removes)
-      }
+      if (full) ManifestJson.render(version, baseManifest.version, op, "full",
+        newFiles, Seq.empty, schema = newSchema)
+      else ManifestJson.render(version, baseManifest.version, op, "delta",
+        adds, removes, schema = newSchema)
     if (!store.writeIfAbsent(manifestPath(root, version), content))
       throw new CommitConflictException(
         s"version $version already published at ${manifestPath(root, version)} — " +
@@ -377,9 +415,12 @@ object TxTable {
       // writers of the same checkpoint render identical bytes (entries
       // and stats are deterministically ordered), and a missing
       // checkpoint only costs replay depth, never correctness
+      val liveDirs = newFiles.map(f => dirOf(f.path)).toSet
+      val schemas = baseManifest.schemas.view.filterKeys(liveDirs).toMap ++
+        newSchema.flatMap(s => adds.headOption.map(a => dirOf(a.path) -> s))
       store.writeIfAbsent(checkpointPath(root, version),
         ManifestJson.render(version, version, "checkpoint", "checkpoint",
-          newFiles, Seq.empty))
+          newFiles, Seq.empty, schemas = schemas))
     }
     version
   }
@@ -468,7 +509,8 @@ object TxTable {
     val listed = listCommitFiles(fs, root, commitDir, partitionCol)
     val entries =
       if (statsCols.isEmpty) listed else gatherStats(spark, root, listed, statsCols)
-    commit(store, root, base, Seq.empty, entries, "replace", full = true)
+    commit(store, root, Manifest(base, Seq.empty), entries,
+      Some(df.schema.json), "replace", full = true)
   }
 
   /** Manifest-stats file skipping over ONE long column — see
@@ -503,8 +545,8 @@ object TxTable {
       }
     }
     val base =
-      if (hit.nonEmpty) readFiles(spark, root, hit)
-      else readFiles(spark, root, m.files).limit(0)
+      if (hit.nonEmpty) readFiles(spark, root, hit, m.schemas)
+      else readFiles(spark, root, m.files, m.schemas).limit(0)
     base.where(ranges.map { case (c, lo, hi) =>
       col(c).cast("long").between(lo, hi)
     }.reduce(_ && _))
@@ -513,15 +555,25 @@ object TxTable {
   /** Read entries as one DataFrame. Files are grouped by their commit
     * directory so each group reads with its own `basePath` (restoring
     * the partition column the `col=value` layout encodes); the union
-    * is bounded by the number of commits still contributing files. */
+    * is bounded by the number of commits still contributing files.
+    * Groups whose dir has a log-carried schema read WITHOUT opening a
+    * single parquet footer (the declared schema covers data + the
+    * partition column, which Spark fills from the dir value at the
+    * declared type); unknown dirs fall back to inference. */
   private def readFiles(
-      spark: SparkSession, root: Path, files: Seq[FileEntry]): DataFrame = {
+      spark: SparkSession, root: Path, files: Seq[FileEntry],
+      schemas: Map[String, String] = Map.empty): DataFrame = {
     require(files.nonEmpty,
       "cannot read an empty version (schema lives in the data files)")
-    val byCommit = files.groupBy(f => f.path.split('/').take(2).mkString("/"))
+    val byCommit = files.groupBy(f => dirOf(f.path))
     byCommit.toSeq.sortBy(_._1).map { case (commitRel, fs0) =>
-      spark.read
+      val reader = spark.read
         .option("basePath", new Path(root, commitRel).toString)
+      schemas.get(commitRel)
+        .map(s => reader.schema(
+          org.apache.spark.sql.types.DataType.fromJson(s)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        .getOrElse(reader)
         .parquet(fs0.map(f => new Path(root, f.path).toString): _*)
     // allowMissingColumns: commits published under an EVOLVED schema
     // (mergeChangeSet evolveSchema=true) coexist with carried-forward
@@ -538,7 +590,8 @@ object TxTable {
     val (_, root) = fsOf(spark, dir)
     val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
       sys.error(s"no committed version at $dir"))
-    readFiles(spark, root, readManifest(spark, dir, v).files)
+    val m = readManifest(spark, dir, v)
+    readFiles(spark, root, m.files, m.schemas)
   }
 
   /** Manifest-level partition pruning: read only the files whose
@@ -553,8 +606,8 @@ object TxTable {
       sys.error(s"no committed version at $dir"))
     val m = readManifest(spark, dir, v)
     val hit = m.files.filter(_.bucket.exists(buckets))
-    if (hit.nonEmpty) readFiles(spark, root, hit)
-    else readFiles(spark, root, m.files).limit(0)
+    if (hit.nonEmpty) readFiles(spark, root, hit, m.schemas)
+    else readFiles(spark, root, m.files, m.schemas).limit(0)
   }
 
   /** MERGE a changeset (the [[Cdc.applyChangeSet]] contract: `keyCol`,
@@ -599,8 +652,8 @@ object TxTable {
     requirePathSafe(touched, partitionCol)
     val (touchedFiles, keep) = m.files.partition(_.bucket.exists(touched))
     val slice =
-      if (touchedFiles.nonEmpty) readFiles(spark, root, touchedFiles)
-      else readFiles(spark, root, m.files).limit(0)
+      if (touchedFiles.nonEmpty) readFiles(spark, root, touchedFiles, m.schemas)
+      else readFiles(spark, root, m.files, m.schemas).limit(0)
     // no overwrite-from-own-input here, ever: the merge READS version
     // `base`'s files and WRITES a brand-new commit dir — the
     // localCheckpoint the dynamic-overwrite path needed is gone
@@ -612,7 +665,8 @@ object TxTable {
     merged.write.mode("errorifexists")
       .partitionBy(partitionCol).parquet(commitDir.toString)
     val fresh = listCommitFiles(fs, root, commitDir, Some(partitionCol))
-    commit(store, root, base, m.files, keep ++ fresh, "merge", full = false)
+    commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
+      "merge", full = false)
   }
 
   /** [[mergeChangeSet]] under optimistic-concurrency RETRY: on a
@@ -666,13 +720,14 @@ object TxTable {
     val fragmented = byBucket.filter(_._2.size > 1).keys.toSet
     if (fragmented.isEmpty) return base
     val (doomed, keep) = m.files.partition(f => fragmented(f.bucket))
-    val merged = readFiles(spark, root, doomed)
+    val merged = readFiles(spark, root, doomed, m.schemas)
       .repartition(col(partitionCol))
     val commitDir = newCommitDir(root, base + 1)
     merged.write.mode("errorifexists")
       .partitionBy(partitionCol).parquet(commitDir.toString)
     val fresh = listCommitFiles(fs, root, commitDir, Some(partitionCol))
-    commit(store, root, base, m.files, keep ++ fresh, "compact", full = false)
+    commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
+      "compact", full = false)
   }
 
   /** CDC READ: the net changeset that turns version `vFrom` into
@@ -747,10 +802,11 @@ object TxTable {
     val fa = byBucket(ma); val fb = byBucket(mb)
     val changed = (fa.keySet ++ fb.keySet)
       .filter(b => fa.getOrElse(b, Set.empty) != fb.getOrElse(b, Set.empty))
+    val allSchemas = ma.schemas ++ mb.schemas
     def slice(m: Manifest): DataFrame = {
       val hit = m.files.filter(f => changed(f.bucket))
-      if (hit.nonEmpty) readFiles(spark, root, hit)
-      else readFiles(spark, root, (ma.files ++ mb.files).distinct).limit(0)
+      if (hit.nonEmpty) readFiles(spark, root, hit, allSchemas)
+      else readFiles(spark, root, (ma.files ++ mb.files).distinct, allSchemas).limit(0)
     }
     val a = slice(ma); val b = slice(mb)
     // payload = UNION of both versions' columns: vTo may carry columns
@@ -793,7 +849,7 @@ object TxTable {
     val base = latestVersion(spark, dir).getOrElse(
       sys.error(s"DML needs an initialized table at $dir"))
     val m = readManifest(spark, dir, base)
-    val touchedPaths = readFiles(spark, root, m.files)
+    val touchedPaths = readFiles(spark, root, m.files, m.schemas)
       .where(pred)
       .select(input_file_name().as("_f")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -803,13 +859,14 @@ object TxTable {
       touchedPaths.exists(p => p == abs || p.endsWith(f.path))
     }
     val (doomed, keep) = m.files.partition(isTouched)
-    val rewritten = transform(readFiles(spark, root, doomed))
+    val rewritten = transform(readFiles(spark, root, doomed, m.schemas))
     val commitDir = newCommitDir(root, base + 1)
     val writer = rewritten.write.mode("errorifexists")
     partitionCol.fold(writer)(c => writer.partitionBy(c))
       .parquet(commitDir.toString)
-    commit(store, root, base, m.files,
-      keep ++ listCommitFiles(fs, root, commitDir, partitionCol), op, full = false)
+    commit(store, root, m,
+      keep ++ listCommitFiles(fs, root, commitDir, partitionCol),
+      Some(rewritten.schema.json), op, full = false)
   }
 
   /** DELETE WHERE as an atomic commit: rows matching `pred` are
@@ -898,14 +955,16 @@ object TxTable {
     if (dropped.nonEmpty && !ckptVs.contains(horizon)) {
       // the horizon must stay reconstructible once its delta ancestry
       // is gone — identical-bytes rule makes a racing writer harmless
+      val liveDirs = horizonState.files.map(f => dirOf(f.path)).toSet
       store.writeIfAbsent(checkpointPath(root, horizon),
         ManifestJson.render(horizon, horizon, "checkpoint", "checkpoint",
-          horizonState, Seq.empty))
+          horizonState.files, Seq.empty,
+          schemas = horizonState.schemas.view.filterKeys(liveDirs).toMap))
     }
     dropped.foreach(v => store.delete(manifestPath(root, v)))
     ckptVs.filter(_ < horizon).foreach(v => store.delete(checkpointPath(root, v)))
     val live = scala.collection.mutable.HashSet.empty[String]
-    horizonState.foreach(live += _.path)
+    horizonState.files.foreach(live += _.path)
     retained.drop(1).foreach { v =>
       ManifestJson.parse(store.read(manifestPath(root, v)), s"manifest $v")
         .adds.foreach(live += _.path)

@@ -121,6 +121,11 @@ object ExactPercentiles {
     // into #keys·buckets partials, so this lane re-reads the (cheap,
     // column-pruned) source in parallel with the raw shuffle instead
     // of serializing behind it — one fewer hop on the critical path.
+    // (Re-measured r11: deriving this from `parted` — zero extra scan,
+    // exchange-reuse — holds the steady state but REGRESSES the
+    // driver-shaped one-shot 4.3 → 5.1-6.1 s, because the offsets
+    // broadcast then waits on the full shuffle before the spans join
+    // can even start. The extra scan buys critical-path overlap.)
     val offsets = bucketed.groupBy("_pk", "_bkt")
       .agg(count(lit(1)).as("_bt"))
       .withColumn("_off", coalesce(
