@@ -54,6 +54,40 @@ object ChangeFeedStream {
     followAvailableCounted(spark, tableDir, keyCol, checkpoint, fromVersion,
       maxVersionsPerTrigger)(f)._1
 
+  /** Sink-composable drain: each non-empty trigger hands the consumer
+    * ONE DataFrame — the batch's changesets unioned and stamped with
+    * `_commit_version` (ascending within the frame; columns widen by
+    * name across schema-evolved versions, the absent side reading
+    * NULL) — so the feed composes with any batch writer (a TxTable
+    * merge, a parquet append, an aggregate refresh) instead of forcing
+    * the per-version callback shape. Exactly-once per version across
+    * restarts via the same file-source checkpoint. Returns the number
+    * of versions delivered. */
+  def followAvailableFrames(
+      spark: SparkSession,
+      tableDir: String,
+      keyCol: String,
+      checkpoint: String,
+      fromVersion: Long = 1L,
+      maxVersionsPerTrigger: Int = 8)(f: DataFrame => Unit): Long = {
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
+    drain(spark, tableDir, checkpoint, maxVersionsPerTrigger) { vs0 =>
+      val vs = vs0.filter(_ > fromVersion)
+      if (vs.nonEmpty) {
+        val needed = (vs.map(_ - 1) ++ vs).distinct.sorted
+        val ms = graft.ext.TxTable.readManifests(spark, tableDir, needed)
+        val frame = vs.map { v =>
+          graft.ext.TxTable.changesBetweenManifests(
+              spark, tableDir, ms(v - 1), ms(v), keyCol)
+            .withColumn("_commit_version", lit(v))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        f(frame)
+        delivered.addAndGet(vs.size.toLong)
+      }
+    }
+    delivered.get()
+  }
+
   /** [[followAvailable]] that also reports how many NON-EMPTY triggers
     * the drain took — the observable the catch-up contract is specified
     * against (a 10-version replay at `maxVersionsPerTrigger=4` must
@@ -65,11 +99,34 @@ object ChangeFeedStream {
       checkpoint: String,
       fromVersion: Long = 1L,
       maxVersionsPerTrigger: Int = 8)(f: (Long, DataFrame) => Unit): (Long, Long) = {
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    drain(spark, tableDir, checkpoint, maxVersionsPerTrigger) { vs0 =>
+      val vs = vs0.filter(_ > fromVersion)
+      if (vs.nonEmpty) {
+        batches.incrementAndGet()
+        // ONE log replay resolves every manifest this batch needs
+        // (each version and its predecessor)
+        val needed = (vs.map(_ - 1) ++ vs).distinct.sorted
+        val ms = graft.ext.TxTable.readManifests(spark, tableDir, needed)
+        vs.foreach { v =>
+          f(v, graft.ext.TxTable.changesBetweenManifests(
+            spark, tableDir, ms(v - 1), ms(v), keyCol))
+          delivered.incrementAndGet()
+        }
+      }
+    }
+    (delivered.get(), batches.get())
+  }
+
+  /** Shared micro-batch loop: stream the log dir, surface each batch's
+    * ascending version list to `onBatch`, await completion. */
+  private def drain(
+      spark: SparkSession, tableDir: String, checkpoint: String,
+      maxVersionsPerTrigger: Int)(onBatch: Seq[Long] => Unit): Unit = {
     require(maxVersionsPerTrigger >= 1, "maxVersionsPerTrigger must be >= 1")
     val logDir = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(tableDir), "_graft_log").toString
-    val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
-    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val versionRe = """"version":(\d+)""".r
     val q = spark.readStream.format("text")
       .option("maxFilesPerTrigger", maxVersionsPerTrigger.toString)
@@ -82,29 +139,15 @@ object ChangeFeedStream {
         // the batch holds up to maxVersionsPerTrigger manifests' lines;
         // header lines carry the version numbers (bounded collect —
         // ≤ header-count; delta body lines have no "version" field)
-        val vs = batch.select(col("value"))
+        onBatch(batch.select(col("value"))
           .where(col("value").contains("\"version\":") &&
             col("value").contains("\"kind\":"))
           .collect()
           .flatMap(r => versionRe.findFirstMatchIn(r.getString(0)).map(_.group(1).toLong))
-          .distinct.sorted
-          .filter(_ > fromVersion)
-        if (vs.nonEmpty) {
-          batches.incrementAndGet()
-          // ONE log replay resolves every manifest this batch needs
-          // (each version and its predecessor)
-          val needed = (vs.map(_ - 1) ++ vs).distinct.sorted
-          val ms = graft.ext.TxTable.readManifests(spark, tableDir, needed)
-          vs.foreach { v =>
-            f(v, graft.ext.TxTable.changesBetweenManifests(
-              spark, tableDir, ms(v - 1), ms(v), keyCol))
-            delivered.incrementAndGet()
-          }
-        }
+          .distinct.sorted.toSeq)
         ()
       }
       .start()
     q.awaitTermination()
-    (delivered.get(), batches.get())
   }
 }

@@ -547,6 +547,58 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("churn: racing retry-writers + reader + vacuum stay consistent under checkpoint cadence") {
+    inDir { dir =>
+      val prevInterval = TxTable.checkpointInterval
+      TxTable.checkpointInterval = 3
+      try {
+        import spark.implicits._
+        TxTable.commitReplace(spark, dir, snap(24), Some("pbucket"))
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val start = new java.util.concurrent.CountDownLatch(1)
+        // three writers, three sequential single-insert merges each,
+        // disjoint keys — every interleaving must serialize through OCC
+        val writers = (1 to 3).map { t =>
+          new Thread(() => {
+            start.await()
+            try (1 to 3).foreach { i =>
+              TxTable.mergeChangeSetWithRetry(spark, dir,
+                Seq((1000L * t + i, "insert", t * 1.0, ((t + i) % 4).toLong))
+                  .toDF("event_id", "op", "value", "pbucket"),
+                "event_id", "op", "pbucket", maxRetries = 50)
+            } catch { case e: Throwable => errs.add(e) }
+          })
+        }
+        // a reader racing the whole churn: every read must land on a
+        // COMMITTED version — a count outside [24, 33] would mean a
+        // torn snapshot
+        val readerStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val reader = new Thread(() => {
+          start.await()
+          try while (!readerStop.get()) {
+            val n = TxTable.read(spark, dir).count()
+            if (n < 24 || n > 33)
+              errs.add(new AssertionError(s"torn snapshot: $n rows"))
+          } catch { case e: Throwable => errs.add(e) }
+        })
+        writers.foreach(_.start()); reader.start(); start.countDown()
+        writers.foreach(_.join(180000))
+        readerStop.set(true); reader.join(60000)
+        assert(errs.isEmpty, s"churn must be clean: ${errs.peek()}")
+        assert(TxTable.latestVersion(spark, dir) === Some(10L))
+        val expected = rows(snap(24)) ++
+          (for (t <- 1 to 3; i <- 1 to 3)
+            yield (1000L * t + i, t * 1.0, ((t + i) % 4).toLong)).toSet
+        assert(rows(TxTable.read(spark, dir)) === expected)
+        assert(TxTable.history(spark, dir).count() === 10L)
+        // vacuum to a horizon mid-chain; the retained tail stays exact
+        TxTable.vacuum(spark, dir, keepVersions = Some(4), retentionMs = 0L)
+        assert(rows(TxTable.read(spark, dir)) === expected)
+        assert(rows(TxTable.read(spark, dir, versionAsOf = Some(7L))).size === 24 + 6)
+      } finally TxTable.checkpointInterval = prevInterval
+    }
+  }
+
   test("readPruned plans only the selected buckets' files from the manifest") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(16), Some("pbucket"))
