@@ -564,6 +564,73 @@ object SnapshotQueries {
         localized(view.select("k", "n", "value_q", "max_q").orderBy("k"))
       }
     },
+
+    // The change feed COMPOSED WITH a sink: followAvailableFrames hands
+    // each trigger ONE version-stamped DataFrame, appended verbatim to
+    // a parquet sink — the CDC-replication recipe (feed → append-only
+    // audit log) with exactly-once per version from the stream
+    // checkpoint. The sink's content must equal q162's per-version
+    // net diffs — same oracle, delivery shape upgraded from callback
+    // to frame.
+    Q("q168_tx_feed_to_sink", SnapshotOracles.txChangeStream) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txfs") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s,
+          table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        val changesA = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesA, "event_id", "op", "pbucket")
+        val changesB = ev.where(col("event_id") % 5 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0 && col("event_id") % 3 =!= 0, "insert")
+              .when(col("event_id") % 20 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 900).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesB, "event_id", "op", "pbucket")
+        graft.streaming.ChangeFeedStream.followAvailableFrames(
+          s, table, "event_id", s"$tmp/ckpt") { frame =>
+          frame.write.mode("append").parquet(s"$tmp/sink")
+        }
+        localized(s.read.parquet(s"$tmp/sink")
+          .groupBy(col("_commit_version").cast("int").as("version"),
+            col("op"), (col("event_id") % 7).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .select("version", "op", "k", "n", "value_sum")
+          .orderBy("version", "op", "k"))
+      }
+    },
+
+    // Bloom-pruned point lookup on an UNCLUSTERED key: the table is
+    // committed in a shuffled layout (every file's event_id min/max
+    // spans the whole domain — range stats are useless here), with a
+    // per-file Bloom filter recorded in the manifest instead. The
+    // point read opens only files whose bloom might contain one of the
+    // probed ids (false positives cost extra reads, never rows) —
+    // TxTableSpec asserts the strict file subset; the oracle is the
+    // plain IN filter.
+    Q("q169_tx_bloom_point", SnapshotOracles.txBloomPoint) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txbp") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.select(col("event_id"), col("user_id"), col("value")).repartition(16),
+          partitionCol = None, bloomCol = Some("event_id"))
+        val ids = Seq(12L, 57L, 123L, 400L, 731L)
+        localized(graft.ext.TxTable.readPoint(s, table, "event_id", ids.map(_.toString))
+          .select(col("event_id"), col("user_id"), col("value"))
+          .orderBy("event_id"))
+      }
+    },
   )
 }
 
@@ -844,4 +911,11 @@ object SnapshotOracles {
       |    AS BIGINT) AS value_q,
       |  CAST(max(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS max_q
       |FROM s3 GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** Bloom pruning is a pure scan optimization — the oracle is the
+    * plain IN filter over the raw columns. */
+  val txBloomPoint: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_id IN (12, 57, 123, 400, 731)
+      |ORDER BY event_id""".stripMargin
 }

@@ -70,16 +70,32 @@ import org.apache.spark.sql.functions._
   */
 object TxTable {
 
+  /** Per-file Bloom filter over a point-lookup column (`col` hashed on
+    * its canonical STRING rendering; `k` double-hash probes over the
+    * base64-packed bit array). Range stats prune on CLUSTERED columns;
+    * the bloom prunes point lookups on columns the layout does NOT
+    * cluster — each file answers "definitely absent" without being
+    * opened. False positives only cost extra reads, never rows. */
+  final case class FileBloom(col: String, k: Int, b64: String) {
+    lazy val bits: Array[Long] = {
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      Array.fill(bytes.length / 8)(buf.getLong())
+    }
+  }
+
   /** One live data file: `path` relative to the table root; `bucket`
     * is the partition value rendered as Spark renders it into the
     * `col=value` directory name (None for unpartitioned commits);
     * `stats` maps a skipping column to its per-file (min, max) for
     * LONG-valued columns — [[readRanges]] prunes on it, conservatively
-    * keeping any file without stats for a queried column. */
+    * keeping any file without stats for a queried column; `bloom` is
+    * the optional per-file point-lookup filter ([[readPoint]]). */
   final case class FileEntry(
       path: String,
       bucket: Option[String],
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      bloom: Option[FileBloom] = None)
 
   /** `schemas` maps a commit DATA DIRECTORY (`data/vN-token`) to the
     * read-back schema (StructType JSON, partition column included) of
@@ -189,6 +205,10 @@ object TxTable {
           val a = st.putArray(c); a.add(lo); a.add(hi)
         }
       }
+      f.bloom.foreach { bl =>
+        val bn = n.putObject("bloom")
+        bn.put("c", bl.col); bn.put("k", bl.k); bn.put("b", bl.b64)
+      }
       n
     }
 
@@ -232,8 +252,10 @@ object TxTable {
           }
           b.result()
         }
+      val bloom = Option(node.get("bloom")).map(b =>
+        FileBloom(b.get("c").asText(), b.get("k").asInt(), b.get("b").asText()))
       FileEntry(node.get("path").asText(),
-        Option(node.get("bucket")).map(_.asText()), stats)
+        Option(node.get("bucket")).map(_.asText()), stats, bloom)
     }
 
     def parse(text: String, src: String): ParsedLog = {
@@ -487,6 +509,37 @@ object TxTable {
     }
   }
 
+  /** Per-file Bloom filters for the files just written: ONE pass
+    * (column-pruned to `bloomCol`, cast to its canonical string
+    * rendering) computes each row's bit positions; only DISTINCT
+    * (file, position) pairs survive the map-side combine, so the
+    * driver collect is bounded by #files · mBits positions — never
+    * row count. */
+  private def gatherBlooms(
+      spark: SparkSession, root: Path, entries: Seq[FileEntry],
+      bloomCol: String, mBits: Int, numHashes: Int): Seq[FileEntry] = {
+    val posCol = BloomPositions(col(bloomCol).cast("string"), mBits, numHashes)
+    val byFile = spark.read.parquet(
+        entries.map(f => new Path(root, f.path).toString): _*)
+      .where(col(bloomCol).isNotNull)
+      .select(input_file_name().as("_f"), explode(posCol).as("_p"))
+      .distinct()
+      .groupBy("_f").agg(collect_list(col("_p")).as("_ps"))
+      .collect()
+      .map { r =>
+        val bits = new Array[Long](mBits / 64)
+        r.getSeq[Long](1).foreach(p => bits((p >>> 6).toInt) |= (1L << (p & 63L)))
+        val buf = java.nio.ByteBuffer.allocate(bits.length * 8)
+        bits.foreach(buf.putLong)
+        r.getString(0) -> java.util.Base64.getEncoder.encodeToString(buf.array())
+      }.toMap
+    entries.map { f =>
+      val abs = new Path(root, f.path).toString
+      byFile.collectFirst { case (k, v) if k.endsWith(f.path) || k == abs => v }
+        .fold(f)(b64 => f.copy(bloom = Some(FileBloom(bloomCol, numHashes, b64))))
+    }
+  }
+
   /** Publish `df` as the COMPLETE next version (full replace; also the
     * init path for version 1). Partitioned layout when `partitionCol`
     * is set — required later for [[mergeChangeSet]]'s pruning.
@@ -494,11 +547,20 @@ object TxTable {
     * manifest for [[readRanges]] file skipping — pair it with a
     * range-clustered `df` (repartitionByRange + sortWithinPartitions,
     * or [[Layout.zOrderBy]] for two dimensions) so file ranges are
-    * tight and skipping actually bites. */
+    * tight and skipping actually bites. `bloomCol` additionally
+    * records a per-file Bloom filter for [[readPoint]] lookups on a
+    * column the layout does NOT cluster (where min/max spans
+    * everything and range stats are useless). `bloomBits` trades
+    * manifest bytes (mBits/8 per file, base64-inflated ×4/3) against
+    * the false-positive rate — size it ~10× the expected distinct
+    * keys per file for ~1 % FPP; a production deployment would
+    * side-car filters past a few KB instead of inlining them. */
   def commitReplace(
       spark: SparkSession, dir: String, df: DataFrame,
       partitionCol: Option[String] = None,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCol: Option[String] = None,
+      bloomBits: Int = 1 << 16): Long = {
     val (fs, root) = fsOf(spark, dir)
     val store = logStoreFactory(fs)
     val base = latestVersion(spark, dir).getOrElse(0L)
@@ -507,10 +569,42 @@ object TxTable {
     partitionCol.fold(writer)(c => writer.partitionBy(c))
       .parquet(commitDir.toString)
     val listed = listCommitFiles(fs, root, commitDir, partitionCol)
-    val entries =
+    val withStats =
       if (statsCols.isEmpty) listed else gatherStats(spark, root, listed, statsCols)
+    val entries = bloomCol.fold(withStats)(c =>
+      gatherBlooms(spark, root, withStats, c, bloomBits, numHashes = 4))
     commit(store, root, Manifest(base, Seq.empty), entries,
       Some(df.schema.json), "replace", full = true)
+  }
+
+  /** Bloom-pruned POINT lookup: read only files whose Bloom filter
+    * might contain AT LEAST ONE of `values` (canonical string
+    * rendering — the build side hashed the same cast), plus,
+    * conservatively, files without a bloom for the column; then apply
+    * the exact IN filter. The complement of [[readRanges]]: range
+    * stats prune the CLUSTERED dimension, the bloom prunes point
+    * probes on unclustered ones — at 100 TB a needle lookup opens a
+    * handful of files instead of scanning the table. */
+  def readPoint(
+      spark: SparkSession, dir: String, pointCol: String, values: Seq[String],
+      versionAsOf: Option[Long] = None): DataFrame = {
+    require(values.nonEmpty, "readPoint needs at least one value")
+    val (_, root) = fsOf(spark, dir)
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    val m = readManifest(spark, dir, v)
+    val probes = values.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+    val hit = m.files.filter { f =>
+      f.bloom match {
+        case Some(bl) if bl.col == pointCol =>
+          probes.exists(p => Bloom.mightContain(p, bl.bits, bl.k))
+        case _ => true // no bloom for this column -> must read
+      }
+    }
+    val base =
+      if (hit.nonEmpty) readFiles(spark, root, hit, m.schemas)
+      else readFiles(spark, root, m.files, m.schemas).limit(0)
+    base.where(col(pointCol).cast("string").isin(values: _*))
   }
 
   /** Manifest-stats file skipping over ONE long column — see

@@ -547,6 +547,36 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("bloom point lookup skips files on an unclustered key; conservative without a bloom") {
+    inDir { dir =>
+      import spark.implicits._
+      // shuffled layout: every file's event_id range spans the domain,
+      // so range stats could never prune — the bloom is the only index
+      val data = (0L until 2048L).map(i => (i, i * 1.0)).toDF("event_id", "value")
+      TxTable.commitReplace(spark, dir, data.repartition(16),
+        partitionCol = None, bloomCol = Some("event_id"), bloomBits = 1 << 14)
+      val m = TxTable.readManifest(spark, dir, 1L)
+      assert(m.files.size === 16)
+      assert(m.files.forall(_.bloom.exists(_.col === "event_id")))
+      // exact rows for a 3-needle probe...
+      val probe = TxTable.readPoint(spark, dir, "event_id", Seq("5", "777", "2000"))
+      assert(probe.collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 777L, 2000L))
+      // ...reading a STRICT subset of the files (each needle lives in
+      // exactly one file; blooms at these sizes keep FP ≪ file count)
+      assert(probe.inputFiles.length < m.files.size,
+        s"expected bloom skipping: ${probe.inputFiles.length} of ${m.files.size}")
+      // an absent needle returns empty without error
+      assert(TxTable.readPoint(spark, dir, "event_id", Seq("999999")).count() === 0L)
+      // a column with no bloom reads everything, still exact
+      val noBloom = TxTable.readPoint(spark, dir, "value", Seq("5.0"))
+      assert(noBloom.inputFiles.length === m.files.size)
+      assert(noBloom.collect().map(_.getLong(0)).toSeq === Seq(5L))
+      // blooms round-trip the manifest codec (base64 + Jackson)
+      val bl = m.files.head.bloom.get
+      assert(bl.bits.length === (1 << 14) / 64)
+    }
+  }
+
   test("churn: racing retry-writers + reader + vacuum stay consistent under checkpoint cadence") {
     inDir { dir =>
       val prevInterval = TxTable.checkpointInterval
