@@ -90,12 +90,16 @@ object TxTable {
     * `stats` maps a skipping column to its per-file (min, max) for
     * LONG-valued columns — [[readRanges]] prunes on it, conservatively
     * keeping any file without stats for a queried column; `bloom` is
-    * the optional per-file point-lookup filter ([[readPoint]]). */
+    * the optional per-file point-lookup filter ([[readPoint]]);
+    * `bytes` is the file length (0 = unrecorded) — [[detail]] and
+    * compaction planning read sizes off the manifest instead of
+    * stat-ing files. */
   final case class FileEntry(
       path: String,
       bucket: Option[String],
       stats: Map[String, (Long, Long)] = Map.empty,
-      bloom: Option[FileBloom] = None)
+      bloom: Option[FileBloom] = None,
+      bytes: Long = 0L)
 
   /** `schemas` maps a commit DATA DIRECTORY (`data/vN-token`) to the
     * read-back schema (StructType JSON, partition column included) of
@@ -209,6 +213,7 @@ object TxTable {
         val bn = n.putObject("bloom")
         bn.put("c", bl.col); bn.put("k", bl.k); bn.put("b", bl.b64)
       }
+      if (f.bytes != 0L) n.put("sz", f.bytes)
       n
     }
 
@@ -255,7 +260,8 @@ object TxTable {
       val bloom = Option(node.get("bloom")).map(b =>
         FileBloom(b.get("c").asText(), b.get("k").asInt(), b.get("b").asText()))
       FileEntry(node.get("path").asText(),
-        Option(node.get("bucket")).map(_.asText()), stats, bloom)
+        Option(node.get("bucket")).map(_.asText()), stats, bloom,
+        Option(node.get("sz")).map(_.asLong()).getOrElse(0L))
     }
 
     def parse(text: String, src: String): ParsedLog = {
@@ -465,7 +471,7 @@ object TxTable {
           val re = (java.util.regex.Pattern.quote(c) + "=([^/]+)/").r
           re.findFirstMatchIn(rel + "/").map(_.group(1))
         }
-        out += FileEntry(rel, bucket)
+        out += FileEntry(rel, bucket, bytes = st.getLen)
       }
     }
     out.toSeq
@@ -538,6 +544,49 @@ object TxTable {
       byFile.collectFirst { case (k, v) if k.endsWith(f.path) || k == abs => v }
         .fold(f)(b64 => f.copy(bloom = Some(FileBloom(bloomCol, numHashes, b64))))
     }
+  }
+
+  /** Re-derive the skipping metadata the BASE manifest carried (range
+    * stats columns, the bloom column) for a commit's FRESH files, so
+    * file skipping SURVIVES merges/DML/compaction instead of decaying
+    * to conservative must-read on every rewritten file (a long-lived
+    * table is mostly rewrites — without this, skipping quality halves
+    * with every wave of DML). Cost: one extra column-pruned pass over
+    * the fresh files only. Columns absent from the rewritten schema
+    * (an evolution that dropped them) are skipped. */
+  private def propagateSkipping(
+      spark: SparkSession, root: Path, base: Manifest,
+      fresh: Seq[FileEntry], freshCols: Seq[String]): Seq[FileEntry] = {
+    if (fresh.isEmpty) return fresh
+    val statsCols = base.files.flatMap(_.stats.keys).distinct.filter(freshCols.contains)
+    val withStats =
+      if (statsCols.isEmpty) fresh else gatherStats(spark, root, fresh, statsCols)
+    base.files.flatMap(_.bloom).map(b => (b.col, b.k, b.bits.length * 64))
+      .distinct.headOption
+      .filter { case (c, _, _) => freshCols.contains(c) }
+      .fold(withStats) { case (c, k, mBits) =>
+        gatherBlooms(spark, root, withStats, c, mBits, k)
+      }
+  }
+
+  /** DESCRIBE DETAIL: one row summarizing a version straight off the
+    * manifest — no file system access beyond the log (sizes ride the
+    * manifest). */
+  def detail(
+      spark: SparkSession, dir: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    val m = readManifest(spark, dir, v)
+    Seq((m.version, m.files.size.toLong,
+      m.files.flatMap(_.bucket).distinct.size.toLong,
+      m.files.map(_.bytes).sum,
+      m.files.flatMap(_.stats.keys).distinct.sorted.mkString(","),
+      m.files.flatMap(_.bloom.map(_.col)).distinct.sorted.mkString(","),
+      m.schemas.size.toLong))
+      .toDF("version", "n_files", "n_partitions", "total_bytes",
+        "stats_cols", "bloom_cols", "n_commit_dirs")
   }
 
   /** Publish `df` as the COMPLETE next version (full replace; also the
@@ -758,7 +807,9 @@ object TxTable {
     val commitDir = newCommitDir(root, base + 1)
     merged.write.mode("errorifexists")
       .partitionBy(partitionCol).parquet(commitDir.toString)
-    val fresh = listCommitFiles(fs, root, commitDir, Some(partitionCol))
+    val fresh = propagateSkipping(spark, root, m,
+      listCommitFiles(fs, root, commitDir, Some(partitionCol)),
+      merged.columns.toSeq)
     commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
       "merge", full = false)
   }
@@ -819,7 +870,9 @@ object TxTable {
     val commitDir = newCommitDir(root, base + 1)
     merged.write.mode("errorifexists")
       .partitionBy(partitionCol).parquet(commitDir.toString)
-    val fresh = listCommitFiles(fs, root, commitDir, Some(partitionCol))
+    val fresh = propagateSkipping(spark, root, m,
+      listCommitFiles(fs, root, commitDir, Some(partitionCol)),
+      merged.columns.toSeq)
     commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
       "compact", full = false)
   }
@@ -958,8 +1011,10 @@ object TxTable {
     val writer = rewritten.write.mode("errorifexists")
     partitionCol.fold(writer)(c => writer.partitionBy(c))
       .parquet(commitDir.toString)
-    commit(store, root, m,
-      keep ++ listCommitFiles(fs, root, commitDir, partitionCol),
+    val fresh = propagateSkipping(spark, root, m,
+      listCommitFiles(fs, root, commitDir, partitionCol),
+      rewritten.columns.toSeq)
+    commit(store, root, m, keep ++ fresh,
       Some(rewritten.schema.json), op, full = false)
   }
 

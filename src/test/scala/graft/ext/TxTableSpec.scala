@@ -577,6 +577,36 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("stats and blooms survive DML and merges; detail reads sizes off the manifest") {
+    inDir { dir =>
+      import spark.implicits._
+      val data = (0L until 800L).map(i => (i, i * 1.0, i % 4)).toDF("event_id", "value", "pbucket")
+      TxTable.commitReplace(spark, dir,
+        data.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"),
+        partitionCol = None, statsCols = Seq("event_id"), bloomCol = Some("event_id"),
+        bloomBits = 1 << 14)
+      // DML rewrites files — the fresh files must RE-DERIVE stats and
+      // bloom, not decay to conservative must-read
+      TxTable.deleteWhere(spark, dir, col("event_id") === 150L)
+      val m2 = TxTable.readManifest(spark, dir, 2L)
+      assert(m2.files.forall(_.stats.contains("event_id")),
+        "rewritten files must carry re-derived range stats")
+      assert(m2.files.forall(_.bloom.exists(_.col == "event_id")),
+        "rewritten files must carry re-derived blooms")
+      val ranged = TxTable.readRange(spark, dir, "event_id", 100L, 199L)
+      assert(ranged.inputFiles.length < m2.files.size, "skipping must still bite after DML")
+      assert(ranged.count() === 99L) // 100..199 minus the deleted 150
+      val point = TxTable.readPoint(spark, dir, "event_id", Seq("700"))
+      assert(point.inputFiles.length < m2.files.size)
+      assert(point.collect().map(_.getLong(0)).toSeq === Seq(700L))
+      // detail: one manifest-only row, sizes recorded
+      val d = TxTable.detail(spark, dir).collect().head
+      assert(d.getLong(0) === 2L && d.getLong(1) === m2.files.size.toLong)
+      assert(d.getLong(3) > 0L, "total_bytes must come from the manifest")
+      assert(d.getString(4) === "event_id" && d.getString(5) === "event_id")
+    }
+  }
+
   test("churn: racing retry-writers + reader + vacuum stay consistent under checkpoint cadence") {
     inDir { dir =>
       val prevInterval = TxTable.checkpointInterval
