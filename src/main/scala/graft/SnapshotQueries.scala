@@ -561,7 +561,7 @@ object SnapshotQueries {
           view = localized(graft.ext.Ivm.maintainStep(
             s, table, view, v, "event_id", "pbucket", "value"))
         }
-        localized(view.select("k", "n", "value_q", "max_q").orderBy("k"))
+        localized(view.select("k", "n", "value_q", "min_q", "max_q").orderBy("k"))
       }
     },
 
@@ -607,6 +607,55 @@ object SnapshotQueries {
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
           .select("version", "op", "k", "n", "value_sum")
           .orderBy("version", "op", "k"))
+      }
+    },
+
+    // Round-11 capstone — every new piece composed: versioned source →
+    // BATCHED exactly-once change stream (followAvailableFrames as the
+    // version-notification channel) → VERSIONED rollup maintained with
+    // the NON-ALGEBRAIC lane (count/sum by deltas, min/max by
+    // manifest-pruned affected-key recompute), one atomic view commit
+    // per source version. Readers of the view never see a
+    // half-refresh; the maintained view must equal the direct
+    // aggregate of the final source state — q167's oracle, delivery
+    // upgraded from batch loop to stream.
+    Q("q170_tx_streaming_ivm", SnapshotOracles.txIvmMinmax) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txsi") { tmp =>
+        val table = s"$tmp/table"
+        val viewDir = s"$tmp/view"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        val changesA = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesA, "event_id", "op", "pbucket")
+        graft.ext.TxTable.deleteWhere(s, table,
+          col("event_id") % 6 === 0, Some("pbucket"))
+        // view version 1 = the baseline rollup of source version 1
+        graft.ext.TxTable.commitReplace(s, viewDir,
+          graft.ext.Ivm.baseline(s, table, 1L, "pbucket", "value"))
+        // the stream drains source versions (bounded versions per
+        // trigger); each one refreshes the view as an atomic commit
+        graft.streaming.ChangeFeedStream.followAvailableFrames(
+          s, table, "event_id", s"$tmp/ckpt") { frame =>
+          val vs = frame.select(col("_commit_version")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          vs.foreach { v =>
+            graft.ext.TxTable.commitReplace(s, viewDir,
+              graft.ext.Ivm.maintainStep(s, table,
+                graft.ext.TxTable.read(s, viewDir), v,
+                "event_id", "pbucket", "value"))
+          }
+        }
+        localized(graft.ext.TxTable.read(s, viewDir)
+          .select("k", "n", "value_q", "min_q", "max_q").orderBy("k"))
       }
     },
 
@@ -909,6 +958,7 @@ object SnapshotOracles {
       |SELECT CAST(event_id % 8 AS BIGINT) AS k, count(*) AS n,
       |  CAST(sum(coalesce(CAST(floor(value * 1000000.0) AS BIGINT), 0))
       |    AS BIGINT) AS value_q,
+      |  CAST(min(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS min_q,
       |  CAST(max(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS max_q
       |FROM s3 GROUP BY 1 ORDER BY k""".stripMargin
 

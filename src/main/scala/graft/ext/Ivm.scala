@@ -34,8 +34,8 @@ object Ivm {
     * it in both engines; an all-NULL key surfaces a NULL max). */
   def qMax(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
 
-  /** The (k, n, value_q, max_q) rollup of `dir` at `version`, keyed by
-    * the table's partition column — the view's baseline. */
+  /** The (k, n, value_q, min_q, max_q) rollup of `dir` at `version`,
+    * keyed by the table's partition column — the view's baseline. */
   def baseline(
       spark: SparkSession, dir: String, version: Long,
       partitionCol: String, valueCol: String): DataFrame =
@@ -43,12 +43,13 @@ object Ivm {
       .groupBy(col(partitionCol).cast("long").as("k"))
       .agg(count(lit(1)).as("n"),
         sum(qSum(col(valueCol))).as("value_q"),
+        min(qMax(col(valueCol))).as("min_q"),
         max(qMax(col(valueCol))).as("max_q"))
 
   /** Bring `view` (the rollup of version v−1) to version `v`:
-    * count/sum by deltas only; max by affected-key recompute over the
-    * manifest-pruned partition slice. Returns the maintained rollup —
-    * output-sized (≤ #keys rows), never source-sized. */
+    * count/sum by deltas only; min/max by affected-key recompute over
+    * the manifest-pruned partition slice. Returns the maintained
+    * rollup — output-sized (≤ #keys rows), never source-sized. */
   def maintainStep(
       spark: SparkSession, dir: String, view: DataFrame, v: Long,
       keyCol: String, partitionCol: String, valueCol: String): DataFrame = {
@@ -66,16 +67,19 @@ object Ivm {
         .as("dq"))
     // the fallback: ONLY touched partitions are read, at the target
     // version, straight off the manifest — pruned before any footer
-    val recomputedMax = TxTable.readPruned(
+    val recomputed = TxTable.readPruned(
         spark, dir, touched.map(_.toString), versionAsOf = Some(v))
       .groupBy(col(partitionCol).cast("long").as("k"))
-      .agg(max(qMax(col(valueCol))).as("new_max"))
+      .agg(min(qMax(col(valueCol))).as("new_min"),
+        max(qMax(col(valueCol))).as("new_max"))
     view
       .join(deltas, Seq("k"), "full_outer")
-      .join(recomputedMax, Seq("k"), "full_outer")
+      .join(recomputed, Seq("k"), "full_outer")
       .select(col("k"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         (coalesce(col("value_q"), lit(0L)) + coalesce(col("dq"), lit(0L))).as("value_q"),
+        when(col("k").isInCollection(touched), col("new_min"))
+          .otherwise(col("min_q")).as("min_q"),
         when(col("k").isInCollection(touched), col("new_max"))
           .otherwise(col("max_q")).as("max_q"))
       .where(col("n") > 0)

@@ -8,10 +8,11 @@ class IvmSpec extends SparkSpec {
 
   private def inDir[T](f: String => T): T = graft.QueryUtil.inTempDir("graft_ivm")(f)
 
-  private def viewRows(df: DataFrame): Map[Long, (Long, Long, Option[Long])] =
+  private def viewRows(df: DataFrame): Map[Long, (Long, Long, Option[Long], Option[Long])] =
     df.collect().map { r =>
       r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
     }.toMap
 
   private def direct(dir: String, v: Long): DataFrame =
@@ -36,11 +37,13 @@ class IvmSpec extends SparkSpec {
       val v1View = Ivm.baseline(spark, dir, 1L, "pbucket", "value")
       val maintained = Ivm.maintainStep(
         spark, dir, v1View, 2L, "event_id", "pbucket", "value")
-      // maintained == direct recompute of v2, max included
+      // maintained == direct recompute of v2, min/max included
       assert(viewRows(maintained) === viewRows(direct(dir, 2L)))
       // and the max actually CHANGED to the second-highest
-      assert(viewRows(maintained)(1L)._3 === Some(20000000L))
-      assert(viewRows(v1View)(1L)._3 === Some(90000000L))
+      assert(viewRows(maintained)(1L)._4 === Some(20000000L))
+      assert(viewRows(v1View)(1L)._4 === Some(90000000L))
+      // the min is untouched by a max-delete (recompute agrees)
+      assert(viewRows(maintained)(1L)._3 === Some(10000000L))
       // untouched buckets carry their maintained values verbatim
       Seq(0L, 2L, 3L).foreach { k =>
         assert(viewRows(maintained)(k) === viewRows(v1View)(k))
@@ -76,7 +79,8 @@ class IvmSpec extends SparkSpec {
         view = Ivm.maintainStep(spark, dir, view, v, "event_id", "pbucket", "value")
       }
       assert(viewRows(view) === viewRows(direct(dir, 3L)))
-      assert(viewRows(view)(0L) === ((2L, 5000000L, Some(4000000L))))
+      // the downward update moved BOTH ends: min 4→1, max 8→4
+      assert(viewRows(view)(0L) === ((2L, 5000000L, Some(1000000L), Some(4000000L))))
       assert(!viewRows(view).contains(2L), "emptied bucket must leave the view")
     }
   }
