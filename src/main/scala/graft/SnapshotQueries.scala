@@ -659,6 +659,49 @@ object SnapshotQueries {
       }
     },
 
+    // RESTORE as a commit: after the q146 chain, the table rolls back
+    // to version 1 BY REFERENCE — one delta manifest re-listing v1's
+    // files, zero data copied (TxTableSpec asserts byte-for-byte
+    // untouched data dirs), and the rolled-back-over v3 still
+    // time-travels for the postmortem. The read at v4 must equal the
+    // base slice; the read at v3 the fully-merged chain.
+    Q("q171_tx_restore", SnapshotOracles.txRestore) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txre") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        val changesA = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesA, "event_id", "op", "pbucket")
+        val changesB = ev.where(col("event_id") % 5 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0 && col("event_id") % 3 =!= 0, "insert")
+              .when(col("event_id") % 20 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 900).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesB, "event_id", "op", "pbucket")
+        graft.ext.TxTable.restore(s, table, 1L)
+        val perVersion = Seq(3, 4).map { v =>
+          graft.ext.TxTable.read(s, table, versionAsOf = Some(v.toLong))
+            .groupBy((col("event_id") % 10).as("bucket"))
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+            .withColumn("version", lit(v))
+        }
+        localized(perVersion.reduce(_ unionByName _)
+          .select("version", "bucket", "n", "value_sum")
+          .orderBy("version", "bucket"))
+      }
+    },
+
     // Bloom-pruned point lookup on an UNCLUSTERED key: the table is
     // committed in a shuffled layout (every file's event_id min/max
     // spans the whole domain — range stats are useless here), with a
@@ -961,6 +1004,46 @@ object SnapshotOracles {
       |  CAST(min(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS min_q,
       |  CAST(max(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS max_q
       |FROM s3 GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** v3 is the fully-merged chain (s3), v4 the restore back to the
+    * base slice (s1) — content-identity under rollback-by-reference. */
+  val txRestore: String =
+    """WITH s1 AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |ca AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 THEN 'insert'
+      |      WHEN event_id % 12 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    value + 500 AS value
+      |  FROM events WHERE event_id % 3 = 0),
+      |s2 AS (
+      |  SELECT s1.event_id, s1.value FROM s1
+      |  LEFT JOIN ca ON s1.event_id = ca.event_id AND ca.op IN ('update', 'delete')
+      |  WHERE ca.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value FROM ca WHERE op IN ('insert', 'update')),
+      |cb AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 AND event_id % 3 <> 0 THEN 'insert'
+      |      WHEN event_id % 20 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    value + 900 AS value
+      |  FROM events WHERE event_id % 5 = 0),
+      |s3 AS (
+      |  SELECT s2.event_id, s2.value FROM s2
+      |  LEFT JOIN cb ON s2.event_id = cb.event_id AND cb.op IN ('update', 'delete')
+      |  WHERE cb.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value FROM cb WHERE op IN ('insert', 'update')),
+      |a3 AS (SELECT 3 AS version, CAST(event_id % 10 AS BIGINT) AS bucket,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  FROM s3 GROUP BY 2),
+      |a4 AS (SELECT 4 AS version, CAST(event_id % 10 AS BIGINT) AS bucket,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  FROM s1 GROUP BY 2)
+      |SELECT version, bucket, n, value_sum FROM (
+      |  SELECT * FROM a3 UNION ALL SELECT * FROM a4)
+      |ORDER BY version, bucket""".stripMargin
 
   /** Bloom pruning is a pure scan optimization — the oracle is the
     * plain IN filter over the raw columns. */

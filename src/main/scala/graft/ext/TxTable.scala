@@ -346,6 +346,9 @@ object TxTable {
       pm.adds.foreach(e => state.update(e.path, e))
       pm.schema.foreach(s => pm.adds.map(e => dirOf(e.path)).distinct
         .foreach(d => dirSchemas.update(d, s)))
+      // a multi-dir commit (RESTORE re-references old dirs) carries an
+      // explicit dir→schema map instead of the single-schema field
+      dirSchemas ++= pm.schemas
       if (wantSet.contains(v)) out += v -> snap(v)
       v += 1
     }
@@ -421,7 +424,8 @@ object TxTable {
   private def commit(
       store: LogStore, root: Path, baseManifest: Manifest,
       newFiles: Seq[FileEntry], newSchema: Option[String],
-      op: String, full: Boolean): Long = {
+      op: String, full: Boolean,
+      extraSchemas: Map[String, String] = Map.empty): Long = {
     val version = baseManifest.version + 1
     val baseFiles = if (full) Seq.empty else baseManifest.files
     val basePaths = baseFiles.map(_.path).toSet
@@ -430,9 +434,9 @@ object TxTable {
     val removes = baseFiles.collect { case f if !newPaths.contains(f.path) => f.path }
     val content =
       if (full) ManifestJson.render(version, baseManifest.version, op, "full",
-        newFiles, Seq.empty, schema = newSchema)
+        newFiles, Seq.empty, schema = newSchema, schemas = extraSchemas)
       else ManifestJson.render(version, baseManifest.version, op, "delta",
-        adds, removes, schema = newSchema)
+        adds, removes, schema = newSchema, schemas = extraSchemas)
     if (!store.writeIfAbsent(manifestPath(root, version), content))
       throw new CommitConflictException(
         s"version $version already published at ${manifestPath(root, version)} — " +
@@ -444,13 +448,31 @@ object TxTable {
       // and stats are deterministically ordered), and a missing
       // checkpoint only costs replay depth, never correctness
       val liveDirs = newFiles.map(f => dirOf(f.path)).toSet
-      val schemas = baseManifest.schemas.view.filterKeys(liveDirs).toMap ++
+      val schemas = (baseManifest.schemas ++ extraSchemas)
+        .view.filterKeys(liveDirs).toMap ++
         newSchema.flatMap(s => adds.headOption.map(a => dirOf(a.path) -> s))
       store.writeIfAbsent(checkpointPath(root, version),
         ManifestJson.render(version, version, "checkpoint", "checkpoint",
           newFiles, Seq.empty, schemas = schemas))
     }
     version
+  }
+
+  /** RESTORE: publish a new version CONTENT-IDENTICAL to an earlier
+    * one by carrying that version's file list BY REFERENCE — zero data
+    * copied or moved, one delta manifest (the bad-deploy rollback that
+    * keeps the bad versions time-travelable for the postmortem until
+    * [[vacuum]] retires them). The restored entries keep their stats,
+    * blooms, sizes and dir schemas; conflict detection applies as to
+    * any commit. Restoring to the current version is a no-op. */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val (store, root) = storeOf(spark, dir)
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"restore needs an initialized table at $dir"))
+    if (toVersion == base) return base
+    val ms = readManifests(spark, dir, Seq(toVersion, base))
+    commit(store, root, ms(base), ms(toVersion).files, newSchema = None,
+      op = "restore", full = false, extraSchemas = ms(toVersion).schemas)
   }
 
   /** List the parquet files a commit's write produced, as entries

@@ -607,6 +607,38 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("restore rolls back by reference: zero data copied, bad versions still travel") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      TxTable.mergeChangeSet(spark, dir, changes(), "event_id", "op", "pbucket")
+      val merged = rows(TxTable.read(spark, dir))
+      val bytesBefore = dataBytes(dir)
+      val v3 = TxTable.restore(spark, dir, 1L)
+      assert(v3 === 3L)
+      // NOT ONE data file was written or touched — pure re-reference
+      assert(dataBytes(dir) === bytesBefore)
+      assert(rows(TxTable.read(spark, dir)) === rows(snap(12)))
+      // the rolled-back-over version stays travelable for the postmortem
+      assert(rows(TxTable.read(spark, dir, versionAsOf = Some(2L))) === merged)
+      val h = TxTable.history(spark, dir).orderBy("version").collect()
+      assert(h(2).getString(1) === "restore")
+      // restore-to-current is a no-op at the same version
+      assert(TxTable.restore(spark, dir, 3L) === 3L)
+      // restore ACROSS a full reset: the replace wipes replay state,
+      // so the restored dirs' schemas must ride the restore manifest's
+      // own dir→schema map
+      import spark.implicits._
+      val other = Seq((900L, 9.0, 0L)).toDF("event_id", "value", "pbucket")
+      TxTable.commitReplace(spark, dir, other, Some("pbucket")) // v4, full
+      val v5 = TxTable.restore(spark, dir, 2L)
+      assert(v5 === 5L)
+      assert(rows(TxTable.read(spark, dir)) === merged)
+      // vacuum reclaims nothing that any retained version references
+      TxTable.vacuum(spark, dir, retentionMs = 0L)
+      assert(rows(TxTable.read(spark, dir)) === merged)
+    }
+  }
+
   test("churn: racing retry-writers + reader + vacuum stay consistent under checkpoint cadence") {
     inDir { dir =>
       val prevInterval = TxTable.checkpointInterval
