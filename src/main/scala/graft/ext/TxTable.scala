@@ -471,8 +471,12 @@ object TxTable {
       sys.error(s"restore needs an initialized table at $dir"))
     if (toVersion == base) return base
     val ms = readManifests(spark, dir, Seq(toVersion, base))
+    // carry only the dirs the restored version actually references —
+    // the replay-accumulated map may hold since-retired dirs
+    val liveDirs = ms(toVersion).files.map(f => dirOf(f.path)).toSet
     commit(store, root, ms(base), ms(toVersion).files, newSchema = None,
-      op = "restore", full = false, extraSchemas = ms(toVersion).schemas)
+      op = "restore", full = false,
+      extraSchemas = ms(toVersion).schemas.view.filterKeys(liveDirs).toMap)
   }
 
   /** List the parquet files a commit's write produced, as entries
@@ -665,12 +669,22 @@ object TxTable {
       sys.error(s"no committed version at $dir"))
     val m = readManifest(spark, dir, v)
     val probes = values.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+    // the skipping families COMPOSE: a file is read only if the bloom
+    // AND the range stats (when the probes parse as longs) both admit
+    // at least one probed value
+    val longProbes = values.flatMap(v0 => scala.util.Try(v0.toLong).toOption)
+    val allLong = longProbes.size == values.size
     val hit = m.files.filter { f =>
-      f.bloom match {
+      val bloomAdmits = f.bloom match {
         case Some(bl) if bl.col == pointCol =>
           probes.exists(p => Bloom.mightContain(p, bl.bits, bl.k))
         case _ => true // no bloom for this column -> must read
       }
+      val statsAdmit = f.stats.get(pointCol) match {
+        case Some((lo, hi)) if allLong => longProbes.exists(p => p >= lo && p <= hi)
+        case _ => true
+      }
+      bloomAdmits && statsAdmit
     }
     val base =
       if (hit.nonEmpty) readFiles(spark, root, hit, m.schemas)

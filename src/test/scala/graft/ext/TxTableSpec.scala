@@ -520,6 +520,33 @@ class TxTableSpec extends SparkSpec {
     assert(parsed.removes === Seq("""old "quoted" path.parquet"""))
   }
 
+  test("manifest codec round-trips 200 randomized entries (fixed seed)") {
+    val rnd = new scala.util.Random(20260814L)
+    val chars = "ab c\"d\\e/f=g.h-{}[]:,\n\tø€"
+    def str(n: Int): String =
+      Seq.fill(1 + rnd.nextInt(n))(chars(rnd.nextInt(chars.length))).mkString
+    val entries = Seq.fill(200) {
+      TxTable.FileEntry(
+        path = s"data/v${rnd.nextInt(99)}-x/${str(24)}.parquet",
+        bucket = if (rnd.nextBoolean()) Some(str(8)) else None,
+        stats = Seq.fill(rnd.nextInt(3))(
+          str(6) -> (rnd.nextLong(), rnd.nextLong())).toMap,
+        bloom = if (rnd.nextBoolean()) Some(TxTable.FileBloom(str(6), 4,
+          java.util.Base64.getEncoder.encodeToString(
+            Array.fill(16)(rnd.nextInt().toByte)))) else None,
+        bytes = 1L + (rnd.nextLong() >>> 1))
+    }
+    val removes = Seq.fill(50)(str(30))
+    val schemas = Seq.fill(5)(s"data/v${rnd.nextInt(99)}-x" -> str(60)).toMap
+    val text = TxTable.ManifestJson.render(
+      7L, 6L, str(5), "delta", entries, removes, Some(str(40)), schemas)
+    val parsed = TxTable.ManifestJson.parse(text, "fuzz")
+    assert(parsed.version === 7L && parsed.base === 6L && parsed.kind === "delta")
+    assert(parsed.adds === entries)
+    assert(parsed.removes === removes)
+    assert(parsed.schemas === schemas)
+  }
+
   test("multi-column stats: a 2-D box prunes on BOTH dimensions via the manifest") {
     inDir { dir =>
       import spark.implicits._
