@@ -108,9 +108,18 @@ object TxTable {
     * footer round-trip per live commit dir per query, and locally it
     * was the single largest cost of every TxTable operation). A dir
     * absent from the map falls back to inference. */
+  /** `txns` maps a writer application id to the highest transaction
+    * version it has committed (accumulated along the log; checkpoints
+    * carry the full map) — the idempotent-writer ledger: an
+    * at-least-once producer (foreachBatch replays its last micro-batch
+    * after a crash between table commit and stream checkpoint) tags
+    * each commit with (appId, batchId), and a re-application of an
+    * already-recorded version is SKIPPED instead of double-applying
+    * the changeset. */
   final case class Manifest(
       version: Long, files: Seq[FileEntry],
-      schemas: Map[String, String] = Map.empty)
+      schemas: Map[String, String] = Map.empty,
+      txns: Map[String, Long] = Map.empty)
 
   final class CommitConflictException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
@@ -184,7 +193,9 @@ object TxTable {
       version: Long, base: Long, op: String, kind: String,
       adds: Seq[FileEntry], removes: Seq[String],
       schema: Option[String] = None,
-      schemas: Map[String, String] = Map.empty)
+      schemas: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None,
+      txns: Map[String, Long] = Map.empty)
 
   /** Manifest/checkpoint (de)serialization — Jackson on both sides
     * (one shared writer/parser pair, WITH string escaping: a path or
@@ -221,7 +232,9 @@ object TxTable {
         version: Long, base: Long, op: String, kind: String,
         adds: Seq[FileEntry], removes: Seq[String],
         schema: Option[String] = None,
-        schemas: Map[String, String] = Map.empty): String = {
+        schemas: Map[String, String] = Map.empty,
+        txn: Option[(String, Long)] = None,
+        txns: Map[String, Long] = Map.empty): String = {
       val sb = new StringBuilder
       val h = mapper.createObjectNode()
       h.put("version", version); h.put("base", base)
@@ -231,6 +244,13 @@ object TxTable {
       if (schemas.nonEmpty) {
         val sn = h.putObject("schemas")
         schemas.toSeq.sortBy(_._1).foreach { case (d, s) => sn.put(d, s) }
+      }
+      txn.foreach { case (app, ver) =>
+        val tn = h.putObject("txn"); tn.put("app", app); tn.put("ver", ver)
+      }
+      if (txns.nonEmpty) {
+        val tn = h.putObject("txns")
+        txns.toSeq.sortBy(_._1).foreach { case (a, v) => tn.put(a, v) }
       }
       sb.append(mapper.writeValueAsString(h)).append('\n')
       removes.foreach { p =>
@@ -285,11 +305,21 @@ object TxTable {
           while (it.hasNext) { val d = it.next(); b += d -> sn.get(d).asText() }
           b.result()
         }
+      val txns =
+        if (!h.has("txns")) Map.empty[String, Long]
+        else {
+          val tn = h.get("txns"); val it = tn.fieldNames()
+          val b = Map.newBuilder[String, Long]
+          while (it.hasNext) { val a = it.next(); b += a -> tn.get(a).asLong() }
+          b.result()
+        }
       ParsedLog(h.get("version").asLong(),
         Option(h.get("base")).map(_.asLong()).getOrElse(h.get("version").asLong() - 1),
         Option(h.get("op")).map(_.asText()).getOrElse("unknown"),
         h.get("kind").asText(), adds.result(), removes.result(),
-        Option(h.get("schema")).map(_.asText()), schemas)
+        Option(h.get("schema")).map(_.asText()), schemas,
+        Option(h.get("txn")).map(t => (t.get("app").asText(), t.get("ver").asLong())),
+        txns)
     }
   }
 
@@ -327,12 +357,14 @@ object TxTable {
     val base = ckptVs.filter(_ <= want.head).lastOption
     val state = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     val dirSchemas = scala.collection.mutable.HashMap.empty[String, String]
+    val txns = scala.collection.mutable.HashMap.empty[String, Long]
     base.foreach { b =>
       val ck = ManifestJson.parse(store.read(checkpointPath(root, b)), s"ckpt $b")
       ck.adds.foreach(e => state.update(e.path, e))
       dirSchemas ++= ck.schemas
+      txns ++= ck.txns
     }
-    def snap(v: Long) = Manifest(v, state.values.toSeq, dirSchemas.toMap)
+    def snap(v: Long) = Manifest(v, state.values.toSeq, dirSchemas.toMap, txns.toMap)
     val out = Map.newBuilder[Long, Manifest]
     if (base.contains(want.head)) out += want.head -> snap(want.head)
     var v = base.getOrElse(0L) + 1
@@ -341,6 +373,8 @@ object TxTable {
         s"manifest for version $v is missing under ${logDir(root)} " +
           "(vacuumed past its retention horizon, or never published)")
       val pm = ManifestJson.parse(store.read(manifestPath(root, v)), s"manifest $v")
+      // txn ledger SURVIVES full commits: a replace/compact around a
+      // streaming writer must not make its replayed batch re-apply
       if (pm.kind == "full") { state.clear(); dirSchemas.clear() }
       pm.removes.foreach(state.remove)
       pm.adds.foreach(e => state.update(e.path, e))
@@ -349,6 +383,9 @@ object TxTable {
       // a multi-dir commit (RESTORE re-references old dirs) carries an
       // explicit dir→schema map instead of the single-schema field
       dirSchemas ++= pm.schemas
+      pm.txn.foreach { case (app, ver) =>
+        txns.update(app, math.max(ver, txns.getOrElse(app, Long.MinValue)))
+      }
       if (wantSet.contains(v)) out += v -> snap(v)
       v += 1
     }
@@ -425,7 +462,8 @@ object TxTable {
       store: LogStore, root: Path, baseManifest: Manifest,
       newFiles: Seq[FileEntry], newSchema: Option[String],
       op: String, full: Boolean,
-      extraSchemas: Map[String, String] = Map.empty): Long = {
+      extraSchemas: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Long = {
     val version = baseManifest.version + 1
     val baseFiles = if (full) Seq.empty else baseManifest.files
     val basePaths = baseFiles.map(_.path).toSet
@@ -434,9 +472,9 @@ object TxTable {
     val removes = baseFiles.collect { case f if !newPaths.contains(f.path) => f.path }
     val content =
       if (full) ManifestJson.render(version, baseManifest.version, op, "full",
-        newFiles, Seq.empty, schema = newSchema, schemas = extraSchemas)
+        newFiles, Seq.empty, schema = newSchema, schemas = extraSchemas, txn = txn)
       else ManifestJson.render(version, baseManifest.version, op, "delta",
-        adds, removes, schema = newSchema, schemas = extraSchemas)
+        adds, removes, schema = newSchema, schemas = extraSchemas, txn = txn)
     if (!store.writeIfAbsent(manifestPath(root, version), content))
       throw new CommitConflictException(
         s"version $version already published at ${manifestPath(root, version)} — " +
@@ -451,9 +489,13 @@ object TxTable {
       val schemas = (baseManifest.schemas ++ extraSchemas)
         .view.filterKeys(liveDirs).toMap ++
         newSchema.flatMap(s => adds.headOption.map(a => dirOf(a.path) -> s))
+      val ledger = txn.fold(baseManifest.txns) { case (app, ver) =>
+        baseManifest.txns + (app ->
+          math.max(ver, baseManifest.txns.getOrElse(app, Long.MinValue)))
+      }
       store.writeIfAbsent(checkpointPath(root, version),
         ManifestJson.render(version, version, "checkpoint", "checkpoint",
-          newFiles, Seq.empty, schemas = schemas))
+          newFiles, Seq.empty, schemas = schemas, txns = ledger))
     }
     version
   }
@@ -648,7 +690,12 @@ object TxTable {
       if (statsCols.isEmpty) listed else gatherStats(spark, root, listed, statsCols)
     val entries = bloomCol.fold(withStats)(c =>
       gatherBlooms(spark, root, withStats, c, bloomBits, numHashes = 4))
-    commit(store, root, Manifest(base, Seq.empty), entries,
+    // the REAL base manifest (when one exists), not an empty stand-in:
+    // a full commit wipes the file state but the idempotent-writer txn
+    // ledger must ride through into this commit's checkpoint
+    val baseManifest =
+      if (base == 0L) Manifest(0L, Seq.empty) else readManifest(spark, dir, base)
+    commit(store, root, baseManifest, entries,
       Some(df.schema.json), "replace", full = true)
   }
 
@@ -815,7 +862,8 @@ object TxTable {
       spark: SparkSession, dir: String, changes: DataFrame,
       keyCol: String, opCol: String, partitionCol: String,
       expectedBase: Option[Long] = None,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     val (fs, root) = fsOf(spark, dir)
     val store = logStoreFactory(fs)
     // expectedBase = optimistic concurrency from a version the caller
@@ -825,6 +873,14 @@ object TxTable {
     val base = expectedBase.orElse(latestVersion(spark, dir)).getOrElse(
       sys.error(s"mergeChangeSet needs an initialized table at $dir"))
     val m = readManifest(spark, dir, base)
+    // idempotent-writer gate: an at-least-once producer (foreachBatch
+    // replaying its last batch after a crash between table commit and
+    // stream checkpoint) tags commits with a monotone (appId, version);
+    // a changeset whose version the ledger already records is a no-op
+    // at the current version instead of a DOUBLE APPLICATION (inserts
+    // would duplicate — applyChangeSet treats them as new keys)
+    if (txn.exists { case (app, ver) => m.txns.get(app).exists(_ >= ver) })
+      return base
     // bounded driver collect: ≤ #partition values by definition
     val touched = changes.select(col(partitionCol)).distinct()
       .collect().map(r => String.valueOf(r.get(0))).toSet
@@ -847,7 +903,7 @@ object TxTable {
       listCommitFiles(fs, root, commitDir, Some(partitionCol)),
       merged.columns.toSeq)
     commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
-      "merge", full = false)
+      "merge", full = false, txn = txn)
   }
 
   /** [[mergeChangeSet]] under optimistic-concurrency RETRY: on a

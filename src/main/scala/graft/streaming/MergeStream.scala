@@ -142,12 +142,24 @@ object MergeStream {
       checkpoint: String,
       keyCol: String = "event_id",
       opCol: String = "op",
-      partitionCol: String = "pbucket"): Long = {
+      partitionCol: String = "pbucket",
+      txnAppId: String = null): Long = {
     Seq(keyCol, opCol, partitionCol).foreach { c =>
       require(changesSchema.fieldNames.contains(c),
         s"changesSchema must carry '$c': ${changesSchema.fieldNames.mkString(", ")}")
     }
-    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    // foreachBatch is AT-LEAST-ONCE: a crash between the table commit
+    // and the stream's checkpoint commit replays the batch on restart
+    // (and a deleted/fresh checkpoint replays ALL batches). Each merge
+    // therefore carries a (txnAppId, batchId) tag — TxTable's
+    // idempotent-writer ledger turns any re-application into a no-op
+    // instead of a double apply (inserts would duplicate). The app id
+    // must be stable across restarts of the SAME logical pipeline:
+    // default is the source directory (one feed = one producer), which
+    // also survives a rebuilt checkpoint re-numbering its batches over
+    // the same deterministic file order.
+    val appId = Option(txnAppId).getOrElse(s"merge-stream:$changesDir")
+    val committed = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = spark.readStream
       .schema(changesSchema)
       .option("maxFilesPerTrigger", "1")
@@ -156,16 +168,18 @@ object MergeStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (changes: DataFrame, _: Long) =>
+      .foreachBatch { (changes: DataFrame, batchId: Long) =>
         if (!changes.isEmpty) {
-          graft.ext.TxTable.mergeChangeSet(
-            spark, tableDir, changes, keyCol, opCol, partitionCol)
-          batches.incrementAndGet()
+          val before = graft.ext.TxTable.latestVersion(spark, tableDir)
+          val after = graft.ext.TxTable.mergeChangeSet(
+            spark, tableDir, changes, keyCol, opCol, partitionCol,
+            txn = Some((appId, batchId)))
+          if (!before.contains(after)) committed.incrementAndGet()
         }
         ()
       }
       .start()
     q.awaitTermination()
-    batches.get()
+    committed.get()
   }
 }

@@ -634,6 +634,41 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("idempotent-writer ledger: a replayed txn is a no-op; ledger survives a full replace") {
+    inDir { dir =>
+      import spark.implicits._
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      val app = "writer-a"
+      val v2 = TxTable.mergeChangeSet(spark, dir, changes(), "event_id", "op",
+        "pbucket", txn = Some((app, 1L)))
+      assert(v2 === 2L)
+      val afterOnce = rows(TxTable.read(spark, dir))
+      // the exact double-apply hazard: replaying txn 1 must NOT insert
+      // key 100 a second time
+      val replay = TxTable.mergeChangeSet(spark, dir, changes(), "event_id", "op",
+        "pbucket", txn = Some((app, 1L)))
+      assert(replay === 2L, "replayed txn must be a no-op at the current version")
+      assert(rows(TxTable.read(spark, dir)) === afterOnce)
+      // a HIGHER txn version applies normally
+      val next = Seq((200L, "insert", 7.0, 0L)).toDF("event_id", "op", "value", "pbucket")
+      assert(TxTable.mergeChangeSet(spark, dir, next, "event_id", "op",
+        "pbucket", txn = Some((app, 2L))) === 3L)
+      // an UNRELATED writer is not gated by this app's ledger
+      val other = Seq((300L, "insert", 3.0, 1L)).toDF("event_id", "op", "value", "pbucket")
+      assert(TxTable.mergeChangeSet(spark, dir, other, "event_id", "op",
+        "pbucket", txn = Some(("writer-b", 1L))) === 4L)
+      // the ledger SURVIVES a full replace (a compaction/replace around
+      // a streaming writer must not make its replayed batch re-apply)
+      TxTable.commitReplace(spark, dir, snap(6), Some("pbucket")) // v5, full
+      val afterReplace = rows(TxTable.read(spark, dir))
+      assert(TxTable.mergeChangeSet(spark, dir, changes(), "event_id", "op",
+        "pbucket", txn = Some((app, 2L))) === 5L, "txn 2 is already recorded")
+      assert(rows(TxTable.read(spark, dir)) === afterReplace)
+      assert(TxTable.readManifest(spark, dir, 5L).txns ===
+        Map(app -> 2L, "writer-b" -> 1L))
+    }
+  }
+
   test("restore rolls back by reference: zero data copied, bad versions still travel") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))

@@ -117,6 +117,18 @@ class MergeStreamSpec extends SparkSpec {
         .orderBy("event_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(v1 == snapshot.orderBy("event_id").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      // CRASH REPLAY: a lost/rebuilt stream checkpoint re-delivers every
+      // batch (foreachBatch is at-least-once) — the (appId, batchId)
+      // ledger must turn each re-application into a no-op, or the
+      // inserts would double
+      val replayed = MergeStream.mergeAvailableVersioned(
+        spark, table, s"$tmp/changes", changesSchema, s"$tmp/ckpt_rebuilt")
+      assert(replayed === 0L, s"replayed batches must not re-apply: $replayed")
+      assert(graft.ext.TxTable.latestVersion(spark, table) === Some(3L))
+      val afterReplay = graft.ext.TxTable.read(spark, table)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(afterReplay == expected, "state must be unchanged by the replay")
     }
   }
 
