@@ -428,7 +428,11 @@ object SnapshotQueries {
             .groupBy("k")
             .agg(sum(col("n")).as("n"), sum(col("value_q")).as("value_q"))
             .where(col("n") > 0)
-          graft.ext.TxTable.commitReplace(s, viewDir, refreshed)
+          // the view refresh is txn-gated on the SOURCE version: a
+          // replayed delivery (foreachBatch is at-least-once) must not
+          // stack the deltas a second time
+          graft.ext.TxTable.commitReplace(s, viewDir, refreshed,
+            txn = Some(("view-refresh", v)))
         }
         localized(graft.ext.TxTable.read(s, viewDir)
           .select("k", "n", "value_q").orderBy("k"))
@@ -648,10 +652,13 @@ object SnapshotQueries {
           val vs = frame.select(col("_commit_version")).distinct()
             .collect().map(_.getLong(0)).sorted
           vs.foreach { v =>
+            // txn-gated on the source version: a replayed delivery
+            // must not re-maintain (count/sum deltas would stack)
             graft.ext.TxTable.commitReplace(s, viewDir,
               graft.ext.Ivm.maintainStep(s, table,
                 graft.ext.TxTable.read(s, viewDir), v,
-                "event_id", "pbucket", "value"))
+                "event_id", "pbucket", "value"),
+              txn = Some(("view-refresh", v)))
           }
         }
         localized(graft.ext.TxTable.read(s, viewDir)

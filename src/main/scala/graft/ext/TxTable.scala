@@ -677,10 +677,20 @@ object TxTable {
       partitionCol: Option[String] = None,
       statsCols: Seq[String] = Seq.empty,
       bloomCol: Option[String] = None,
-      bloomBits: Int = 1 << 16): Long = {
+      bloomBits: Int = 1 << 16,
+      txn: Option[(String, Long)] = None): Long = {
     val (fs, root) = fsOf(spark, dir)
     val store = logStoreFactory(fs)
     val base = latestVersion(spark, dir).getOrElse(0L)
+    // idempotent-writer gate (see mergeChangeSet): a replayed refresh
+    // of a materialized view must not stack a second application —
+    // checked BEFORE any data is written, so the replay costs one log
+    // replay, not a wasted commit dir
+    if (base > 0L && txn.nonEmpty) {
+      val ledger = readManifest(spark, dir, base).txns
+      if (txn.exists { case (app, ver) => ledger.get(app).exists(_ >= ver) })
+        return base
+    }
     val commitDir = newCommitDir(root, base + 1)
     val writer = df.write.mode("errorifexists")
     partitionCol.fold(writer)(c => writer.partitionBy(c))
@@ -696,7 +706,7 @@ object TxTable {
     val baseManifest =
       if (base == 0L) Manifest(0L, Seq.empty) else readManifest(spark, dir, base)
     commit(store, root, baseManifest, entries,
-      Some(df.schema.json), "replace", full = true)
+      Some(df.schema.json), "replace", full = true, txn = txn)
   }
 
   /** Bloom-pruned POINT lookup: read only files whose Bloom filter

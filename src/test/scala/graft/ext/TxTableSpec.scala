@@ -666,6 +666,15 @@ class TxTableSpec extends SparkSpec {
       assert(rows(TxTable.read(spark, dir)) === afterReplace)
       assert(TxTable.readManifest(spark, dir, 5L).txns ===
         Map(app -> 2L, "writer-b" -> 1L))
+      // commitReplace is gated too — the materialized-view refresh
+      // recipe replays through here
+      val v6 = TxTable.commitReplace(spark, dir, snap(4), Some("pbucket"),
+        txn = Some(("view-refresh", 9L)))
+      assert(v6 === 6L)
+      val afterRefresh = rows(TxTable.read(spark, dir))
+      assert(TxTable.commitReplace(spark, dir, snap(24), Some("pbucket"),
+        txn = Some(("view-refresh", 9L))) === 6L, "replayed refresh must be a no-op")
+      assert(rows(TxTable.read(spark, dir)) === afterRefresh)
     }
   }
 
