@@ -586,27 +586,31 @@ object TxTable {
   /** Per-file Bloom filters for the files just written: ONE pass
     * (column-pruned to `bloomCol`, cast to its canonical string
     * rendering) computes each row's bit positions; only DISTINCT
-    * (file, position) pairs survive the map-side combine, so the
-    * driver collect is bounded by #files · mBits positions — never
+    * (file, position) pairs survive the map-side combine, and the
+    * bits are PACKED to base64 on the executors (a one-row-per-file
+    * UDF — off the hot path by construction), so the driver receives
+    * #files × (mBits/8 base64 bytes), the same order as the manifest
+    * entry it is about to write — never raw position lists and never
     * row count. */
   private def gatherBlooms(
       spark: SparkSession, root: Path, entries: Seq[FileEntry],
       bloomCol: String, mBits: Int, numHashes: Int): Seq[FileEntry] = {
     val posCol = BloomPositions(col(bloomCol).cast("string"), mBits, numHashes)
+    val pack = udf { ps: Seq[Long] =>
+      val bits = new Array[Long](mBits / 64)
+      ps.foreach(p => bits((p >>> 6).toInt) |= (1L << (p & 63L)))
+      val buf = java.nio.ByteBuffer.allocate(bits.length * 8)
+      bits.foreach(buf.putLong)
+      java.util.Base64.getEncoder.encodeToString(buf.array())
+    }
     val byFile = spark.read.parquet(
         entries.map(f => new Path(root, f.path).toString): _*)
       .where(col(bloomCol).isNotNull)
       .select(input_file_name().as("_f"), explode(posCol).as("_p"))
       .distinct()
-      .groupBy("_f").agg(collect_list(col("_p")).as("_ps"))
+      .groupBy("_f").agg(pack(collect_list(col("_p"))).as("_b64"))
       .collect()
-      .map { r =>
-        val bits = new Array[Long](mBits / 64)
-        r.getSeq[Long](1).foreach(p => bits((p >>> 6).toInt) |= (1L << (p & 63L)))
-        val buf = java.nio.ByteBuffer.allocate(bits.length * 8)
-        bits.foreach(buf.putLong)
-        r.getString(0) -> java.util.Base64.getEncoder.encodeToString(buf.array())
-      }.toMap
+      .map(r => r.getString(0) -> r.getString(1)).toMap
     entries.map { f =>
       val abs = new Path(root, f.path).toString
       byFile.collectFirst { case (k, v) if k.endsWith(f.path) || k == abs => v }

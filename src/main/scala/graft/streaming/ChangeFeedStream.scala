@@ -34,7 +34,19 @@ import org.apache.spark.sql.streaming.Trigger
   * Retention interplay: resolving version v needs the log back to the
   * nearest checkpoint at or below v−1 — consumers must run ahead of
   * [[graft.ext.TxTable.vacuum]]'s `keepVersions` horizon (same
-  * contract as any CDC reader on any log-structured table).
+  * contract as any CDC reader on any log-structured table); a
+  * consumer behind the horizon fails LOUD (missing-manifest error),
+  * never silently wrong.
+  *
+  * Consumer idempotence: exactly-once here means exactly-once VERSION
+  * DELIVERY — the callback itself runs under foreachBatch's
+  * at-least-once contract, so consumer SIDE-EFFECTS must be
+  * replay-safe. Sinks that are TxTables get this from the
+  * idempotent-writer ledger (tag the write with the delivered version,
+  * as the q164/q170 view refreshes do via
+  * `commitReplace(txn = Some((app, v)))`); append-only sinks need
+  * their own dedup key (`_commit_version` is in the frame for exactly
+  * that).
   */
 object ChangeFeedStream {
 
