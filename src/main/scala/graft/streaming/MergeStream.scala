@@ -24,6 +24,17 @@ import org.apache.spark.sql.streaming.Trigger
   * cannot change the final state; the result equals the one-shot
   * batch [[graft.ext.Cdc.applyChangeSet]] — which is exactly what the
   * q138 oracle replays relationally.
+  *
+  * Crash-replay caveat ([[mergeAvailable]] only): foreachBatch is
+  * at-least-once, and this legacy dynamic-overwrite variant has no
+  * transaction ledger — a crash between a batch's directory rewrite
+  * and the stream checkpoint commit re-applies that batch on restart
+  * (duplicating its inserts). [[mergeAvailableVersioned]] is the
+  * crash-safe sibling: every batch is one TxTable commit tagged with
+  * (appId, batchId) in the idempotent-writer ledger, so ANY replay —
+  * including a fully rebuilt stream checkpoint — is a no-op. New
+  * pipelines should use the versioned variant; this one remains as
+  * the plain-directory recipe for sinks that cannot carry a log.
   */
 object MergeStream {
 
