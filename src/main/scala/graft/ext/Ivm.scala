@@ -56,9 +56,18 @@ object Ivm {
     val feed = TxTable.changesBetweenImages(spark, dir, v - 1, v, keyCol)
     val kOf = coalesce(col(s"after.$partitionCol"), col(s"before.$partitionCol"))
       .cast("long")
-    // bounded driver collect: ≤ #partition values by definition
+    // bounded driver collect: ≤ #partition values by definition. A
+    // NULL partition value would silently read back as 0 through the
+    // primitive accessor (conflating it with bucket 0) — partition
+    // keys are non-null by TxTable's path-literal contract, so fail
+    // loud if one slips through
     val touched = feed.select(kOf.as("k")).distinct()
-      .collect().map(_.getLong(0)).toSet
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"NULL $partitionCol in the change feed — partition keys must " +
+            "be non-null (TxTable path-literal contract)")
+        r.getLong(0)
+      }.toSet
     val deltas = feed.groupBy(kOf.as("k")).agg(
       sum(when(col("after").isNotNull, 1L).otherwise(0L) -
         when(col("before").isNotNull, 1L).otherwise(0L)).as("dn"),

@@ -932,11 +932,15 @@ object TxTable {
   def mergeChangeSetWithRetry(
       spark: SparkSession, dir: String, changes: DataFrame,
       keyCol: String, opCol: String, partitionCol: String,
-      maxRetries: Int = 5, evolveSchema: Boolean = false): Long = {
+      maxRetries: Int = 5, evolveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     var attempt = 0
     while (true) {
+      // txn rides every attempt: if a PRIOR attempt's publish actually
+      // landed (success response lost), the retry re-reads the ledger
+      // and no-ops instead of double-applying
       try return mergeChangeSet(spark, dir, changes, keyCol, opCol,
-        partitionCol, evolveSchema = evolveSchema)
+        partitionCol, evolveSchema = evolveSchema, txn = txn)
       catch {
         case e: CommitConflictException =>
           attempt += 1
