@@ -195,7 +195,8 @@ object TxTable {
       schema: Option[String] = None,
       schemas: Map[String, String] = Map.empty,
       txn: Option[(String, Long)] = None,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      ts: Long = 0L)
 
   /** Manifest/checkpoint (de)serialization — Jackson on both sides
     * (one shared writer/parser pair, WITH string escaping: a path or
@@ -239,6 +240,7 @@ object TxTable {
       val h = mapper.createObjectNode()
       h.put("version", version); h.put("base", base)
       h.put("op", op); h.put("kind", kind)
+      h.put("ts", System.currentTimeMillis())
       h.put("n_add", adds.size); h.put("n_remove", removes.size)
       schema.foreach(s => h.put("schema", s))
       if (schemas.nonEmpty) {
@@ -319,7 +321,8 @@ object TxTable {
         h.get("kind").asText(), adds.result(), removes.result(),
         Option(h.get("schema")).map(_.asText()), schemas,
         Option(h.get("txn")).map(t => (t.get("app").asText(), t.get("ver").asLong())),
-        txns)
+        txns,
+        Option(h.get("ts")).map(_.asLong()).getOrElse(0L))
     }
   }
 
@@ -482,9 +485,10 @@ object TxTable {
           "against the new base")
     if (full || version % checkpointInterval == 0) {
       // derivable artifact: put-if-absent and IGNORE a loss — racing
-      // writers of the same checkpoint render identical bytes (entries
-      // and stats are deterministically ordered), and a missing
-      // checkpoint only costs replay depth, never correctness
+      // writers of the same checkpoint render equivalent content
+      // (entries/stats/ledger deterministically ordered; only the
+      // unused header ts can differ), and a missing checkpoint only
+      // costs replay depth, never correctness
       val liveDirs = newFiles.map(f => dirOf(f.path)).toSet
       val schemas = (baseManifest.schemas ++ extraSchemas)
         .view.filterKeys(liveDirs).toMap ++
@@ -832,6 +836,39 @@ object TxTable {
       sys.error(s"no committed version at $dir"))
     val m = readManifest(spark, dir, v)
     readFiles(spark, root, m.files, m.schemas)
+  }
+
+  /** TIMESTAMP time travel: the latest version whose commit timestamp
+    * is ≤ `tsMillis` (None if the table did not exist yet). Commit
+    * timestamps are the WRITER's clock at manifest render; publishes
+    * serialize (version N+1 strictly follows N), so they are monotone
+    * under one clock and monotone-up-to-skew across writers — the
+    * same exposure Delta's timestampAsOf documents. Binary search over
+    * the manifest headers: O(log V) header reads, no replay. */
+  def versionAtTimestamp(
+      spark: SparkSession, dir: String, tsMillis: Long): Option[Long] = {
+    val (store, root) = storeOf(spark, dir)
+    val (manifestVs, _) = listLog(store, root)
+    if (manifestVs.isEmpty) return None
+    def tsOf(v: Long): Long =
+      ManifestJson.parse(store.read(manifestPath(root, v)), s"manifest $v").ts
+    var lo = 0
+    var hi = manifestVs.size - 1
+    if (tsOf(manifestVs(lo)) > tsMillis) return None
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (tsOf(manifestVs(mid)) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    Some(manifestVs(lo))
+  }
+
+  /** [[read]] at the state as of a wall-clock instant — see
+    * [[versionAtTimestamp]] for the clock contract. */
+  def readAsOfTimestamp(
+      spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+    val v = versionAtTimestamp(spark, dir, tsMillis).getOrElse(
+      sys.error(s"no version at or before $tsMillis at $dir"))
+    read(spark, dir, versionAsOf = Some(v))
   }
 
   /** Manifest-level partition pruning: read only the files whose

@@ -678,6 +678,30 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("timestamp time travel: versionAtTimestamp brackets commits; before-table is None") {
+    inDir { dir =>
+      val t0 = System.currentTimeMillis() - 1
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      Thread.sleep(15) // commit timestamps are millisecond-grained
+      val t1 = System.currentTimeMillis()
+      Thread.sleep(15)
+      TxTable.mergeChangeSet(spark, dir, changes(), "event_id", "op", "pbucket")
+      Thread.sleep(15)
+      val t2 = System.currentTimeMillis()
+      Thread.sleep(15)
+      TxTable.deleteWhere(spark, dir, col("event_id") === 4L, Some("pbucket"))
+      assert(TxTable.versionAtTimestamp(spark, dir, t0) === None)
+      assert(TxTable.versionAtTimestamp(spark, dir, t1) === Some(1L))
+      assert(TxTable.versionAtTimestamp(spark, dir, t2) === Some(2L))
+      assert(TxTable.versionAtTimestamp(spark, dir,
+        System.currentTimeMillis() + 1000) === Some(3L))
+      assert(rows(TxTable.readAsOfTimestamp(spark, dir, t1)) === rows(snap(8)))
+      intercept[RuntimeException] {
+        TxTable.readAsOfTimestamp(spark, dir, t0)
+      }
+    }
+  }
+
   test("restore rolls back by reference: zero data copied, bad versions still travel") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
