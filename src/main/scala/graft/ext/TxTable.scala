@@ -421,8 +421,9 @@ object TxTable {
     val (store, root) = storeOf(spark, dir)
     val (manifestVs, ckptVs) = listLog(store, root)
     if (manifestVs.isEmpty)
-      return Seq.empty[(Long, String, Long, Long, Long, Long)]
-        .toDF("version", "op", "base", "n_files", "n_added", "n_carried")
+      return Seq.empty[(Long, String, Long, Long, Long, Long, Long)]
+        .toDF("version", "op", "base", "n_files", "n_added", "n_carried",
+          "commit_ts")
     // start state: the checkpoint at (first manifest − 1) when the
     // table was vacuumed exactly to a horizon; empty for a fresh table
     val start = ckptVs.filter(_ < manifestVs.head).lastOption
@@ -449,9 +450,10 @@ object TxTable {
           state.size.toLong
         } else state.size.toLong
       val nAdded = pm.adds.size.toLong
-      (v, pm.op, pm.base, nFiles, nAdded, nFiles - nAdded)
+      (v, pm.op, pm.base, nFiles, nAdded, nFiles - nAdded, pm.ts)
     }
-    rows.toDF("version", "op", "base", "n_files", "n_added", "n_carried")
+    rows.toDF("version", "op", "base", "n_files", "n_added", "n_carried",
+      "commit_ts")
   }
 
   /** Publish version `base + 1`: a change-sized DELTA manifest (adds =

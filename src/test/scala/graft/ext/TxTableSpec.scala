@@ -696,6 +696,10 @@ class TxTableSpec extends SparkSpec {
       assert(TxTable.versionAtTimestamp(spark, dir,
         System.currentTimeMillis() + 1000) === Some(3L))
       assert(rows(TxTable.readAsOfTimestamp(spark, dir, t1)) === rows(snap(8)))
+      // history surfaces the commit timestamps, nondecreasing
+      val ts = TxTable.history(spark, dir).orderBy("version")
+        .select("commit_ts").collect().map(_.getLong(0)).toSeq
+      assert(ts.size === 3 && ts.forall(_ > 0) && ts === ts.sorted)
       intercept[RuntimeException] {
         TxTable.readAsOfTimestamp(spark, dir, t0)
       }
