@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 continuation batch: table-governance faces of the commit
+  * log — the predicate-driven MERGE INTO surface (q172), commit-time
+  * CHECK constraints, metadata-only aggregates, and zero-copy clones.
+  * Same oracle discipline as [[SnapshotQueries]]: every TxTable query
+  * is replayed relationally in DuckDB, which is exactly the content
+  * contract the log promises a reader.
+  */
+object GovernanceQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  private def localized(df: DataFrame): DataFrame = QueryUtil.localized(df)
+
+  private def inTempDir[T](prefix: String)(f: String => T): T =
+    QueryUtil.inTempDir(prefix)(f)
+
+  val all: Seq[Q] = Seq(
+
+    // Conditional MERGE INTO: no op column anywhere — the action per
+    // row is decided by predicates over BOTH sides (t = stored row,
+    // s = source row): matched rows are deleted when s.event_id%12=0,
+    // updated (value += s.nv) when s.nv > 0, kept otherwise;
+    // source-only rows insert only when their value clears 100. The
+    // oracle replays the same clause order (delete first) over a full
+    // outer join. Only partitions present in the source are rewritten;
+    // everything else carries forward by reference (TxTableSpec proves
+    // byte-identity of untouched files).
+    Q("q172_tx_merge_into", GovernanceOracles.mergeInto) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_mi") { tmp =>
+        val table = s"$tmp/table"
+        val base = ev.where(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.commitReplace(s, table, base, Some("pbucket"))
+        val source = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"), (col("value") + 500).as("value"),
+            col("value").as("nv"), (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeInto(s, table, source, "event_id", "pbucket",
+          whenMatchedDelete = Some(col("s.event_id") % 12 === 0),
+          whenMatchedUpdate = Seq("value" ->
+            (coalesce(col("t.value"), lit(0.0)) + coalesce(col("s.nv"), lit(0.0)))),
+          whenMatchedUpdateCond = Some(col("s.nv") > lit(0.0)),
+          whenNotMatchedInsert = Some(col("s.value") > lit(100.0)))
+        localized(graft.ext.TxTable.read(s, table)
+          .groupBy((col("event_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("bucket"))
+      }
+    }
+  )
+}
+
+object GovernanceOracles {
+
+  /** The q172 MERGE replayed over a FULL OUTER JOIN with the engine's
+    * fixed clause order: delete wins over update on matched rows; a
+    * NULL condition is false (row kept / not inserted). */
+  val mergeInto: String =
+    """WITH t AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |s AS (SELECT event_id, value + 500 AS value, value AS nv
+      |  FROM events WHERE event_id % 3 = 0),
+      |m AS (
+      |  SELECT
+      |    coalesce(t.event_id, s.event_id) AS event_id,
+      |    CASE
+      |      WHEN t.event_id IS NULL THEN s.value
+      |      WHEN s.event_id IS NULL THEN t.value
+      |      WHEN coalesce(s.nv > 0, false)
+      |        THEN coalesce(t.value, 0) + coalesce(s.nv, 0)
+      |      ELSE t.value END AS value,
+      |    CASE
+      |      WHEN t.event_id IS NULL THEN coalesce(s.value > 100, false)
+      |      WHEN s.event_id IS NULL THEN true
+      |      ELSE NOT (s.event_id % 12 = 0) END AS keep
+      |  FROM t FULL OUTER JOIN s ON t.event_id = s.event_id)
+      |SELECT CAST(event_id % 10 AS BIGINT) AS bucket, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM m WHERE keep GROUP BY 1 ORDER BY bucket""".stripMargin
+}

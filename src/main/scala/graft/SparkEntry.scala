@@ -14,7 +14,8 @@ object SparkEntry {
     CoreParityQueries.all ++ RelationalQueries.all ++ ExtensionQueries.all ++
       AdvancedQueries.all ++ PipelineQueries.all ++ TrainingQueries.all ++
       CorpusOpsQueries.all ++ ScaleOpsQueries.all ++ WarehouseQueries.all ++
-      DataOpsQueries.all ++ MaintenanceQueries.all ++ SnapshotQueries.all
+      DataOpsQueries.all ++ MaintenanceQueries.all ++ SnapshotQueries.all ++
+      GovernanceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full before/after campaign analysis (means, CI, Welch t/p, verdict)

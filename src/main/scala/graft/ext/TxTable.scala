@@ -989,6 +989,102 @@ object TxTable {
     -1L // unreachable
   }
 
+  /** Conditional MERGE INTO (the SQL `MERGE INTO t USING s ON
+    * t.key = s.key WHEN MATCHED [AND cond] THEN UPDATE/DELETE WHEN NOT
+    * MATCHED [AND cond] THEN INSERT` surface, as a library call):
+    * unlike [[mergeChangeSet]] the source carries NO op column — the
+    * action per row is DECIDED BY PREDICATES evaluated over both
+    * sides. Conditions and update right-hand sides reference the
+    * target row as struct `t` and the source row as struct `s`
+    * (`col("t.value")`, `col("s.value")`); clause order is fixed
+    * delete-then-update (a matched row satisfying both conditions is
+    * deleted, the SQL standard's first-clause-wins with delete first).
+    *
+    * Semantics per joined row:
+    *   - matched, `whenMatchedDelete` true            → row dropped
+    *   - matched, `whenMatchedUpdateCond` true (or no
+    *     condition given with nonempty assignments)   → assignments
+    *     applied (unassigned columns keep target values; RHS sees the
+    *     OLD `t` and the `s` structs — never earlier assignments)
+    *   - matched, neither                             → target kept
+    *   - source-only, `whenNotMatchedInsert` true     → inserted from
+    *     the source's same-named columns (missing ones NULL)
+    *   - target-only                                  → kept verbatim
+    *
+    * A NULL condition is false (the row is kept / not inserted) —
+    * same discipline as [[deleteWhere]].
+    *
+    * Contracts shared with [[mergeChangeSet]]: source keys must be
+    * UNIQUE (duplicate source keys would fan a target row out — the
+    * SQL MERGE cardinality error, documented rather than scanned
+    * for); `partitionCol` must be a pure function of the key (a
+    * relocation is delete+insert); partition values path-literal.
+    * Economics identical: only files of partitions PRESENT IN THE
+    * SOURCE are read and rewritten, everything else carries forward
+    * by reference — cost ∝ touched data at any table size. */
+  def mergeInto(
+      spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String, partitionCol: String,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      whenMatchedUpdate: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty,
+      whenMatchedUpdateCond: Option[org.apache.spark.sql.Column] = None,
+      whenNotMatchedInsert: Option[org.apache.spark.sql.Column] = None,
+      txn: Option[(String, Long)] = None): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val store = logStoreFactory(fs)
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"mergeInto needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    if (txn.exists { case (app, ver) => m.txns.get(app).exists(_ >= ver) })
+      return base
+    // bounded driver collect: ≤ #partition values by definition
+    val touched = source.select(col(partitionCol)).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSet
+    requirePathSafe(touched, partitionCol)
+    val (touchedFiles, keep) = m.files.partition(_.bucket.exists(touched))
+    val slice =
+      if (touchedFiles.nonEmpty) readFiles(spark, root, touchedFiles, m.schemas)
+      else readFiles(spark, root, m.files, m.schemas).limit(0)
+    val targetSchema = slice.schema
+    val joined = slice.select(struct(slice.columns.map(col): _*).as("t"))
+      .join(source.select(struct(source.columns.map(col): _*).as("s")),
+        col("t").getField(keyCol) === col("s").getField(keyCol), "full_outer")
+    val deleteCond = coalesce(
+      whenMatchedDelete.getOrElse(lit(false)), lit(false))
+    val updateCond = coalesce(
+      if (whenMatchedUpdate.isEmpty) lit(false)
+      else whenMatchedUpdateCond.getOrElse(lit(true)), lit(false))
+    val insertCond = coalesce(
+      whenNotMatchedInsert.getOrElse(lit(false)), lit(false))
+    val matched = col("t").isNotNull && col("s").isNotNull
+    val keepRow =
+      when(col("t").isNull, insertCond)    // source-only: insert or drop
+        .when(col("s").isNull, lit(true))  // target-only: carry
+        .otherwise(!deleteCond)            // matched: delete wins first
+    val assign = whenMatchedUpdate.toMap
+    val srcCols = source.columns.toSet
+    val outCols = targetSchema.fields.map { f =>
+      val fromT = col("t").getField(f.name)
+      val fromS =
+        if (srcCols.contains(f.name)) col("s").getField(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)
+      when(col("t").isNull, fromS)
+        .when(matched && !deleteCond && updateCond,
+          assign.getOrElse(f.name, fromT).cast(f.dataType))
+        .otherwise(fromT)
+        .as(f.name)
+    }
+    val merged = joined.where(keepRow).select(outCols.toIndexedSeq: _*)
+    val commitDir = newCommitDir(root, base + 1)
+    merged.write.mode("errorifexists")
+      .partitionBy(partitionCol).parquet(commitDir.toString)
+    val fresh = propagateSkipping(spark, root, m,
+      listCommitFiles(fs, root, commitDir, Some(partitionCol)),
+      merged.columns.toSeq)
+    commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
+      "merge", full = false, txn = txn)
+  }
+
   /** OPTIMIZE: rewrite every partition holding more than one file
     * into a single file per partition, published as a normal commit —
     * content-identical, atomic, conflict-detected, and every previous

@@ -53,6 +53,71 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("mergeInto: clause semantics, delete-over-update order, carry-forward byte identity") {
+    inDir { dir =>
+      import spark.implicits._
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      val beforeBytes = dataBytes(dir)
+      // source rows (all in pbucket 0/1 — partitions 2 and 3 untouched):
+      //   id 0: matched, delete cond true AND update cond true -> deleted
+      //   id 1: matched, update cond true -> value = t.value + s.bonus
+      //   id 4: matched, no cond true -> kept verbatim
+      //   id 100: unmatched, insert gate true -> inserted
+      //   id 101: unmatched, insert gate false -> dropped
+      val source = Seq(
+        (0L, true, true, 7.0, 0L),
+        (1L, false, true, 7.0, 1L),
+        (4L, false, false, 7.0, 0L),
+        (100L, false, false, 50.0, 0L),
+        (101L, false, false, -50.0, 1L)
+      ).toDF("event_id", "del", "upd", "bonus", "pbucket")
+        .withColumn("value", col("bonus") * 2)
+      val v2 = TxTable.mergeInto(spark, dir, source, "event_id", "pbucket",
+        whenMatchedDelete = Some(col("s.del")),
+        whenMatchedUpdate = Seq("value" -> (col("t.value") + col("s.bonus"))),
+        whenMatchedUpdateCond = Some(col("s.upd")),
+        whenNotMatchedInsert = Some(col("s.value") > 0))
+      assert(v2 === 2L)
+      val expected = rows(snap(12))
+        .filterNot(_._1 == 0L)                           // deleted (delete wins)
+        .map { case (id, v, b) => if (id == 1L) (id, v + 7.0, b) else (id, v, b) }
+        .+((100L, 100.0, 0L))                            // inserted (value = bonus*2)
+      assert(rows(TxTable.read(spark, dir)) === expected)
+      // untouched partitions (2, 3) carry forward byte-identically
+      val after = dataBytes(dir)
+      beforeBytes.foreach { case (p, bytes) =>
+        if (p.contains("pbucket=2") || p.contains("pbucket=3"))
+          assert(after.get(p).contains(bytes), s"untouched file rewritten: $p")
+      }
+      // and version 1 still time-travels to the pre-merge content
+      assert(rows(TxTable.read(spark, dir, versionAsOf = Some(1L))) === rows(snap(12)))
+    }
+  }
+
+  test("mergeInto: NULL conditions are false; idempotent txn replay no-ops") {
+    inDir { dir =>
+      import spark.implicits._
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      val source = Seq(
+        (2L, Option.empty[Boolean], 3.0, 2L),   // NULL update cond -> kept as-is
+        (200L, Option.empty[Boolean], 9.0, 0L)  // NULL insert gate -> not inserted
+      ).toDF("event_id", "gate", "bonus", "pbucket")
+      val v2 = TxTable.mergeInto(spark, dir, source, "event_id", "pbucket",
+        whenMatchedUpdate = Seq("value" -> (col("t.value") + col("s.bonus"))),
+        whenMatchedUpdateCond = Some(col("s.gate")),
+        whenNotMatchedInsert = Some(col("s.gate")),
+        txn = Some(("app-mi", 1L)))
+      assert(v2 === 2L)
+      assert(rows(TxTable.read(spark, dir)) === rows(snap(8)))
+      // replaying the same (app, version) is a no-op at the current version
+      val replay = TxTable.mergeInto(spark, dir, source, "event_id", "pbucket",
+        whenNotMatchedInsert = Some(lit(true)),
+        txn = Some(("app-mi", 1L)))
+      assert(replay === 2L)
+      assert(TxTable.latestVersion(spark, dir) === Some(2L))
+    }
+  }
+
   test("reader at version N-1 is byte-stable while version N commits") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
