@@ -52,6 +52,53 @@ object GovernanceQueries {
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
           .orderBy("bucket"))
       }
+    },
+
+    // Commit-time CHECK constraints: the table is governed by
+    // `value IS NOT NULL` (added as a metadata-only commit after a
+    // whole-table validation scan); a changeset smuggling NULL values
+    // is REJECTED atomically — the table provably stays at the
+    // pre-commit version with its content intact — and only the
+    // cleaned changeset lands. The oracle replays base + cleaned
+    // changeset; the rejected commit is invisible to it, which is
+    // exactly the atomicity claim. Enforcement costs one
+    // conditional-agg pass over the commit's OWN files (carried files
+    // were validated when written — the induction addCheckConstraint's
+    // scan grounds), zero when a table has no constraints.
+    Q("q173_tx_check_constraint", GovernanceOracles.checkConstraint) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_ck") { tmp =>
+        val table = s"$tmp/table"
+        val base = ev.where(col("event_id") % 2 === 0 && col("value").isNotNull)
+          .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.commitReplace(s, table, base, Some("pbucket"))
+        graft.ext.TxTable.addCheckConstraint(s, table, "value_present",
+          "value IS NOT NULL")
+        val changes = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            when(col("event_id") % 9 === 0, lit(null).cast("double"))
+              .otherwise(col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        // the dirty changeset (NULL values on %9 rows) must be refused
+        // with the table left exactly at the constraint commit
+        val rejected =
+          try { graft.ext.TxTable.mergeChangeSet(s, table, changes,
+            "event_id", "op", "pbucket"); false }
+          catch { case _: graft.ext.TxTable.ConstraintViolationException => true }
+        require(rejected, "constraint violation was not detected")
+        require(graft.ext.TxTable.latestVersion(s, table).contains(2L),
+          "rejected commit moved the table version")
+        val cleaned = changes.where(col("op") === "delete" || col("value").isNotNull)
+        graft.ext.TxTable.mergeChangeSet(s, table, cleaned,
+          "event_id", "op", "pbucket")
+        localized(graft.ext.TxTable.read(s, table)
+          .groupBy((col("event_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("bucket"))
+      }
     }
   )
 }
@@ -82,4 +129,28 @@ object GovernanceOracles {
       |SELECT CAST(event_id % 10 AS BIGINT) AS bucket, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM m WHERE keep GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q173: base (non-NULL values) + the CLEANED changeset — the
+    * rejected dirty commit is invisible, which is the atomicity
+    * claim under test. */
+  val checkConstraint: String =
+    """WITH s1 AS (SELECT event_id, value FROM events
+      |  WHERE event_id % 2 = 0 AND value IS NOT NULL),
+      |c0 AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 THEN 'insert'
+      |      WHEN event_id % 12 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    CASE WHEN event_id % 9 = 0 THEN NULL
+      |      ELSE value + 500 END AS value
+      |  FROM events WHERE event_id % 3 = 0),
+      |ca AS (SELECT * FROM c0 WHERE op = 'delete' OR value IS NOT NULL),
+      |s2 AS (
+      |  SELECT s1.event_id, s1.value FROM s1
+      |  LEFT JOIN ca ON s1.event_id = ca.event_id AND ca.op IN ('update', 'delete')
+      |  WHERE ca.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value FROM ca WHERE op IN ('insert', 'update'))
+      |SELECT CAST(event_id % 10 AS BIGINT) AS bucket, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM s2 GROUP BY 1 ORDER BY bucket""".stripMargin
 }

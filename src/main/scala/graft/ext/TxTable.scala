@@ -116,13 +116,23 @@ object TxTable {
     * each commit with (appId, batchId), and a re-application of an
     * already-recorded version is SKIPPED instead of double-applying
     * the changeset. */
+  /** `props` are table properties accumulated along the log (each
+    * commit header carries only the entries it SETS; checkpoints carry
+    * the full map) — they SURVIVE full-replace commits, like the txn
+    * ledger: a compaction around a governed table must not drop its
+    * constraints. Keys under `constraint.` are CHECK constraints
+    * ([[addCheckConstraint]]) enforced on every commit's fresh data. */
   final case class Manifest(
       version: Long, files: Seq[FileEntry],
       schemas: Map[String, String] = Map.empty,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      props: Map[String, String] = Map.empty)
 
   final class CommitConflictException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
+
+  final class ConstraintViolationException(msg: String)
+    extends IllegalStateException(msg)
 
   /** Full live-file checkpoint cadence: every Nth version (and every
     * full-replace commit) also writes a `_ckpt-` snapshot, bounding any
@@ -196,6 +206,7 @@ object TxTable {
       schemas: Map[String, String] = Map.empty,
       txn: Option[(String, Long)] = None,
       txns: Map[String, Long] = Map.empty,
+      props: Map[String, String] = Map.empty,
       ts: Long = 0L)
 
   /** Manifest/checkpoint (de)serialization — Jackson on both sides
@@ -235,7 +246,8 @@ object TxTable {
         schema: Option[String] = None,
         schemas: Map[String, String] = Map.empty,
         txn: Option[(String, Long)] = None,
-        txns: Map[String, Long] = Map.empty): String = {
+        txns: Map[String, Long] = Map.empty,
+        props: Map[String, String] = Map.empty): String = {
       val sb = new StringBuilder
       val h = mapper.createObjectNode()
       h.put("version", version); h.put("base", base)
@@ -253,6 +265,10 @@ object TxTable {
       if (txns.nonEmpty) {
         val tn = h.putObject("txns")
         txns.toSeq.sortBy(_._1).foreach { case (a, v) => tn.put(a, v) }
+      }
+      if (props.nonEmpty) {
+        val pn = h.putObject("props")
+        props.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
       }
       sb.append(mapper.writeValueAsString(h)).append('\n')
       removes.foreach { p =>
@@ -315,13 +331,21 @@ object TxTable {
           while (it.hasNext) { val a = it.next(); b += a -> tn.get(a).asLong() }
           b.result()
         }
+      val props =
+        if (!h.has("props")) Map.empty[String, String]
+        else {
+          val pn = h.get("props"); val it = pn.fieldNames()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val k = it.next(); b += k -> pn.get(k).asText() }
+          b.result()
+        }
       ParsedLog(h.get("version").asLong(),
         Option(h.get("base")).map(_.asLong()).getOrElse(h.get("version").asLong() - 1),
         Option(h.get("op")).map(_.asText()).getOrElse("unknown"),
         h.get("kind").asText(), adds.result(), removes.result(),
         Option(h.get("schema")).map(_.asText()), schemas,
         Option(h.get("txn")).map(t => (t.get("app").asText(), t.get("ver").asLong())),
-        txns,
+        txns, props,
         Option(h.get("ts")).map(_.asLong()).getOrElse(0L))
     }
   }
@@ -361,13 +385,16 @@ object TxTable {
     val state = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     val dirSchemas = scala.collection.mutable.HashMap.empty[String, String]
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
+    val props = scala.collection.mutable.HashMap.empty[String, String]
     base.foreach { b =>
       val ck = ManifestJson.parse(store.read(checkpointPath(root, b)), s"ckpt $b")
       ck.adds.foreach(e => state.update(e.path, e))
       dirSchemas ++= ck.schemas
       txns ++= ck.txns
+      props ++= ck.props
     }
-    def snap(v: Long) = Manifest(v, state.values.toSeq, dirSchemas.toMap, txns.toMap)
+    def snap(v: Long) =
+      Manifest(v, state.values.toSeq, dirSchemas.toMap, txns.toMap, props.toMap)
     val out = Map.newBuilder[Long, Manifest]
     if (base.contains(want.head)) out += want.head -> snap(want.head)
     var v = base.getOrElse(0L) + 1
@@ -389,6 +416,9 @@ object TxTable {
       pm.txn.foreach { case (app, ver) =>
         txns.update(app, math.max(ver, txns.getOrElse(app, Long.MinValue)))
       }
+      // table properties accumulate like the ledger — and likewise
+      // SURVIVE full commits (a replace must not shed constraints)
+      props ++= pm.props
       if (wantSet.contains(v)) out += v -> snap(v)
       v += 1
     }
@@ -468,7 +498,8 @@ object TxTable {
       newFiles: Seq[FileEntry], newSchema: Option[String],
       op: String, full: Boolean,
       extraSchemas: Map[String, String] = Map.empty,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      extraProps: Map[String, String] = Map.empty): Long = {
     val version = baseManifest.version + 1
     val baseFiles = if (full) Seq.empty else baseManifest.files
     val basePaths = baseFiles.map(_.path).toSet
@@ -477,9 +508,11 @@ object TxTable {
     val removes = baseFiles.collect { case f if !newPaths.contains(f.path) => f.path }
     val content =
       if (full) ManifestJson.render(version, baseManifest.version, op, "full",
-        newFiles, Seq.empty, schema = newSchema, schemas = extraSchemas, txn = txn)
+        newFiles, Seq.empty, schema = newSchema, schemas = extraSchemas, txn = txn,
+        props = extraProps)
       else ManifestJson.render(version, baseManifest.version, op, "delta",
-        adds, removes, schema = newSchema, schemas = extraSchemas, txn = txn)
+        adds, removes, schema = newSchema, schemas = extraSchemas, txn = txn,
+        props = extraProps)
     if (!store.writeIfAbsent(manifestPath(root, version), content))
       throw new CommitConflictException(
         s"version $version already published at ${manifestPath(root, version)} — " +
@@ -501,7 +534,8 @@ object TxTable {
       }
       store.writeIfAbsent(checkpointPath(root, version),
         ManifestJson.render(version, version, "checkpoint", "checkpoint",
-          newFiles, Seq.empty, schemas = schemas, txns = ledger))
+          newFiles, Seq.empty, schemas = schemas, txns = ledger,
+          props = baseManifest.props ++ extraProps))
     }
     version
   }
@@ -512,7 +546,11 @@ object TxTable {
     * keeps the bad versions time-travelable for the postmortem until
     * [[vacuum]] retires them). The restored entries keep their stats,
     * blooms, sizes and dir schemas; conflict detection applies as to
-    * any commit. Restoring to the current version is a no-op. */
+    * any commit. Restoring to the current version is a no-op.
+    * CHECK constraints are NOT re-validated here (nothing fresh is
+    * written; a restore past an [[addCheckConstraint]] can resurrect
+    * pre-constraint rows — the operator running a rollback owns that
+    * call, same stance as Delta's RESTORE). */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
     val (store, root) = storeOf(spark, dir)
     val base = latestVersion(spark, dir).getOrElse(
@@ -525,6 +563,88 @@ object TxTable {
     commit(store, root, ms(base), ms(toVersion).files, newSchema = None,
       op = "restore", full = false,
       extraSchemas = ms(toVersion).schemas.view.filterKeys(liveDirs).toMap)
+  }
+
+  /** Table properties at the latest version (accumulated along the
+    * log; see [[Manifest.props]]). */
+  def tableProperties(spark: SparkSession, dir: String): Map[String, String] = {
+    val v = latestVersion(spark, dir).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    readManifest(spark, dir, v).props
+  }
+
+  /** Set a table property as a METADATA-ONLY commit: the delta
+    * manifest carries no adds/removes, just the property — O(1) log
+    * bytes, no data touched, normal conflict detection. */
+  def setTableProperty(
+      spark: SparkSession, dir: String, key: String, value: String): Long = {
+    val (store, root) = storeOf(spark, dir)
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"setTableProperty needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    commit(store, root, m, m.files, newSchema = None, op = "setprop",
+      full = false, extraProps = Map(key -> value))
+  }
+
+  /** ADD CONSTRAINT `name` CHECK (`exprSql`): validates the EXISTING
+    * table in one scan (the whole-table pass that grounds the
+    * induction — after this, every commit validates only its own
+    * fresh files), then publishes the constraint as a metadata-only
+    * commit AGAINST THE VALIDATED VERSION, so a competing commit that
+    * lands between scan and publish conflicts loudly instead of
+    * slipping unvalidated rows under the new constraint. NULL
+    * evaluations VIOLATE (a CHECK must hold definitively — write
+    * `col IS NULL OR ...` to admit NULLs). */
+  def addCheckConstraint(
+      spark: SparkSession, dir: String, name: String, exprSql: String): Long = {
+    val (store, root) = storeOf(spark, dir)
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"addCheckConstraint needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    if (m.files.nonEmpty) {
+      val bad = readFiles(spark, root, m.files, m.schemas)
+        .where(!coalesce(expr(exprSql), lit(false))).count()
+      if (bad > 0) throw new ConstraintViolationException(
+        s"cannot add constraint '$name' CHECK ($exprSql): " +
+          s"$bad existing rows violate it")
+    }
+    commit(store, root, m, m.files, newSchema = None, op = "addconstraint",
+      full = false, extraProps = Map(s"constraint.$name" -> exprSql))
+  }
+
+  private def constraintsOf(props: Map[String, String]): Seq[(String, String)] =
+    props.collect { case (k, v) if k.startsWith("constraint.") =>
+      k.stripPrefix("constraint.") -> v }.toSeq.sortBy(_._1)
+
+  /** Validate a commit's FRESH files against the table's CHECK
+    * constraints — called after the data is written but BEFORE the
+    * manifest publishes, so a violation aborts the commit with the
+    * table untouched (the written dir is a vacuum-able orphan, the
+    * same crash shape the protocol already absorbs). ONE pass over
+    * the fresh files only, all constraints as conditional aggregates
+    * of a single scan: carried-forward files were validated by the
+    * commit that wrote them, and [[addCheckConstraint]]'s whole-table
+    * scan grounds that induction. Zero cost when the table has no
+    * constraints. A constraint on a column the evolved schema dropped
+    * fails analysis here — loud, by design. */
+  private def enforceConstraints(
+      spark: SparkSession, root: Path, m: Manifest,
+      fresh: Seq[FileEntry], schemaJson: Option[String]): Unit = {
+    val cs = constraintsOf(m.props)
+    if (cs.isEmpty || fresh.isEmpty) return
+    val schemas = schemaJson.fold(Map.empty[String, String])(s =>
+      fresh.map(f => dirOf(f.path)).distinct.map(_ -> s).toMap)
+    val checks = cs.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(false)), 1L).otherwise(0L)).as(n) }
+    val row = readFiles(spark, root, fresh, schemas)
+      .agg(checks.head, checks.tail: _*).collect().head
+    val violated = cs.zipWithIndex.collect {
+      case ((n, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"'$n' CHECK ($e): ${row.getLong(i)} rows"
+    }
+    if (violated.nonEmpty) throw new ConstraintViolationException(
+      s"commit rejected, constraint violations in fresh data — " +
+        violated.mkString("; "))
   }
 
   /** List the parquet files a commit's write produced, as entries
@@ -715,6 +835,7 @@ object TxTable {
     // ledger must ride through into this commit's checkpoint
     val baseManifest =
       if (base == 0L) Manifest(0L, Seq.empty) else readManifest(spark, dir, base)
+    enforceConstraints(spark, root, baseManifest, entries, Some(df.schema.json))
     commit(store, root, baseManifest, entries,
       Some(df.schema.json), "replace", full = true, txn = txn)
   }
@@ -955,6 +1076,7 @@ object TxTable {
     val fresh = propagateSkipping(spark, root, m,
       listCommitFiles(fs, root, commitDir, Some(partitionCol)),
       merged.columns.toSeq)
+    enforceConstraints(spark, root, m, fresh, Some(merged.schema.json))
     commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
       "merge", full = false, txn = txn)
   }
@@ -1081,6 +1203,7 @@ object TxTable {
     val fresh = propagateSkipping(spark, root, m,
       listCommitFiles(fs, root, commitDir, Some(partitionCol)),
       merged.columns.toSeq)
+    enforceConstraints(spark, root, m, fresh, Some(merged.schema.json))
     commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
       "merge", full = false, txn = txn)
   }
@@ -1259,6 +1382,7 @@ object TxTable {
     val fresh = propagateSkipping(spark, root, m,
       listCommitFiles(fs, root, commitDir, partitionCol),
       rewritten.columns.toSeq)
+    enforceConstraints(spark, root, m, fresh, Some(rewritten.schema.json))
     commit(store, root, m, keep ++ fresh,
       Some(rewritten.schema.json), op, full = false)
   }

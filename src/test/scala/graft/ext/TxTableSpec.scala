@@ -118,6 +118,69 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("check constraints: add validates existing data; violating commit aborts atomically") {
+    inDir { dir =>
+      import spark.implicits._
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      // existing data violates -> the constraint itself is refused
+      val e1 = intercept[TxTable.ConstraintViolationException] {
+        TxTable.addCheckConstraint(spark, dir, "big", "value > 100")
+      }
+      assert(e1.getMessage.contains("existing rows violate"))
+      assert(TxTable.latestVersion(spark, dir) === Some(1L))
+      // a satisfiable constraint lands as a metadata-only commit:
+      // zero data files moved, props visible
+      val beforeBytes = dataBytes(dir)
+      assert(TxTable.addCheckConstraint(spark, dir, "nonneg", "value >= 0") === 2L)
+      assert(dataBytes(dir) === beforeBytes)
+      assert(TxTable.tableProperties(spark, dir) === Map("constraint.nonneg" -> "value >= 0"))
+      // a violating merge is rejected with version AND content intact
+      val bad = Seq((50L, "insert", -5.0, 2L)).toDF("event_id", "op", "value", "pbucket")
+      val e2 = intercept[TxTable.ConstraintViolationException] {
+        TxTable.mergeChangeSet(spark, dir, bad, "event_id", "op", "pbucket")
+      }
+      assert(e2.getMessage.contains("nonneg"))
+      assert(TxTable.latestVersion(spark, dir) === Some(2L))
+      assert(rows(TxTable.read(spark, dir)) === rows(snap(8)))
+      // NULL check results VIOLATE (CHECK must hold definitively)
+      val nul = Seq((51L, "insert", Option.empty[Double], 3L))
+        .toDF("event_id", "op", "value", "pbucket")
+      intercept[TxTable.ConstraintViolationException] {
+        TxTable.mergeChangeSet(spark, dir, nul, "event_id", "op", "pbucket")
+      }
+      // a clean merge passes; deleteWhere / updateWhere enforce too
+      val ok = Seq((52L, "insert", 7.0, 0L)).toDF("event_id", "op", "value", "pbucket")
+      TxTable.mergeChangeSet(spark, dir, ok, "event_id", "op", "pbucket")
+      intercept[TxTable.ConstraintViolationException] {
+        TxTable.updateWhere(spark, dir, col("event_id") === 52L,
+          Seq("value" -> lit(-1.0)), Some("pbucket"))
+      }
+      assert(rows(TxTable.read(spark, dir)) === rows(snap(8)) + ((52L, 7.0, 0L)))
+    }
+  }
+
+  test("table properties survive full replaces and ride checkpoints") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      TxTable.setTableProperty(spark, dir, "owner", "pipeline-a")
+      TxTable.addCheckConstraint(spark, dir, "nonneg", "value >= 0")
+      // a full replace must NOT shed governance (constraints/props)
+      TxTable.commitReplace(spark, dir, snap(6), Some("pbucket"))
+      assert(TxTable.tableProperties(spark, dir) ===
+        Map("owner" -> "pipeline-a", "constraint.nonneg" -> "value >= 0"))
+      // the replace wrote a checkpoint; a reader replaying FROM that
+      // checkpoint (no earlier manifests needed) still sees the props
+      val m = TxTable.readManifest(spark, dir, 4L)
+      assert(m.props("constraint.nonneg") === "value >= 0")
+      // and enforcement still bites after the replace
+      import spark.implicits._
+      val bad = Seq((9L, "insert", -2.0, 1L)).toDF("event_id", "op", "value", "pbucket")
+      intercept[TxTable.ConstraintViolationException] {
+        TxTable.mergeChangeSet(spark, dir, bad, "event_id", "op", "pbucket")
+      }
+    }
+  }
+
   test("reader at version N-1 is byte-stable while version N commits") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
