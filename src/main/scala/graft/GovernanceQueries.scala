@@ -99,6 +99,49 @@ object GovernanceQueries {
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
           .orderBy("bucket"))
       }
+    },
+
+    // Metadata-only aggregates: COUNT(*) and MIN/MAX answered from the
+    // commit log ALONE — every commit records each fresh file's exact
+    // row count (and the statsCols min/max it already carried), so the
+    // manifest sum is exact at any version. The proof is structural:
+    // the query DELETES every data file after the commits and still
+    // answers — at 100 TB that is a log read instead of a table scan.
+    // The oracle replays the q146 changeset chain relationally and
+    // computes the same per-version count/min/max from the data.
+    Q("q174_tx_meta_aggregates", GovernanceOracles.metaAggregates) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_meta") { tmp =>
+        val table = s"$tmp/table"
+        val base = ev.where(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.commitReplace(s, table, base, Some("pbucket"),
+          statsCols = Seq("event_id"))
+        val changesA = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesA, "event_id", "op", "pbucket")
+        val changesB = ev.where(col("event_id") % 5 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0 && col("event_id") % 3 =!= 0, "insert")
+              .when(col("event_id") % 20 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 900).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeChangeSet(s, table, changesB, "event_id", "op", "pbucket")
+        // the structural proof: no data file survives, only the log
+        graft.Fs.deleteTree(java.nio.file.Paths.get(s"$table/data"))
+        import s.implicits._
+        (1L to 3L).map { v =>
+          val n = graft.ext.TxTable.metaCount(s, table, Some(v))
+          val (lo, hi) = graft.ext.TxTable.metaRange(s, table, "event_id", Some(v)).get
+          (v, n, lo, hi)
+        }.toDF("version", "n", "id_min", "id_max").orderBy("version")
+      }
     }
   )
 }
@@ -153,4 +196,42 @@ object GovernanceOracles {
       |SELECT CAST(event_id % 10 AS BIGINT) AS bucket, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM s2 GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q174: per-version COUNT(*)/MIN/MAX of the replayed q146 chain —
+    * the engine answers these from the manifest with the data files
+    * deleted. */
+  val metaAggregates: String =
+    """WITH s1 AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |ca AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 THEN 'insert'
+      |      WHEN event_id % 12 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    value + 500 AS value
+      |  FROM events WHERE event_id % 3 = 0),
+      |s2 AS (
+      |  SELECT s1.event_id, s1.value FROM s1
+      |  LEFT JOIN ca ON s1.event_id = ca.event_id AND ca.op IN ('update', 'delete')
+      |  WHERE ca.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value FROM ca WHERE op IN ('insert', 'update')),
+      |cb AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 AND event_id % 3 <> 0 THEN 'insert'
+      |      WHEN event_id % 20 = 0 THEN 'delete'
+      |      ELSE 'update' END AS op,
+      |    value + 900 AS value
+      |  FROM events WHERE event_id % 5 = 0),
+      |s3 AS (
+      |  SELECT s2.event_id, s2.value FROM s2
+      |  LEFT JOIN cb ON s2.event_id = cb.event_id AND cb.op IN ('update', 'delete')
+      |  WHERE cb.event_id IS NULL
+      |  UNION ALL
+      |  SELECT event_id, value FROM cb WHERE op IN ('insert', 'update'))
+      |SELECT version, n, id_min, id_max FROM (
+      |  SELECT 1 AS version, count(*) AS n, min(event_id) AS id_min,
+      |    max(event_id) AS id_max FROM s1
+      |  UNION ALL
+      |  SELECT 2, count(*), min(event_id), max(event_id) FROM s2
+      |  UNION ALL
+      |  SELECT 3, count(*), min(event_id), max(event_id) FROM s3)
+      |ORDER BY version""".stripMargin
 }

@@ -93,13 +93,16 @@ object TxTable {
     * the optional per-file point-lookup filter ([[readPoint]]);
     * `bytes` is the file length (0 = unrecorded) — [[detail]] and
     * compaction planning read sizes off the manifest instead of
-    * stat-ing files. */
+    * stat-ing files; `rows` is the file's exact row count (−1 =
+    * unrecorded, pre-upgrade manifests) — [[metaCount]] answers
+    * COUNT(*) from the log alone, no data file opened. */
   final case class FileEntry(
       path: String,
       bucket: Option[String],
       stats: Map[String, (Long, Long)] = Map.empty,
       bloom: Option[FileBloom] = None,
-      bytes: Long = 0L)
+      bytes: Long = 0L,
+      rows: Long = -1L)
 
   /** `schemas` maps a commit DATA DIRECTORY (`data/vN-token`) to the
     * read-back schema (StructType JSON, partition column included) of
@@ -237,6 +240,7 @@ object TxTable {
         bn.put("c", bl.col); bn.put("k", bl.k); bn.put("b", bl.b64)
       }
       if (f.bytes != 0L) n.put("sz", f.bytes)
+      if (f.rows >= 0L) n.put("rc", f.rows)
       n
     }
 
@@ -299,7 +303,8 @@ object TxTable {
         FileBloom(b.get("c").asText(), b.get("k").asInt(), b.get("b").asText()))
       FileEntry(node.get("path").asText(),
         Option(node.get("bucket")).map(_.asText()), stats, bloom,
-        Option(node.get("sz")).map(_.asLong()).getOrElse(0L))
+        Option(node.get("sz")).map(_.asLong()).getOrElse(0L),
+        Option(node.get("rc")).map(_.asLong()).getOrElse(-1L))
     }
 
     def parse(text: String, src: String): ParsedLog = {
@@ -675,14 +680,16 @@ object TxTable {
     new Path(new Path(root, "data"),
       s"v$version-${java.util.UUID.randomUUID().toString.take(8)}")
 
-  /** Per-file min/max of LONG columns for the files just written —
-    * ONE bounded scan of the commit's own data (column-pruned to the
-    * stats columns), collected as #files rows covering every requested
-    * column at once. */
+  /** Per-file min/max of LONG columns AND exact row counts for the
+    * files just written — ONE bounded scan of the commit's own data
+    * (column-pruned to the stats columns; just the count when there
+    * are none), collected as #files rows covering every requested
+    * column at once. The row count is what makes COUNT(*) a
+    * metadata-only query forever after ([[metaCount]]). */
   private def gatherStats(
       spark: SparkSession, root: Path, entries: Seq[FileEntry],
       statsCols: Seq[String]): Seq[FileEntry] = {
-    val aggs = statsCols.flatMap(c => Seq(
+    val aggs = count(lit(1)).as("_rc") +: statsCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"_lo_$c"),
       max(col(c).cast("long")).as(s"_hi_$c")))
     val byFile = spark.read.parquet(
@@ -695,17 +702,17 @@ object TxTable {
         // stats for that column (readRanges' "no stats -> must read"
         // conservative path) instead of NPE-ing the whole commit
         val m = statsCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-          else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+          if (r.isNullAt(2 + 2 * i) || r.isNullAt(3 + 2 * i)) None
+          else Some(c -> (r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)))
         }.toMap
-        r.getString(0) -> m
+        r.getString(0) -> (r.getLong(1), m)
       }.toMap
     entries.map { f =>
       val abs = new Path(root, f.path).toString
       // input_file_name renders a URI; match on suffix to be
       // scheme-normalization-proof
       byFile.collectFirst { case (k, v) if k.endsWith(f.path) || k == abs => v }
-        .fold(f)(m => f.copy(stats = m))
+        .fold(f) { case (rc, m) => f.copy(stats = m, rows = rc) }
     }
   }
 
@@ -757,8 +764,9 @@ object TxTable {
       fresh: Seq[FileEntry], freshCols: Seq[String]): Seq[FileEntry] = {
     if (fresh.isEmpty) return fresh
     val statsCols = base.files.flatMap(_.stats.keys).distinct.filter(freshCols.contains)
-    val withStats =
-      if (statsCols.isEmpty) fresh else gatherStats(spark, root, fresh, statsCols)
+    // row counts ride the same single pass even when no stats columns
+    // propagate — every rewrite keeps COUNT(*) metadata-only
+    val withStats = gatherStats(spark, root, fresh, statsCols)
     base.files.flatMap(_.bloom).map(b => (b.col, b.k, b.bits.length * 64))
       .distinct.headOption
       .filter { case (c, _, _) => freshCols.contains(c) }
@@ -780,11 +788,52 @@ object TxTable {
     Seq((m.version, m.files.size.toLong,
       m.files.flatMap(_.bucket).distinct.size.toLong,
       m.files.map(_.bytes).sum,
+      if (m.files.forall(_.rows >= 0L)) m.files.map(_.rows).sum else -1L,
       m.files.flatMap(_.stats.keys).distinct.sorted.mkString(","),
       m.files.flatMap(_.bloom.map(_.col)).distinct.sorted.mkString(","),
       m.schemas.size.toLong))
-      .toDF("version", "n_files", "n_partitions", "total_bytes",
+      .toDF("version", "n_files", "n_partitions", "total_bytes", "total_rows",
         "stats_cols", "bloom_cols", "n_commit_dirs")
+  }
+
+  /** COUNT(*) answered from the MANIFEST ALONE — zero data files
+    * opened: every commit records each fresh file's exact row count
+    * and carried entries keep theirs, so the sum is exact at any
+    * version. At 100 TB this is the difference between a log read and
+    * a table scan. Fails loud if any live entry predates row-count
+    * recording (no silent fallback to a scan the caller didn't ask
+    * for). */
+  def metaCount(
+      spark: SparkSession, dir: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    val m = readManifest(spark, dir, v)
+    m.files.find(_.rows < 0L).foreach(f => sys.error(
+      s"metaCount: ${f.path} carries no row count (pre-upgrade manifest) — " +
+        "rewrite it (compact/merge) to upgrade, or aggregate the data"))
+    m.files.map(_.rows).sum
+  }
+
+  /** MIN/MAX of a manifest-stats column answered from the log alone —
+    * min of file minima / max of file maxima, exact because the
+    * per-file stats are exact (computed on the commit's own data, not
+    * sampled). `None` on an empty version. Fails loud if any live
+    * file lacks stats for `column` (its true extremum could hide
+    * there). */
+  def metaRange(
+      spark: SparkSession, dir: String, column: String,
+      versionAsOf: Option[Long] = None): Option[(Long, Long)] = {
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    val m = readManifest(spark, dir, v)
+    if (m.files.isEmpty) return None
+    val ranges = m.files.map { f =>
+      f.stats.getOrElse(column, sys.error(
+        s"metaRange: ${f.path} has no '$column' stats — commit with " +
+          s"statsCols including '$column' (or rewrite to propagate them)"))
+    }
+    Some((ranges.map(_._1).min, ranges.map(_._2).max))
   }
 
   /** Publish `df` as the COMPLETE next version (full replace; also the
@@ -826,8 +875,10 @@ object TxTable {
     partitionCol.fold(writer)(c => writer.partitionBy(c))
       .parquet(commitDir.toString)
     val listed = listCommitFiles(fs, root, commitDir, partitionCol)
-    val withStats =
-      if (statsCols.isEmpty) listed else gatherStats(spark, root, listed, statsCols)
+    // always runs (even with no stats columns): the same pass records
+    // each file's exact row count in the manifest, which is what makes
+    // COUNT(*) metadata-only ([[metaCount]]) for the table's lifetime
+    val withStats = gatherStats(spark, root, listed, statsCols)
     val entries = bloomCol.fold(withStats)(c =>
       gatherBlooms(spark, root, withStats, c, bloomBits, numHashes = 4))
     // the REAL base manifest (when one exists), not an empty stand-in:
