@@ -311,14 +311,30 @@ object TxTable {
       val lines = text.linesIterator.filter(_.nonEmpty)
       require(lines.hasNext, s"empty log file: $src")
       val h = mapper.readTree(lines.next())
-      require(h.has("version") && h.has("kind"), s"malformed header in $src")
+      require(h.has("version"), s"malformed header in $src")
+      // Legacy (pre-kind) manifests: no "kind" in the header, every
+      // line a bare full-list entry `{"path":…[,"bucket":…][,"sc":…,
+      // "lo":…,"hi":…]}`. They are always full snapshots (the old
+      // writer had no deltas), so kind=full + adds-only reads them
+      // losslessly: single-column stats map, no bloom, sizes/rows
+      // unrecorded (0 / -1 sentinels the rest of the engine already
+      // honors).
+      val legacy = !h.has("kind")
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
       lines.foreach { line =>
         val n = mapper.readTree(line)
         if (n.has("a")) adds += parseEntry(n.get("a"))
         else if (n.has("r")) removes += n.get("r").asText()
-        else sys.error(s"malformed manifest line in $src: $line")
+        else if (legacy && n.has("path")) {
+          val stats =
+            if (n.has("sc"))
+              Map(n.get("sc").asText() ->
+                (n.get("lo").asLong(), n.get("hi").asLong()))
+            else Map.empty[String, (Long, Long)]
+          adds += FileEntry(n.get("path").asText(),
+            Option(n.get("bucket")).map(_.asText()), stats, None, 0L, -1L)
+        } else sys.error(s"malformed manifest line in $src: $line")
       }
       val schemas =
         if (!h.has("schemas")) Map.empty[String, String]
@@ -347,7 +363,8 @@ object TxTable {
       ParsedLog(h.get("version").asLong(),
         Option(h.get("base")).map(_.asLong()).getOrElse(h.get("version").asLong() - 1),
         Option(h.get("op")).map(_.asText()).getOrElse("unknown"),
-        h.get("kind").asText(), adds.result(), removes.result(),
+        if (legacy) "full" else h.get("kind").asText(),
+        adds.result(), removes.result(),
         Option(h.get("schema")).map(_.asText()), schemas,
         Option(h.get("txn")).map(t => (t.get("app").asText(), t.get("ver").asLong())),
         txns, props,
@@ -728,6 +745,11 @@ object TxTable {
   private def gatherBlooms(
       spark: SparkSession, root: Path, entries: Seq[FileEntry],
       bloomCol: String, mBits: Int, numHashes: Int): Seq[FileEntry] = {
+    // mirror Bloom.build's contract: a non-multiple-of-64 width would
+    // allocate floor(mBits/64) longs while BloomPositions yields
+    // positions up to mBits-1 — an executor-side AIOOBE mid-commit
+    require(mBits % 64 == 0 && mBits > 0,
+      s"bloomBits must be a positive multiple of 64: $mBits")
     val posCol = BloomPositions(col(bloomCol).cast("string"), mBits, numHashes)
     val pack = udf { ps: Seq[Long] =>
       val bits = new Array[Long](mBits / 64)
@@ -1525,10 +1547,16 @@ object TxTable {
       // the horizon must stay reconstructible once its delta ancestry
       // is gone — identical-bytes rule makes a racing writer harmless
       val liveDirs = horizonState.files.map(f => dirOf(f.path)).toSet
+      // carry the txn ledger + table properties: a reconstruction
+      // from this checkpoint must keep enforcing CHECK constraints and
+      // deduplicating replayed idempotent-writer batches (losing
+      // either would silently break exactly-once / constraint
+      // guarantees for every post-vacuum reader)
       store.writeIfAbsent(checkpointPath(root, horizon),
         ManifestJson.render(horizon, horizon, "checkpoint", "checkpoint",
           horizonState.files, Seq.empty,
-          schemas = horizonState.schemas.view.filterKeys(liveDirs).toMap))
+          schemas = horizonState.schemas.view.filterKeys(liveDirs).toMap,
+          txns = horizonState.txns, props = horizonState.props))
     }
     dropped.foreach(v => store.delete(manifestPath(root, v)))
     ckptVs.filter(_ < horizon).foreach(v => store.delete(checkpointPath(root, v)))

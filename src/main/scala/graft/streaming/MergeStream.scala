@@ -168,8 +168,17 @@ object MergeStream {
     // must be stable across restarts of the SAME logical pipeline:
     // default is the source directory (one feed = one producer), which
     // also survives a rebuilt checkpoint re-numbering its batches over
-    // the same deterministic file order.
-    val appId = Option(txnAppId).getOrElse(s"merge-stream:$changesDir")
+    // the same deterministic file order. The raw string is NOT stable
+    // enough — "changes/" vs "./changes" vs an absolute spelling would
+    // mint a fresh ledger and silently defeat replay dedup — so the
+    // default derives from the FileSystem-qualified URI of the
+    // directory, which collapses relative paths, trailing slashes and
+    // scheme defaults to one canonical form.
+    val appId = Option(txnAppId).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(changesDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      s"merge-stream:${fs.makeQualified(p).toUri}"
+    }
     val committed = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = spark.readStream
       .schema(changesSchema)

@@ -609,6 +609,95 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("vacuum horizon checkpoint carries the txn ledger and table properties") {
+    inDir { dir =>
+      import spark.implicits._
+      val prevInterval = TxTable.checkpointInterval
+      TxTable.checkpointInterval = 100 // horizon ckpt must come from vacuum itself
+      try {
+        TxTable.commitReplace(spark, dir, snap(16), Some("pbucket")) // v1
+        TxTable.setTableProperty(spark, dir, "owner", "graft") // v2
+        TxTable.addCheckConstraint(spark, dir, "nonneg", "value >= 0") // v3
+        val cleanChanges = Seq((100L, "insert", 1000.0, 0L))
+          .toDF("event_id", "op", "value", "pbucket")
+        TxTable.mergeChangeSet(spark, dir, cleanChanges, "event_id", "op",
+          "pbucket", txn = Some(("writer-a", 5L))) // v4
+        (1 to 3).foreach(i => TxTable.deleteWhere(
+          spark, dir, col("event_id") === (i + 9).toLong, Some("pbucket"))) // v5..v7
+        // retain v5..v7: horizon v5's checkpoint is written by vacuum
+        // and must carry the ledger + props accumulated at v2..v4
+        TxTable.vacuum(spark, dir, keepVersions = Some(3), retentionMs = 0L)
+        val props = TxTable.tableProperties(spark, dir)
+        assert(props.get("owner").contains("graft"),
+          s"table property lost through vacuum checkpoint: $props")
+        assert(props.get("constraint.nonneg").contains("value >= 0"),
+          s"CHECK constraint lost through vacuum checkpoint: $props")
+        // constraint still ENFORCED post-vacuum
+        val bad = Seq((999L, "insert", -5.0, 0L))
+          .toDF("event_id", "op", "value", "pbucket")
+        intercept[TxTable.ConstraintViolationException] {
+          TxTable.mergeChangeSet(spark, dir, bad, "event_id", "op", "pbucket")
+        }
+        // idempotent-writer ledger still DEDUPES a replayed batch
+        val before = rows(TxTable.read(spark, dir))
+        TxTable.mergeChangeSet(spark, dir, cleanChanges, "event_id", "op",
+          "pbucket", txn = Some(("writer-a", 5L)))
+        assert(rows(TxTable.read(spark, dir)) === before,
+          "replayed txn must stay a no-op after vacuum truncated the log")
+      } finally TxTable.checkpointInterval = prevInterval
+    }
+  }
+
+  test("legacy (pre-kind) manifests parse as full snapshots and stay readable") {
+    // codec level: the r10 line shapes — kind-less header, bare
+    // entries, single sc/lo/hi stats — must parse losslessly
+    val legacy =
+      """{"version":3,"base":2,"op":"replace","n_files":2}
+        |{"path":"data/v3-x/a.parquet","bucket":"p=0","sc":"event_id","lo":5,"hi":9}
+        |{"path":"data/v3-x/b.parquet"}
+        |""".stripMargin
+    val p = TxTable.ManifestJson.parse(legacy, "legacy-test")
+    assert(p.kind === "full" && p.version === 3L && p.base === 2L)
+    assert(p.adds.map(_.path) === Seq("data/v3-x/a.parquet", "data/v3-x/b.parquet"))
+    assert(p.adds.head.bucket.contains("p=0"))
+    assert(p.adds.head.stats === Map("event_id" -> (5L, 9L)))
+    assert(p.adds.head.bloom.isEmpty && p.adds.head.bytes === 0L &&
+      p.adds.head.rows === -1L)
+    assert(p.removes.isEmpty)
+    // end to end: a table whose v1 manifest is rewritten in the legacy
+    // format reads AND merges (the upgrade path an existing r10 table
+    // takes on first contact with the new engine)
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      val m = TxTable.readManifest(spark, dir, 1L)
+      val sb = new StringBuilder
+      sb.append(s"""{"version":1,"base":0,"op":"replace","n_files":${m.files.size}}""")
+        .append('\n')
+      m.files.foreach { f =>
+        sb.append(s"""{"path":"${f.path}"""")
+        f.bucket.foreach(b => sb.append(s""","bucket":"$b""""))
+        sb.append("}\n")
+      }
+      val mp = java.nio.file.Paths.get(dir, "_graft_log", f"${1L}%020d.json")
+      java.nio.file.Files.write(mp, sb.toString.getBytes("UTF-8"))
+      assert(rows(TxTable.read(spark, dir)) === rows(snap(8)))
+      // merge on top of the legacy manifest
+      TxTable.mergeChangeSet(spark, dir, changes(), "event_id", "op", "pbucket")
+      assert(rows(TxTable.read(spark, dir)).exists(_._1 === 100L))
+    }
+  }
+
+  test("gatherBlooms rejects a bloomBits that is not a positive multiple of 64") {
+    inDir { dir =>
+      val e = intercept[IllegalArgumentException] {
+        TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"),
+          statsCols = Seq("event_id"), bloomCol = Some("event_id"),
+          bloomBits = 100) // not a multiple of 64 — would AIOOBE mid-commit
+      }
+      assert(e.getMessage.contains("multiple of 64"))
+    }
+  }
+
   test("a racing LogStore losing every publish still detects the conflict (seam holds)") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
@@ -756,9 +845,12 @@ class TxTableSpec extends SparkSpec {
       assert(point.collect().map(_.getLong(0)).toSeq === Seq(700L))
       // detail: one manifest-only row, sizes recorded
       val d = TxTable.detail(spark, dir).collect().head
-      assert(d.getLong(0) === 2L && d.getLong(1) === m2.files.size.toLong)
-      assert(d.getLong(3) > 0L, "total_bytes must come from the manifest")
-      assert(d.getString(4) === "event_id" && d.getString(5) === "event_id")
+      assert(d.getAs[Long]("version") === 2L &&
+        d.getAs[Long]("n_files") === m2.files.size.toLong)
+      assert(d.getAs[Long]("total_bytes") > 0L,
+        "total_bytes must come from the manifest")
+      assert(d.getAs[String]("stats_cols") === "event_id" &&
+        d.getAs[String]("bloom_cols") === "event_id")
     }
   }
 
