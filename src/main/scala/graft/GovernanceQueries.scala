@@ -142,6 +142,50 @@ object GovernanceQueries {
           (v, n, lo, hi)
         }.toDF("version", "n", "id_min", "id_max").orderBy("version")
       }
+    },
+
+    // Merge-on-read DELETE via deletion vectors: each delete tombstones
+    // its matches in a (file, pos) sidecar dataset referenced from the
+    // manifest — the matched files' BYTES never change (TxTableSpec
+    // proves byte-identity; only DV files are written), and readers
+    // subtract the tombstones as a scan-time anti-join. At 100 TB this
+    // is what makes a point delete on an UNCLUSTERED predicate (which
+    // can touch every file) affordable: one predicate scan + an
+    // O(matches) sidecar write, versus copy-on-write rewriting the
+    // table. Two stacked deletes compose; the aggregate is computed
+    // THROUGH the DV read (exercising the anti-join), then compact
+    // reconciles the DVs away and the query proves read-equivalence.
+    // The oracle replays both predicates relationally.
+    Q("q175_tx_delete_vectors", GovernanceOracles.deleteVectors) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_dv") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("user_id"), col("value"),
+              (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        // the forget-this-user purge — unclustered, touches every file
+        graft.ext.TxTable.deleteWhereDv(s, table, col("user_id") % 100 === 7)
+        // a second, STACKED deletion vector
+        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < 0)
+        def agg(df: DataFrame): DataFrame = localized(df
+          .groupBy((col("event_id") % 6).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("k"))
+        val viaDv = agg(graft.ext.TxTable.read(s, table)).cache()
+        // metadata-only COUNT stays exact under DVs (tombstone counts
+        // ride the manifest)
+        require(graft.ext.TxTable.metaCount(s, table) ===
+          viaDv.agg(sum("n")).collect().head.getLong(0),
+          "metaCount must stay exact under deletion vectors")
+        // compact reconciles: physically-deleted result == DV result
+        graft.ext.TxTable.compact(s, table, "pbucket")
+        val compacted = agg(graft.ext.TxTable.read(s, table))
+        require(viaDv.collect().toSeq == compacted.collect().toSeq,
+          "compact must preserve the DV-visible content")
+        viaDv
+      }
     }
   )
 }
@@ -234,4 +278,16 @@ object GovernanceOracles {
       |  UNION ALL
       |  SELECT 3, count(*), min(event_id), max(event_id) FROM s3)
       |ORDER BY version""".stripMargin
+
+  /** q175: the two DV deletes replayed relationally — NULL predicate
+    * evaluations KEEP the row on both sides (coalesce(pred, false)),
+    * matching [[graft.ext.TxTable.deleteWhereDv]]'s contract. */
+  val deleteVectors: String =
+    """WITH s AS (SELECT event_id, user_id, value FROM events
+      |  WHERE event_id % 2 = 0),
+      |d1 AS (SELECT * FROM s WHERE NOT coalesce(user_id % 100 = 7, false)),
+      |d2 AS (SELECT * FROM d1 WHERE NOT coalesce(value < 0, false))
+      |SELECT CAST(event_id % 6 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM d2 GROUP BY 1 ORDER BY k""".stripMargin
 }

@@ -84,6 +84,15 @@ object TxTable {
     }
   }
 
+  /** One deletion-vector reference: `dir` is a sidecar parquet
+    * dataset (relative to the table root, under `dv/`) holding
+    * (file, pos) tombstones written by one merge-on-read DML commit;
+    * `rows` is the EXACT number of tombstones in that dataset for the
+    * owning file (counts are disjoint across stacked refs because
+    * each DV commit matches only still-visible rows, so
+    * [[metaCount]] stays a pure log computation). */
+  final case class DvRef(dir: String, rows: Long)
+
   /** One live data file: `path` relative to the table root; `bucket`
     * is the partition value rendered as Spark renders it into the
     * `col=value` directory name (None for unpartitioned commits);
@@ -95,14 +104,21 @@ object TxTable {
     * compaction planning read sizes off the manifest instead of
     * stat-ing files; `rows` is the file's exact row count (−1 =
     * unrecorded, pre-upgrade manifests) — [[metaCount]] answers
-    * COUNT(*) from the log alone, no data file opened. */
+    * COUNT(*) from the log alone, no data file opened; `dvs` are the
+    * deletion vectors stacked on this file by [[deleteWhereDv]] —
+    * the file's BYTES never change under merge-on-read DML, readers
+    * subtract the tombstoned positions at scan time, and [[compact]]
+    * reconciles them away. Stats/blooms stay valid under DVs (deletes
+    * only shrink the value set — skipping can over-admit, never
+    * over-skip). */
   final case class FileEntry(
       path: String,
       bucket: Option[String],
       stats: Map[String, (Long, Long)] = Map.empty,
       bloom: Option[FileBloom] = None,
       bytes: Long = 0L,
-      rows: Long = -1L)
+      rows: Long = -1L,
+      dvs: Seq[DvRef] = Seq.empty)
 
   /** `schemas` maps a commit DATA DIRECTORY (`data/vN-token`) to the
     * read-back schema (StructType JSON, partition column included) of
@@ -241,6 +257,15 @@ object TxTable {
       }
       if (f.bytes != 0L) n.put("sz", f.bytes)
       if (f.rows >= 0L) n.put("rc", f.rows)
+      if (f.dvs.nonEmpty) {
+        val dn = n.putArray("dv")
+        // stacking order preserved: refs are applied as a union, but a
+        // deterministic rendering keeps racing checkpoint writers
+        // byte-identical
+        f.dvs.foreach { r =>
+          val e = dn.addObject(); e.put("d", r.dir); e.put("n", r.rows)
+        }
+      }
       n
     }
 
@@ -301,10 +326,16 @@ object TxTable {
         }
       val bloom = Option(node.get("bloom")).map(b =>
         FileBloom(b.get("c").asText(), b.get("k").asInt(), b.get("b").asText()))
+      val dvs = Option(node.get("dv")).fold(Seq.empty[DvRef]) { arr =>
+        (0 until arr.size()).map { i =>
+          val e = arr.get(i); DvRef(e.get("d").asText(), e.get("n").asLong())
+        }
+      }
       FileEntry(node.get("path").asText(),
         Option(node.get("bucket")).map(_.asText()), stats, bloom,
         Option(node.get("sz")).map(_.asLong()).getOrElse(0L),
-        Option(node.get("rc")).map(_.asLong()).getOrElse(-1L))
+        Option(node.get("rc")).map(_.asLong()).getOrElse(-1L),
+        dvs)
     }
 
     def parse(text: String, src: String): ParsedLog = {
@@ -524,9 +555,13 @@ object TxTable {
       extraProps: Map[String, String] = Map.empty): Long = {
     val version = baseManifest.version + 1
     val baseFiles = if (full) Seq.empty else baseManifest.files
-    val basePaths = baseFiles.map(_.path).toSet
+    val baseByPath = baseFiles.map(f => f.path -> f).toMap
     val newPaths = newFiles.map(_.path).toSet
-    val adds = newFiles.filterNot(f => basePaths.contains(f.path))
+    // an add is a NEW path or a MODIFIED entry (same path, changed
+    // content — a deletion-vector ref stacked by merge-on-read DML);
+    // replay's state.update(path, entry) replaces the old entry either
+    // way, so deltas stay proportional to what actually changed
+    val adds = newFiles.filterNot(f => baseByPath.get(f.path).contains(f))
     val removes = baseFiles.collect { case f if !newPaths.contains(f.path) => f.path }
     val content =
       if (full) ManifestJson.render(version, baseManifest.version, op, "full",
@@ -810,12 +845,17 @@ object TxTable {
     Seq((m.version, m.files.size.toLong,
       m.files.flatMap(_.bucket).distinct.size.toLong,
       m.files.map(_.bytes).sum,
-      if (m.files.forall(_.rows >= 0L)) m.files.map(_.rows).sum else -1L,
+      if (m.files.forall(_.rows >= 0L))
+        m.files.map(f => f.rows - f.dvs.map(_.rows).sum).sum
+      else -1L,
       m.files.flatMap(_.stats.keys).distinct.sorted.mkString(","),
       m.files.flatMap(_.bloom.map(_.col)).distinct.sorted.mkString(","),
-      m.schemas.size.toLong))
+      m.schemas.size.toLong,
+      m.files.count(_.dvs.nonEmpty).toLong,
+      m.files.flatMap(_.dvs).map(_.rows).sum))
       .toDF("version", "n_files", "n_partitions", "total_bytes", "total_rows",
-        "stats_cols", "bloom_cols", "n_commit_dirs")
+        "stats_cols", "bloom_cols", "n_commit_dirs", "n_dv_files",
+        "total_dv_rows")
   }
 
   /** COUNT(*) answered from the MANIFEST ALONE — zero data files
@@ -834,7 +874,9 @@ object TxTable {
     m.files.find(_.rows < 0L).foreach(f => sys.error(
       s"metaCount: ${f.path} carries no row count (pre-upgrade manifest) — " +
         "rewrite it (compact/merge) to upgrade, or aggregate the data"))
-    m.files.map(_.rows).sum
+    // deletion vectors subtract exactly: per-file tombstone counts are
+    // recorded at DV-commit time and disjoint across stacked refs
+    m.files.map(f => f.rows - f.dvs.map(_.rows).sum).sum
   }
 
   /** MIN/MAX of a manifest-stats column answered from the log alone —
@@ -850,6 +892,13 @@ object TxTable {
       sys.error(s"no committed version at $dir"))
     val m = readManifest(spark, dir, v)
     if (m.files.isEmpty) return None
+    // fail loud under deletion vectors: a file's extremum row may be
+    // tombstoned, making the manifest min/max an over-approximation —
+    // "exact" is this method's contract, so refuse rather than drift
+    m.files.find(_.dvs.nonEmpty).foreach(f => sys.error(
+      s"metaRange: ${f.path} carries deletion vectors — per-file stats " +
+        "are only upper bounds under merge-on-read deletes; compact " +
+        "first, or aggregate the data"))
     val ranges = m.files.map { f =>
       f.stats.getOrElse(column, sys.error(
         s"metaRange: ${f.path} has no '$column' stats — commit with " +
@@ -1000,27 +1049,81 @@ object TxTable {
     * single parquet footer (the declared schema covers data + the
     * partition column, which Spark fills from the dir value at the
     * declared type); unknown dirs fall back to inference. */
-  private def readFiles(
+  /** Reserved physical-row-identity columns projected by
+    * `withRowId` reads: the parquet file NAME (unique table-wide —
+    * Spark part files carry a per-job UUID) and the in-file row
+    * position from the scan's metadata columns. This (name, pos)
+    * pair is the deletion-vector coordinate system: positions are
+    * stable because merge-on-read never rewrites bytes, and the NAME
+    * (not the absolute URI) keeps tombstones valid across table
+    * relocation. */
+  private[graft] val DvFileCol = "__graft_dv_file"
+  private[graft] val DvPosCol = "__graft_dv_pos"
+  private def fileNameOf(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
+  /** Raw per-commit-dir union (no DV application) — see [[readFiles]]
+    * for the schema-group rationale. */
+  private def rawRead(
       spark: SparkSession, root: Path, files: Seq[FileEntry],
-      schemas: Map[String, String] = Map.empty): DataFrame = {
-    require(files.nonEmpty,
-      "cannot read an empty version (schema lives in the data files)")
+      schemas: Map[String, String], withRowId: Boolean): DataFrame = {
     val byCommit = files.groupBy(f => dirOf(f.path))
     byCommit.toSeq.sortBy(_._1).map { case (commitRel, fs0) =>
       val reader = spark.read
         .option("basePath", new Path(root, commitRel).toString)
-      schemas.get(commitRel)
+      val df = schemas.get(commitRel)
         .map(s => reader.schema(
           org.apache.spark.sql.types.DataType.fromJson(s)
             .asInstanceOf[org.apache.spark.sql.types.StructType]))
         .getOrElse(reader)
         .parquet(fs0.map(f => new Path(root, f.path).toString): _*)
+      // the metadata columns must be projected AT THE SCAN (they are
+      // hidden columns of the file source, not of derived plans)
+      if (withRowId)
+        df.select(col("*"),
+          element_at(split(col("_metadata.file_path"), "/"), -1).as(DvFileCol),
+          col("_metadata.row_index").as(DvPosCol))
+      else df
     // allowMissingColumns: commits published under an EVOLVED schema
     // (mergeChangeSet evolveSchema=true) coexist with carried-forward
     // files of the old shape in the same version — older files read
     // NULL in the added columns, exactly the additive-evolution
     // contract. Identical-schema groups are unaffected.
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Read entries as one DataFrame, applying any deletion vectors.
+    * Entries WITHOUT DVs read exactly as before (zero join, zero
+    * metadata projection — the common case pays nothing); entries
+    * WITH DVs read with (file, pos) row identity and subtract their
+    * tombstones via a LEFT ANTI join against the referenced sidecar
+    * datasets. The tombstone cardinality is known exactly from the
+    * manifest, so the DV side is broadcast whenever it is small (the
+    * point-delete case); a mass-delete DV falls back to a shuffle
+    * join rather than OOMing the driver. `withRowId` additionally
+    * exposes [[DvFileCol]]/[[DvPosCol]] to DML writers. */
+  private def readFiles(
+      spark: SparkSession, root: Path, files: Seq[FileEntry],
+      schemas: Map[String, String] = Map.empty,
+      withRowId: Boolean = false): DataFrame = {
+    require(files.nonEmpty,
+      "cannot read an empty version (schema lives in the data files)")
+    val (dved, plain) = files.partition(_.dvs.nonEmpty)
+    val parts = Seq(
+      Option.when(plain.nonEmpty)(
+        rawRead(spark, root, plain, schemas, withRowId)),
+      Option.when(dved.nonEmpty) {
+        val dvDirs = dved.flatMap(_.dvs.map(_.dir)).distinct
+        val dv = spark.read
+          .parquet(dvDirs.map(d => new Path(root, d).toString): _*)
+          .select(col("file").as(DvFileCol), col("pos").as(DvPosCol))
+        val dvRows = dved.flatMap(_.dvs).map(_.rows).sum
+        val side = if (dvRows <= 4000000L) broadcast(dv) else dv
+        val filtered = rawRead(spark, root, dved, schemas, withRowId = true)
+          .join(side, Seq(DvFileCol, DvPosCol), "left_anti")
+        if (withRowId) filtered else filtered.drop(DvFileCol, DvPosCol)
+      }).flatten
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Snapshot read: latest version, or `versionAsOf` (time travel). */
@@ -1303,7 +1406,13 @@ object TxTable {
       sys.error(s"compact needs an initialized table at $dir"))
     val m = readManifest(spark, dir, base)
     val byBucket = m.files.groupBy(_.bucket)
-    val fragmented = byBucket.filter(_._2.size > 1).keys.toSet
+    // a partition needs work when fragmented OR carrying deletion
+    // vectors: compaction is also the DV reconciler — the rewrite
+    // reads DV-aware, so tombstoned rows vanish physically and the
+    // fresh entries are DV-free
+    val fragmented = byBucket.filter { case (_, fs0) =>
+      fs0.size > 1 || fs0.exists(_.dvs.nonEmpty)
+    }.keys.toSet
     if (fragmented.isEmpty) return base
     val (doomed, keep) = m.files.partition(f => fragmented(f.bucket))
     val merged = readFiles(spark, root, doomed, m.schemas)
@@ -1385,8 +1494,13 @@ object TxTable {
   private def diffFrames(
       spark: SparkSession, root: Path, ma: Manifest, mb: Manifest,
       keyCol: String): (DataFrame, Seq[String]) = {
-    def byBucket(m: Manifest): Map[Option[String], Set[String]] =
-      m.files.groupBy(_.bucket).map { case (b, fs0) => b -> fs0.map(_.path).toSet }
+    // the partition signature includes DV refs: a merge-on-read delete
+    // changes no file PATH, only an entry's tombstone list — path-only
+    // signatures would call the partition unchanged and the CDC feed
+    // would silently miss the delete
+    def byBucket(m: Manifest): Map[Option[String], Set[(String, Seq[DvRef])]] =
+      m.files.groupBy(_.bucket)
+        .map { case (b, fs0) => b -> fs0.map(f => (f.path, f.dvs)).toSet }
     val fa = byBucket(ma); val fb = byBucket(mb)
     val changed = (fa.keySet ++ fb.keySet)
       .filter(b => fa.getOrElse(b, Set.empty) != fb.getOrElse(b, Set.empty))
@@ -1437,15 +1551,16 @@ object TxTable {
     val base = latestVersion(spark, dir).getOrElse(
       sys.error(s"DML needs an initialized table at $dir"))
     val m = readManifest(spark, dir, base)
-    val touchedPaths = readFiles(spark, root, m.files, m.schemas)
+    // row-identity projection instead of input_file_name(): the latter
+    // is scan-scoped and goes ambiguous once a DV anti-join sits
+    // between the scan and the collect
+    val touchedNames = readFiles(spark, root, m.files, m.schemas,
+        withRowId = true)
       .where(pred)
-      .select(input_file_name().as("_f")).distinct()
+      .select(col(DvFileCol)).distinct()
       .collect().map(_.getString(0)).toSet
-    if (touchedPaths.isEmpty) return base
-    def isTouched(f: FileEntry): Boolean = {
-      val abs = new Path(root, f.path).toString
-      touchedPaths.exists(p => p == abs || p.endsWith(f.path))
-    }
+    if (touchedNames.isEmpty) return base
+    def isTouched(f: FileEntry): Boolean = touchedNames(fileNameOf(f.path))
     val (doomed, keep) = m.files.partition(isTouched)
     val rewritten = transform(readFiles(spark, root, doomed, m.schemas))
     val commitDir = newCommitDir(root, base + 1)
@@ -1474,6 +1589,63 @@ object TxTable {
     // (file-placement-dependent results)
     rewriteTouched(spark, dir, pred, partitionCol, "delete")(
       _.where(!coalesce(pred, lit(false))))
+
+  /** DELETE WHERE as MERGE-ON-READ: matching rows are tombstoned in a
+    * deletion-vector sidecar (one parquet dataset of (file, pos)
+    * coordinates per DML commit, under `dv/`) referenced from the
+    * manifest — the matched files' BYTES never change, readers apply
+    * the tombstones as a scan-time anti-join ([[readFiles]]), and
+    * every prior version still time-travels with the rows present.
+    * This inverts [[deleteWhere]]'s copy-on-write economics: a point
+    * delete on an UNCLUSTERED predicate (which can touch every file)
+    * costs one predicate scan plus an O(matches) sidecar write instead
+    * of rewriting the table, at the price of a small read-time join
+    * until [[compact]] reconciles the DVs away. Stacked deletes
+    * compose: each pass matches only still-visible rows, so per-file
+    * tombstone counts are disjoint and [[metaCount]] stays exact off
+    * the log. Returns the committed version — unchanged if nothing
+    * matched. */
+  def deleteWhereDv(
+      spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val store = logStoreFactory(fs)
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"DML needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    // the (name, pos) coordinate system requires table-wide-unique
+    // file names — guaranteed by Spark's UUID part naming, verified
+    // loudly rather than assumed (a collision would cross-delete)
+    val dup = m.files.groupBy(f => fileNameOf(f.path)).find(_._2.size > 1)
+    dup.foreach { case (n, fs0) => sys.error(
+      s"deleteWhereDv: duplicate physical file name '$n' across " +
+        s"${fs0.map(_.path).mkString(", ")} — DV coordinates would be " +
+        "ambiguous; compact or rewrite the table first") }
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dvRel = s"dv/v${base + 1}-$token"
+    val dvPath = new Path(root, dvRel)
+    // ONE predicate scan over the currently VISIBLE rows (the DV-aware
+    // read excludes prior tombstones, keeping stacked counts disjoint)
+    readFiles(spark, root, m.files, m.schemas, withRowId = true)
+      .where(coalesce(pred, lit(false)))
+      .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+      .write.mode("errorifexists").parquet(dvPath.toString)
+    // bounded collect: one row per touched FILE
+    val counts = spark.read.parquet(dvPath.toString)
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) { fs.delete(dvPath, true); return base }
+    val updated = m.files.map { f =>
+      counts.get(fileNameOf(f.path)) match {
+        case Some(n) => f.copy(dvs = f.dvs :+ DvRef(dvRel, n))
+        case None => f
+      }
+    }
+    // no constraint pass: a pure delete cannot introduce a violating
+    // row, and no fresh data files exist to validate
+    commit(store, root, m, updated, newSchema = None, op = "delete-dv",
+      full = false)
+  }
 
   /** UPDATE ... SET assignments WHERE pred, same economics as
     * [[deleteWhere]]: non-matching rows in touched files are rewritten
@@ -1561,25 +1733,51 @@ object TxTable {
     dropped.foreach(v => store.delete(manifestPath(root, v)))
     ckptVs.filter(_ < horizon).foreach(v => store.delete(checkpointPath(root, v)))
     val live = scala.collection.mutable.HashSet.empty[String]
-    horizonState.files.foreach(live += _.path)
+    val liveDv = scala.collection.mutable.HashSet.empty[String]
+    horizonState.files.foreach { f =>
+      live += f.path; f.dvs.foreach(liveDv += _.dir)
+    }
     retained.drop(1).foreach { v =>
       ManifestJson.parse(store.read(manifestPath(root, v)), s"manifest $v")
-        .adds.foreach(live += _.path)
+        .adds.foreach { a => live += a.path; a.dvs.foreach(liveDv += _.dir) }
     }
-    val dataDir = new Path(root, "data")
-    if (!fs.exists(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - retentionMs
-    val it = fs.listFiles(dataDir, true)
     val rootStr = root.toString + "/"
     var n = 0
-    val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toString.stripPrefix(rootStr)
-      if (st.isFile && rel.endsWith(".parquet") && !live(rel) &&
-        st.getModificationTime <= cutoff) doomed += st.getPath
+    val dataDir = new Path(root, "data")
+    if (fs.exists(dataDir)) {
+      val it = fs.listFiles(dataDir, true)
+      val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.stripPrefix(rootStr)
+        if (st.isFile && rel.endsWith(".parquet") && !live(rel) &&
+          st.getModificationTime <= cutoff) doomed += st.getPath
+      }
+      doomed.foreach { p => if (fs.delete(p, false)) n += 1 }
     }
-    doomed.foreach { p => if (fs.delete(p, false)) n += 1 }
+    // deletion-vector sidecars: a dataset dir is live while ANY
+    // retained entry references it (compaction drops refs file by
+    // file; the dataset falls out of scope only when the last
+    // referencing entry is rewritten or its version retired). Same
+    // retention guard — an in-flight DV commit's sidecar is written
+    // before its manifest publishes.
+    val dvRoot = new Path(root, "dv")
+    if (fs.exists(dvRoot)) {
+      fs.listStatus(dvRoot).foreach { st =>
+        val rel = "dv/" + st.getPath.getName
+        if (st.isDirectory && !liveDv(rel)) {
+          val members = fs.listStatus(st.getPath)
+          val newest =
+            if (members.isEmpty) st.getModificationTime
+            else members.map(_.getModificationTime).max
+          if (newest <= cutoff) {
+            val nFiles = members.count(_.getPath.getName.endsWith(".parquet"))
+            if (fs.delete(st.getPath, true)) n += nFiles
+          }
+        }
+      }
+    }
     n
   }
 }
