@@ -197,7 +197,22 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"total_sec":${f3(total)}}""")
+    // "top" repeats the 25 slowest AFTER the full map: head truncation
+    // removes everything alphabetically early (including the whole
+    // q1xx block), so the hot spots must also live near the line's
+    // END where the driver's tail window keeps them.
+    val top = results.filter(_._3).sortBy(-_._2).take(25)
+      .map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"top":$top,"total_sec":${f3(total)}}"""
+    println(line)
+    // full, untruncated copy for local diffing across rounds (the
+    // stdout line is clipped to its tail by the driver)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_full.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
     } finally {
       // leave no per-run checkpoint base behind on tmpfs (RAM!) even

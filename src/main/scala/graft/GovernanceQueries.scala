@@ -176,7 +176,7 @@ object GovernanceQueries {
         val viaDv = agg(graft.ext.TxTable.read(s, table)).cache()
         // metadata-only COUNT stays exact under DVs (tombstone counts
         // ride the manifest)
-        require(graft.ext.TxTable.metaCount(s, table) ===
+        require(graft.ext.TxTable.metaCount(s, table) ==
           viaDv.agg(sum("n")).collect().head.getLong(0),
           "metaCount must stay exact under deletion vectors")
         // compact reconciles: physically-deleted result == DV result

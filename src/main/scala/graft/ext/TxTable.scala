@@ -350,14 +350,15 @@ object TxTable {
       // losslessly: single-column stats map, no bloom, sizes/rows
       // unrecorded (0 / -1 sentinels the rest of the engine already
       // honors).
-      val legacy = !h.has("kind")
+      val kindless = !h.has("kind")
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
+      var sawModern = false
       lines.foreach { line =>
         val n = mapper.readTree(line)
-        if (n.has("a")) adds += parseEntry(n.get("a"))
-        else if (n.has("r")) removes += n.get("r").asText()
-        else if (legacy && n.has("path")) {
+        if (n.has("a")) { sawModern = true; adds += parseEntry(n.get("a")) }
+        else if (n.has("r")) { sawModern = true; removes += n.get("r").asText() }
+        else if (kindless && n.has("path")) {
           val stats =
             if (n.has("sc"))
               Map(n.get("sc").asText() ->
@@ -367,6 +368,14 @@ object TxTable {
             Option(n.get("bucket")).map(_.asText()), stats, None, 0L, -1L)
         } else sys.error(s"malformed manifest line in $src: $line")
       }
+      // legacy acceptance requires the BODY to match the legacy shape
+      // too: a modern delta whose header merely LOST its "kind" must
+      // fail loudly, not be silently replayed as a full snapshot
+      // (which would reset state and drop every carried-forward file)
+      require(!(kindless && sawModern),
+        s"kind-less header but modern a/r delta lines in $src — " +
+          "corrupt manifest, refusing to reinterpret a delta as full")
+      val legacy = kindless
       val schemas =
         if (!h.has("schemas")) Map.empty[String, String]
         else {
@@ -1050,17 +1059,33 @@ object TxTable {
     * partition column, which Spark fills from the dir value at the
     * declared type); unknown dirs fall back to inference. */
   /** Reserved physical-row-identity columns projected by
-    * `withRowId` reads: the parquet file NAME (unique table-wide —
-    * Spark part files carry a per-job UUID) and the in-file row
-    * position from the scan's metadata columns. This (name, pos)
-    * pair is the deletion-vector coordinate system: positions are
-    * stable because merge-on-read never rewrites bytes, and the NAME
-    * (not the absolute URI) keeps tombstones valid across table
-    * relocation. */
+    * `withRowId` reads: the ROOT-RELATIVE file path (exactly the
+    * manifest's `FileEntry.path`, e.g. `data/v3-ab12cd34/pbucket=6/
+    * part-….parquet`) and the in-file row position from the scan's
+    * metadata columns. This (path, pos) pair is the deletion-vector
+    * coordinate system: positions are stable because merge-on-read
+    * never rewrites bytes, and the root-RELATIVE path (not the
+    * absolute URI) keeps tombstones valid across table relocation.
+    * The bare file NAME would NOT do: one partitioned write job
+    * reuses the same `part-00000-<jobUUID>…` name in every
+    * `col=value` directory, so names collide table-wide by
+    * construction. */
   private[graft] val DvFileCol = "__graft_dv_file"
   private[graft] val DvPosCol = "__graft_dv_pos"
-  private def fileNameOf(path: String): String =
-    path.substring(path.lastIndexOf('/') + 1)
+
+  /** Root-relative path of the scanned file, as a Column. Derived
+    * from `_metadata.file_path` by cutting at the root's PATH
+    * component (`root.toUri.getPath`) rather than string-comparing
+    * against `root.toString`: the metadata column's scheme rendering
+    * (`file:/…` vs `file:///…`, URL-encoding) need not match
+    * `Path.toString`, but the path component after the authority is
+    * rendered identically on both sides. Every scanned file lives
+    * under the root, so the marker always occurs. */
+  private def relPathCol(root: Path): org.apache.spark.sql.Column = {
+    val marker = root.toUri.getPath + "/"
+    val fp = col("_metadata.file_path")
+    fp.substr(locate(marker, fp) + marker.length, lit(Int.MaxValue))
+  }
 
   /** Raw per-commit-dir union (no DV application) — see [[readFiles]]
     * for the schema-group rationale. */
@@ -1081,7 +1106,7 @@ object TxTable {
       // hidden columns of the file source, not of derived plans)
       if (withRowId)
         df.select(col("*"),
-          element_at(split(col("_metadata.file_path"), "/"), -1).as(DvFileCol),
+          relPathCol(root).as(DvFileCol),
           col("_metadata.row_index").as(DvPosCol))
       else df
     // allowMissingColumns: commits published under an EVOLVED schema
@@ -1118,7 +1143,17 @@ object TxTable {
           .parquet(dvDirs.map(d => new Path(root, d).toString): _*)
           .select(col("file").as(DvFileCol), col("pos").as(DvPosCol))
         val dvRows = dved.flatMap(_.dvs).map(_.rows).sum
-        val side = if (dvRows <= 4000000L) broadcast(dv) else dv
+        // broadcast decision on estimated BYTES, not rows: each
+        // tombstone carries its file's root-relative path string
+        // (UTF-16 in the hash relation) plus a long and per-row
+        // overhead, so a row cap alone could force hundreds of MB
+        // past the broadcast machinery. Path lengths are known
+        // exactly from the manifest entries the DVs reference.
+        val avgPathChars =
+          if (dved.isEmpty) 0L
+          else dved.map(_.path.length.toLong).sum / dved.size
+        val estBytes = dvRows * (2L * avgPathChars + 48L)
+        val side = if (estBytes <= (32L << 20)) broadcast(dv) else dv
         val filtered = rawRead(spark, root, dved, schemas, withRowId = true)
           .join(side, Seq(DvFileCol, DvPosCol), "left_anti")
         if (withRowId) filtered else filtered.drop(DvFileCol, DvPosCol)
@@ -1554,13 +1589,15 @@ object TxTable {
     // row-identity projection instead of input_file_name(): the latter
     // is scan-scoped and goes ambiguous once a DV anti-join sits
     // between the scan and the collect
-    val touchedNames = readFiles(spark, root, m.files, m.schemas,
+    val touchedPaths = readFiles(spark, root, m.files, m.schemas,
         withRowId = true)
       .where(pred)
       .select(col(DvFileCol)).distinct()
       .collect().map(_.getString(0)).toSet
-    if (touchedNames.isEmpty) return base
-    def isTouched(f: FileEntry): Boolean = touchedNames(fileNameOf(f.path))
+    if (touchedPaths.isEmpty) return base
+    // root-relative match — bare NAMES collide across partition dirs
+    // of one write job, which would rewrite every same-named sibling
+    def isTouched(f: FileEntry): Boolean = touchedPaths(f.path)
     val (doomed, keep) = m.files.partition(isTouched)
     val rewritten = transform(readFiles(spark, root, doomed, m.schemas))
     val commitDir = newCommitDir(root, base + 1)
@@ -1613,14 +1650,6 @@ object TxTable {
     val base = latestVersion(spark, dir).getOrElse(
       sys.error(s"DML needs an initialized table at $dir"))
     val m = readManifest(spark, dir, base)
-    // the (name, pos) coordinate system requires table-wide-unique
-    // file names — guaranteed by Spark's UUID part naming, verified
-    // loudly rather than assumed (a collision would cross-delete)
-    val dup = m.files.groupBy(f => fileNameOf(f.path)).find(_._2.size > 1)
-    dup.foreach { case (n, fs0) => sys.error(
-      s"deleteWhereDv: duplicate physical file name '$n' across " +
-        s"${fs0.map(_.path).mkString(", ")} — DV coordinates would be " +
-        "ambiguous; compact or rewrite the table first") }
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dvRel = s"dv/v${base + 1}-$token"
     val dvPath = new Path(root, dvRel)
@@ -1636,7 +1665,7 @@ object TxTable {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (counts.isEmpty) { fs.delete(dvPath, true); return base }
     val updated = m.files.map { f =>
-      counts.get(fileNameOf(f.path)) match {
+      counts.get(f.path) match {
         case Some(n) => f.copy(dvs = f.dvs :+ DvRef(dvRel, n))
         case None => f
       }

@@ -177,7 +177,22 @@ object MergeStream {
     val appId = Option(txnAppId).getOrElse {
       val p = new org.apache.hadoop.fs.Path(changesDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      s"merge-stream:${fs.makeQualified(p).toUri}"
+      val canonical = s"merge-stream:${fs.makeQualified(p).toUri}"
+      // upgrade path: tables created before the canonical-URI default
+      // hold their ledger under the RAW-string key. Adopting the new
+      // key there would orphan that history — a rebuilt checkpoint
+      // replaying old batches would no longer be deduped until the
+      // new key accumulates its own. So if the table already carries
+      // ledger history under the legacy key and NONE under the
+      // canonical one, keep writing the legacy key.
+      val legacy = s"merge-stream:$changesDir"
+      val ledger =
+        graft.ext.TxTable.latestVersion(spark, tableDir)
+          .map(v => graft.ext.TxTable.readManifest(spark, tableDir, v).txns)
+          .getOrElse(Map.empty[String, Long])
+      if (legacy != canonical &&
+          ledger.contains(legacy) && !ledger.contains(canonical)) legacy
+      else canonical
     }
     val committed = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = spark.readStream

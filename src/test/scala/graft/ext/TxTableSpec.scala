@@ -1020,4 +1020,121 @@ class TxTableSpec extends SparkSpec {
       assert(files.nonEmpty && files.forall(_.contains("pbucket=1")))
     }
   }
+
+  // ---- merge-on-read deletion vectors -------------------------------
+
+  test("deleteWhereDv on a PARTITIONED table: byte-identity, stacked DVs, " +
+      "metaCount, time travel") {
+    inDir { dir =>
+      // partitioned write: every pbucket dir reuses the same
+      // part-00000-<jobUUID> NAME — exactly the layout that breaks a
+      // name-keyed coordinate system (coordinates must be the
+      // root-RELATIVE path)
+      TxTable.commitReplace(spark, dir, snap(40), Some("pbucket"))
+      val beforeBytes = dataBytes(dir)
+      assert(beforeBytes.size >= 4, "expect one file per pbucket at least")
+      // unclustered predicate — matches rows in EVERY partition
+      val v2 = TxTable.deleteWhereDv(spark, dir, col("event_id") % 5 === 0)
+      assert(v2 === 2L)
+      // merge-on-read contract: not one data file's BYTES changed
+      assert(dataBytes(dir) === beforeBytes,
+        "a DV delete must never rewrite data files")
+      val expect1 = snap(40).where(!(col("event_id") % 5 === 0))
+      assert(rows(TxTable.read(spark, dir)) === rows(expect1))
+      // STACKED second DV: matches only still-visible rows
+      val v3 = TxTable.deleteWhereDv(spark, dir, col("event_id") % 2 === 1)
+      assert(v3 === 3L)
+      assert(dataBytes(dir) === beforeBytes)
+      val expect2 = expect1.where(!(col("event_id") % 2 === 1))
+      assert(rows(TxTable.read(spark, dir)) === rows(expect2))
+      // metadata-only COUNT subtracts tombstones exactly off the log
+      assert(TxTable.metaCount(spark, dir) === expect2.count())
+      // prior versions time-travel with the rows PRESENT
+      assert(rows(TxTable.read(spark, dir, versionAsOf = Some(1L))) ===
+        rows(snap(40)))
+      assert(rows(TxTable.read(spark, dir, versionAsOf = Some(2L))) ===
+        rows(expect1))
+      // a no-match delete publishes nothing
+      assert(TxTable.deleteWhereDv(spark, dir, col("event_id") > 10000) === 3L)
+    }
+  }
+
+  test("compact reconciles DVs away; vacuum retires the orphaned sidecars") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(24), Some("pbucket"))
+      TxTable.deleteWhereDv(spark, dir, col("event_id") % 3 === 0)
+      val visible = rows(TxTable.read(spark, dir))
+      val mBefore = TxTable.readManifest(spark, dir,
+        TxTable.latestVersion(spark, dir).get)
+      assert(mBefore.files.exists(_.dvs.nonEmpty), "DV refs must be live")
+      val dvDirs = mBefore.files.flatMap(_.dvs.map(_.dir)).distinct
+      assert(dvDirs.nonEmpty)
+      TxTable.compact(spark, dir, "pbucket")
+      // physically-deleted content == DV-visible content, refs gone
+      assert(rows(TxTable.read(spark, dir)) === visible)
+      val mAfter = TxTable.readManifest(spark, dir,
+        TxTable.latestVersion(spark, dir).get)
+      assert(mAfter.files.forall(_.dvs.isEmpty),
+        "compact must publish DV-free entries")
+      assert(TxTable.metaCount(spark, dir) === visible.size.toLong)
+      // sidecars stay while the DV'd version is retained …
+      dvDirs.foreach { d =>
+        assert(java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(dir, d)), s"$d must survive: v2 references it")
+      }
+      // … and fall to vacuum once that version is retired
+      TxTable.vacuum(spark, dir, keepVersions = Some(1), retentionMs = 0L)
+      dvDirs.foreach { d =>
+        assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, d)),
+          s"$d must be swept once no retained manifest references it")
+      }
+      assert(rows(TxTable.read(spark, dir)) === visible)
+    }
+  }
+
+  test("copy-on-write DML rewrites ONLY the files containing matches " +
+      "(root-relative paths, not colliding names)") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(40), Some("pbucket"))
+      val beforeBytes = dataBytes(dir)
+      // predicate confined to pbucket 2, PARTIALLY matching each file it
+      // touches (a fully-matched file would vanish by reference with no
+      // rewrite at all) — same-NAMED part files exist in every other
+      // pbucket dir and must carry forward byte-identical
+      TxTable.deleteWhere(spark, dir,
+        col("pbucket") === 2 && col("event_id") % 8 === 2,
+        partitionCol = Some("pbucket"))
+      val afterBytes = dataBytes(dir)
+      // v1 files all survive for time travel; the REWRITE footprint is
+      // the set of freshly written files — it must be confined to the
+      // touched partition (a name-keyed match would have rewritten the
+      // same-named sibling in every pbucket dir)
+      val newFiles = afterBytes.keySet -- beforeBytes.keySet
+      assert(newFiles.nonEmpty && newFiles.forall(_.contains("pbucket=2")),
+        s"COW rewrote outside the touched partition: $newFiles")
+      beforeBytes.foreach { case (p, bytes) =>
+        assert(afterBytes.get(p).contains(bytes),
+          s"an existing file's bytes changed: $p")
+      }
+      assert(rows(TxTable.read(spark, dir)) ===
+        rows(snap(40).where(!(col("pbucket") === 2 && col("event_id") % 8 === 2))))
+    }
+  }
+
+  test("DV read composes with COW DML: updateWhere after a DV delete " +
+      "sees only visible rows") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(20), Some("pbucket"))
+      TxTable.deleteWhereDv(spark, dir, col("event_id") < 5)
+      // the update's predicate scan runs THROUGH the DV anti-join;
+      // tombstoned rows must be invisible to it and stay deleted after
+      TxTable.updateWhere(spark, dir, col("event_id") < 10,
+        Seq("value" -> (col("value") + 1000.0)), partitionCol = Some("pbucket"))
+      val expect = snap(20).where(col("event_id") >= 5)
+        .withColumn("value",
+          when(col("event_id") < 10, col("value") + 1000.0).otherwise(col("value")))
+      assert(rows(TxTable.read(spark, dir)) === rows(expect))
+      assert(TxTable.metaCount(spark, dir) === 15L)
+    }
+  }
 }
