@@ -687,6 +687,23 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("a kind-less header with MODERN a/r delta lines fails loudly " +
+      "(no silent delta-as-full replay)") {
+    // the hazard: dropping the "kind" key from a delta manifest used
+    // to flip it to kind=full, resetting replay state and silently
+    // dropping every carried-forward file — legacy acceptance must
+    // key on the BODY shape, not just the header
+    val corrupt =
+      """{"version":3,"base":2,"op":"merge","n_add":1,"n_remove":1}
+        |{"a":{"path":"data/v3-x/a.parquet"}}
+        |{"r":"data/v2-y/b.parquet"}
+        |""".stripMargin
+    val e = intercept[RuntimeException] {
+      TxTable.ManifestJson.parse(corrupt, "kindless-delta-test")
+    }
+    assert(e.getMessage.contains("kind-less"), e.getMessage)
+  }
+
   test("gatherBlooms rejects a bloomBits that is not a positive multiple of 64") {
     inDir { dir =>
       val e = intercept[IllegalArgumentException] {

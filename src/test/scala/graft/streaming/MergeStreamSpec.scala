@@ -132,6 +132,52 @@ class MergeStreamSpec extends SparkSpec {
     }
   }
 
+  test("pre-upgrade tables keep deduping under the legacy raw-string " +
+      "appId (canonical-URI default must not orphan their ledger)") {
+    import spark.implicits._
+    inTempDir { tmp =>
+      val table = s"$tmp/table"
+      val changesDir = s"$tmp/changes"
+      val snapshot = (0L until 20L).map(i => (i, i * 1.0, i % 4))
+        .toDF("event_id", "value", "pbucket")
+      graft.ext.TxTable.commitReplace(spark, table, snapshot, Some("pbucket"))
+      val changes = Seq(
+        (0L, "delete", 0.0, 0L), (41L, "insert", 41.0, 1L))
+        .toDF("event_id", "op", "value", "pbucket")
+      changes.where(col("pbucket") === 0).coalesce(1)
+        .write.mode("append").parquet(changesDir)
+      changes.where(col("pbucket") === 1).coalesce(1)
+        .write.mode("append").parquet(changesDir)
+      // simulate the PRE-upgrade engine: both batches committed under
+      // the RAW-string appId (the old default) — note changesDir here
+      // is an absolute path WITHOUT the scheme the canonical URI adds
+      val legacyApp = s"merge-stream:$changesDir"
+      graft.ext.TxTable.mergeChangeSet(spark, table,
+        changes.where(col("pbucket") === 0), "event_id", "op", "pbucket",
+        txn = Some((legacyApp, 0L)))
+      graft.ext.TxTable.mergeChangeSet(spark, table,
+        changes.where(col("pbucket") === 1), "event_id", "op", "pbucket",
+        txn = Some((legacyApp, 1L)))
+      val vBefore = graft.ext.TxTable.latestVersion(spark, table)
+      val expected = graft.ext.TxTable.read(spark, table)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // the UPGRADED engine with a fresh checkpoint replays both
+      // batches; the appId fallback must find the legacy ledger and
+      // no-op every one — without it, the canonical key starts empty
+      // and the inserts double-apply
+      val replayed = MergeStream.mergeAvailableVersioned(
+        spark, table, changesDir, changesSchema, s"$tmp/ckpt_rebuilt")
+      assert(replayed === 0L,
+        s"replayed batches must dedup via the legacy ledger: $replayed")
+      assert(graft.ext.TxTable.latestVersion(spark, table) === vBefore)
+      val after = graft.ext.TxTable.read(spark, table)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(after == expected, "state must be unchanged by the replay")
+    }
+  }
+
   test("an empty change feed leaves the snapshot untouched (0 batches)") {
     import spark.implicits._
     inTempDir { tmp =>
