@@ -186,6 +186,177 @@ object GovernanceQueries {
           "compact must preserve the DV-visible content")
         viaDv
       }
+    },
+
+    // Merge-on-read UPDATE via deletion vectors + appended images:
+    // the matched rows' old images are tombstoned (q175's sidecar
+    // mechanics) and their NEW images land as fresh files in the SAME
+    // atomic commit — no matched file's bytes change (TxTableSpec
+    // proves byte-identity), readers see tombstones + images or
+    // nothing. At 100 TB this is the affordable point-UPDATE on an
+    // unclustered predicate: one predicate scan + O(matches) writes
+    // versus copy-on-write rewriting every touched file. The update
+    // STACKS with a MoR delete whose predicate can only be satisfied
+    // by post-update values (proving the delete's scan reads THROUGH
+    // the update's tombstone+image state), metaCount stays exact off
+    // the log, and compact reconciles it all physically. The oracle
+    // replays update-then-delete relationally.
+    Q("q176_tx_update_vectors", GovernanceOracles.updateVectors) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_dvu") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("user_id"), col("value"),
+              (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        // unclustered MoR update — touches matches in every file
+        graft.ext.TxTable.updateWhereDv(s, table,
+          col("user_id") % 40 === 3,
+          Seq("value" -> (col("value") * 2 + 1)), Some("pbucket"))
+        // stacked MoR delete over the UPDATED state
+        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < -50)
+        def agg(df: DataFrame): DataFrame = localized(df
+          .groupBy((col("event_id") % 6).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("k"))
+        val viaDv = agg(graft.ext.TxTable.read(s, table)).cache()
+        require(graft.ext.TxTable.metaCount(s, table) ==
+          viaDv.agg(sum("n")).collect().head.getLong(0),
+          "metaCount must stay exact under update DVs")
+        graft.ext.TxTable.compact(s, table, "pbucket")
+        val compacted = agg(graft.ext.TxTable.read(s, table))
+        require(viaDv.collect().toSeq == compacted.collect().toSeq,
+          "compact must preserve the MoR-update-visible content")
+        viaDv
+      }
+    },
+
+    // MERGE INTO as merge-on-read, STACKED on a prior MoR delete:
+    // the merge's pruned slice reads THROUGH the delete's tombstones,
+    // so keys the delete removed re-enter via the NOT-MATCHED insert
+    // clause, matched rows tombstone+append (delete wins over update,
+    // NULL conditions false — q172's exact clause semantics at MoR
+    // economics: O(changed rows) written, zero target files rewritten.
+    // At 100 TB this is the trickle-upsert that COW merge cannot
+    // afford when each batch grazes many partitions). metaCount stays
+    // exact off the log; compact reconciles physically. The oracle
+    // replays delete-then-merge over a full outer join.
+    Q("q177_tx_merge_vectors", GovernanceOracles.mergeVectors) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_mdv") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"),
+              (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < 0)
+        val source = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"), (col("value") + 500).as("value"),
+            col("value").as("nv"), (col("event_id") % 8).as("pbucket"))
+        graft.ext.TxTable.mergeIntoDv(s, table, source, "event_id", "pbucket",
+          whenMatchedDelete = Some(col("s.event_id") % 12 === 0),
+          whenMatchedUpdate = Seq("value" ->
+            (coalesce(col("t.value"), lit(0.0)) + coalesce(col("s.nv"), lit(0.0)))),
+          whenMatchedUpdateCond = Some(col("s.nv") > lit(0.0)),
+          whenNotMatchedInsert = Some(col("s.value") > lit(100.0)))
+        def agg(df: DataFrame): DataFrame = localized(df
+          .groupBy((col("event_id") % 7).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("k"))
+        val viaDv = agg(graft.ext.TxTable.read(s, table)).cache()
+        require(graft.ext.TxTable.metaCount(s, table) ==
+          viaDv.agg(sum("n")).collect().head.getLong(0),
+          "metaCount must stay exact under merge DVs")
+        graft.ext.TxTable.compact(s, table, "pbucket")
+        val compacted = agg(graft.ext.TxTable.read(s, table))
+        require(viaDv.collect().toSeq == compacted.collect().toSeq,
+          "compact must preserve the MoR-merge-visible content")
+        viaDv
+      }
+    },
+
+    // OPTIMIZE ... ZORDER BY as a commit: a deliberately SHUFFLED
+    // write (every file spans both dimensions — manifest range stats
+    // prune nothing) takes a MoR delete wave, then one re-layout
+    // commit re-clusters the live rows along the (x, y) Z-curve,
+    // reconciling the tombstones physically and making each file a
+    // tight 2-D box. The require proves the box query then reads a
+    // STRICT subset of files off the manifest alone — the property a
+    // 100 TB table's maintenance cadence exists to restore (layout
+    // decays under DML; re-clustering is a content-invisible,
+    // time-travelable commit, not a table rebuild). Oracle: the plain
+    // relational box over delete-filtered rows.
+    Q("q178_tx_optimize_zorder", GovernanceOracles.optimizeZorder) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_oz") { tmp =>
+        val table = s"$tmp/table"
+        val base = ev.select(col("event_id"),
+          (col("event_id") % 64).as("x"),
+          (coalesce(col("user_id"), lit(0L)) % 64).as("y"),
+          col("value"))
+        graft.ext.TxTable.commitReplace(s, table, base.repartition(16),
+          partitionCol = None, statsCols = Seq("x", "y"))
+        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < 0)
+        graft.ext.TxTable.compactClustered(s, table, None, "x", "y", 16)
+        val box = graft.ext.TxTable.readRanges(s, table,
+          Seq(("x", 8L, 23L), ("y", 8L, 23L)))
+        require(box.inputFiles.length < 16,
+          "the re-clustered layout must let the 2-D box prune files")
+        localized(box
+          .groupBy((col("x") % 4).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("k"))
+      }
+    },
+
+    // q147's streaming versioned MERGE at merge-on-read economics:
+    // the same change feed drained micro-batch by micro-batch, each
+    // non-empty batch ONE atomic version — but a batch writes
+    // tombstone sidecars + its own rows instead of rewriting every
+    // touched partition (the sustainable trigger cost for a steady
+    // trickle against a huge table). DELIBERATELY the same oracle as
+    // q147: same answer, economics flipped — then metaCount exactness
+    // and compact-reconciliation are required on top, proving the MoR
+    // stack is maintenance-clean after a whole stream of DV commits.
+    Q("q179_tx_stream_merge_mor", DataOpsOracles.streamMerge) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txsm") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+          .repartition(3, col("pbucket"))
+          .write.parquet(s"$tmp/changes")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("op", StringType),
+          StructField("value", DoubleType), StructField("pbucket", LongType)))
+        graft.streaming.MergeStream.mergeAvailableVersioned(
+          s, table, s"$tmp/changes", schema, s"$tmp/ckpt", moR = true)
+        def agg(df: DataFrame): DataFrame = localized(df
+          .groupBy((col("event_id") % 7).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("k"))
+        val viaDv = agg(graft.ext.TxTable.read(s, table)).cache()
+        require(graft.ext.TxTable.metaCount(s, table) ==
+          viaDv.agg(sum("n")).collect().head.getLong(0),
+          "metaCount must stay exact after a stream of MoR batches")
+        graft.ext.TxTable.compact(s, table, "pbucket")
+        require(viaDv.collect().toSeq ==
+          agg(graft.ext.TxTable.read(s, table)).collect().toSeq,
+          "compact must preserve the streamed MoR content")
+        viaDv
+      }
     }
   )
 }
@@ -290,4 +461,56 @@ object GovernanceOracles {
       |SELECT CAST(event_id % 6 AS BIGINT) AS k, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM d2 GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** The q176 MoR UPDATE + stacked delete replayed relationally:
+    * update first (RHS on the old row), then the delete over the
+    * updated values — exactly the version order the commits publish. */
+  val updateVectors: String =
+    """WITH s AS (SELECT event_id, user_id, value FROM events
+      |  WHERE event_id % 2 = 0),
+      |u AS (SELECT event_id, user_id,
+      |  CASE WHEN coalesce(user_id % 40 = 3, false)
+      |    THEN value * 2 + 1 ELSE value END AS value FROM s),
+      |d AS (SELECT * FROM u WHERE NOT coalesce(value < -50, false))
+      |SELECT CAST(event_id % 6 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM d GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** The q177 MoR-delete-then-MoR-merge replayed relationally: the
+    * target of the merge is the base MINUS the deleted rows (the
+    * merge reads through the tombstones), clause order is q172's
+    * (delete wins; NULL conditions false). */
+  val mergeVectors: String =
+    """WITH t0 AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |t AS (SELECT * FROM t0 WHERE NOT coalesce(value < 0, false)),
+      |s AS (SELECT event_id, value + 500 AS value, value AS nv
+      |  FROM events WHERE event_id % 3 = 0),
+      |m AS (
+      |  SELECT
+      |    coalesce(t.event_id, s.event_id) AS event_id,
+      |    CASE
+      |      WHEN t.event_id IS NULL THEN s.value
+      |      WHEN s.event_id IS NULL THEN t.value
+      |      WHEN coalesce(s.nv > 0, false)
+      |        THEN coalesce(t.value, 0) + coalesce(s.nv, 0)
+      |      ELSE t.value END AS value,
+      |    CASE
+      |      WHEN t.event_id IS NULL THEN coalesce(s.value > 100, false)
+      |      WHEN s.event_id IS NULL THEN true
+      |      ELSE NOT (s.event_id % 12 = 0) END AS keep
+      |  FROM t FULL OUTER JOIN s ON t.event_id = s.event_id)
+      |SELECT CAST(event_id % 7 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM m WHERE keep GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** q178: the OPTIMIZE-ZORDER pipeline is content-invisible, so the
+    * oracle is simply the 2-D box over the delete-filtered rows. */
+  val optimizeZorder: String =
+    """WITH b AS (SELECT event_id, event_id % 64 AS x,
+      |  coalesce(user_id, 0) % 64 AS y, value FROM events),
+      |d AS (SELECT * FROM b WHERE NOT coalesce(value < 0, false))
+      |SELECT CAST(x % 4 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM d WHERE x BETWEEN 8 AND 23 AND y BETWEEN 8 AND 23
+      |GROUP BY 1 ORDER BY k""".stripMargin
 }

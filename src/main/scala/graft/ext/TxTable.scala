@@ -1292,6 +1292,95 @@ object TxTable {
       "merge", full = false, txn = txn)
   }
 
+  /** [[mergeChangeSet]] at MERGE-ON-READ economics — identical content
+    * semantics ([[Cdc.applyChangeSet]]: update/delete keys vacate the
+    * snapshot, insert/update rows append; an insert whose key exists
+    * duplicates, exactly as the batch apply would), but no target file
+    * is rewritten: matched update/delete keys tombstone into a
+    * deletion-vector sidecar and the insert/update rows land as fresh
+    * files, one atomic commit. The trickle-upsert shape for streaming
+    * producers against a huge table — per-batch cost is one
+    * partition-pruned semi-join + O(batch) writes, where the COW
+    * [[mergeChangeSet]] rewrites every touched partition per batch
+    * (at 100 TB a steady trickle touching many partitions pays a
+    * rewrite wave per trigger; here [[compact]] amortizes the
+    * reconciliation to maintenance cadence). Tombstone duplication
+    * cannot arise: the vacating keys are applied as one semi-join, so
+    * each matched target row tombstones once no matter how many
+    * change rows share its key. Idempotent under the same `txn`
+    * ledger; CHECK constraints are enforced on the appended rows.
+    * Changeset columns must match the target (additive evolution
+    * stays a COW concern — evolved columns need a rewrite anyway). */
+  def mergeChangeSetDv(
+      spark: SparkSession, dir: String, changes: DataFrame,
+      keyCol: String, opCol: String, partitionCol: String,
+      txn: Option[(String, Long)] = None): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val store = logStoreFactory(fs)
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"mergeChangeSetDv needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    if (txn.exists { case (app, ver) => m.txns.get(app).exists(_ >= ver) })
+      return base
+    // bounded driver collect: ≤ #partition values by definition
+    val touched = changes.select(col(partitionCol)).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSet
+    requirePathSafe(touched, partitionCol)
+    val touchedFiles = m.files.filter(_.bucket.exists(touched))
+    val slice =
+      if (touchedFiles.nonEmpty)
+        readFiles(spark, root, touchedFiles, m.schemas, withRowId = true)
+      else readFiles(spark, root, m.files, m.schemas, withRowId = true)
+        .limit(0)
+    val targetCols = slice.columns
+      .filterNot(c => c == DvFileCol || c == DvPosCol).toSeq
+    val extras = changes.columns.filterNot(c =>
+      c == opCol || targetCols.contains(c))
+    require(extras.isEmpty,
+      s"changeset carries columns the target lacks (${extras.mkString(", ")}) " +
+        "— merge-on-read cannot evolve schema; use mergeChangeSet")
+    // ONE semi-join finds every target row a vacating key claims —
+    // tombstones are naturally distinct regardless of changeset dups
+    val gone = changes.where(col(opCol).isin("update", "delete"))
+      .select(col(keyCol))
+    val doomed = slice.join(gone, Seq(keyCol), "left_semi")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dvRel = s"dv/v${base + 1}-$token"
+    val dvPath = new Path(root, dvRel)
+    doomed.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+      .write.mode("errorifexists").parquet(dvPath.toString)
+    // bounded collect: one row per touched FILE
+    val counts = spark.read.parquet(dvPath.toString)
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tSchema = slice.schema
+    val added = changes.where(col(opCol).isin("insert", "update"))
+      .select(targetCols.map(c =>
+        col(c).cast(tSchema(c).dataType).as(c)): _*)
+    val commitDir = newCommitDir(root, base + 1)
+    added.write.mode("errorifexists").partitionBy(partitionCol)
+      .parquet(commitDir.toString)
+    val fresh = propagateSkipping(spark, root, m,
+      listCommitFiles(fs, root, commitDir, Some(partitionCol)),
+      added.columns.toSeq)
+    if (counts.isEmpty && fresh.isEmpty) {
+      fs.delete(dvPath, true); fs.delete(commitDir, true); return base
+    }
+    if (counts.isEmpty) fs.delete(dvPath, true)
+    enforceConstraints(spark, root, m, fresh, Some(added.schema.json))
+    val updated = m.files.map { f =>
+      counts.get(f.path) match {
+        case Some(n) => f.copy(dvs = f.dvs :+ DvRef(dvRel, n))
+        case None => f
+      }
+    }
+    commit(store, root, m, updated ++ fresh, newSchema = None,
+      op = "merge-cs-dv", full = false,
+      extraSchemas = fresh.headOption
+        .map(f => dirOf(f.path) -> added.schema.json).toMap,
+      txn = txn)
+  }
+
   /** [[mergeChangeSet]] under optimistic-concurrency RETRY: on a
     * [[CommitConflictException]] the merge re-reads the (new) latest
     * version and recomputes against it, up to `maxRetries` times —
@@ -1460,6 +1549,51 @@ object TxTable {
       merged.columns.toSeq)
     commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
       "compact", full = false)
+  }
+
+  /** OPTIMIZE … ZORDER BY: rewrite the table re-clustered along the
+    * Z-curve of two manifest-stats dimensions into `targetFiles`
+    * output files, each owning a contiguous curve segment (≈ a tight
+    * (x, y) box), so [[readRanges]] 2-D boxes prune on the manifest
+    * again after DML waves and appends have eroded the write-time
+    * layout. Reads DV-aware — tombstoned rows vanish physically and
+    * the fresh entries are DV-free — and publishes ONE atomic,
+    * conflict-detected, content-identical commit; previous versions
+    * still time-travel until [[vacuum]]. Stats (and blooms) for the
+    * base manifest's tracked columns re-derive onto the fresh files
+    * via the same pass every rewrite pays.
+    *
+    * Unlike [[compact]] (which touches only fragmented or
+    * DV-carrying partitions), a re-layout is by definition a full
+    * rewrite: cost ∝ table bytes, so run it at the cadence layout
+    * decay earns, not per-commit. At 100 TB the repartitionByRange
+    * SAMPLES the live z-distribution, so file boundaries adapt to
+    * skew without a stats pre-pass, and the sort is per-output-file,
+    * never global. Cluster columns are bucketed to 16 bits by the
+    * curve ([[Layout.zValue]]) — pre-bucket wider domains. */
+  def compactClustered(
+      spark: SparkSession, dir: String, partitionCol: Option[String],
+      clusterX: String, clusterY: String, targetFiles: Int): Long = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val (fs, root) = fsOf(spark, dir)
+    val store = logStoreFactory(fs)
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"compactClustered needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    val zc = Layout.zValue(col(clusterX), col(clusterY))
+    val keys = partitionCol.map(col).toSeq :+ zc
+    val ordered = readFiles(spark, root, m.files, m.schemas)
+      .repartitionByRange(targetFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val commitDir = newCommitDir(root, base + 1)
+    val writer = ordered.write.mode("errorifexists")
+    partitionCol.fold(writer)(c => writer.partitionBy(c))
+      .parquet(commitDir.toString)
+    val fresh = propagateSkipping(spark, root, m,
+      listCommitFiles(fs, root, commitDir, partitionCol),
+      ordered.columns.toSeq)
+    commit(store, root, m, fresh, Some(ordered.schema.json),
+      "optimize-zorder", full = false)
   }
 
   /** CDC READ: the net changeset that turns version `vFrom` into
@@ -1703,6 +1837,214 @@ object TxTable {
       }
       applied.drop("__graft_pred" +: staged.map(_._2): _*)
     }
+
+  /** UPDATE ... SET as MERGE-ON-READ, completing the DV DML family:
+    * the matched rows' OLD images are tombstoned in a deletion-vector
+    * sidecar (exactly [[deleteWhereDv]]'s mechanics) and their NEW
+    * images are appended as fresh data files — ONE atomic commit, so
+    * readers see either the old state or (tombstones + new images),
+    * never a half-update. Matched files' bytes never change; at
+    * 100 TB a point update on an UNCLUSTERED predicate costs one
+    * predicate scan + O(matches) of sidecar and image writes instead
+    * of [[updateWhere]]'s copy-on-write file rewrites. Stacks with
+    * prior DVs (the predicate scan reads DV-aware, so it sees only
+    * visible rows — including images appended by an earlier MoR
+    * update); [[metaCount]] stays exact (old rows − tombstones +
+    * image rows); [[compact]] reconciles everything physical again.
+    *
+    * SQL UPDATE semantics match [[updateWhere]]: every RHS is staged
+    * against the OLD row before any target column mutates. CHECK
+    * constraints are enforced on the new images before publish.
+    * Returns the committed version — unchanged if nothing matched. */
+  def updateWhereDv(
+      spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      partitionCol: Option[String] = None): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val store = logStoreFactory(fs)
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"DML needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    // ONE predicate scan over the visible rows, materialized because
+    // it feeds BOTH the sidecar and the image write (O(matches) —
+    // the frame a MoR update exists to keep small)
+    val matched = readFiles(spark, root, m.files, m.schemas,
+        withRowId = true)
+      .where(coalesce(pred, lit(false)))
+      .localCheckpoint()
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dvRel = s"dv/v${base + 1}-$token"
+    val dvPath = new Path(root, dvRel)
+    matched.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+      .write.mode("errorifexists").parquet(dvPath.toString)
+    val counts = spark.read.parquet(dvPath.toString)
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) { fs.delete(dvPath, true); return base }
+    // new images: RHS staged against the OLD row (no when() gate —
+    // every row here matched), reserved row-id columns dropped
+    val staged = assignments.zipWithIndex.map { case ((c, e), i) =>
+      (c, s"__graft_set_$i", e)
+    }
+    val withOld = staged.foldLeft(matched.drop(DvFileCol, DvPosCol)) {
+      case (d, (_, tmp, e)) => d.withColumn(tmp, e)
+    }
+    val images = staged.foldLeft(withOld) { case (d, (c, tmp, _)) =>
+      d.withColumn(c, col(tmp))
+    }.drop(staged.map(_._2): _*)
+    val commitDir = newCommitDir(root, base + 1)
+    val writer = images.write.mode("errorifexists")
+    partitionCol.fold(writer)(c => writer.partitionBy(c))
+      .parquet(commitDir.toString)
+    val fresh = propagateSkipping(spark, root, m,
+      listCommitFiles(fs, root, commitDir, partitionCol),
+      images.columns.toSeq)
+    enforceConstraints(spark, root, m, fresh, Some(images.schema.json))
+    val updated = m.files.map { f =>
+      counts.get(f.path) match {
+        case Some(n) => f.copy(dvs = f.dvs :+ DvRef(dvRel, n))
+        case None => f
+      }
+    }
+    // newSchema stays None: the delta's adds include DV-ref-modified
+    // entries from OLDER commit dirs, and a header-level schema would
+    // be replayed onto ALL add dirs — the fresh dir's schema rides
+    // the per-dir map instead
+    commit(store, root, m, updated ++ fresh, newSchema = None,
+      op = "update-dv", full = false,
+      extraSchemas = Map(dirOf(fresh.head.path) -> images.schema.json))
+  }
+
+  /** MERGE INTO as MERGE-ON-READ, completing the DV DML family
+    * (delete → update → merge): matched rows selected for DELETE or
+    * UPDATE are tombstoned in a deletion-vector sidecar, UPDATE's new
+    * images and the NOT-MATCHED inserts land as fresh data files, all
+    * in ONE atomic commit — no pre-existing file's bytes change.
+    * Clause surface and semantics match [[mergeInto]] exactly (clause
+    * expressions see `t.*`/`s.*`, delete wins over update on a
+    * matched row, a NULL condition is false, an idempotent `txn`
+    * replay no-ops), but the economics flip: COW merge rewrites every
+    * touched PARTITION, MoR merge writes O(changed rows). At 100 TB
+    * that is the affordable trickle-upsert — a micro-batch touching a
+    * sliver of many partitions costs one pruned join + sidecar/image
+    * writes instead of rewriting those partitions wholesale, and
+    * [[compact]] amortizes the read-side anti-join away later.
+    *
+    * Unlike [[mergeInto]]'s full-outer rewrite, target rows whose
+    * match fires NO clause never move — so this variant additionally
+    * ENFORCES the SQL MERGE cardinality rule on changing rows: two
+    * source rows claiming the same target row for delete/update would
+    * double-tombstone it and make the surviving image nondeterministic,
+    * so the merge aborts (before publish; the table is untouched).
+    * Returns the committed version — unchanged if nothing changed. */
+  def mergeIntoDv(
+      spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String, partitionCol: String,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      whenMatchedUpdate: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty,
+      whenMatchedUpdateCond: Option[org.apache.spark.sql.Column] = None,
+      whenNotMatchedInsert: Option[org.apache.spark.sql.Column] = None,
+      txn: Option[(String, Long)] = None): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val store = logStoreFactory(fs)
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"mergeIntoDv needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    if (txn.exists { case (app, ver) => m.txns.get(app).exists(_ >= ver) })
+      return base
+    // bounded driver collect: ≤ #partition values by definition
+    val touched = source.select(col(partitionCol)).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSet
+    requirePathSafe(touched, partitionCol)
+    val touchedFiles = m.files.filter(_.bucket.exists(touched))
+    // DV-aware slice of ONLY the partitions the source names — the
+    // join is pruned to the data that can possibly match
+    val slice =
+      if (touchedFiles.nonEmpty)
+        readFiles(spark, root, touchedFiles, m.schemas, withRowId = true)
+      else readFiles(spark, root, m.files, m.schemas, withRowId = true)
+        .limit(0)
+    val tFields = slice.schema.fields
+      .filterNot(f => f.name == DvFileCol || f.name == DvPosCol)
+    val tagged = slice.select(
+      struct(tFields.map(f => col(f.name)).toIndexedSeq: _*).as("t"),
+      col(DvFileCol), col(DvPosCol))
+    val joined = tagged.join(
+      source.select(struct(source.columns.map(col).toIndexedSeq: _*).as("s")),
+      col("t").getField(keyCol) === col("s").getField(keyCol), "inner")
+    val deleteCond = coalesce(
+      whenMatchedDelete.getOrElse(lit(false)), lit(false))
+    val updateCond = coalesce(
+      if (whenMatchedUpdate.isEmpty) lit(false)
+      else whenMatchedUpdateCond.getOrElse(lit(true)), lit(false))
+    val insertCond = coalesce(
+      whenNotMatchedInsert.getOrElse(lit(false)), lit(false))
+    // one materialization of the O(changes) frame: it feeds the
+    // sidecar, the cardinality check, and the image write
+    val changed = joined.where(deleteCond || updateCond).localCheckpoint()
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dvRel = s"dv/v${base + 1}-$token"
+    val dvPath = new Path(root, dvRel)
+    changed.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+      .write.mode("errorifexists").parquet(dvPath.toString)
+    val byPos = spark.read.parquet(dvPath.toString)
+      .groupBy("file", "pos").count()
+    if (byPos.where(col("count") > 1).limit(1).collect().nonEmpty) {
+      fs.delete(dvPath, true)
+      sys.error("MERGE cardinality violation: multiple source rows " +
+        s"match the same target row on '$keyCol' with a delete/update " +
+        "clause firing — deduplicate the source on the merge key")
+    }
+    // bounded collect: one row per touched FILE
+    val counts = byPos.groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // new images for the update clause: every RHS sees the OLD t row
+    val assign = whenMatchedUpdate.toMap
+    val images = changed.where(!deleteCond && updateCond)
+      .select(tFields.map(f =>
+        assign.getOrElse(f.name, col("t").getField(f.name))
+          .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // not-matched inserts: anti-join on the key against the pruned
+    // slice (a key living in a partition the source does not name
+    // cannot match — same contract as mergeInto)
+    val srcCols = source.columns.toSet
+    val inserts = source
+      .select(struct(source.columns.map(col).toIndexedSeq: _*).as("s"))
+      .join(tagged.select(col("t").getField(keyCol).as("__graft_mk")),
+        col("s").getField(keyCol) === col("__graft_mk"), "left_anti")
+      .where(insertCond)
+      .select(tFields.map { f =>
+        (if (srcCols.contains(f.name)) col("s").getField(f.name)
+         else lit(null)).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    val freshRows = images.unionByName(inserts)
+    val commitDir = newCommitDir(root, base + 1)
+    freshRows.write.mode("errorifexists").partitionBy(partitionCol)
+      .parquet(commitDir.toString)
+    val fresh = propagateSkipping(spark, root, m,
+      listCommitFiles(fs, root, commitDir, Some(partitionCol)),
+      freshRows.columns.toSeq)
+    if (counts.isEmpty && fresh.isEmpty) {
+      fs.delete(dvPath, true); fs.delete(commitDir, true); return base
+    }
+    if (counts.isEmpty) fs.delete(dvPath, true)
+    enforceConstraints(spark, root, m, fresh, Some(freshRows.schema.json))
+    val updated = m.files.map { f =>
+      counts.get(f.path) match {
+        case Some(n) => f.copy(dvs = f.dvs :+ DvRef(dvRel, n))
+        case None => f
+      }
+    }
+    // newSchema stays None for the same reason as updateWhereDv: the
+    // delta's adds include DV-ref-modified entries from OLDER commit
+    // dirs; the fresh dir's schema rides the per-dir map
+    commit(store, root, m, updated ++ fresh, newSchema = None,
+      op = "merge-dv", full = false,
+      extraSchemas = fresh.headOption
+        .map(f => dirOf(f.path) -> freshRows.schema.json).toMap,
+      txn = txn)
+  }
 
   /** Reclaim files referenced by NO retained manifest and, when
     * `keepVersions` is set, retire manifests older than the newest

@@ -144,7 +144,16 @@ object MergeStream {
     * reconciliation [[mergeAvailable]] needs is structural here (an
     * emptied partition simply has no files in the new manifest).
     * `tableDir` must hold an initialized TxTable (version ≥ 1).
-    * Returns the number of versions committed. */
+    * Returns the number of versions committed.
+    *
+    * `moR = true` switches each batch to merge-on-read
+    * ([[graft.ext.TxTable.mergeChangeSetDv]]): identical content and
+    * exactly-once semantics, but a batch writes tombstone sidecars +
+    * its own rows instead of rewriting every touched partition — the
+    * sustainable shape for a steady trickle against a huge table
+    * (per-trigger cost ∝ batch, not ∝ touched partitions; run
+    * [[graft.ext.TxTable.compact]] at maintenance cadence to
+    * reconcile). */
   def mergeAvailableVersioned(
       spark: SparkSession,
       tableDir: String,
@@ -154,7 +163,8 @@ object MergeStream {
       keyCol: String = "event_id",
       opCol: String = "op",
       partitionCol: String = "pbucket",
-      txnAppId: String = null): Long = {
+      txnAppId: String = null,
+      moR: Boolean = false): Long = {
     Seq(keyCol, opCol, partitionCol).foreach { c =>
       require(changesSchema.fieldNames.contains(c),
         s"changesSchema must carry '$c': ${changesSchema.fieldNames.mkString(", ")}")
@@ -206,9 +216,13 @@ object MergeStream {
       .foreachBatch { (changes: DataFrame, batchId: Long) =>
         if (!changes.isEmpty) {
           val before = graft.ext.TxTable.latestVersion(spark, tableDir)
-          val after = graft.ext.TxTable.mergeChangeSet(
-            spark, tableDir, changes, keyCol, opCol, partitionCol,
-            txn = Some((appId, batchId)))
+          val after =
+            if (moR) graft.ext.TxTable.mergeChangeSetDv(
+              spark, tableDir, changes, keyCol, opCol, partitionCol,
+              txn = Some((appId, batchId)))
+            else graft.ext.TxTable.mergeChangeSet(
+              spark, tableDir, changes, keyCol, opCol, partitionCol,
+              txn = Some((appId, batchId)))
           if (!before.contains(after)) committed.incrementAndGet()
         }
         ()

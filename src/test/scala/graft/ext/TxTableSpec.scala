@@ -1138,6 +1138,294 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("updateWhereDv: merge-on-read UPDATE — byte-identity, stacking, " +
+      "metaCount, compact, constraints") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(40), Some("pbucket"))
+      val beforeBytes = dataBytes(dir)
+      // unclustered MoR update: RHS evaluated against the OLD row
+      val v2 = TxTable.updateWhereDv(spark, dir, col("event_id") % 5 === 0,
+        Seq("value" -> (col("value") + col("event_id").cast("double"))),
+        Some("pbucket"))
+      assert(v2 === 2L)
+      // every PRE-EXISTING file is byte-identical (the new images live
+      // in a fresh commit dir)
+      beforeBytes.foreach { case (p, bytes) =>
+        assert(dataBytes(dir).get(p).contains(bytes), s"file mutated: $p")
+      }
+      def expect1 = snap(40).withColumn("value",
+        when(col("event_id") % 5 === 0,
+          col("value") + col("event_id").cast("double"))
+          .otherwise(col("value")))
+      assert(rows(TxTable.read(spark, dir)) === rows(expect1))
+      // row count is unchanged and still metadata-only
+      assert(TxTable.metaCount(spark, dir) === 40L)
+      // STACKED MoR delete: must see the updated images (value for
+      // id 30 is 300+30=330 — delete >= 320 hits updated rows only)
+      TxTable.updateWhereDv(spark, dir, col("event_id") === 4L,
+        Seq("value" -> lit(-1.0)), Some("pbucket"))
+      val expect2 = expect1.withColumn("value",
+        when(col("event_id") === 4L, lit(-1.0)).otherwise(col("value")))
+      TxTable.deleteWhereDv(spark, dir, col("value") < 0)
+      val expect3 = expect2.where(!(col("value") < 0))
+      assert(rows(TxTable.read(spark, dir)) === rows(expect3))
+      assert(TxTable.metaCount(spark, dir) === 39L)
+      // time travel through the whole MoR stack
+      assert(rows(TxTable.read(spark, dir, versionAsOf = Some(1L))) ===
+        rows(snap(40)))
+      assert(rows(TxTable.read(spark, dir, versionAsOf = Some(2L))) ===
+        rows(expect1))
+      // compact reconciles images + tombstones physically
+      TxTable.compact(spark, dir, "pbucket")
+      assert(rows(TxTable.read(spark, dir)) === rows(expect3))
+      val mAfter = TxTable.readManifest(spark, dir,
+        TxTable.latestVersion(spark, dir).get)
+      assert(mAfter.files.forall(_.dvs.isEmpty))
+      // a no-match update publishes nothing
+      val vNow = TxTable.latestVersion(spark, dir).get
+      assert(TxTable.updateWhereDv(spark, dir, col("event_id") > 10000,
+        Seq("value" -> lit(0.0)), Some("pbucket")) === vNow)
+    }
+  }
+
+  test("mergeIntoDv: clause semantics, byte-identity of ALL pre-existing " +
+      "files, metaCount, time travel, compact") {
+    inDir { dir =>
+      import spark.implicits._
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      val beforeBytes = dataBytes(dir)
+      // same clause matrix as the COW mergeInto test:
+      //   id 0: matched, delete AND update cond -> deleted (delete wins)
+      //   id 1: matched, update cond -> value = t.value + s.bonus
+      //   id 4: matched, no cond -> kept IN PLACE (no tombstone)
+      //   id 100: unmatched, insert gate true -> inserted
+      //   id 101: unmatched, insert gate false -> dropped
+      val source = Seq(
+        (0L, true, true, 7.0, 0L),
+        (1L, false, true, 7.0, 1L),
+        (4L, false, false, 7.0, 0L),
+        (100L, false, false, 50.0, 0L),
+        (101L, false, false, -50.0, 1L)
+      ).toDF("event_id", "del", "upd", "bonus", "pbucket")
+        .withColumn("value", col("bonus") * 2)
+      val v2 = TxTable.mergeIntoDv(spark, dir, source, "event_id", "pbucket",
+        whenMatchedDelete = Some(col("s.del")),
+        whenMatchedUpdate = Seq("value" -> (col("t.value") + col("s.bonus"))),
+        whenMatchedUpdateCond = Some(col("s.upd")),
+        whenNotMatchedInsert = Some(col("s.value") > 0))
+      assert(v2 === 2L)
+      val expected = rows(snap(12))
+        .filterNot(_._1 == 0L)
+        .map { case (id, v, b) => if (id == 1L) (id, v + 7.0, b) else (id, v, b) }
+        .+((100L, 100.0, 0L))
+      assert(rows(TxTable.read(spark, dir)) === expected)
+      // EVERY pre-existing file is byte-identical — the MoR contract
+      // (COW mergeInto only promises this for untouched partitions)
+      val after = dataBytes(dir)
+      beforeBytes.foreach { case (p, bytes) =>
+        assert(after.get(p).contains(bytes), s"pre-existing file mutated: $p")
+      }
+      // 12 - 2 tombstoned + 1 image + 1 insert, exact off the log
+      assert(TxTable.metaCount(spark, dir) === 12L)
+      // time travel through the MoR merge
+      assert(rows(TxTable.read(spark, dir, versionAsOf = Some(1L))) ===
+        rows(snap(12)))
+      // compact reconciles tombstones + images + inserts physically
+      TxTable.compact(spark, dir, "pbucket")
+      assert(rows(TxTable.read(spark, dir)) === expected)
+      val mAfter = TxTable.readManifest(spark, dir,
+        TxTable.latestVersion(spark, dir).get)
+      assert(mAfter.files.forall(_.dvs.isEmpty))
+    }
+  }
+
+  test("mergeIntoDv: NULL conds false, txn replay no-ops, no-change " +
+      "merge publishes nothing, cardinality violation aborts") {
+    inDir { dir =>
+      import spark.implicits._
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      val source = Seq(
+        (2L, Option.empty[Boolean], 3.0, 2L),   // NULL update cond -> kept
+        (200L, Option.empty[Boolean], 9.0, 0L)  // NULL insert gate -> dropped
+      ).toDF("event_id", "gate", "bonus", "pbucket")
+      val v = TxTable.mergeIntoDv(spark, dir, source, "event_id", "pbucket",
+        whenMatchedUpdate = Seq("value" -> (col("t.value") + col("s.bonus"))),
+        whenMatchedUpdateCond = Some(col("s.gate")),
+        whenNotMatchedInsert = Some(col("s.gate")),
+        txn = Some(("app-midv", 1L)))
+      // nothing changed -> no commit published at all
+      assert(v === 1L)
+      assert(rows(TxTable.read(spark, dir)) === rows(snap(8)))
+      // a real commit under the txn, then an idempotent replay
+      val v2 = TxTable.mergeIntoDv(spark, dir,
+        Seq((3L, 1.0, 3L)).toDF("event_id", "bonus", "pbucket"),
+        "event_id", "pbucket",
+        whenMatchedUpdate = Seq("value" -> (col("t.value") + col("s.bonus"))),
+        txn = Some(("app-midv", 2L)))
+      assert(v2 === 2L)
+      val replay = TxTable.mergeIntoDv(spark, dir,
+        Seq((4L, 1.0, 0L)).toDF("event_id", "bonus", "pbucket"),
+        "event_id", "pbucket",
+        whenMatchedUpdate = Seq("value" -> (col("t.value") + col("s.bonus"))),
+        txn = Some(("app-midv", 2L)))
+      assert(replay === 2L)
+      assert(rows(TxTable.read(spark, dir)) ===
+        rows(snap(8)).map { case (id, vv, b) =>
+          if (id == 3L) (id, vv + 1.0, b) else (id, vv, b) })
+      // two source rows claim target row 2 for update -> abort, and
+      // the table provably stays at the pre-merge state
+      val e = intercept[RuntimeException] {
+        TxTable.mergeIntoDv(spark, dir,
+          Seq((2L, 1.0, 2L), (2L, 5.0, 2L)).toDF("event_id", "bonus", "pbucket"),
+          "event_id", "pbucket",
+          whenMatchedUpdate = Seq("value" -> (col("t.value") + col("s.bonus"))))
+      }
+      assert(e.getMessage.contains("cardinality"), e.getMessage)
+      assert(TxTable.latestVersion(spark, dir) === Some(2L))
+    }
+  }
+
+  test("mergeIntoDv stacks on prior DVs and composes with compact") {
+    inDir { dir =>
+      import spark.implicits._
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      // a prior MoR delete tombstones id 5; the merge's slice must
+      // read THROUGH it (id 5 is invisible -> its key INSERTS)
+      TxTable.deleteWhereDv(spark, dir, col("event_id") === 5L)
+      val source = Seq((5L, 7.0, 1L), (6L, 2.0, 2L))
+        .toDF("event_id", "bonus", "pbucket")
+        .withColumn("value", col("bonus") * 100)
+      TxTable.mergeIntoDv(spark, dir, source, "event_id", "pbucket",
+        whenMatchedUpdate = Seq("value" -> (col("t.value") + col("s.bonus"))),
+        whenNotMatchedInsert = Some(lit(true)))
+      val expected = rows(snap(12)).filterNot(_._1 == 5L)
+        .map { case (id, v, b) => if (id == 6L) (id, v + 2.0, b) else (id, v, b) }
+        .+((5L, 700.0, 1L))
+      assert(rows(TxTable.read(spark, dir)) === expected)
+      assert(TxTable.metaCount(spark, dir) === 12L)
+      TxTable.compact(spark, dir, "pbucket")
+      assert(rows(TxTable.read(spark, dir)) === expected)
+    }
+  }
+
+  test("compactClustered: re-layout restores 2-D skipping eroded by a " +
+      "shuffled write; DV-reconciling; content-identical") {
+    inDir { dir =>
+      import spark.implicits._
+      val data = (0L until 4096L).map(i => (i % 64, (i / 64) % 64, i * 1.0))
+        .toDF("x", "y", "value")
+      // SHUFFLED layout: every file spans both domains, so the 2-D box
+      // can prune (almost) nothing off the manifest
+      TxTable.commitReplace(spark, dir, data.repartition(16),
+        partitionCol = None, statsCols = Seq("x", "y"))
+      val before = TxTable.readRanges(spark, dir,
+        Seq(("x", 8L, 15L), ("y", 8L, 15L))).inputFiles.length
+      // DML wave the re-layout must survive AND reconcile
+      TxTable.deleteWhereDv(spark, dir, col("value") < 640.0)
+      TxTable.compactClustered(spark, dir, None, "x", "y", 16)
+      val expect = data.where(!(col("value") < 640.0))
+      val box = TxTable.readRanges(spark, dir, Seq(("x", 8L, 15L), ("y", 8L, 15L)))
+      val expBox = expect.where(col("x").between(8, 15) && col("y").between(8, 15))
+      assert(box.count() === expBox.count())
+      assert(box.agg(sum("value")).head.getDouble(0) ===
+        expBox.agg(sum("value")).head.getDouble(0))
+      // the re-layout must prune STRICTLY better than the shuffled one
+      val m = TxTable.readManifest(spark, dir,
+        TxTable.latestVersion(spark, dir).get)
+      assert(m.files.size === 16)
+      assert(box.inputFiles.length < before,
+        s"z-layout box reads ${box.inputFiles.length} files, shuffled read $before")
+      assert(box.inputFiles.length < m.files.size)
+      // DVs reconciled physically; count exact off the log
+      assert(m.files.forall(_.dvs.isEmpty))
+      assert(TxTable.metaCount(spark, dir) === expect.count())
+      // whole-table content identical; v1 still time-travels
+      assert(TxTable.read(spark, dir).agg(sum("value")).head.getDouble(0) ===
+        expect.agg(sum("value")).head.getDouble(0))
+      assert(TxTable.read(spark, dir, versionAsOf = Some(1L)).count() === 4096L)
+    }
+  }
+
+  test("mergeChangeSetDv: equals batch applyChangeSet; byte-identity; " +
+      "duplicate keys tombstone once; txn replay; extras refused") {
+    inDir { dir =>
+      import spark.implicits._
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      val beforeBytes = dataBytes(dir)
+      val cs = changes() // insert 100, update 1 -> -1.0, delete 2
+      val v2 = TxTable.mergeChangeSetDv(spark, dir, cs,
+        "event_id", "op", "pbucket", txn = Some(("a", 1L)))
+      assert(v2 === 2L)
+      val expected = Cdc.applyChangeSet(snap(12), cs, "event_id", "op")
+      assert(rows(TxTable.read(spark, dir)) === rows(expected))
+      beforeBytes.foreach { case (p, bytes) =>
+        assert(dataBytes(dir).get(p).contains(bytes), s"file mutated: $p")
+      }
+      // 12 − 2 vacated + 1 insert + 1 update image, exact off the log
+      assert(TxTable.metaCount(spark, dir) === 12L)
+      // idempotent replay no-ops at the committed version
+      assert(TxTable.mergeChangeSetDv(spark, dir, cs,
+        "event_id", "op", "pbucket", txn = Some(("a", 1L))) === 2L)
+      // DUPLICATE update rows on one key: the semi-join tombstones the
+      // target row ONCE; both images append — exactly applyChangeSet
+      val dup = Seq((3L, "update", 7.0, 3L), (3L, "update", 8.0, 3L))
+        .toDF("event_id", "op", "value", "pbucket")
+      TxTable.mergeChangeSetDv(spark, dir, dup, "event_id", "op", "pbucket")
+      val expected2 = Cdc.applyChangeSet(expected, dup, "event_id", "op")
+      assert(rows(TxTable.read(spark, dir)) === rows(expected2))
+      assert(TxTable.metaCount(spark, dir) === 13L)
+      // evolution stays a COW concern — fail loud, never drop
+      val e = intercept[IllegalArgumentException] {
+        TxTable.mergeChangeSetDv(spark, dir,
+          Seq((1L, "insert", 1.0, 1L, "x"))
+            .toDF("event_id", "op", "value", "pbucket", "note"),
+          "event_id", "op", "pbucket")
+      }
+      assert(e.getMessage.contains("evolve"), e.getMessage)
+    }
+  }
+
+  test("CDC sees merge-on-read DML: a DV-only commit changes no file " +
+      "PATH, but changesBetween still reports its rows") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      TxTable.deleteWhereDv(spark, dir, col("event_id") === 3L)
+      TxTable.updateWhereDv(spark, dir, col("event_id") === 6L,
+        Seq("value" -> lit(99.0)), Some("pbucket"))
+      val diff = TxTable.changesBetween(spark, dir, 1L, 3L, "event_id")
+      val ops = diff.select("event_id", "op").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(ops === Set((3L, "delete"), (6L, "update")))
+      // and the feed round-trips: apply(read(v1), diff) == read(v3)
+      val applied = Cdc.applyChangeSet(snap(12), diff, "event_id", "op")
+      assert(rows(applied) === rows(TxTable.read(spark, dir)))
+      // the IVM (both-images) shape carries the before image of the
+      // DV-updated row — the subtract half a maintained agg needs
+      val imgs = TxTable.changesBetweenImages(spark, dir, 1L, 3L, "event_id")
+      val upd = imgs.where(col("op") === "update").collect()
+      assert(upd.length === 1)
+      assert(upd.head.getStruct(upd.head.fieldIndex("before"))
+        .getDouble(0) === 60.0)
+      assert(upd.head.getStruct(upd.head.fieldIndex("after"))
+        .getDouble(0) === 99.0)
+    }
+  }
+
+  test("updateWhereDv enforces CHECK constraints on the new images") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      TxTable.addCheckConstraint(spark, dir, "value_nonneg", "value >= 0")
+      val e = intercept[RuntimeException] {
+        TxTable.updateWhereDv(spark, dir, col("event_id") === 2L,
+          Seq("value" -> lit(-5.0)), Some("pbucket"))
+      }
+      assert(e.getMessage.contains("value_nonneg"), e.getMessage)
+      // the failed update published nothing — table unchanged
+      assert(rows(TxTable.read(spark, dir)) === rows(snap(8)))
+      assert(TxTable.latestVersion(spark, dir) === Some(2L))
+    }
+  }
+
   test("DV read composes with COW DML: updateWhere after a DV delete " +
       "sees only visible rows") {
     inDir { dir =>

@@ -132,6 +132,60 @@ class MergeStreamSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read versioned stream (moR = true): same final state " +
+      "and exactly-once semantics, ZERO files rewritten, crash replay " +
+      "no-ops, compact reconciles") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    inTempDir { tmp =>
+      val table = s"$tmp/table"
+      val snapshot = (0L until 40L).map(i => (i, i * 1.0, i % 4))
+        .toDF("event_id", "value", "pbucket")
+      graft.ext.TxTable.commitReplace(spark, table, snapshot, Some("pbucket"))
+      val changes = Seq(
+        (0L, "delete", 0.0, 0L), (4L, "update", 999.0, 0L),
+        (41L, "insert", 41.0, 1L), (9L, "update", 888.0, 1L))
+        .toDF("event_id", "op", "value", "pbucket")
+      changes.where(col("pbucket") === 0).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/changes")
+      changes.where(col("pbucket") === 1).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/changes")
+      val v1Bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(table, "data"))
+        .iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.readAllBytes(p).toSeq).toMap
+      val committed = MergeStream.mergeAvailableVersioned(
+        spark, table, s"$tmp/changes", changesSchema, s"$tmp/ckpt", moR = true)
+      assert(committed == 2, s"expected 2 commits, got $committed")
+      // the MoR contract is stronger than COW's: EVERY v1 file (touched
+      // partitions included) is byte-identical after the whole stream
+      v1Bytes.foreach { case (p, bytes) =>
+        assert(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)).toSeq == bytes, s"file mutated: $p")
+      }
+      val expected = graft.ext.Cdc.applyChangeSet(snapshot, changes, "event_id", "op")
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      def state() = graft.ext.TxTable.read(spark, table)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(state() == expected)
+      assert(graft.ext.TxTable.metaCount(spark, table) === expected.size.toLong)
+      // rebuilt checkpoint: the (appId, batchId) ledger must no-op both
+      // re-delivered batches — MoR double-apply would double-tombstone
+      val replayed = MergeStream.mergeAvailableVersioned(
+        spark, table, s"$tmp/changes", changesSchema, s"$tmp/ckpt_rebuilt",
+        moR = true)
+      assert(replayed === 0L, s"replayed batches must not re-apply: $replayed")
+      assert(state() == expected)
+      // maintenance cadence: compact sweeps the stream's DV debt
+      graft.ext.TxTable.compact(spark, table, "pbucket")
+      assert(state() == expected)
+      val m = graft.ext.TxTable.readManifest(spark, table,
+        graft.ext.TxTable.latestVersion(spark, table).get)
+      assert(m.files.forall(_.dvs.isEmpty))
+    }
+  }
+
   test("pre-upgrade tables keep deduping under the legacy raw-string " +
       "appId (canonical-URI default must not orphan their ledger)") {
     import spark.implicits._
