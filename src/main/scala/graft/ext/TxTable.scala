@@ -1072,6 +1072,42 @@ object TxTable {
     * construction. */
   private[graft] val DvFileCol = "__graft_dv_file"
   private[graft] val DvPosCol = "__graft_dv_pos"
+  private[graft] val DvBitsCol = "__graft_dv_bits"
+
+  /** Sorted positions → one [[DvBitmap]] container (write-seam UDF: it
+    * runs once per tombstoned FILE at DML-commit time, never in a
+    * query's per-row hot path — same house rule as the bloom packer). */
+  private val packDvUdf =
+    udf((ps: Seq[Long]) => DvBitmap.pack(ps.toArray))
+
+  /** Write `doomed`'s ([[DvFileCol]], [[DvPosCol]]) row identities as a
+    * deletion-vector sidecar at `root/dvRel` — ONE row per tombstoned
+    * file, `(file: root-relative path, bits: packed bitmap, n: count)`
+    * — and return the per-file tombstone counts for the manifest's
+    * [[DvRef]]s. Bitmap sizing: dense container ∝ position span/8,
+    * sparse ∝ 8·count, whichever is smaller per file ([[DvBitmap]]);
+    * versus a row-per-tombstone sidecar this drops the path string
+    * from every tombstone and turns the read side's per-row anti-join
+    * probe into a static bitmap test. The per-file position gather
+    * (sorted collect_list) is bounded by a single parquet file's row
+    * count — the same bound the matched frame itself already carries.
+    * Positions are distinct by construction at every call site (a
+    * predicate scan yields each visible row once; the changeset path
+    * vacates keys via one semi-join). */
+  private def writeDvSidecar(
+      spark: SparkSession, root: Path, dvRel: String,
+      doomed: DataFrame): Map[String, Long] = {
+    val dvPath = new Path(root, dvRel)
+    doomed.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+      .groupBy("file")
+      .agg(packDvUdf(sort_array(collect_list(col("pos")))).as("bits"),
+        count(lit(1)).as("n"))
+      .write.mode("errorifexists").parquet(dvPath.toString)
+    // bounded collect: one row per touched FILE (column-pruned read —
+    // the bitmap bytes stay on disk)
+    spark.read.parquet(dvPath.toString).select("file", "n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   /** Root-relative path of the scanned file, as a Column. Derived
     * from `_metadata.file_path` by cutting at the root's PATH
@@ -1120,13 +1156,17 @@ object TxTable {
   /** Read entries as one DataFrame, applying any deletion vectors.
     * Entries WITHOUT DVs read exactly as before (zero join, zero
     * metadata projection — the common case pays nothing); entries
-    * WITH DVs read with (file, pos) row identity and subtract their
-    * tombstones via a LEFT ANTI join against the referenced sidecar
-    * datasets. The tombstone cardinality is known exactly from the
-    * manifest, so the DV side is broadcast whenever it is small (the
-    * point-delete case); a mass-delete DV falls back to a shuffle
-    * join rather than OOMing the driver. `withRowId` additionally
-    * exposes [[DvFileCol]]/[[DvPosCol]] to DML writers. */
+    * WITH DVs read with (file, pos) row identity, join the per-FILE
+    * bitmap side on the path alone, and drop rows whose position any
+    * stacked bitmap tombstones ([[DvAnyContains]] — a static O(1)
+    * probe inside whole-stage codegen). The bitmap side holds ONE row
+    * per (tombstoned file × DML commit), so it is broadcast-sized by
+    * construction for point DML; the decision still keys on the
+    * sidecars' ACTUAL on-disk bytes with a mass-delete shuffle
+    * fallback. Pre-bitmap sidecars (one (file, pos) row per tombstone)
+    * are packed into the same shape at read time, so tables written
+    * before the bitmap format upgrade keep reading. `withRowId`
+    * additionally exposes [[DvFileCol]]/[[DvPosCol]] to DML writers. */
   private def readFiles(
       spark: SparkSession, root: Path, files: Seq[FileEntry],
       schemas: Map[String, String] = Map.empty,
@@ -1138,24 +1178,28 @@ object TxTable {
       Option.when(plain.nonEmpty)(
         rawRead(spark, root, plain, schemas, withRowId)),
       Option.when(dved.nonEmpty) {
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val dvDirs = dved.flatMap(_.dvs.map(_.dir)).distinct
-        val dv = spark.read
-          .parquet(dvDirs.map(d => new Path(root, d).toString): _*)
-          .select(col("file").as(DvFileCol), col("pos").as(DvPosCol))
-        val dvRows = dved.flatMap(_.dvs).map(_.rows).sum
-        // broadcast decision on estimated BYTES, not rows: each
-        // tombstone carries its file's root-relative path string
-        // (UTF-16 in the hash relation) plus a long and per-row
-        // overhead, so a row cap alone could force hundreds of MB
-        // past the broadcast machinery. Path lengths are known
-        // exactly from the manifest entries the DVs reference.
-        val avgPathChars =
-          if (dved.isEmpty) 0L
-          else dved.map(_.path.length.toLong).sum / dved.size
-        val estBytes = dvRows * (2L * avgPathChars + 48L)
-        val side = if (estBytes <= (32L << 20)) broadcast(dv) else dv
+        val perDir = dvDirs.map { d =>
+          val raw = spark.read.parquet(new Path(root, d).toString)
+          if (raw.columns.contains("bits")) raw.select("file", "bits")
+          else raw.groupBy("file") // legacy row-form sidecar: pack now
+            .agg(packDvUdf(sort_array(collect_list(col("pos")))).as("bits"))
+        }
+        val dv = perDir.reduce(_.unionByName(_))
+          .groupBy(col("file").as(DvFileCol))
+          .agg(collect_list(col("bits")).as(DvBitsCol))
+        // broadcast decision on the sidecars' ACTUAL bytes (driver-side
+        // FS stat, one RPC per DML commit since the last compact), with
+        // headroom for parquet-decode expansion of the bitmap payloads
+        val dvBytes = dvDirs.map(d =>
+          fs.getContentSummary(new Path(root, d)).getLength).sum
+        val side = if (dvBytes * 8 <= (32L << 20)) broadcast(dv) else dv
         val filtered = rawRead(spark, root, dved, schemas, withRowId = true)
-          .join(side, Seq(DvFileCol, DvPosCol), "left_anti")
+          .join(side, Seq(DvFileCol), "left")
+          .where(col(DvBitsCol).isNull ||
+            !DvAnyContains(col(DvBitsCol), col(DvPosCol)))
+          .drop(DvBitsCol)
         if (withRowId) filtered else filtered.drop(DvFileCol, DvPosCol)
       }).flatten
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1347,12 +1391,7 @@ object TxTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dvRel = s"dv/v${base + 1}-$token"
     val dvPath = new Path(root, dvRel)
-    doomed.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
-      .write.mode("errorifexists").parquet(dvPath.toString)
-    // bounded collect: one row per touched FILE
-    val counts = spark.read.parquet(dvPath.toString)
-      .groupBy("file").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = writeDvSidecar(spark, root, dvRel, doomed)
     val tSchema = slice.schema
     val added = changes.where(col(opCol).isin("insert", "update"))
       .select(targetCols.map(c =>
@@ -1762,11 +1801,11 @@ object TxTable {
       _.where(!coalesce(pred, lit(false))))
 
   /** DELETE WHERE as MERGE-ON-READ: matching rows are tombstoned in a
-    * deletion-vector sidecar (one parquet dataset of (file, pos)
-    * coordinates per DML commit, under `dv/`) referenced from the
-    * manifest — the matched files' BYTES never change, readers apply
-    * the tombstones as a scan-time anti-join ([[readFiles]]), and
-    * every prior version still time-travels with the rows present.
+    * deletion-vector sidecar (one parquet dataset per DML commit under
+    * `dv/`, one packed [[DvBitmap]] row per tombstoned file) referenced
+    * from the manifest — the matched files' BYTES never change, readers
+    * apply the tombstones as a scan-time bitmap probe ([[readFiles]]),
+    * and every prior version still time-travels with the rows present.
     * This inverts [[deleteWhere]]'s copy-on-write economics: a point
     * delete on an UNCLUSTERED predicate (which can touch every file)
     * costs one predicate scan plus an O(matches) sidecar write instead
@@ -1789,14 +1828,9 @@ object TxTable {
     val dvPath = new Path(root, dvRel)
     // ONE predicate scan over the currently VISIBLE rows (the DV-aware
     // read excludes prior tombstones, keeping stacked counts disjoint)
-    readFiles(spark, root, m.files, m.schemas, withRowId = true)
-      .where(coalesce(pred, lit(false)))
-      .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
-      .write.mode("errorifexists").parquet(dvPath.toString)
-    // bounded collect: one row per touched FILE
-    val counts = spark.read.parquet(dvPath.toString)
-      .groupBy("file").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = writeDvSidecar(spark, root, dvRel,
+      readFiles(spark, root, m.files, m.schemas, withRowId = true)
+        .where(coalesce(pred, lit(false))))
     if (counts.isEmpty) { fs.delete(dvPath, true); return base }
     val updated = m.files.map { f =>
       counts.get(f.path) match {
@@ -1876,11 +1910,7 @@ object TxTable {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dvRel = s"dv/v${base + 1}-$token"
     val dvPath = new Path(root, dvRel)
-    matched.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
-      .write.mode("errorifexists").parquet(dvPath.toString)
-    val counts = spark.read.parquet(dvPath.toString)
-      .groupBy("file").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = writeDvSidecar(spark, root, dvRel, matched)
     if (counts.isEmpty) { fs.delete(dvPath, true); return base }
     // new images: RHS staged against the OLD row (no when() gate —
     // every row here matched), reserved row-id columns dropped
@@ -1983,22 +2013,19 @@ object TxTable {
     // one materialization of the O(changes) frame: it feeds the
     // sidecar, the cardinality check, and the image write
     val changed = joined.where(deleteCond || updateCond).localCheckpoint()
-    val token = java.util.UUID.randomUUID().toString.take(8)
-    val dvRel = s"dv/v${base + 1}-$token"
-    val dvPath = new Path(root, dvRel)
-    changed.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
-      .write.mode("errorifexists").parquet(dvPath.toString)
-    val byPos = spark.read.parquet(dvPath.toString)
-      .groupBy("file", "pos").count()
-    if (byPos.where(col("count") > 1).limit(1).collect().nonEmpty) {
-      fs.delete(dvPath, true)
+    // cardinality check BEFORE the sidecar packs: duplicate (file, pos)
+    // claims mean two source rows changing one target row — abort with
+    // the table untouched (nothing has been written yet)
+    if (changed.groupBy(col(DvFileCol), col(DvPosCol))
+        .agg(count(lit(1)).as("c")).where(col("c") > 1)
+        .limit(1).collect().nonEmpty)
       sys.error("MERGE cardinality violation: multiple source rows " +
         s"match the same target row on '$keyCol' with a delete/update " +
         "clause firing — deduplicate the source on the merge key")
-    }
-    // bounded collect: one row per touched FILE
-    val counts = byPos.groupBy("file").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dvRel = s"dv/v${base + 1}-$token"
+    val dvPath = new Path(root, dvRel)
+    val counts = writeDvSidecar(spark, root, dvRel, changed)
     // new images for the update clause: every RHS sees the OLD t row
     val assign = whenMatchedUpdate.toMap
     val images = changed.where(!deleteCond && updateCond)

@@ -1076,6 +1076,48 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("pre-bitmap (row-form) DV sidecars keep reading; bitmap DVs stack on top") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(30), Some("pbucket"))
+      TxTable.deleteWhereDv(spark, dir, col("event_id") % 3 === 0)
+      val expect1 = snap(30).where(!(col("event_id") % 3 === 0))
+      // rewrite the just-written sidecar into the PRE-BITMAP row form
+      // (one (file, pos) row per tombstone) — the exact layout the
+      // engine published before the bitmap-container upgrade, so a
+      // table carrying old sidecars must keep reading unchanged
+      val m = TxTable.readManifest(spark, dir,
+        TxTable.latestVersion(spark, dir).get)
+      val dvDirs = m.files.flatMap(_.dvs.map(_.dir)).distinct
+      assert(dvDirs.size === 1)
+      val dvPath = java.nio.file.Paths.get(dir, dvDirs.head)
+      val rowForm = spark.read.parquet(dvPath.toString)
+        .select("file", "bits").collect()
+        .flatMap(r => DvBitmap.positions(r.getAs[Array[Byte]]("bits"))
+          .map(p => (r.getString(0), p)))
+      import spark.implicits._
+      val tmpOut = java.nio.file.Paths.get(dir, "legacy_tmp")
+      rowForm.toSeq.toDF("file", "pos").write.parquet(tmpOut.toString)
+      def rmTree(p: java.nio.file.Path): Unit =
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.delete(q))
+      rmTree(dvPath)
+      java.nio.file.Files.move(tmpOut, dvPath)
+      // the legacy sidecar still subtracts its tombstones
+      assert(rows(TxTable.read(spark, dir)) === rows(expect1))
+      assert(TxTable.metaCount(spark, dir) === expect1.count())
+      // a NEW bitmap DV stacks on the legacy one (the predicate scan
+      // itself reads THROUGH the row-form sidecar)
+      TxTable.deleteWhereDv(spark, dir, col("event_id") % 2 === 1)
+      val expect2 = expect1.where(!(col("event_id") % 2 === 1))
+      assert(rows(TxTable.read(spark, dir)) === rows(expect2))
+      assert(TxTable.metaCount(spark, dir) === expect2.count())
+      // compact reconciles the MIXED stack physically
+      TxTable.compact(spark, dir, "pbucket")
+      assert(rows(TxTable.read(spark, dir)) === rows(expect2))
+    }
+  }
+
   test("compact reconciles DVs away; vacuum retires the orphaned sidecars") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(24), Some("pbucket"))
