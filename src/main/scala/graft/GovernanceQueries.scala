@@ -168,7 +168,7 @@ object GovernanceQueries {
         // the forget-this-user purge — unclustered, touches every file
         graft.ext.TxTable.deleteWhereDv(s, table, col("user_id") % 100 === 7)
         // a second, STACKED deletion vector
-        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < 0)
+        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < 25)
         def agg(df: DataFrame): DataFrame = localized(df
           .groupBy((col("event_id") % 6).as("k"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
@@ -214,8 +214,8 @@ object GovernanceQueries {
         graft.ext.TxTable.updateWhereDv(s, table,
           col("user_id") % 40 === 3,
           Seq("value" -> (col("value") * 2 + 1)), Some("pbucket"))
-        // stacked MoR delete over the UPDATED state
-        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < -50)
+        // stacked MoR delete satisfiable ONLY by post-update values
+        graft.ext.TxTable.deleteWhereDv(s, table, col("value") > 700)
         def agg(df: DataFrame): DataFrame = localized(df
           .groupBy((col("event_id") % 6).as("k"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
@@ -251,7 +251,7 @@ object GovernanceQueries {
             .select(col("event_id"), col("value"),
               (col("event_id") % 8).as("pbucket")),
           Some("pbucket"))
-        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < 0)
+        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < 100)
         val source = ev.where(col("event_id") % 3 === 0)
           .select(col("event_id"), (col("value") + 500).as("value"),
             col("value").as("nv"), (col("event_id") % 8).as("pbucket"))
@@ -298,7 +298,7 @@ object GovernanceQueries {
           col("value"))
         graft.ext.TxTable.commitReplace(s, table, base.repartition(16),
           partitionCol = None, statsCols = Seq("x", "y"))
-        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < 0)
+        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < 100)
         graft.ext.TxTable.compactClustered(s, table, None, "x", "y", 16)
         val box = graft.ext.TxTable.readRanges(s, table,
           Seq(("x", 8L, 23L), ("y", 8L, 23L)))
@@ -356,6 +356,45 @@ object GovernanceQueries {
           agg(graft.ext.TxTable.read(s, table)).collect().toSeq,
           "compact must preserve the streamed MoR content")
         viaDv
+      }
+    },
+
+    // The transactional layer from PURE SQL: `GraftExtensions`
+    // registers tx_table / tx_history / tx_changes as TABLE functions
+    // (SparkSessionExtensions.injectTableFunction — the §7.3 "(c)"
+    // integration path at relation granularity), so a SQL-only user
+    // gets snapshots, VERSION AS OF time travel and the CDC feed with
+    // zero Scala. The statement below exercises all three in ONE
+    // query — current snapshot (DV subtraction applies), the
+    // pre-delete version, and the v1→v2 changeset — joined like any
+    // relations; the TVFs are NAMES for the engine's own read plans
+    // (manifest pruning, per-commit-dir schemas, bitmap DV probe),
+    // not a parallel reader. The oracle replays the three states
+    // relationally.
+    Q("q180_tx_sql_tvf", GovernanceOracles.sqlTvf) { (s, dir) =>
+      graft.GraftExtensions.install(s)
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_tvf") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"),
+              (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < 100)
+        localized(s.sql(
+          s"""SELECT CAST(o.event_id % 6 AS BIGINT) AS k,
+             |  count(*) AS n_old,
+             |  count(c.event_id) AS n_cur,
+             |  count(d.event_id) AS n_deleted,
+             |  CAST(sum(CAST(coalesce(c.value, 0) AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS cur_sum
+             |FROM tx_table('$table', 1) o
+             |LEFT JOIN tx_table('$table') c ON o.event_id = c.event_id
+             |LEFT JOIN (SELECT event_id
+             |           FROM tx_changes('$table', 1, 2, 'event_id')
+             |           WHERE op = 'delete') d ON o.event_id = d.event_id
+             |GROUP BY 1 ORDER BY k""".stripMargin))
       }
     }
   )
@@ -457,7 +496,7 @@ object GovernanceOracles {
     """WITH s AS (SELECT event_id, user_id, value FROM events
       |  WHERE event_id % 2 = 0),
       |d1 AS (SELECT * FROM s WHERE NOT coalesce(user_id % 100 = 7, false)),
-      |d2 AS (SELECT * FROM d1 WHERE NOT coalesce(value < 0, false))
+      |d2 AS (SELECT * FROM d1 WHERE NOT coalesce(value < 25, false))
       |SELECT CAST(event_id % 6 AS BIGINT) AS k, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM d2 GROUP BY 1 ORDER BY k""".stripMargin
@@ -471,7 +510,7 @@ object GovernanceOracles {
       |u AS (SELECT event_id, user_id,
       |  CASE WHEN coalesce(user_id % 40 = 3, false)
       |    THEN value * 2 + 1 ELSE value END AS value FROM s),
-      |d AS (SELECT * FROM u WHERE NOT coalesce(value < -50, false))
+      |d AS (SELECT * FROM u WHERE NOT coalesce(value > 700, false))
       |SELECT CAST(event_id % 6 AS BIGINT) AS k, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM d GROUP BY 1 ORDER BY k""".stripMargin
@@ -482,7 +521,7 @@ object GovernanceOracles {
     * (delete wins; NULL conditions false). */
   val mergeVectors: String =
     """WITH t0 AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
-      |t AS (SELECT * FROM t0 WHERE NOT coalesce(value < 0, false)),
+      |t AS (SELECT * FROM t0 WHERE NOT coalesce(value < 100, false)),
       |s AS (SELECT event_id, value + 500 AS value, value AS nv
       |  FROM events WHERE event_id % 3 = 0),
       |m AS (
@@ -503,12 +542,31 @@ object GovernanceOracles {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM m WHERE keep GROUP BY 1 ORDER BY k""".stripMargin
 
+  /** q180: the SQL-TVF three-way (v1 snapshot × current snapshot ×
+    * v1→v2 changeset) replayed relationally — old is the full base,
+    * current is the base minus the DV delete, the changeset's delete
+    * half is exactly the complement. */
+  val sqlTvf: String =
+    """WITH old AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |cur AS (SELECT * FROM old WHERE NOT coalesce(value < 100, false)),
+      |del AS (SELECT event_id FROM old WHERE coalesce(value < 100, false))
+      |SELECT CAST(o.event_id % 6 AS BIGINT) AS k,
+      |  count(*) AS n_old,
+      |  count(c.event_id) AS n_cur,
+      |  count(d.event_id) AS n_deleted,
+      |  CAST(sum(CAST(coalesce(c.value, 0) AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS cur_sum
+      |FROM old o
+      |LEFT JOIN cur c ON o.event_id = c.event_id
+      |LEFT JOIN del d ON o.event_id = d.event_id
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
   /** q178: the OPTIMIZE-ZORDER pipeline is content-invisible, so the
     * oracle is simply the 2-D box over the delete-filtered rows. */
   val optimizeZorder: String =
     """WITH b AS (SELECT event_id, event_id % 64 AS x,
       |  coalesce(user_id, 0) % 64 AS y, value FROM events),
-      |d AS (SELECT * FROM b WHERE NOT coalesce(value < 0, false))
+      |d AS (SELECT * FROM b WHERE NOT coalesce(value < 100, false))
       |SELECT CAST(x % 4 AS BIGINT) AS k, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM d WHERE x BETWEEN 8 AND 23 AND y BETWEEN 8 AND 23

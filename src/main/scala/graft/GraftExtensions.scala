@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import graft.ext.SimHash64
 import graft.stats.{TCdf, TPpf}
 
@@ -34,6 +35,7 @@ import graft.stats.{TCdf, TPpf}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     // the custom grouped-top-k physical operator (graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // rewrite row_number-top-k window patterns onto that operator
@@ -86,10 +88,89 @@ object GraftExtensions {
       (children: Seq[Expression]) => graft.ext.CdcChunks(children.head)),
   )
 
+  // ---- SQL TABLE functions: the transactional-table surface ----
+
+  /** Evaluate a TVF argument that must be a literal. TVF arguments
+    * are table IDENTITY (which table, which version), not per-row
+    * data, so they must be known at analysis time — exactly Delta's
+    * `delta.'/path'` / `VERSION AS OF` contract in TVF clothing. */
+  private def litArg(e: Expression, fn: String, what: String): Any = {
+    require(e.foldable, s"$fn(...): $what must be a literal, got $e")
+    val v = e.eval()
+    require(v != null, s"$fn(...): $what must not be NULL")
+    v
+  }
+  private def litString(e: Expression, fn: String, what: String): String =
+    litArg(e, fn, what).toString
+  private def litLong(e: Expression, fn: String, what: String): Long =
+    litArg(e, fn, what) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => sys.error(s"$fn(...): $what must be an integer, got $other")
+    }
+
+  /** The analyzed plan of an engine-built DataFrame, handed back to
+    * the analyzer as the TVF's relation. Building it calls the
+    * engine's own reader, so manifest file pruning, DV subtraction,
+    * schema-per-commit-dir resolution and time travel all behave
+    * exactly as the Scala API — the TVF is a NAME for the same plan,
+    * not a parallel implementation. */
+  private def planOf(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** SQL access to the transactional table layer ([[graft.ext.TxTable]])
+    * — a SQL-only user gets snapshots, time travel, DESCRIBE HISTORY
+    * and the CDC feed without touching Scala:
+    *
+    *   - `tx_table('/dir')` / `tx_table('/dir', 3)` — snapshot read,
+    *     optionally AS OF a version (DV subtraction, manifest schemas
+    *     and skipping stats all apply — it is [[graft.ext.TxTable.read]])
+    *   - `tx_history('/dir')` — DESCRIBE HISTORY off the commit log
+    *   - `tx_changes('/dir', vFrom, vTo, 'key')` — the net changeset
+    *     in [[graft.ext.Cdc.applyChangeSet]]'s input shape
+    */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("tx_table"),
+      info("tx_table",
+        "tx_table(dir[, version]) - snapshot (or time-traveled) read of a graft transactional table"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          s"tx_table(dir[, version]) takes 1 or 2 arguments, got ${children.size}")
+        val dir = litString(children.head, "tx_table", "dir")
+        val v = children.lift(1).map(litLong(_, "tx_table", "version"))
+        planOf(graft.ext.TxTable.read(SparkSession.active, dir, versionAsOf = v))
+      }),
+    (FunctionIdentifier("tx_history"),
+      info("tx_history",
+        "tx_history(dir) - DESCRIBE HISTORY of a graft transactional table (one row per version)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"tx_history(dir) takes 1 argument, got ${children.size}")
+        planOf(graft.ext.TxTable.history(
+          SparkSession.active, litString(children.head, "tx_history", "dir")))
+      }),
+    (FunctionIdentifier("tx_changes"),
+      info("tx_changes",
+        "tx_changes(dir, vFrom, vTo, keyCol) - net CDC changeset turning version vFrom into vTo"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"tx_changes(dir, vFrom, vTo, keyCol) takes 4 arguments, got ${children.size}")
+        planOf(graft.ext.TxTable.changesBetween(SparkSession.active,
+          litString(children(0), "tx_changes", "dir"),
+          litLong(children(1), "tx_changes", "vFrom"),
+          litLong(children(2), "tx_changes", "vTo"),
+          litString(children(3), "tx_changes", "keyCol")))
+      }),
+  )
+
   /** Register the SQL functions on an existing session (notebooks,
     * shells — anywhere the builder config is already out of reach). */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    tableFunctions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, inf, builder)
+    }
+  }
 }

@@ -108,4 +108,49 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT simhash64('not an array')").head())
   }
+
+  test("tx_table/tx_history/tx_changes: the transactional layer from pure SQL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.QueryUtil.inTempDir("graft_tvf") { tmp =>
+      val dir = s"$tmp/table"
+      val base = (0 until 20).map(i => (i.toLong, i * 10.0, (i % 4).toLong))
+        .toDF("event_id", "value", "pbucket")
+      graft.ext.TxTable.commitReplace(spark, dir, base, Some("pbucket"))
+      graft.ext.TxTable.deleteWhereDv(spark, dir, col("event_id") % 5 === 0)
+      // snapshot read applies the DV subtraction, exactly the Scala API
+      val viaSql = spark.sql(
+        s"SELECT sum(value) AS s, count(*) AS n FROM tx_table('$dir')").head()
+      assert(viaSql.getLong(1) == 16L)
+      assert(viaSql.getDouble(0) ==
+        (0 until 20).filter(_ % 5 != 0).map(_ * 10.0).sum)
+      // time travel: version 1 still carries the deleted rows
+      assert(spark.sql(s"SELECT count(*) AS n FROM tx_table('$dir', 1)")
+        .head().getLong(0) == 20L)
+      // TVFs join like any relation (here: self-join new vs old state)
+      val joined = spark.sql(
+        s"""SELECT count(*) AS n
+           |FROM tx_table('$dir') cur
+           |JOIN tx_table('$dir', 1) old USING (event_id)""".stripMargin)
+        .head().getLong(0)
+      assert(joined == 16L)
+      // DESCRIBE HISTORY off the log: v1 replace, v2 DV delete
+      val hist = spark.sql(
+        s"SELECT version, op FROM tx_history('$dir') ORDER BY version")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(hist.map(_._1).toSeq == Seq(1L, 2L))
+      assert(hist(1)._2 == "delete-dv")
+      // the CDC feed: v1 -> v2 is exactly the four deleted keys
+      val changes = spark.sql(
+        s"""SELECT op, count(*) AS n FROM tx_changes('$dir', 1, 2, 'event_id')
+           |GROUP BY op""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(changes == Map("delete" -> 4L))
+      // table identity must be a literal, not per-row data
+      val e = intercept[Exception](spark.sql(
+        s"SELECT * FROM tx_table(concat('$dir', event_id)) t").head())
+      assert(e.getMessage.contains("literal") ||
+        e.getMessage.contains("resolve"), e.getMessage)
+    }
+  }
 }
