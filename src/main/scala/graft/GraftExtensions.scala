@@ -45,6 +45,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Arity gate for the scalar builders: a wrong-arity SQL call gets
+    * a named error instead of a bare IndexOutOfBoundsException out of
+    * the analyzer (the table functions carry their own requires). */
+  private def nArgs(fn: String, n: Int, children: Seq[Expression]): Seq[Expression] = {
+    require(children.size == n,
+      s"$fn expects $n argument" + (if (n == 1) "" else "s") +
+        s", got ${children.size}")
+    children
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "misc_funcs", "", "", "built-in")
@@ -56,36 +66,36 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash fingerprint of an array<string>"),
-      (children: Seq[Expression]) => SimHash64(children.head)),
+      (children: Seq[Expression]) => SimHash64(nArgs("simhash64", 1, children).head)),
     (FunctionIdentifier("t_cdf"),
       info("t_cdf", "t_cdf(x, df) - Student-t cumulative distribution function"),
-      (children: Seq[Expression]) => TCdf(toDouble(children(0)), toDouble(children(1)))),
+      (children: Seq[Expression]) => { nArgs("t_cdf", 2, children); TCdf(toDouble(children(0)), toDouble(children(1))) }),
     (FunctionIdentifier("t_ppf"),
       info("t_ppf", "t_ppf(p, df) - Student-t quantile (inverse CDF)"),
-      (children: Seq[Expression]) => TPpf(toDouble(children(0)), toDouble(children(1)))),
+      (children: Seq[Expression]) => { nArgs("t_ppf", 2, children); TPpf(toDouble(children(0)), toDouble(children(1))) }),
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double> vectors"),
-      (children: Seq[Expression]) => graft.ext.DotProduct(children(0), children(1))),
+      (children: Seq[Expression]) => { nArgs("vec_dot", 2, children); graft.ext.DotProduct(children(0), children(1)) }),
     (FunctionIdentifier("text_profile"),
       info("text_profile",
         "text_profile(text) - struct(n_tokens, n_distinct, n_punct, n_chars, stop_hits) in one scan"),
-      (children: Seq[Expression]) =>
-        graft.ext.TextProfile(children.head, graft.ext.TextAnalysis.stopwordsByLang)),
+      (children: Seq[Expression]) => graft.ext.TextProfile(
+        nArgs("text_profile", 1, children).head, graft.ext.TextAnalysis.stopwordsByLang)),
     // z_value builders compose existing codegen'd bitwise expressions
     // (the Layout mask ladder), so SQL users get the layout key
     // without any custom Expression class
     (FunctionIdentifier("z_value"),
       info("z_value", "z_value(x, y) - 2-D Morton/Z-order curve index of two 16-bit dims"),
-      (children: Seq[Expression]) =>
-        graft.ext.Layout.zValueExpr(children(0), children(1))),
+      (children: Seq[Expression]) => { nArgs("z_value", 2, children)
+        graft.ext.Layout.zValueExpr(children(0), children(1)) }),
     (FunctionIdentifier("z_value3"),
       info("z_value3", "z_value3(x, y, z) - 3-D Morton/Z-order curve index of three 21-bit dims"),
-      (children: Seq[Expression]) =>
-        graft.ext.Layout.zValue3Expr(children(0), children(1), children(2))),
+      (children: Seq[Expression]) => { nArgs("z_value3", 3, children)
+        graft.ext.Layout.zValue3Expr(children(0), children(1), children(2)) }),
     (FunctionIdentifier("cdc_chunks"),
       info("cdc_chunks",
         "cdc_chunks(text) - content-defined chunks (Rabin rolling hash) of a string"),
-      (children: Seq[Expression]) => graft.ext.CdcChunks(children.head)),
+      (children: Seq[Expression]) => graft.ext.CdcChunks(nArgs("cdc_chunks", 1, children).head)),
   )
 
   // ---- SQL TABLE functions: the transactional-table surface ----
@@ -132,13 +142,29 @@ object GraftExtensions {
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
     (FunctionIdentifier("tx_table"),
       info("tx_table",
-        "tx_table(dir[, version]) - snapshot (or time-traveled) read of a graft transactional table"),
+        "tx_table(dir[, version | timestamp]) - snapshot (or time-traveled) read of a graft transactional table"),
       (children: Seq[Expression]) => {
         require(children.size == 1 || children.size == 2,
-          s"tx_table(dir[, version]) takes 1 or 2 arguments, got ${children.size}")
+          s"tx_table(dir[, version | timestamp]) takes 1 or 2 arguments, got ${children.size}")
         val dir = litString(children.head, "tx_table", "dir")
-        val v = children.lift(1).map(litLong(_, "tx_table", "version"))
-        planOf(graft.ext.TxTable.read(SparkSession.active, dir, versionAsOf = v))
+        // second argument: an integer is VERSION AS OF; a timestamp
+        // (NTZ included — the session's timestampType config decides
+        // what TIMESTAMP '…' parses as) or a date is TIMESTAMP AS OF —
+        // both Delta travel forms
+        import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+        children.lift(1) match {
+          case Some(e) if e.dataType == TimestampType ||
+              e.dataType == TimestampNTZType || e.dataType == DateType =>
+            val micros = litArg(org.apache.spark.sql.catalyst.expressions.Cast(
+              e, TimestampType,
+              Some(SparkSession.active.sessionState.conf.sessionLocalTimeZone)),
+              "tx_table", "timestamp").asInstanceOf[Long]
+            planOf(graft.ext.TxTable.readAsOfTimestamp(
+              SparkSession.active, dir, micros / 1000L))
+          case opt =>
+            planOf(graft.ext.TxTable.read(SparkSession.active, dir,
+              versionAsOf = opt.map(litLong(_, "tx_table", "version"))))
+        }
       }),
     (FunctionIdentifier("tx_history"),
       info("tx_history",

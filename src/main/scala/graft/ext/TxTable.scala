@@ -184,12 +184,16 @@ object TxTable {
     * loud at the boundary instead. Shared with
     * [[graft.streaming.MergeStream]]'s emptied-partition delete. */
   private[graft] def requirePathSafe(values: Iterable[String], colName: String): Unit =
+    // ASCII only: Spark URL-encodes non-ASCII partition values in the
+    // scan's rendered paths but the directory/manifest carry them raw,
+    // so a Unicode "letter" re-opens exactly the raw-vs-rendered
+    // mismatch this guard exists to refuse
     values.find(v => v == "null" || !v.forall(c =>
-      c.isLetterOrDigit || c == '-' || c == '_' || c == '.')).foreach { bad =>
+      (c.isLetterOrDigit && c < 128) || c == '-' || c == '_' || c == '.')).foreach { bad =>
       throw new IllegalArgumentException(
         s"partition column '$colName' value '$bad' is not path-literal " +
-          "(letters/digits/-_./ only, non-null): Spark escapes such values in " +
-          "directory names, so raw-string partition matching would silently " +
+          "(ASCII letters/digits/-_./ only, non-null): Spark escapes other values " +
+          "in directory names, so raw-string partition matching would silently " +
           "miss — use an integral or simple-string partition key")
     }
 
@@ -541,7 +545,11 @@ object TxTable {
           state.clear(); ck.adds.foreach(state += _.path)
           state.size.toLong
         } else state.size.toLong
-      val nAdded = pm.adds.size.toLong
+      // adds whose path was already live are MODIFIED carried entries
+      // (a DV commit re-publishes the same path with a new tombstone
+      // ref) — counting them as "added" would report a zero-rewrite
+      // merge-on-read delete as a full rewrite
+      val nAdded = pm.adds.count(a => !prevPaths.contains(a.path)).toLong
       (v, pm.op, pm.base, nFiles, nAdded, nFiles - nAdded, pm.ts)
     }
     rows.toDF("version", "op", "base", "n_files", "n_added", "n_carried",
@@ -1005,9 +1013,7 @@ object TxTable {
       }
       bloomAdmits && statsAdmit
     }
-    val base =
-      if (hit.nonEmpty) readFiles(spark, root, hit, m.schemas)
-      else readFiles(spark, root, m.files, m.schemas).limit(0)
+    val base = sliceOrEmpty(spark, root, hit, m.files, m.schemas)
     base.where(col(pointCol).cast("string").isin(values: _*))
   }
 
@@ -1042,9 +1048,7 @@ object TxTable {
         }
       }
     }
-    val base =
-      if (hit.nonEmpty) readFiles(spark, root, hit, m.schemas)
-      else readFiles(spark, root, m.files, m.schemas).limit(0)
+    val base = sliceOrEmpty(spark, root, hit, m.files, m.schemas)
     base.where(ranges.map { case (c, lo, hi) =>
       col(c).cast("long").between(lo, hi)
     }.reduce(_ && _))
@@ -1110,18 +1114,16 @@ object TxTable {
   }
 
   /** Root-relative path of the scanned file, as a Column. Derived
-    * from `_metadata.file_path` by cutting at the root's PATH
-    * component (`root.toUri.getPath`) rather than string-comparing
-    * against `root.toString`: the metadata column's scheme rendering
-    * (`file:/…` vs `file:///…`, URL-encoding) need not match
-    * `Path.toString`, but the path component after the authority is
-    * rendered identically on both sides. Every scanned file lives
-    * under the root, so the marker always occurs. */
-  private def relPathCol(root: Path): org.apache.spark.sql.Column = {
-    val marker = root.toUri.getPath + "/"
-    val fp = col("_metadata.file_path")
-    fp.substr(locate(marker, fp) + marker.length, lit(Int.MaxValue))
-  }
+    * from `_metadata.file_path` by DECODING the rendered URI and
+    * cutting at the root's PATH component (`root.toUri.getPath`) —
+    * the metadata column percent-encodes non-URI characters (a table
+    * under `/tmp/a dir/` scans as `file:/tmp/a%20dir/…`) while the
+    * manifest stores driver-listed, decoded paths, so a raw substring
+    * in the encoded domain would silently derive garbage coordinates
+    * for such roots. [[RelPath]] decodes, matches in the decoded
+    * domain, and fails loud if the marker is absent. */
+  private def relPathCol(root: Path): org.apache.spark.sql.Column =
+    RelPath(col("_metadata.file_path"), root.toUri.getPath + "/")
 
   /** Raw per-commit-dir union (no DV application) — see [[readFiles]]
     * for the schema-group rationale. */
@@ -1205,6 +1207,37 @@ object TxTable {
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** `hit`'s rows when non-empty; otherwise a ZERO-ROW frame shaped
+    * like the table — from the live files when any exist, else from
+    * the manifest's newest recorded schema. A fully-emptied table
+    * (zero live files) is a legal state a changeset can produce, and
+    * it must still merge, diff and re-insert — without this the slice
+    * constructions would refuse the read and brick the table until a
+    * `commitReplace`. */
+  private def sliceOrEmpty(
+      spark: SparkSession, root: Path, hit: Seq[FileEntry],
+      all: Seq[FileEntry], schemas: Map[String, String],
+      withRowId: Boolean = false): DataFrame =
+    if (hit.nonEmpty) readFiles(spark, root, hit, schemas, withRowId)
+    else if (all.nonEmpty)
+      readFiles(spark, root, all, schemas, withRowId).limit(0)
+    else {
+      def seqOf(d: String): Long =
+        "v(\\d+)-".r.findFirstMatchIn(d).map(_.group(1).toLong).getOrElse(0L)
+      val schemaJson = schemas.toSeq.sortBy { case (d, _) => seqOf(d) }
+        .lastOption.map(_._2).getOrElse(sys.error(
+          "zero live files and no schema recorded in the manifest — " +
+            "cannot shape an empty read; re-initialize with commitReplace"))
+      val base = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val schema = if (withRowId)
+        base.add(DvFileCol, org.apache.spark.sql.types.StringType)
+          .add(DvPosCol, org.apache.spark.sql.types.LongType)
+      else base
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
   /** Snapshot read: latest version, or `versionAsOf` (time travel). */
   def read(
       spark: SparkSession, dir: String,
@@ -1213,7 +1246,7 @@ object TxTable {
     val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
       sys.error(s"no committed version at $dir"))
     val m = readManifest(spark, dir, v)
-    readFiles(spark, root, m.files, m.schemas)
+    sliceOrEmpty(spark, root, m.files, m.files, m.schemas)
   }
 
   /** TIMESTAMP time travel: the latest version whose commit timestamp
@@ -1261,8 +1294,7 @@ object TxTable {
       sys.error(s"no committed version at $dir"))
     val m = readManifest(spark, dir, v)
     val hit = m.files.filter(_.bucket.exists(buckets))
-    if (hit.nonEmpty) readFiles(spark, root, hit, m.schemas)
-    else readFiles(spark, root, m.files, m.schemas).limit(0)
+    sliceOrEmpty(spark, root, hit, m.files, m.schemas)
   }
 
   /** MERGE a changeset (the [[Cdc.applyChangeSet]] contract: `keyCol`,
@@ -1315,9 +1347,7 @@ object TxTable {
       .collect().map(r => String.valueOf(r.get(0))).toSet
     requirePathSafe(touched, partitionCol)
     val (touchedFiles, keep) = m.files.partition(_.bucket.exists(touched))
-    val slice =
-      if (touchedFiles.nonEmpty) readFiles(spark, root, touchedFiles, m.schemas)
-      else readFiles(spark, root, m.files, m.schemas).limit(0)
+    val slice = sliceOrEmpty(spark, root, touchedFiles, m.files, m.schemas)
     // no overwrite-from-own-input here, ever: the merge READS version
     // `base`'s files and WRITES a brand-new commit dir — the
     // localCheckpoint the dynamic-overwrite path needed is gone
@@ -1371,11 +1401,8 @@ object TxTable {
       .collect().map(r => String.valueOf(r.get(0))).toSet
     requirePathSafe(touched, partitionCol)
     val touchedFiles = m.files.filter(_.bucket.exists(touched))
-    val slice =
-      if (touchedFiles.nonEmpty)
-        readFiles(spark, root, touchedFiles, m.schemas, withRowId = true)
-      else readFiles(spark, root, m.files, m.schemas, withRowId = true)
-        .limit(0)
+    val slice = sliceOrEmpty(spark, root, touchedFiles, m.files, m.schemas,
+      withRowId = true)
     val targetCols = slice.columns
       .filterNot(c => c == DvFileCol || c == DvPosCol).toSeq
     val extras = changes.columns.filterNot(c =>
@@ -1503,9 +1530,7 @@ object TxTable {
       .collect().map(r => String.valueOf(r.get(0))).toSet
     requirePathSafe(touched, partitionCol)
     val (touchedFiles, keep) = m.files.partition(_.bucket.exists(touched))
-    val slice =
-      if (touchedFiles.nonEmpty) readFiles(spark, root, touchedFiles, m.schemas)
-      else readFiles(spark, root, m.files, m.schemas).limit(0)
+    val slice = sliceOrEmpty(spark, root, touchedFiles, m.files, m.schemas)
     val targetSchema = slice.schema
     val joined = slice.select(struct(slice.columns.map(col): _*).as("t"))
       .join(source.select(struct(source.columns.map(col): _*).as("s")),
@@ -1619,6 +1644,10 @@ object TxTable {
     val base = latestVersion(spark, dir).getOrElse(
       sys.error(s"compactClustered needs an initialized table at $dir"))
     val m = readManifest(spark, dir, base)
+    if (m.files.isEmpty) return base // nothing to re-cluster
+    require(m.files.forall(_.bucket.isEmpty) || partitionCol.isDefined,
+      s"table at $dir is partitioned — pass partitionCol so the " +
+        "re-layout keeps the bucket dirs partition-pruned merges rely on")
     val zc = Layout.zValue(col(clusterX), col(clusterY))
     val keys = partitionCol.map(col).toSeq :+ zc
     val ordered = readFiles(spark, root, m.files, m.schemas)
@@ -1715,8 +1744,7 @@ object TxTable {
     val allSchemas = ma.schemas ++ mb.schemas
     def slice(m: Manifest): DataFrame = {
       val hit = m.files.filter(f => changed(f.bucket))
-      if (hit.nonEmpty) readFiles(spark, root, hit, allSchemas)
-      else readFiles(spark, root, (ma.files ++ mb.files).distinct, allSchemas).limit(0)
+      sliceOrEmpty(spark, root, hit, (ma.files ++ mb.files).distinct, allSchemas)
     }
     val a = slice(ma); val b = slice(mb)
     // payload = UNION of both versions' columns: vTo may carry columns
@@ -1759,6 +1787,11 @@ object TxTable {
     val base = latestVersion(spark, dir).getOrElse(
       sys.error(s"DML needs an initialized table at $dir"))
     val m = readManifest(spark, dir, base)
+    if (m.files.isEmpty) return base // nothing to match on an emptied table
+    require(m.files.forall(_.bucket.isEmpty) || partitionCol.isDefined,
+      s"table at $dir is partitioned — pass partitionCol so rewritten " +
+        "files keep the layout (a bucket-less rewrite would be invisible " +
+        "to partition-pruned merges)")
     // row-identity projection instead of input_file_name(): the latter
     // is scan-scoped and goes ambiguous once a DV anti-join sits
     // between the scan and the collect
@@ -1823,6 +1856,7 @@ object TxTable {
     val base = latestVersion(spark, dir).getOrElse(
       sys.error(s"DML needs an initialized table at $dir"))
     val m = readManifest(spark, dir, base)
+    if (m.files.isEmpty) return base // nothing to tombstone
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dvRel = s"dv/v${base + 1}-$token"
     val dvPath = new Path(root, dvRel)
@@ -1900,6 +1934,11 @@ object TxTable {
     val base = latestVersion(spark, dir).getOrElse(
       sys.error(s"DML needs an initialized table at $dir"))
     val m = readManifest(spark, dir, base)
+    if (m.files.isEmpty) return base // nothing to match on an emptied table
+    require(m.files.forall(_.bucket.isEmpty) || partitionCol.isDefined,
+      s"table at $dir is partitioned — pass partitionCol so the new " +
+        "images keep the layout (bucket-less appends would be invisible " +
+        "to partition-pruned merges)")
     // ONE predicate scan over the visible rows, materialized because
     // it feeds BOTH the sidecar and the image write (O(matches) —
     // the frame a MoR update exists to keep small)
@@ -1990,11 +2029,8 @@ object TxTable {
     val touchedFiles = m.files.filter(_.bucket.exists(touched))
     // DV-aware slice of ONLY the partitions the source names — the
     // join is pruned to the data that can possibly match
-    val slice =
-      if (touchedFiles.nonEmpty)
-        readFiles(spark, root, touchedFiles, m.schemas, withRowId = true)
-      else readFiles(spark, root, m.files, m.schemas, withRowId = true)
-        .limit(0)
+    val slice = sliceOrEmpty(spark, root, touchedFiles, m.files, m.schemas,
+      withRowId = true)
     val tFields = slice.schema.fields
       .filterNot(f => f.name == DvFileCol || f.name == DvPosCol)
     val tagged = slice.select(

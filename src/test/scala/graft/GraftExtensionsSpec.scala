@@ -109,6 +109,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT simhash64('not an array')").head())
   }
 
+  test("wrong-arity scalar calls get a named error, not an index crash") {
+    val e = intercept[Exception](spark.sql("SELECT t_cdf(1.0)").head())
+    assert(e.getMessage.contains("t_cdf expects 2 arguments"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql("SELECT simhash64()").head())
+    assert(e2.getMessage.contains("simhash64 expects 1 argument"), e2.getMessage)
+  }
+
   test("tx_table/tx_history/tx_changes: the transactional layer from pure SQL") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -151,6 +158,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"SELECT * FROM tx_table(concat('$dir', event_id)) t").head())
       assert(e.getMessage.contains("literal") ||
         e.getMessage.contains("resolve"), e.getMessage)
+      // TIMESTAMP AS OF: a timestamp second argument travels by the
+      // commit clock (v2's commit instant sees the post-delete state;
+      // a pre-table instant fails loud, same as the Scala API)
+      val ts2 = spark.sql(s"SELECT commit_ts FROM tx_history('$dir') " +
+        "WHERE version = 2").head().getLong(0)
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM tx_table('$dir', timestamp_millis($ts2))")
+        .head().getLong(0) == 16L)
+      val tooEarly = intercept[Exception](spark.sql(
+        s"SELECT * FROM tx_table('$dir', TIMESTAMP '1994-01-01 00:00:00')").head())
+      assert(tooEarly.getMessage.contains("no version at or before"),
+        tooEarly.getMessage)
     }
   }
 }

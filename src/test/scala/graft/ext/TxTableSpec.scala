@@ -1076,6 +1076,88 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("table root containing a space: DV tombstones attach; COW DML matches") {
+    inDir { base =>
+      // the scan's _metadata.file_path renders this root URL-ENCODED
+      // (file:/…/graft%20table%20dir/…) while the manifest stores the
+      // decoded listing — row identity must bridge the two domains or
+      // every tombstone silently misses its manifest entry
+      val dir = s"$base/graft table dir/t"
+      TxTable.commitReplace(spark, dir, snap(20), Some("pbucket"))
+      TxTable.deleteWhereDv(spark, dir, col("event_id") % 5 === 0)
+      val m = TxTable.readManifest(spark, dir,
+        TxTable.latestVersion(spark, dir).get)
+      assert(m.files.exists(_.dvs.nonEmpty),
+        "tombstones must attach to manifest entries under an encoded root")
+      val expect1 = snap(20).where(!(col("event_id") % 5 === 0))
+      assert(rows(TxTable.read(spark, dir)) === rows(expect1))
+      assert(TxTable.metaCount(spark, dir) === expect1.count())
+      // COW DML file-identity matching crosses the same seam
+      TxTable.deleteWhere(spark, dir, col("event_id") === 7L, Some("pbucket"))
+      assert(rows(TxTable.read(spark, dir)) ===
+        rows(expect1.where(col("event_id") =!= 7L)))
+    }
+  }
+
+  test("a fully-emptied table still reads, merges and re-inserts") {
+    inDir { dir =>
+      import spark.implicits._
+      TxTable.commitReplace(spark, dir, snap(6), Some("pbucket"))
+      val wipe = (0 until 6).map(i => (i.toLong, "delete", 0.0, (i % 4).toLong))
+        .toDF("event_id", "op", "value", "pbucket")
+      TxTable.mergeChangeSet(spark, dir, wipe, "event_id", "op", "pbucket")
+      val m = TxTable.readManifest(spark, dir, 2L)
+      assert(m.files.isEmpty, "every partition emptied -> zero live files")
+      // the legal zero-file state reads as zero rows (schema off the
+      // manifest), counts as zero, and DML no-ops instead of erroring
+      assert(TxTable.read(spark, dir).count() === 0L)
+      assert(TxTable.metaCount(spark, dir) === 0L)
+      assert(TxTable.deleteWhere(spark, dir, col("event_id") === 1L,
+        Some("pbucket")) === 2L)
+      assert(TxTable.deleteWhereDv(spark, dir, col("event_id") === 1L) === 2L)
+      // …and the table revives through the SAME merge path (this used
+      // to crash at the slice construction and brick the table)
+      val back = Seq((100L, "insert", 5.0, 0L), (101L, "insert", 6.0, 1L))
+        .toDF("event_id", "op", "value", "pbucket")
+      TxTable.mergeChangeSet(spark, dir, back, "event_id", "op", "pbucket")
+      assert(rows(TxTable.read(spark, dir)) ===
+        Set((100L, 5.0, 0L), (101L, 6.0, 1L)))
+      // CDC spans the empty version in both directions
+      val ops = TxTable.changesBetween(spark, dir, 2L, 3L, "event_id")
+        .select("op").collect().map(_.getString(0))
+      assert(ops.length === 2 && ops.toSet === Set("insert"))
+    }
+  }
+
+  test("bucket-less rewrite of a partitioned table is refused loud") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      // default partitionCol=None would write bucket-less files that
+      // later partition-pruned merges silently skip — refuse instead
+      val e = intercept[IllegalArgumentException](
+        TxTable.deleteWhere(spark, dir, col("event_id") === 1L))
+      assert(e.getMessage.contains("partitioned"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        TxTable.updateWhereDv(spark, dir, col("event_id") === 1L,
+          Seq("value" -> lit(0.0))))
+      assert(e2.getMessage.contains("partitioned"), e2.getMessage)
+      assert(TxTable.latestVersion(spark, dir).contains(1L),
+        "refusal must leave the table untouched")
+    }
+  }
+
+  test("history reports a DV commit as zero added files (carried entries modified)") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(16), Some("pbucket"))
+      TxTable.deleteWhereDv(spark, dir, col("event_id") % 3 === 0)
+      val h = TxTable.history(spark, dir).orderBy("version").collect()
+      assert(h(1).getString(1) === "delete-dv")
+      assert(h(1).getLong(4) === 0L,
+        s"a zero-rewrite MoR delete must report n_added=0: ${h(1).toSeq}")
+      assert(h(1).getLong(5) === h(1).getLong(3), "all files carried")
+    }
+  }
+
   test("pre-bitmap (row-form) DV sidecars keep reading; bitmap DVs stack on top") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(30), Some("pbucket"))
