@@ -1447,35 +1447,42 @@ object TxTable {
       txn = txn)
   }
 
-  /** [[mergeChangeSet]] under optimistic-concurrency RETRY: on a
-    * [[CommitConflictException]] the merge re-reads the (new) latest
-    * version and recomputes against it, up to `maxRetries` times —
-    * the standard multi-writer loop. Sound because the merge's inputs
-    * are re-derived from the fresh base every attempt (nothing of the
-    * failed attempt is reused; its data files are vacuum-able
-    * orphans). Writers whose changesets touch the same KEYS still
-    * serialize correctly: last committed merge wins per key, exactly
-    * as sequential application would. */
-  def mergeChangeSetWithRetry(
-      spark: SparkSession, dir: String, changes: DataFrame,
-      keyCol: String, opCol: String, partitionCol: String,
-      maxRetries: Int = 5, evolveSchema: Boolean = false,
-      txn: Option[(String, Long)] = None): Long = {
+  /** The standard multi-writer optimistic-concurrency loop, usable
+    * around ANY single mutation here (DML, merges — COW and MoR —,
+    * compaction): on a [[CommitConflictException]] the body re-runs,
+    * and because every mutation re-derives its inputs from the then-
+    * LATEST version (nothing of a failed attempt is reused; its data
+    * files are vacuum-able orphans), the retry recomputes against the
+    * winner's state. Mutations carrying a `txn` stay exactly-once
+    * across retries: if a prior attempt's publish actually landed
+    * (success response lost), the retry reads the ledger and no-ops. */
+  def withConflictRetry[T](maxRetries: Int = 5)(body: => T): T = {
     var attempt = 0
     while (true) {
-      // txn rides every attempt: if a PRIOR attempt's publish actually
-      // landed (success response lost), the retry re-reads the ledger
-      // and no-ops instead of double-applying
-      try return mergeChangeSet(spark, dir, changes, keyCol, opCol,
-        partitionCol, evolveSchema = evolveSchema, txn = txn)
+      try return body
       catch {
         case e: CommitConflictException =>
           attempt += 1
           if (attempt > maxRetries) throw e
       }
     }
-    -1L // unreachable
+    sys.error("unreachable")
   }
+
+  /** [[mergeChangeSet]] under [[withConflictRetry]] — kept as a named
+    * convenience because it is the multi-writer workhorse. Writers
+    * whose changesets touch the same KEYS still serialize correctly:
+    * last committed merge wins per key, exactly as sequential
+    * application would. */
+  def mergeChangeSetWithRetry(
+      spark: SparkSession, dir: String, changes: DataFrame,
+      keyCol: String, opCol: String, partitionCol: String,
+      maxRetries: Int = 5, evolveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Long =
+    withConflictRetry(maxRetries) {
+      mergeChangeSet(spark, dir, changes, keyCol, opCol,
+        partitionCol, evolveSchema = evolveSchema, txn = txn)
+    }
 
   /** Conditional MERGE INTO (the SQL `MERGE INTO t USING s ON
     * t.key = s.key WHEN MATCHED [AND cond] THEN UPDATE/DELETE WHEN NOT
@@ -1613,6 +1620,41 @@ object TxTable {
       merged.columns.toSeq)
     commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
       "compact", full = false)
+  }
+
+  /** Maintenance POLICY over the manifest alone: run [[compact]] when
+    * the layout has decayed past either threshold —
+    *
+    *   - fragmentation: any partition holds more than
+    *     `maxFilesPerPartition` live files (streaming sinks and
+    *     trickle-merges create exactly this), or
+    *   - DV debt: tombstoned rows exceed `maxDvRatio` of the
+    *     manifest's recorded rows (every merge-on-read DML adds to the
+    *     read side's bitmap probe until a compact reconciles).
+    *
+    * The DECISION reads zero data files — one log read at any scale —
+    * and the compact it triggers costs only the affected partitions.
+    * This is the knob a steady-state MoR pipeline calls at its
+    * maintenance cadence (e.g. after every Nth streaming batch, or
+    * from a scheduled job) instead of hand-deciding when to reconcile.
+    * Returns Some(version) when compaction published, None when the
+    * layout is within budget. */
+  def maintainIfNeeded(
+      spark: SparkSession, dir: String, partitionCol: String,
+      maxFilesPerPartition: Int = 8, maxDvRatio: Double = 0.1): Option[Long] = {
+    require(maxFilesPerPartition > 0 && maxDvRatio >= 0.0,
+      "thresholds must be positive")
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"maintainIfNeeded needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    if (m.files.isEmpty) return None
+    val fragmented = m.files.groupBy(_.bucket)
+      .exists { case (_, fs0) => fs0.size > maxFilesPerPartition }
+    val liveRows = m.files.map(f => math.max(f.rows, 0L)).sum
+    val dvRows = m.files.flatMap(_.dvs).map(_.rows).sum
+    val indebted = liveRows > 0 && dvRows.toDouble / liveRows > maxDvRatio
+    if (fragmented || indebted) Some(compact(spark, dir, partitionCol))
+    else None
   }
 
   /** OPTIMIZE … ZORDER BY: rewrite the table re-clustered along the

@@ -1158,6 +1158,62 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("maintainIfNeeded: manifest-only policy triggers compact on DV debt or fragmentation") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(40), Some("pbucket"))
+      // fresh single-file-per-partition layout, zero DVs: within budget
+      assert(TxTable.maintainIfNeeded(spark, dir, "pbucket") === None)
+      // one small MoR delete: 8/40 = 20% tombstoned rows > 10% default
+      TxTable.deleteWhereDv(spark, dir, col("event_id") % 5 === 0)
+      assert(TxTable.maintainIfNeeded(spark, dir, "pbucket",
+        maxDvRatio = 0.5) === None, "20% debt within a 50% budget")
+      val visible = rows(TxTable.read(spark, dir))
+      val v = TxTable.maintainIfNeeded(spark, dir, "pbucket")
+      assert(v.contains(3L), s"20% debt must trigger at the 10% default: $v")
+      val m = TxTable.readManifest(spark, dir, 3L)
+      assert(m.files.forall(_.dvs.isEmpty), "compact reconciles the debt")
+      assert(rows(TxTable.read(spark, dir)) === visible)
+      // fragmentation face: three appending merges -> >3 files somewhere
+      import spark.implicits._
+      (1 to 3).foreach { i =>
+        val ins = Seq((1000L + i, "insert", 1.0, 0L))
+          .toDF("event_id", "op", "value", "pbucket")
+        TxTable.mergeChangeSet(spark, dir, ins, "event_id", "op", "pbucket")
+      }
+      assert(TxTable.maintainIfNeeded(spark, dir, "pbucket",
+        maxFilesPerPartition = 3).isDefined, "4 files in pbucket=0")
+      assert(TxTable.maintainIfNeeded(spark, dir, "pbucket",
+        maxFilesPerPartition = 3) === None, "post-compact layout is clean")
+    }
+  }
+
+  test("racing MoR deletes under withConflictRetry all land; content equals sequential") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(60), Some("pbucket"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // disjoint predicates racing on the SAME base version: each
+      // writer's recompute-on-conflict re-reads the winner's DV state
+      val preds = Seq(
+        col("event_id") % 5 === 0,
+        col("event_id") % 7 === 1,
+        col("event_id") % 11 === 2)
+      val racers = preds.map(p => Future(
+        TxTable.withConflictRetry(maxRetries = 10)(
+          TxTable.deleteWhereDv(spark, dir, p))))
+      Await.result(Future.sequence(racers), 120.seconds)
+      assert(TxTable.latestVersion(spark, dir).contains(4L),
+        "three DV commits must serialize to versions 2..4")
+      val expect = snap(60)
+        .where(!(col("event_id") % 5 === 0))
+        .where(!(col("event_id") % 7 === 1))
+        .where(!(col("event_id") % 11 === 2))
+      assert(rows(TxTable.read(spark, dir)) === rows(expect))
+      assert(TxTable.metaCount(spark, dir) === expect.count())
+    }
+  }
+
   test("pre-bitmap (row-form) DV sidecars keep reading; bitmap DVs stack on top") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(30), Some("pbucket"))
