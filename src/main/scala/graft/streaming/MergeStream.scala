@@ -151,9 +151,17 @@ object MergeStream {
     * exactly-once semantics, but a batch writes tombstone sidecars +
     * its own rows instead of rewriting every touched partition — the
     * sustainable shape for a steady trickle against a huge table
-    * (per-trigger cost ∝ batch, not ∝ touched partitions; run
-    * [[graft.ext.TxTable.compact]] at maintenance cadence to
-    * reconcile). */
+    * (per-trigger cost ∝ batch, not ∝ touched partitions).
+    *
+    * `maintainEvery = n` closes that loop: after every `n`th batch the
+    * stream asks [[graft.ext.TxTable.maintainIfNeeded]] (a manifest-
+    * only decision — one log read) whether the layout decayed past its
+    * budgets, and compacts only then, under [[graft.ext.TxTable
+    * .withConflictRetry]] so a racing producer never kills the
+    * maintenance pass. Maintenance is deliberately OUTSIDE the batch's
+    * txn tag: compaction is content-identical, so replaying a batch
+    * whose maintenance ran is harmless, and a maintenance commit
+    * interleaving with another writer is just a normal OCC loser. */
   def mergeAvailableVersioned(
       spark: SparkSession,
       tableDir: String,
@@ -164,7 +172,8 @@ object MergeStream {
       opCol: String = "op",
       partitionCol: String = "pbucket",
       txnAppId: String = null,
-      moR: Boolean = false): Long = {
+      moR: Boolean = false,
+      maintainEvery: Int = 0): Long = {
     Seq(keyCol, opCol, partitionCol).foreach { c =>
       require(changesSchema.fieldNames.contains(c),
         s"changesSchema must carry '$c': ${changesSchema.fieldNames.mkString(", ")}")
@@ -224,6 +233,10 @@ object MergeStream {
               spark, tableDir, changes, keyCol, opCol, partitionCol,
               txn = Some((appId, batchId)))
           if (!before.contains(after)) committed.incrementAndGet()
+          if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+            graft.ext.TxTable.withConflictRetry() {
+              graft.ext.TxTable.maintainIfNeeded(spark, tableDir, partitionCol)
+            }.foreach(_ => committed.incrementAndGet())
         }
         ()
       }

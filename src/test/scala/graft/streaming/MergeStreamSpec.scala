@@ -186,6 +186,41 @@ class MergeStreamSpec extends SparkSpec {
     }
   }
 
+  test("maintainEvery: the stream runs its own maintenance cadence — " +
+      "content identical, DV debt swept when the budget is crossed") {
+    import spark.implicits._
+    inTempDir { tmp =>
+      val table = s"$tmp/table"
+      // small table + update/delete-heavy feed: tombstoned rows cross
+      // the 10% default budget immediately, so the cadence MUST fire
+      val snapshot = (0L until 20L).map(i => (i, i * 1.0, i % 4))
+        .toDF("event_id", "value", "pbucket")
+      graft.ext.TxTable.commitReplace(spark, table, snapshot, Some("pbucket"))
+      val changes = Seq(
+        (0L, "delete", 0.0, 0L), (4L, "update", 999.0, 0L),
+        (1L, "delete", 0.0, 1L), (9L, "update", 888.0, 1L),
+        (2L, "delete", 0.0, 2L), (41L, "insert", 41.0, 1L))
+        .toDF("event_id", "op", "value", "pbucket")
+      (0 to 2).foreach { b =>
+        changes.where(col("pbucket") === b).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/changes")
+      }
+      MergeStream.mergeAvailableVersioned(
+        spark, table, s"$tmp/changes", changesSchema, s"$tmp/ckpt",
+        moR = true, maintainEvery = 2)
+      val expected = graft.ext.Cdc.applyChangeSet(snapshot, changes, "event_id", "op")
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(graft.ext.TxTable.read(spark, table)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected)
+      val hist = graft.ext.TxTable.history(spark, table)
+        .select("op").collect().map(_.getString(0))
+      assert(hist.contains("compact"),
+        s"the cadence must have swept the crossed DV budget: ${hist.toSeq}")
+      assert(graft.ext.TxTable.metaCount(spark, table) === expected.size.toLong)
+    }
+  }
+
   test("pre-upgrade tables keep deduping under the legacy raw-string " +
       "appId (canonical-URI default must not orphan their ledger)") {
     import spark.implicits._
