@@ -1652,7 +1652,13 @@ object TxTable {
       .exists { case (_, fs0) => fs0.size > maxFilesPerPartition }
     val liveRows = m.files.map(f => math.max(f.rows, 0L)).sum
     val dvRows = m.files.flatMap(_.dvs).map(_.rows).sum
-    val indebted = liveRows > 0 && dvRows.toDouble / liveRows > maxDvRatio
+    // rows = -1 marks entries predating row-count gathering (legacy
+    // manifests stay readable): debt against an UNKNOWN denominator
+    // reconciles rather than silently never firing — the alternative
+    // is an ever-growing bitmap probe on every read of that table
+    val unknownRows = m.files.exists(_.rows < 0)
+    val indebted = dvRows > 0 && (unknownRows ||
+      (liveRows > 0 && dvRows.toDouble / liveRows > maxDvRatio))
     if (fragmented || indebted) Some(compact(spark, dir, partitionCol))
     else None
   }

@@ -162,6 +162,26 @@ object MergeStream {
     * txn tag: compaction is content-identical, so replaying a batch
     * whose maintenance ran is harmless, and a maintenance commit
     * interleaving with another writer is just a normal OCC loser. */
+  /** One BEST-EFFORT maintenance attempt ([[graft.ext.TxTable
+    * .maintainIfNeeded]] under the OCC retry loop). Maintenance is
+    * optional by definition — the batch's own merge has already
+    * committed — so a pass that still loses after the retries, or
+    * fails for any environmental reason, must NOT kill the ingest
+    * stream it runs inside: the decay it failed to sweep is simply
+    * still there for the next cadence tick. Returns whether a
+    * compaction version was published. */
+  private[streaming] def runMaintenance(
+      spark: SparkSession, tableDir: String, partitionCol: String): Boolean =
+    try graft.ext.TxTable.withConflictRetry() {
+      graft.ext.TxTable.maintainIfNeeded(spark, tableDir, partitionCol)
+    }.isDefined
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[merge-stream] maintenance pass on $tableDir skipped: ${e.getMessage}")
+        false
+    }
+
   def mergeAvailableVersioned(
       spark: SparkSession,
       tableDir: String,
@@ -234,9 +254,8 @@ object MergeStream {
               txn = Some((appId, batchId)))
           if (!before.contains(after)) committed.incrementAndGet()
           if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
-            graft.ext.TxTable.withConflictRetry() {
-              graft.ext.TxTable.maintainIfNeeded(spark, tableDir, partitionCol)
-            }.foreach(_ => committed.incrementAndGet())
+            if (runMaintenance(spark, tableDir, partitionCol))
+              committed.incrementAndGet()
         }
         ()
       }

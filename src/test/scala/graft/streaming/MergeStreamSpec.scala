@@ -221,6 +221,16 @@ class MergeStreamSpec extends SparkSpec {
     }
   }
 
+  test("a failing maintenance pass is best-effort: it must not kill the stream") {
+    // maintainIfNeeded on an uninitialized table throws — the cadence
+    // wrapper must swallow it (the batch's own merge already
+    // committed; the decay waits for the next tick) instead of
+    // surfacing a StreamingQueryException out of foreachBatch
+    inTempDir { tmp =>
+      assert(!MergeStream.runMaintenance(spark, s"$tmp/never_created", "pbucket"))
+    }
+  }
+
   test("pre-upgrade tables keep deduping under the legacy raw-string " +
       "appId (canonical-URI default must not orphan their ledger)") {
     import spark.implicits._
