@@ -54,6 +54,7 @@ object Components {
     // scale the frontier collapses after the first rounds, so late
     // rounds shuffle almost nothing instead of re-walking every edge.
     var frontier = labels
+    var prevRound: DataFrame = null
     var converged = false
     var i = 0
     val spark = edges.sparkSession
@@ -80,6 +81,12 @@ object Components {
         .map { r => if (r._3) changedAcc.add(1L); r }
         .toDF("id", "label", "changed")
         .localCheckpoint()
+      // the new round is now fully materialized (eager checkpoint), so
+      // the previous round's cached copy is dead weight — without this
+      // a deep graph holds maxIter label-frame copies in block storage
+      // until driver GC happens to reclaim them
+      if (prevRound != null) prevRound.unpersist(false)
+      prevRound = updated
       converged = changedAcc.value == 0L
       frontier = updated.filter(col("changed")).select("id", "label")
       labels = updated.select("id", "label")

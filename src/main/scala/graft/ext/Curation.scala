@@ -574,8 +574,9 @@ object Curation {
     *
     * Contract: `metricCol` must be non-null and in [0, 1) ∪ {1} (a
     * score/ratio — the quantizer is floor(metric · buckets) clamped);
-    * `costCol` non-null, non-negative integers. NULL-metric rows are
-    * excluded (their position in the order would be engine-defined). */
+    * `costCol` non-null, non-negative integers. NULL- and NaN-metric
+    * rows are excluded (their position in the order would be
+    * engine-defined / ANSI-fatal). */
   def budgetSelect(
       df: DataFrame,
       metricCol: String,
@@ -587,8 +588,12 @@ object Curation {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     import org.apache.spark.sql.expressions.Window
     val m = col(metricCol)
+    // NaN joins NULL in the exclusion: floor(NaN·buckets) throws under
+    // ANSI, and a sorted NaN would outrank every real metric inside
+    // bucket 0, breaking the greedy-prefix contract (same rule as
+    // relativeRankGate, whose quantizer this shares)
     val base = df
-      .filter(m.isNotNull && col(costCol).isNotNull)
+      .filter(m.isNotNull && !isnan(m) && col(costCol).isNotNull)
       .withColumn("_bs_bucket",
         least(floor(m * buckets).cast("long"), lit(buckets.toLong - 1)))
     val offsets = base

@@ -127,15 +127,10 @@ object Dedup {
       array_min(transform(sh, s => xxhash64(lit(i), s)))
     }: _*)
 
-  /** Banded LSH bucket keys: split the signature into `bands` groups of
-    * rows and digest each; docs sharing any band key are candidates.
-    * With 16 hashes / 4 bands / 4 rows: P(candidate) = 1-(1-j⁴)⁴ — the
-    * usual S-curve around j ≈ 0.7. */
-  def bandKeys(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
-    array((0 until bands).map { b =>
-      md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*).cast("binary"))
-    }: _*)
+  // (the banded bucket keys live in bandFrame, the ONE derivation every
+  // dedup path shares — an alternative per-row Column form used to sit
+  // here, caller-less, and a future caller mixing the two derivations
+  // would have gotten zero matches with no error)
 
   /** MinHash signatures via explode + grouped min — the scale path.
     *

@@ -58,7 +58,16 @@ object Packing {
     // two-step select: tokens become an attribute, so the chunk
     // transform references the materialized array (not a per-element
     // re-tokenization — the ExtractGenerator hoisting trap)
-    val toked = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+    // blank guard: TextAnalysis.tokens (split on whitespace) yields
+    // [""] — size 1 — for empty/whitespace-only text, which would emit
+    // a phantom 1-token empty chunk per blank doc; tokenize only
+    // genuinely non-blank text so the n == 0 branch is the one that
+    // fires (the shared tokens() itself keeps its split semantics —
+    // other lanes' oracles mirror them)
+    val toked = docs.select(col(idCol),
+      when(coalesce(trim(col(textCol)), lit("")) === "",
+        array().cast("array<string>"))
+        .otherwise(TextAnalysis.tokens(col(textCol))).as("_toks"))
     val n = size(col("_toks")).cast("long")
     // 1 + ceil(max(0, n-window)/stride), as integer math; sequence()
     // runs DESCENDING when start > stop, so the n==0 case is guarded

@@ -70,14 +70,28 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: bit p = sign(v · plane_p). 2^numPlanes buckets. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    // same bound signBucket enforces: 1L << p is mod-64 in Scala, so a
+    // 63rd+ plane would silently collide with plane p-64's bit
+    require(planes.length >= 1 && planes.length <= 62,
+      s"numPlanes must be in [1, 62]: ${planes.length}")
     planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = array(plane.map(lit): _*)
       when(dot(vec, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
-  def withLshBuckets(emb: DataFrame, numPlanes: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame =
-    emb.withColumn("bucket", lshBucket(asDouble(col("embedding")), hyperplanes(numPlanes, dim, seed)))
+  def withLshBuckets(emb: DataFrame, numPlanes: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame = {
+    // fail LOUD on a dimension mismatch: DotProduct returns NULL for
+    // unequal lengths, which the sign test would read as "negative" —
+    // every row would land in bucket 0 and ANN would silently degrade
+    // to one giant O(n²) block
+    val checked = when(
+      assert_true(size(col("embedding")) === dim,
+        lit(s"withLshBuckets: embedding dimension must equal dim=$dim")).isNull,
+      lshBucket(asDouble(col("embedding")), hyperplanes(numPlanes, dim, seed)))
+    emb.withColumn("bucket", checked)
+  }
 
   /** ANN top-k: exact cosine, but only within the query's LSH bucket.
     * Trades recall (tested in SimilaritySpec) for a 2^planes-fold
@@ -247,12 +261,18 @@ object Similarity {
       excludeSelf: Boolean = true,
       maxBlock: Int = 4096): DataFrame = {
     require(maxBlock >= 1, s"maxBlock must be positive: $maxBlock")
+    // cosine is UNDEFINED on a zero-norm vector (a common padding /
+    // failed-encode artifact): excluded here, like the unit-vector
+    // lanes' denominator guards — the alternative is DIVIDE_BY_ZERO
+    // under ANSI or an undefined NULL ranking entering TopKPerKey
     val q = queries.select(col(blockCol).as("block"), col(idCol).as("q_id"),
       asDouble(col(vecCol)).as("_qv"))
       .withColumn("_qn", l2Norm(col("_qv")))
+      .filter(col("_qn") > 0)
     val c = corpus.select(col(blockCol).as("block"), col(idCol).as("n_id"),
       asDouble(col(vecCol)).as("_nv"))
       .withColumn("_nn", l2Norm(col("_nv")))
+      .filter(col("_nn") > 0)
     val sizes = c.groupBy("block")
       .agg((ceil(count(lit(1)) / lit(maxBlock.toDouble))).cast("long").as("_nsub"))
     val cs = c.join(broadcast(sizes), Seq("block"))

@@ -491,7 +491,27 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens: a blank document yields ZERO chunks, not a phantom empty one") {
+    // split-on-whitespace tokenization yields [""] for blank text —
+    // without the blank guard every whitespace-only doc emitted a
+    // (chunk_id=0, n=1, "") garbage training chunk
+    val docs = Seq((1L, "   "), (2L, ""), (3L, "one two three"))
+      .toDF("doc_id", "text")
+    val got = Packing.chunkTokens(docs, window = 2, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(got.forall(_.getLong(0) == 3L), s"blank docs chunked: ${got.toSeq}")
+    assert(got.map(_.getAs[String]("chunk_text")).toSeq == Seq("one two", "three"))
+  }
+
   // --- budgetSelect ---------------------------------------------------
+
+  test("budgetSelect: NaN metrics are excluded (they would corrupt the greedy order)") {
+    val df = Seq((1L, 0.9, 5L), (2L, Double.NaN, 1L), (3L, 0.5, 5L))
+      .toDF("doc_id", "m", "c")
+    val got = Curation.budgetSelect(df, "m", "c", budget = 10L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L), s"NaN row must not select or displace: $got")
+  }
 
   test("budgetSelect: equals the sequential greedy prefix, invariant to bucket count") {
     val rng = new scala.util.Random(0xB06E7)

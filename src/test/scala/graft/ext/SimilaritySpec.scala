@@ -44,6 +44,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count(_.isNullAt(2)) == 1, "exactly the zero vector is NULL")
   }
 
+  test("knnJoin: a zero-norm embedding is excluded, never an ANSI divide error") {
+    val emb = Seq(
+      (1L, "a", Array(1.0, 0.0)),
+      (2L, "a", Array(0.0, 1.0)),
+      (3L, "a", Array(0.0, 0.0)), // failed-encode artifact
+      (4L, "a", Array(1.0, 1.0))).toDF("vec_id", "block", "embedding")
+    val got = Similarity.knnJoin(emb, emb, k = 3,
+      blockCol = "block", idCol = "vec_id", vecCol = "embedding").collect()
+    assert(got.nonEmpty, "real vectors still rank")
+    assert(!got.exists(r => r.getLong(1) == 3L || r.getLong(2) == 3L),
+      "the zero vector must appear neither as query nor as neighbor")
+  }
+
+  test("withLshBuckets fails loud on an embedding-dimension mismatch") {
+    val emb = Seq((1L, Array.fill(8)(1.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Similarity.withLshBuckets(emb, numPlanes = 4, dim = 64).collect())
+    assert(e.getMessage.contains("dimension must equal dim=64") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimension must equal dim=64")),
+      s"expected the dimension assertion, got: ${e.getMessage}")
+    // matching dim works
+    assert(Similarity.withLshBuckets(emb, numPlanes = 4, dim = 8).count() == 1L)
+  }
+
+  test("lshBucket refuses more planes than a long's bit budget") {
+    intercept[IllegalArgumentException](
+      Similarity.lshBucket(col("v"), Similarity.hyperplanes(63, 4)))
+  }
+
   test("knnJoin: matches a window-function brute force per query, excludes self") {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
