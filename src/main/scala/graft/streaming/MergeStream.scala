@@ -132,6 +132,26 @@ object MergeStream {
     }
   }
 
+  /** One BEST-EFFORT maintenance attempt ([[graft.ext.TxTable
+    * .maintainIfNeeded]] under the OCC retry loop). Maintenance is
+    * optional by definition — the batch's own merge has already
+    * committed — so a pass that still loses after the retries, or
+    * fails for any environmental reason, must NOT kill the ingest
+    * stream it runs inside: the decay it failed to sweep is simply
+    * still there for the next cadence tick. Returns whether a
+    * compaction version was published. */
+  private[streaming] def runMaintenance(
+      spark: SparkSession, tableDir: String, partitionCol: String): Boolean =
+    try graft.ext.TxTable.withConflictRetry() {
+      graft.ext.TxTable.maintainIfNeeded(spark, tableDir, partitionCol)
+    }.isDefined
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[merge-stream] maintenance pass on $tableDir skipped: ${e.getMessage}")
+        false
+    }
+
   /** [[mergeAvailable]]'s SNAPSHOT-ISOLATED sibling: drain the change
     * feed into a [[graft.ext.TxTable]] (manifest commit log), one
     * atomic version per non-empty micro-batch. Same touched-partition
@@ -161,27 +181,12 @@ object MergeStream {
     * maintenance pass. Maintenance is deliberately OUTSIDE the batch's
     * txn tag: compaction is content-identical, so replaying a batch
     * whose maintenance ran is harmless, and a maintenance commit
-    * interleaving with another writer is just a normal OCC loser. */
-  /** One BEST-EFFORT maintenance attempt ([[graft.ext.TxTable
-    * .maintainIfNeeded]] under the OCC retry loop). Maintenance is
-    * optional by definition — the batch's own merge has already
-    * committed — so a pass that still loses after the retries, or
-    * fails for any environmental reason, must NOT kill the ingest
-    * stream it runs inside: the decay it failed to sweep is simply
-    * still there for the next cadence tick. Returns whether a
-    * compaction version was published. */
-  private[streaming] def runMaintenance(
-      spark: SparkSession, tableDir: String, partitionCol: String): Boolean =
-    try graft.ext.TxTable.withConflictRetry() {
-      graft.ext.TxTable.maintainIfNeeded(spark, tableDir, partitionCol)
-    }.isDefined
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(
-          s"[merge-stream] maintenance pass on $tableDir skipped: ${e.getMessage}")
-        false
-    }
-
+    * interleaving with another writer is just a normal OCC loser.
+    * Maintenance versions are NOT counted in the returned number of
+    * committed versions (the return stays "batches ingested", the
+    * replay-dedup observable), and a cadence tick landing on an EMPTY
+    * micro-batch still runs — the sweep is deferred by decay, never by
+    * an idle CDC window. */
   def mergeAvailableVersioned(
       spark: SparkSession,
       tableDir: String,
@@ -253,10 +258,9 @@ object MergeStream {
               spark, tableDir, changes, keyCol, opCol, partitionCol,
               txn = Some((appId, batchId)))
           if (!before.contains(after)) committed.incrementAndGet()
-          if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
-            if (runMaintenance(spark, tableDir, partitionCol))
-              committed.incrementAndGet()
         }
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+          runMaintenance(spark, tableDir, partitionCol)
         ()
       }
       .start()
