@@ -54,7 +54,7 @@ object Components {
     // scale the frontier collapses after the first rounds, so late
     // rounds shuffle almost nothing instead of re-walking every edge.
     var frontier = labels
-    var prevRound: DataFrame = null
+    var prevRoundRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = false
     var i = 0
     val spark = edges.sparkSession
@@ -82,11 +82,16 @@ object Components {
         .toDF("id", "label", "changed")
         .localCheckpoint()
       // the new round is now fully materialized (eager checkpoint), so
-      // the previous round's cached copy is dead weight — without this
-      // a deep graph holds maxIter label-frame copies in block storage
-      // until driver GC happens to reclaim them
-      if (prevRound != null) prevRound.unpersist(false)
-      prevRound = updated
+      // the previous round's blocks are dead weight — without this a
+      // deep graph holds maxIter label-frame copies in block storage
+      // until driver GC happens to reclaim them. The release must hit
+      // the checkpoint RDD itself (Dataset.unpersist only clears
+      // CacheManager entries, which a localCheckpoint never makes) —
+      // [[org.apache.spark.sql.GraftCheckpointBridge]] digs it out of
+      // the LogicalRDD the checkpointed frame wraps.
+      prevRoundRdd.foreach(_.unpersist(blocking = false))
+      prevRoundRdd =
+        org.apache.spark.sql.GraftCheckpointBridge.checkpointRdd(updated)
       converged = changedAcc.value == 0L
       frontier = updated.filter(col("changed")).select("id", "label")
       labels = updated.select("id", "label")

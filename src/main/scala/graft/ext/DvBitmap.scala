@@ -53,6 +53,15 @@ object DvBitmap {
     val baseByte = sorted(0) >>> 3
     val denseLen = 9L + ((sorted(sorted.length - 1) >>> 3) - baseByte + 1)
     val sparseLen = 5L + 8L * sorted.length
+    // the chosen container must fit a JVM array — past ~268M sparse
+    // tombstones (or a dense span whose BYTE length passes 2^31 while
+    // still below sparseLen) the Int cast below would overflow to a
+    // negative allocation size and surface as an opaque
+    // NegativeArraySizeException; name the real bound instead
+    require(math.min(denseLen, sparseLen) <= Int.MaxValue,
+      s"deletion vector too large for one container: ${sorted.length} " +
+        s"tombstones spanning positions ${sorted(0)}..${sorted(sorted.length - 1)} " +
+        "in ONE file — a single parquet file should never hold that many rows")
     if (denseLen <= sparseLen) {
       val out = new Array[Byte](denseLen.toInt)
       out(0) = 0

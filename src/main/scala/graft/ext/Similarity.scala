@@ -86,9 +86,14 @@ object Similarity {
     // unequal lengths, which the sign test would read as "negative" —
     // every row would land in bucket 0 and ANN would silently degrade
     // to one giant O(n²) block
-    val checked = when(
-      assert_true(size(col("embedding")) === dim,
-        lit(s"withLshBuckets: embedding dimension must equal dim=$dim")).isNull,
+    // a NULL embedding would make size(col) NULL and trip the DIMENSION
+    // assert with a misleading message — name the real problem first
+    val notNull = assert_true(col("embedding").isNotNull,
+      lit("withLshBuckets: embedding must not be NULL " +
+        "(a null vector has no bucket; filter or impute upstream)")).isNull
+    val dimOk = assert_true(size(col("embedding")) === dim,
+      lit(s"withLshBuckets: embedding dimension must equal dim=$dim")).isNull
+    val checked = when(notNull && dimOk,
       lshBucket(asDouble(col("embedding")), hyperplanes(numPlanes, dim, seed)))
     emb.withColumn("bucket", checked)
   }

@@ -52,6 +52,20 @@ class ComponentsSpec extends SparkSpec {
     assert(comp.values.forall(_ == 0L), "all nodes label to the hub's min id")
   }
 
+  test("per-round checkpoint blocks are actually released (not just marked)") {
+    // a 12-link chain forces ~12 propagation rounds; without the
+    // per-round RDD-level unpersist every round's label frame stays
+    // registered as a persistent RDD until driver GC. Bound: the
+    // symmetrized edges, the initial labels and the FINAL round may
+    // survive the loop — intermediate rounds must not.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (0L until 12L).map(i => (i, i + 1))
+    assert(run(edges) == unionFind(edges))
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 3,
+      s"expected <=3 surviving checkpoint RDDs (sym, labels0, final round), got $leaked")
+  }
+
   test("near-dup pairs from the corpus cluster transitively") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val pairs = Dedup.nearDuplicatePairs(docs, minJaccard = 0.4)

@@ -68,6 +68,19 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.withLshBuckets(emb, numPlanes = 4, dim = 8).count() == 1L)
   }
 
+  test("withLshBuckets names NULLNESS, not dimension, for a null embedding") {
+    val emb = Seq((1L, Array.fill(8)(1.0)), (2L, null: Array[Double]))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Similarity.withLshBuckets(emb, numPlanes = 4, dim = 8).collect())
+    def msg(t: Throwable) = Option(t.getMessage).getOrElse("")
+    val all = msg(e) + Option(e.getCause).map(msg).getOrElse("")
+    assert(all.contains("must not be NULL"),
+      s"expected the null-vector assertion, got: $all")
+    assert(!all.contains("dimension"),
+      s"a null vector must not be reported as a dimension mismatch: $all")
+  }
+
   test("lshBucket refuses more planes than a long's bit budget") {
     intercept[IllegalArgumentException](
       Similarity.lshBucket(col("v"), Similarity.hyperplanes(63, 4)))
