@@ -1078,12 +1078,6 @@ object TxTable {
   private[graft] val DvPosCol = "__graft_dv_pos"
   private[graft] val DvBitsCol = "__graft_dv_bits"
 
-  /** Sorted positions → one [[DvBitmap]] container (write-seam UDF: it
-    * runs once per tombstoned FILE at DML-commit time, never in a
-    * query's per-row hot path — same house rule as the bloom packer). */
-  private val packDvUdf =
-    udf((ps: Seq[Long]) => DvBitmap.pack(ps.toArray))
-
   /** Write `doomed`'s ([[DvFileCol]], [[DvPosCol]]) row identities as a
     * deletion-vector sidecar at `root/dvRel` — ONE row per tombstoned
     * file, `(file: root-relative path, bits: packed bitmap, n: count)`
@@ -1092,19 +1086,24 @@ object TxTable {
     * sparse ∝ 8·count, whichever is smaller per file ([[DvBitmap]]);
     * versus a row-per-tombstone sidecar this drops the path string
     * from every tombstone and turns the read side's per-row anti-join
-    * probe into a static bitmap test. The per-file position gather
-    * (sorted collect_list) is bounded by a single parquet file's row
-    * count — the same bound the matched frame itself already carries.
-    * Positions are distinct by construction at every call site (a
-    * predicate scan yields each visible row once; the changeset path
-    * vacates keys via one semi-join). */
+    * probe into a static bitmap test. The position gather is the
+    * partial-mergeable [[DvPack]] aggregate: per-partition partials
+    * accumulate straight into bitmap containers (bounded by
+    * min(8·count, file-span/8) bytes) and merge by OR at the
+    * exchange, so a predicate tombstoning MOST of a 10M-row file
+    * costs ~1.25 MB of buffer, not an 80 MB sorted long array — the
+    * whole-file mass-delete edge the former
+    * `sort_array(collect_list(pos))` gather carried. Positions are
+    * distinct by construction at every call site (a predicate scan
+    * yields each visible row once; the changeset path vacates keys
+    * via one semi-join). */
   private def writeDvSidecar(
       spark: SparkSession, root: Path, dvRel: String,
       doomed: DataFrame): Map[String, Long] = {
     val dvPath = new Path(root, dvRel)
     doomed.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
       .groupBy("file")
-      .agg(packDvUdf(sort_array(collect_list(col("pos")))).as("bits"),
+      .agg(DvPack.agg(col("pos")).as("bits"),
         count(lit(1)).as("n"))
       .write.mode("errorifexists").parquet(dvPath.toString)
     // bounded collect: one row per touched FILE (column-pruned read —
@@ -1186,7 +1185,7 @@ object TxTable {
           val raw = spark.read.parquet(new Path(root, d).toString)
           if (raw.columns.contains("bits")) raw.select("file", "bits")
           else raw.groupBy("file") // legacy row-form sidecar: pack now
-            .agg(packDvUdf(sort_array(collect_list(col("pos")))).as("bits"))
+            .agg(DvPack.agg(col("pos")).as("bits"))
         }
         val dv = perDir.reduce(_.unionByName(_))
           .groupBy(col("file").as(DvFileCol))
@@ -1383,11 +1382,19 @@ object TxTable {
     * each matched target row tombstones once no matter how many
     * change rows share its key. Idempotent under the same `txn`
     * ledger; CHECK constraints are enforced on the appended rows.
-    * Changeset columns must match the target (additive evolution
-    * stays a COW concern — evolved columns need a rewrite anyway). */
+    *
+    * Additive schema evolution (`evolveSchema = true`): changeset
+    * columns the target lacks ride ONLY the fresh appended files —
+    * carried-forward files keep their old shape and read NULL in the
+    * added columns through `readFiles`' allowMissingColumns union,
+    * the exact q151/COW-evolution contract at merge-on-read
+    * economics (zero target files rewritten even while the schema
+    * widens). Without the flag, extra columns fail loud — a typo'd
+    * column must not silently mint a table column. */
   def mergeChangeSetDv(
       spark: SparkSession, dir: String, changes: DataFrame,
       keyCol: String, opCol: String, partitionCol: String,
+      evolveSchema: Boolean = false,
       txn: Option[(String, Long)] = None): Long = {
     val (fs, root) = fsOf(spark, dir)
     val store = logStoreFactory(fs)
@@ -1406,10 +1413,11 @@ object TxTable {
     val targetCols = slice.columns
       .filterNot(c => c == DvFileCol || c == DvPosCol).toSeq
     val extras = changes.columns.filterNot(c =>
-      c == opCol || targetCols.contains(c))
-    require(extras.isEmpty,
+      c == opCol || targetCols.contains(c)).toSeq
+    require(extras.isEmpty || evolveSchema,
       s"changeset carries columns the target lacks (${extras.mkString(", ")}) " +
-        "— merge-on-read cannot evolve schema; use mergeChangeSet")
+        "— pass evolveSchema=true for additive evolution (new columns " +
+        "ride the fresh files; carried rows read NULL)")
     // ONE semi-join finds every target row a vacating key claims —
     // tombstones are naturally distinct regardless of changeset dups
     val gone = changes.where(col(opCol).isin("update", "delete"))
@@ -1422,7 +1430,7 @@ object TxTable {
     val tSchema = slice.schema
     val added = changes.where(col(opCol).isin("insert", "update"))
       .select(targetCols.map(c =>
-        col(c).cast(tSchema(c).dataType).as(c)): _*)
+        col(c).cast(tSchema(c).dataType).as(c)) ++ extras.map(col): _*)
     val commitDir = newCommitDir(root, base + 1)
     added.write.mode("errorifexists").partitionBy(partitionCol)
       .parquet(commitDir.toString)

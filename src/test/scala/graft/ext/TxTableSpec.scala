@@ -4,8 +4,17 @@ import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-class TxTableSpec extends SparkSpec {
+/** Every TxTable scenario, parameterized over the [[LogStore]] the
+  * table runs on — the concrete suites at the bottom bind the default
+  * HDFS/local-rename store and the conditional-PUT object-store
+  * ([[ObjectStoreLogStore]] over the in-memory CAS double), so the
+  * WHOLE battery — OCC conflicts, churn, vacuum, checkpoints, the
+  * always-lose seam case — proves out on both coordination models. */
+abstract class TxTableBehaviors extends SparkSpec {
   import scala.jdk.CollectionConverters._
+
+  /** Bind the log store every scenario in this suite runs under. */
+  protected def withStore[T](body: => T): T
 
   private def snap(n: Int): DataFrame = {
     import spark.implicits._
@@ -28,7 +37,8 @@ class TxTableSpec extends SparkSpec {
     df.select(col("event_id"), col("value"), col("pbucket").cast("long"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
 
-  private def inDir[T](f: String => T): T = graft.QueryUtil.inTempDir("graft_tx")(f)
+  private def inDir[T](f: String => T): T =
+    withStore(graft.QueryUtil.inTempDir("graft_tx")(f))
 
   /** byte-image of every data file under the table (path -> bytes). */
   private def dataBytes(dir: String): Map[String, Seq[Byte]] = {
@@ -1187,6 +1197,59 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("file-skipping stats under stacked DVs: conservative (never prune a " +
+      "surviving match) until compactClustered re-tightens them") {
+    // THE CONTRACT: manifest min/max (and blooms) are computed when a
+    // file is WRITTEN; merge-on-read DML never rewrites files, so
+    // after heavy DV stacking the stats are stale-but-conservative —
+    // a fully-tombstoned range still admits its files (wasted IO,
+    // never a wrong answer). The decay→compact loop is the fix:
+    // compaction reconciles tombstones physically and propagateSkipping
+    // recomputes stats from the SURVIVING rows, restoring tight pruning.
+    inDir { dir =>
+      import spark.implicits._
+      val base = (0L until 1000L).map(i => (i, i * 2.0)).toDF("event_id", "value")
+        .repartitionByRange(4, col("event_id"))
+        .sortWithinPartitions("event_id")
+      TxTable.commitReplace(spark, dir, base, partitionCol = None,
+        statsCols = Seq("event_id"))
+      val v1Stats = TxTable.readManifest(spark, dir, 1L)
+        .files.map(f => f.path -> f.stats("event_id")).toMap
+      // stack two DV waves: one kills an entire file's range, the
+      // second tombstones scattered rows across the survivors
+      TxTable.deleteWhereDv(spark, dir, col("event_id") < 250)
+      TxTable.deleteWhereDv(spark, dir, col("event_id") % 7 === 0)
+      val expect = (250L until 1000L).filter(_ % 7 != 0)
+      // range reads stay EXACT through the stale stats: the DV
+      // subtraction applies inside the pruned slice
+      val got = TxTable.readRange(spark, dir, "event_id", 0L, 500L)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === expect.filter(_ <= 500L))
+      // a fully-dead range: zero rows, even though the stale stats
+      // still admit the dead file (conservative, not wrong)
+      assert(TxTable.readRange(spark, dir, "event_id", 0L, 100L).count() === 0L)
+      val v3 = TxTable.readManifest(spark, dir, 3L)
+      assert(v3.files.map(f => f.path -> f.stats("event_id")).toMap === v1Stats,
+        "DV commits must not (and cannot) touch the per-file stats")
+      assert(v3.files.exists(_.stats("event_id")._1 <= 100L),
+        "pre-compact, the dead range is still admitted by some file")
+      // point probe through stats+DVs: a tombstoned key reads empty, a
+      // surviving key reads exactly once
+      assert(TxTable.readPoint(spark, dir, "event_id", Seq("7")).count() === 0L)
+      assert(TxTable.readPoint(spark, dir, "event_id", Seq("251")).count() === 1L)
+      // compact re-clusters the SURVIVORS and re-tightens the stats
+      TxTable.compactClustered(spark, dir, None, "event_id", "event_id", 4)
+      val v4 = TxTable.readManifest(spark, dir, 4L)
+      assert(v4.files.forall(_.dvs.isEmpty), "compaction reconciles the DVs")
+      assert(v4.files.forall(_.stats("event_id")._1 >= 250L),
+        "post-compact stats must reflect only surviving rows")
+      assert(!v4.files.exists(_.stats("event_id")._1 <= 100L),
+        "the dead range now prunes on the manifest alone")
+      assert(TxTable.read(spark, dir)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq === expect)
+    }
+  }
+
   test("racing MoR deletes under withConflictRetry all land; content equals sequential") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(60), Some("pbucket"))
@@ -1591,6 +1654,46 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("mergeChangeSetDv evolveSchema: new column rides fresh files only; " +
+      "carried rows read NULL; zero target rewrites") {
+    inDir { dir =>
+      import spark.implicits._
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      val bytesBefore = dataBytes(dir)
+      val evolved = Seq(
+        (100L, "insert", 1000.0, 0L, "minted"),
+        (1L, "update", -1.0, 1L, "touched"),
+        (2L, "delete", 0.0, 2L, null)
+      ).toDF("event_id", "op", "value", "pbucket", "note")
+      TxTable.mergeChangeSetDv(spark, dir, evolved,
+        "event_id", "op", "pbucket", evolveSchema = true)
+      val got = TxTable.read(spark, dir)
+      assert(got.columns.toSet ===
+        Set("event_id", "value", "pbucket", "note"))
+      // content equals the COW evolving apply
+      val expect = Cdc.applyChangeSet(snap(12), evolved, "event_id", "op",
+        evolveSchema = true)
+      def wide(df: DataFrame): Set[(Long, Double, Long, Option[String])] =
+        df.select(col("event_id"), col("value"),
+            col("pbucket").cast("long"), col("note"))
+          .collect().map(r =>
+            (r.getLong(0), r.getDouble(1), r.getLong(2),
+              Option(r.getString(3)))).toSet
+      assert(wide(got) === wide(expect))
+      // carried rows are NULL in the new column; change rows carry it
+      assert(wide(got).count(_._4.isDefined) === 2)
+      // the no-rewrite claim, byte-for-byte: every pre-merge data file
+      // is still on disk unmodified
+      val after = dataBytes(dir)
+      bytesBefore.foreach { case (p, bs) =>
+        assert(after.get(p).contains(bs), s"target file rewritten: $p")
+      }
+      // and the evolved table still merges/travels: v1 has no note
+      assert(!TxTable.read(spark, dir, versionAsOf = Some(1L))
+        .columns.contains("note"))
+    }
+  }
+
   test("updateWhereDv enforces CHECK constraints on the new images") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
@@ -1622,4 +1725,53 @@ class TxTableSpec extends SparkSpec {
       assert(TxTable.metaCount(spark, dir) === 15L)
     }
   }
+}
+
+/** The default HDFS-rename/local-hard-link store. */
+class TxTableSpec extends TxTableBehaviors {
+  override protected def withStore[T](body: => T): T = body
+
+  // concrete-suite-only (too heavy to run once per store): the
+  // whole-file mass-delete edge the DvPack aggregator exists for
+  test("mass delete: tombstoning >90% of a 3M-row file stays " +
+      "bitmap-bounded and exact") {
+    graft.QueryUtil.inTempDir("graft_tx") { dir =>
+      import spark.implicits._
+      val n = 3000000L
+      val big = spark.range(0, n).select(
+        col("id").as("event_id"),
+        (col("id") % 1000).cast("double").as("value"),
+        lit(0L).as("pbucket"))
+      TxTable.commitReplace(spark, dir, big.coalesce(1), Some("pbucket"))
+      // >90% of the file tombstones in ONE DML commit — the shape that
+      // used to gather an ~24 MB sorted long array per file; with the
+      // partial-mergeable DvPack it accumulates straight into a dense
+      // bitmap bounded by span/8 (~375 KB)
+      TxTable.deleteWhereDv(spark, dir, col("event_id") % 10 =!= 0L)
+      val visible = TxTable.read(spark, dir)
+      assert(visible.count() === n / 10)
+      assert(visible.agg(org.apache.spark.sql.functions.sum("event_id"))
+        .collect().head.getLong(0) === (0L until n by 10L).sum)
+      // the sidecar really is ONE dense container of span/8 bytes
+      // (dv/ holds one subdirectory per DML commit)
+      val dv = spark.read.parquet(s"$dir/dv/*").collect()
+      assert(dv.length === 1)
+      val bits = dv.head.getAs[Array[Byte]]("bits")
+      assert(bits(0) === 0, "mass delete must pick the dense container")
+      assert(bits.length <= n / 8 + 16,
+        s"dense payload must be span/8-bounded, got ${bits.length} bytes")
+      assert(dv.head.getAs[Long]("n") === n - n / 10)
+      // metadata-only count stays exact under the DV refs
+      assert(TxTable.metaCount(spark, dir) === n / 10)
+    }
+  }
+}
+
+/** The SAME battery on conditional-PUT coordination
+  * ([[ObjectStoreLogStore]] over the in-memory CAS double) — the
+  * object-store deployment mode, where publish atomicity comes from
+  * `If-None-Match: *` instead of rename semantics. */
+class TxTableCasStoreSpec extends TxTableBehaviors {
+  override protected def withStore[T](body: => T): T =
+    TxTable.withLogStore(ObjectStoreLogStore.inMemoryFactory)(body)
 }
