@@ -174,7 +174,7 @@ object Bench {
       case Some(prefixes) => allQueries.filter { case (n, _) => prefixes.exists(n.startsWith) }
       case None => allQueries
     }
-    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
+    val firstPass = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), idx) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -184,6 +184,38 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         interQueryHygiene(spark, idx) // off the per-query clock
         (name, sec, ok)
+    }
+    // NOISE-PROOFING THE HEAD OF THE REPORT: a single serial sample of
+    // a hot query on a shared box can read 4–6× its steady state (the
+    // r13 driver run put q153 at 14 s where four full local runs said
+    // 2.4–3.3 s). The entries that dominate the total therefore get
+    // TWO repeat runs each, the reported figure is the per-entry
+    // MEDIAN of the 3 samples, and the min/max spread rides the JSON
+    // line — so a spike is visible AS a spike instead of masquerading
+    // as a plan regression. Repeats cover only the top-N: the tail's
+    // sub-second entries cannot move the total, and 2·N extra runs is
+    // the whole cost. SPARK_GRAFT_REPEAT_TOP=0 disables (local quick
+    // iteration).
+    val repeatTop = sys.env.get("SPARK_GRAFT_REPEAT_TOP").map(_.toInt).getOrElse(10)
+    val slowest = firstPass.filter(_._3).sortBy(-_._2).take(repeatTop).map(_._1).toSet
+    val samples: Map[String, Seq[Double]] = firstPass.collect {
+      case (name, sec, true) if slowest(name) =>
+        val more = (1 to 2).map { r =>
+          val fn = selected(name)
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          interQueryHygiene(spark, r)
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }.flatten
+        name -> (sec +: more)
+    }.toMap
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val results = firstPass.map { case (name, sec, ok) =>
+      samples.get(name) match {
+        case Some(xs) if xs.size >= 2 => (name, median(xs), ok)
+        case _ => (name, sec, ok)
+      }
     }
     // failed queries are reported as -1 (NOT a plausible elapsed time)
     // and listed in "failed" — a crashing query must not masquerade as
@@ -204,14 +236,34 @@ object Bench {
     val top = results.filter(_._3).sortBy(-_._2).take(25)
       .map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"top":$top,"total_sec":${f3(total)}}"""
+    // per-entry [min, median, max] for the repeated head — the spread
+    // IS the answer to "plan regression or same-box noise?"
+    val spread = results.filter(r => samples.contains(r._1)).sortBy(-_._2)
+      .map { case (k, _, _) =>
+        val xs = samples(k).sorted
+        s"\"" + k + "\":[" + f3(xs.head) + "," + f3(median(xs)) + "," + f3(xs.last) + "]"
+      }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"spread":$spread,"top":$top,"total_sec":${f3(total)}}"""
     println(line)
-    // full, untruncated copy for local diffing across rounds (the
-    // stdout line is clipped to its tail by the driver)
+    // full, untruncated copy for cross-round diffing (the stdout line
+    // is clipped to its tail by the driver): APPEND one record per run
+    // — stamped with commit sha and wall time — so "when did q153 get
+    // slow?" is answerable from the repo without /tmp archaeology
     try {
+      val sha = try {
+        val head = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(".git/HEAD")).trim
+        if (head.startsWith("ref: "))
+          java.nio.file.Files.readString(
+            java.nio.file.Paths.get(".git/" + head.drop(5))).trim.take(12)
+        else head.take(12)
+      } catch { case _: Throwable => "unknown" }
+      val stamped = s"""{"ts":"${java.time.Instant.now()}","sha":"$sha",${line.drop(1)}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench_full.json"), line + "\n")
+        java.nio.file.Paths.get("target/bench_full.json"), stamped + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
     spark.stop()
     } finally {

@@ -396,6 +396,100 @@ object GovernanceQueries {
              |           WHERE op = 'delete') d ON o.event_id = d.event_id
              |GROUP BY 1 ORDER BY k""".stripMargin))
       }
+    },
+
+    // TIMESTAMP AS OF time travel, surface parity with VERSION AS OF:
+    // the same TVF takes a TIMESTAMP literal (Delta's `timestampAsOf`
+    // contract — the state as of a wall-clock instant, resolved by
+    // binary search over manifest headers, no replay). The query joins
+    // the timestamp-traveled read (an instant strictly inside [v1, v2))
+    // against the current snapshot; the requires pin the resolution —
+    // the traveled frame must BE version 1, on both the SQL TVF and
+    // the Scala readAsOfTimestamp faces. Oracle: v1 and v2 replayed
+    // relationally (n_at_ts ≡ the v1 expression by the resolution
+    // contract, which is exactly what the requires prove).
+    Q("q181_tx_timestamp_travel", GovernanceOracles.timestampTravel) { (s, dir) =>
+      graft.GraftExtensions.install(s)
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_tt") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"),
+              (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        // distinct commit milliseconds: versionAtTimestamp resolves
+        // ties to the LATER commit, so the travel target below must
+        // sit strictly between the two commit instants
+        Thread.sleep(5)
+        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < 100)
+        val ts = graft.ext.TxTable.history(s, table)
+          .select("version", "commit_ts").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val target = ts(2L) - 1
+        require(ts(1L) <= target && target < ts(2L),
+          s"commit instants must bracket the travel target: $ts")
+        // Scala face resolves to the same version the TVF will
+        require(graft.ext.TxTable.versionAtTimestamp(s, table, target)
+          .contains(1L), "timestamp must resolve to version 1")
+        val instant = java.time.Instant.ofEpochMilli(target)
+          .atZone(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+        localized(s.sql(
+          s"""SELECT CAST(o.event_id % 6 AS BIGINT) AS k,
+             |  count(*) AS n_at_ts,
+             |  count(c.event_id) AS n_cur,
+             |  CAST(sum(CAST(o.value AS DECIMAL(18,6))) AS DOUBLE) AS ts_sum
+             |FROM tx_table('$table', TIMESTAMP '$instant') o
+             |LEFT JOIN tx_table('$table') c ON o.event_id = c.event_id
+             |GROUP BY 1 ORDER BY k""".stripMargin))
+      }
+    },
+
+    // Additive schema evolution at MERGE-ON-READ economics: the
+    // changeset carries a column the target lacks (`note`), and
+    // `mergeChangeSetDv(evolveSchema = true)` lands it WITHOUT
+    // rewriting a single target file — tombstones ride the DV
+    // sidecar, the new column rides only the fresh appended files,
+    // and every carried file reads NULL in it through the
+    // allowMissingColumns union (the q151 contract, at q175
+    // economics). The require proves the no-rewrite claim off the
+    // manifest: every v1 data file is still present (DV refs aside)
+    // in the evolved version. Oracle: the evolving merge replayed
+    // relationally — kept rows NULL note, change rows their own.
+    Q("q182_tx_evolve_mor", GovernanceOracles.evolveMor) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_emor") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"),
+              (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        val v1Files = graft.ext.TxTable.readManifest(s, table, 1L)
+          .files.map(_.path).toSet
+        val changes = ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"),
+            (col("event_id") % 5).as("note"))
+        graft.ext.TxTable.mergeChangeSetDv(s, table, changes,
+          "event_id", "op", "pbucket", evolveSchema = true)
+        val v2 = graft.ext.TxTable.readManifest(s, table, 2L)
+        require(v1Files.subsetOf(v2.files.map(_.path).toSet),
+          "MoR evolution must carry every target file by reference")
+        localized(graft.ext.TxTable.read(s, table)
+          .groupBy((col("event_id") % 7).as("k"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("value")).as("value_sum"),
+            count(col("note")).as("note_n"),
+            sum(col("note")).cast("long").as("note_sum"))
+          .orderBy("k"))
+      }
     }
   )
 }
@@ -560,6 +654,42 @@ object GovernanceOracles {
       |LEFT JOIN cur c ON o.event_id = c.event_id
       |LEFT JOIN del d ON o.event_id = d.event_id
       |GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** q181: the timestamp-traveled read IS version 1 (the lane's
+    * requires pin the resolution), so the oracle replays v1 joined
+    * against the post-delete current state. */
+  val timestampTravel: String =
+    """WITH o AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |c AS (SELECT event_id FROM o WHERE NOT coalesce(value < 100, false))
+      |SELECT CAST(o.event_id % 6 AS BIGINT) AS k,
+      |  count(*) AS n_at_ts,
+      |  count(c.event_id) AS n_cur,
+      |  CAST(sum(CAST(o.value AS DECIMAL(18,6))) AS DOUBLE) AS ts_sum
+      |FROM o LEFT JOIN c ON o.event_id = c.event_id
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** q182: the evolving MoR merge replayed relationally — update/
+    * delete keys vacate the base, insert/update rows append WITH the
+    * new column, kept base rows read NULL in it. */
+  val evolveMor: String =
+    """WITH t AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |c AS (SELECT event_id,
+      |    CASE WHEN event_id % 2 <> 0 THEN 'insert'
+      |         WHEN event_id % 12 = 0 THEN 'delete'
+      |         ELSE 'update' END AS op,
+      |    value + 500 AS value,
+      |    CAST(event_id % 5 AS BIGINT) AS note
+      |  FROM events WHERE event_id % 3 = 0),
+      |kept AS (SELECT t.event_id, t.value, CAST(NULL AS BIGINT) AS note
+      |  FROM t WHERE NOT EXISTS (SELECT 1 FROM c
+      |    WHERE c.event_id = t.event_id AND c.op IN ('update', 'delete'))),
+      |m AS (SELECT * FROM kept UNION ALL
+      |      SELECT event_id, value, note FROM c
+      |      WHERE op IN ('insert', 'update'))
+      |SELECT CAST(event_id % 7 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+      |  count(note) AS note_n, CAST(sum(note) AS BIGINT) AS note_sum
+      |FROM m GROUP BY 1 ORDER BY k""".stripMargin
 
   /** q178: the OPTIMIZE-ZORDER pipeline is content-invisible, so the
     * oracle is simply the 2-D box over the delete-filtered rows. */

@@ -38,6 +38,32 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object MergeStream {
 
+  /** Observable counters for the best-effort maintenance cadence —
+    * named Spark accumulators, so the ticks/publishes/skips show up
+    * in the Spark UI and the status API instead of vanishing into
+    * stderr (a production operator alarms on `skipped` climbing while
+    * `published` stalls: the table's layout debt is then growing
+    * unswept). One instance per (session, table), memoized so the
+    * stream and the operator's monitoring read the SAME counters. */
+  final case class MaintenanceMetrics(
+      attempted: org.apache.spark.util.LongAccumulator,
+      published: org.apache.spark.util.LongAccumulator,
+      skipped: org.apache.spark.util.LongAccumulator)
+
+  private val metricsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), MaintenanceMetrics]
+
+  def maintenanceMetrics(
+      spark: SparkSession, tableDir: String): MaintenanceMetrics =
+    metricsCache.computeIfAbsent((spark, tableDir), _ =>
+      MaintenanceMetrics(
+        spark.sparkContext.longAccumulator(
+          s"graft.maintenance.attempted:$tableDir"),
+        spark.sparkContext.longAccumulator(
+          s"graft.maintenance.published:$tableDir"),
+        spark.sparkContext.longAccumulator(
+          s"graft.maintenance.skipped:$tableDir")))
+
   /** Drain `changesDir` (parquet change files, one micro-batch per
     * file) into the snapshot at `snapshotDir` (parquet partitioned by
     * `partitionCol`). Returns the number of micro-batches applied.
@@ -139,18 +165,27 @@ object MergeStream {
     * fails for any environmental reason, must NOT kill the ingest
     * stream it runs inside: the decay it failed to sweep is simply
     * still there for the next cadence tick. Returns whether a
-    * compaction version was published. */
+    * compaction version was published; every outcome lands in the
+    * table's [[MaintenanceMetrics]] (attempted / published / skipped)
+    * so the skip is VISIBLE to monitoring, not just a stderr line. */
   private[streaming] def runMaintenance(
-      spark: SparkSession, tableDir: String, partitionCol: String): Boolean =
-    try graft.ext.TxTable.withConflictRetry() {
-      graft.ext.TxTable.maintainIfNeeded(spark, tableDir, partitionCol)
-    }.isDefined
-    catch {
+      spark: SparkSession, tableDir: String, partitionCol: String): Boolean = {
+    val metrics = maintenanceMetrics(spark, tableDir)
+    metrics.attempted.add(1L)
+    try {
+      val published = graft.ext.TxTable.withConflictRetry() {
+        graft.ext.TxTable.maintainIfNeeded(spark, tableDir, partitionCol)
+      }.isDefined
+      if (published) metrics.published.add(1L)
+      published
+    } catch {
       case scala.util.control.NonFatal(e) =>
+        metrics.skipped.add(1L)
         System.err.println(
           s"[merge-stream] maintenance pass on $tableDir skipped: ${e.getMessage}")
         false
     }
+  }
 
   /** [[mergeAvailable]]'s SNAPSHOT-ISOLATED sibling: drain the change
     * feed into a [[graft.ext.TxTable]] (manifest commit log), one

@@ -231,6 +231,45 @@ class MergeStreamSpec extends SparkSpec {
     }
   }
 
+  test("maintenance outcomes are VISIBLE metrics: attempted/published/" +
+      "skipped counters, not just stderr") {
+    import spark.implicits._
+    inTempDir { tmp =>
+      val table = s"$tmp/table"
+      val snapshot = (0L until 20L).map(i => (i, i * 1.0, i % 4))
+        .toDF("event_id", "value", "pbucket")
+      graft.ext.TxTable.commitReplace(spark, table, snapshot, Some("pbucket"))
+      // cross the DV budget so maintenance genuinely wants to publish
+      graft.ext.TxTable.deleteWhereDv(spark, table, col("event_id") % 4 === 0)
+      val m = MergeStream.maintenanceMetrics(spark, table)
+      val (a0, p0, s0) = (m.attempted.value, m.published.value, m.skipped.value)
+      // force the failure mode: a log store whose publishes always
+      // lose — the OCC retries exhaust, the wrapper swallows, and the
+      // skip must land in the counter a monitor can alarm on
+      val losing = new graft.ext.LogStore {
+        def inner(fs: org.apache.hadoop.fs.FileSystem) =
+          new graft.ext.HadoopLogStore(fs)
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        override def list(d: org.apache.hadoop.fs.Path) = inner(fs).list(d)
+        override def read(p: org.apache.hadoop.fs.Path) = inner(fs).read(p)
+        override def writeIfAbsent(p: org.apache.hadoop.fs.Path, c: String) = false
+        override def delete(p: org.apache.hadoop.fs.Path) = inner(fs).delete(p)
+      }
+      graft.ext.TxTable.withLogStore(_ => losing) {
+        assert(!MergeStream.runMaintenance(spark, table, "pbucket"))
+      }
+      assert(m.attempted.value === a0 + 1)
+      assert(m.skipped.value === s0 + 1, "the forced failure must be countable")
+      assert(m.published.value === p0)
+      // and the healthy pass counts as published
+      assert(MergeStream.runMaintenance(spark, table, "pbucket"))
+      assert(m.attempted.value === a0 + 2)
+      assert(m.published.value === p0 + 1)
+      assert(m.skipped.value === s0 + 1)
+    }
+  }
+
   test("pre-upgrade tables keep deduping under the legacy raw-string " +
       "appId (canonical-URI default must not orphan their ledger)") {
     import spark.implicits._
