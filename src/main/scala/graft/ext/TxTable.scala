@@ -2187,6 +2187,31 @@ object TxTable {
     * exposure Delta's VACUUM documents). Unreferenced files OLDER
     * than the window truly can never become referenced — publication
     * always targets freshly written dirs. */
+  /** [[vacuum]] with WALL-CLOCK version retention (the SQL `VACUUM …
+    * RETAIN n HOURS` / log-retention-duration face): keep every
+    * version committed within the last `keepMs`, PLUS the newest
+    * version at-or-before the cutoff — that one is the retention
+    * horizon, so `readAsOfTimestamp(now − keepMs)` keeps working
+    * right at the boundary. Resolution rides [[versionAtTimestamp]]'s
+    * clock contract (commit timestamps are monotone per log). The
+    * same `keepMs` guards orphan data-file age, so a version inside
+    * the retention window can never lose its data files. */
+  def vacuumRetain(spark: SparkSession, dir: String, keepMs: Long): Int = {
+    val cutoff = System.currentTimeMillis() - keepMs
+    versionAtTimestamp(spark, dir, cutoff) match {
+      case None =>
+        // every retained version is newer than the cutoff — nothing to
+        // drop; still sweep orphans older than the retention
+        vacuum(spark, dir, keepVersions = None, retentionMs = keepMs)
+      case Some(h) =>
+        val (store, root) = storeOf(spark, dir)
+        val (vs, _) = listLog(store, root)
+        vacuum(spark, dir,
+          keepVersions = Some(vs.size - vs.indexOf(h)),
+          retentionMs = keepMs)
+    }
+  }
+
   def vacuum(
       spark: SparkSession, dir: String,
       keepVersions: Option[Int] = None,

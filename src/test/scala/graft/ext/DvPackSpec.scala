@@ -72,6 +72,41 @@ class DvPackSpec extends SparkSpec {
     assert(java.util.Arrays.equals(acc.packed(), expect))
   }
 
+  test("far-apart dense partials DECANT instead of unioning a span-sized core") {
+    // two genuinely clustered partials, 2^30 positions apart: a naive
+    // core union would allocate ~128 MB; the pays-rule decants the
+    // incoming core into placed positions instead. Exactness first,
+    // and the merged buffer must stay far below the union span.
+    val a = new DvAcc
+    (0L until 5000L).foreach(a.add)
+    val b = new DvAcc
+    val far = 1L << 30
+    (far until far + 5000L).foreach(b.add)
+    assert(a.core != null && b.core != null, "both partials are dense")
+    a.mergeFrom(b)
+    val expect = DvBitmap.pack(((0L until 5000L) ++ (far until far + 5000L)).toArray)
+    assert(java.util.Arrays.equals(a.packed(), expect))
+    val coreBytes = if (a.core == null) 0 else a.core.length
+    assert(coreBytes + 8 * a.looseN < (1 << 20),
+      s"merged buffer must not approach the union span: core=$coreBytes loose=${a.looseN}")
+  }
+
+  test("deserialize(dense container) recovers count/min/max for later merges") {
+    val acc = new DvAcc
+    (100L until 1000L).foreach(acc.add)
+    val wire = acc.packed()
+    assert(wire(0) == 0, "sanity: dense on the wire")
+    val back = DvAcc.from(wire)
+    assert(back.count === 900L)
+    assert(back.minPos === 100L && back.maxPos === 999L)
+    // and the recovered buffer keeps merging exactly
+    val more = new DvAcc
+    (1000L until 1100L).foreach(more.add)
+    back.mergeFrom(more)
+    assert(java.util.Arrays.equals(back.packed(),
+      DvBitmap.pack((100L until 1100L).toArray)))
+  }
+
   test("DataFrame face: groupBy + dv_pack across partitions equals DvBitmap.pack") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -583,6 +583,39 @@ abstract class TxTableBehaviors extends SparkSpec {
     }
   }
 
+  test("vacuumRetain: wall-clock retention keeps the boundary version as horizon") {
+    inDir { dir =>
+      import spark.implicits._
+      TxTable.commitReplace(spark, dir, snap(8), Some("pbucket"))
+      Thread.sleep(150)
+      TxTable.mergeChangeSet(spark, dir,
+        Seq((100L, "insert", 1.0, 0L)).toDF("event_id", "op", "value", "pbucket"),
+        "event_id", "op", "pbucket")
+      Thread.sleep(150)
+      TxTable.mergeChangeSet(spark, dir,
+        Seq((101L, "insert", 2.0, 1L)).toDF("event_id", "op", "value", "pbucket"),
+        "event_id", "op", "pbucket")
+      val ts = TxTable.history(spark, dir).select("version", "commit_ts")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // cutoff strictly inside (v2, v3): v2 is the newest at-or-before
+      // the cutoff, so v2 is the horizon and only v1's manifest drops
+      val targetCutoff = ts(3L) - 75
+      require(targetCutoff > ts(2L), s"need distinct commit instants: $ts")
+      TxTable.vacuumRetain(spark, dir,
+        keepMs = System.currentTimeMillis() - targetCutoff)
+      // latest still reads; the horizon (v2) still time-travels; v1 is
+      // retired loud
+      assert(rows(TxTable.read(spark, dir)).map(_._1).contains(101L))
+      assert(rows(TxTable.readAsOfTimestamp(spark, dir, targetCutoff))
+        .map(_._1).contains(100L))
+      intercept[Exception](TxTable.read(spark, dir, versionAsOf = Some(1L)).collect())
+      // a fully-inside-retention cutoff drops nothing
+      val before = TxTable.history(spark, dir).count()
+      TxTable.vacuumRetain(spark, dir, keepMs = 24L * 3600 * 1000)
+      assert(TxTable.history(spark, dir).count() === before)
+    }
+  }
+
   test("vacuum(keepVersions) writes the horizon checkpoint before dropping the delta tail") {
     inDir { dir =>
       val prevInterval = TxTable.checkpointInterval
