@@ -490,6 +490,39 @@ object GovernanceQueries {
             sum(col("note")).cast("long").as("note_sum"))
           .orderBy("k"))
       }
+    },
+
+    // REORG … APPLY (PURGE): after a MoR delete wave, purge rewrites
+    // ONLY the deletion-vector-carrying files (finer than compact's
+    // partition granularity — TxTableSpec proves a clean same-
+    // partition sibling carries byte-identically) so the tombstoned
+    // rows vanish PHYSICALLY — the minimal-IO hard-delete pass a
+    // right-to-erasure workflow runs, completed by vacuum retiring
+    // the pre-purge versions. Content-invisible by construction: the
+    // requires pin a DV-free manifest and the named op; the oracle is
+    // the plain delete-filtered aggregate.
+    Q("q183_tx_purge", GovernanceOracles.purge) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_purge") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("event_id") % 2 === 0)
+            .select(col("event_id"), col("value"),
+              (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"))
+        graft.ext.TxTable.deleteWhereDv(s, table, col("value") < 100)
+        val v = graft.ext.TxTable.purgeTombstoned(s, table, Some("pbucket"))
+        val m = graft.ext.TxTable.readManifest(s, table, v)
+        require(m.files.forall(_.dvs.isEmpty),
+          "purge must materialize every deletion vector")
+        require(graft.ext.TxTable.history(s, table)
+          .where(col("version") === v).select("op")
+          .collect().head.getString(0) == "purge")
+        localized(graft.ext.TxTable.read(s, table)
+          .groupBy((col("event_id") % 6).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("k"))
+      }
     }
   )
 }
@@ -690,6 +723,15 @@ object GovernanceOracles {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
       |  count(note) AS note_n, CAST(sum(note) AS BIGINT) AS note_sum
       |FROM m GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** q183: purge is content-invisible (the lane's requires pin the
+    * physical claims), so the oracle is the delete-filtered aggregate. */
+  val purge: String =
+    """WITH o AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |c AS (SELECT * FROM o WHERE NOT coalesce(value < 100, false))
+      |SELECT CAST(event_id % 6 AS BIGINT) AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM c GROUP BY 1 ORDER BY k""".stripMargin
 
   /** q178: the OPTIMIZE-ZORDER pipeline is content-invisible, so the
     * oracle is simply the 2-D box over the delete-filtered rows. */

@@ -139,9 +139,23 @@ object Ivf {
     } finally units.unpersist()
   }
 
-  /** Corpus with its IVF cell assignment (the at-rest partition key). */
-  def withCells(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
-    unitized(emb).withColumn("cell", cellOf(col("unit"), centroids))
+  /** Corpus with its IVF cell assignment (the at-rest partition key).
+    * NULL/zero-norm embeddings get a NULL cell — excluded from every
+    * probe, the same exclusion every cosine lane applies (a
+    * direction-less vector has no nearest cell). A DIMENSION MISMATCH
+    * against the trained centroids fails LOUD instead: the NULL dot
+    * would otherwise silently drop the row from the index — the exact
+    * failure mode the LSH lane's dimension assert already guards. */
+  def withCells(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val cell = cellOf(col("unit"), centroids)
+    unitized(emb).withColumn("cell",
+      when(col("unit").isNull, lit(null).cast("int"))
+        .otherwise(when(assert_true(cell.isNotNull,
+          lit("Ivf.withCells: embedding dimension differs from the " +
+            "trained centroids' — retrain on this corpus or fix the " +
+            "mismatched rows; a silent NULL cell would drop them from " +
+            "the index")).isNull, cell)))
+  }
 
   /** Per-cell angular radii: max L2 distance from a member's unit
     * vector to its own cell centroid — the other half of the
@@ -248,11 +262,24 @@ object Ivf {
                             nProbe0: Int = 3, eps: Double = 1e-6): (DataFrame, Seq[Int]) =
     exactPlan(cellsFor(emb, key, centroids), queryVecId, topK, centroids, radii, nProbe0, eps)
 
+  /** The query row's unit vector, with NAMED failures for the two
+    * states `.head().getSeq(0)` would turn into opaque exceptions: a
+    * missing id (NoSuchElementException out of an empty iterator) and
+    * a zero-norm/NULL embedding (NPE off the null unit). */
+  private def queryUnitOf(cells: DataFrame, queryVecId: Long): Array[Double] = {
+    val rows = cells.filter(col("vec_id") === queryVecId)
+      .select("unit").take(1)
+    require(rows.nonEmpty, s"query vec_id $queryVecId not found in the corpus")
+    val u = rows.head.getSeq[Double](0)
+    require(u != null, s"query vec_id $queryVecId has a NULL or zero-norm " +
+      "embedding — a direction-less vector cannot be searched for")
+    u.toArray
+  }
+
   private def exactPlan(cells: DataFrame, queryVecId: Long, topK: Int,
                         centroids: Array[Array[Double]], radii: Array[Double],
                         nProbe0: Int, eps: Double): (DataFrame, Seq[Int]) = {
-    val qUnit = cells.filter(col("vec_id") === queryVecId)
-      .select("unit").head().getSeq[Double](0).toArray
+    val qUnit = queryUnitOf(cells, queryVecId)
     val centroidSims = centroids.map(_.zip(qUnit).map { case (a, b) => a * b }.sum)
     val phase1 = centroidSims.zipWithIndex.sortBy(-_._1).take(nProbe0).map(_._2).toSeq
     val qCol = array(qUnit.map(lit): _*)
@@ -284,9 +311,7 @@ object Ivf {
   def topK(emb: DataFrame, queryVecId: Long, topK: Int,
            centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
     val cells = withCells(emb, centroids)
-    val qRow = cells.filter(col("vec_id") === queryVecId)
-      .select("unit").head()
-    val qUnit = qRow.getSeq[Double](0).toArray
+    val qUnit = queryUnitOf(cells, queryVecId)
     val probes = centroids.zipWithIndex
       .map { case (c, i) => (i, c.zip(qUnit).map { case (a, b) => a * b }.sum) }
       .sortBy(-_._2).take(nProbe).map(_._1)

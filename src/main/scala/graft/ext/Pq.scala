@@ -75,10 +75,19 @@ object Pq {
         pmod(xxhash64(col(idCol)), lit(1000000L)) <
           lit(math.ceil(maxTrainRows.toDouble / total * 1000000L).toLong))
         .limit(maxTrainRows)
-    val rows = sampled.select(col(vecCol).cast("array<double>")).collect()
+    // NULL embeddings are excluded from training (a direction-less row
+    // trains nothing — the same exclusion every cosine lane applies);
+    // MIXED dimensions fail loud: the per-subspace slicing below would
+    // otherwise index out of bounds mid-Lloyd with an opaque error
+    val rows = sampled.select(col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull).collect()
       .map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "empty training sample")
     val dim = rows.head.length
+    require(rows.forall(_.length == dim),
+      s"Pq.train: mixed embedding dimensions in the training sample " +
+        s"(${rows.map(_.length).distinct.sorted.mkString(", ")}) — fix " +
+        "the corpus before building a PQ index over it")
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     Array.tabulate(m) { s =>

@@ -243,6 +243,17 @@ object TxTable {
     import com.fasterxml.jackson.databind.node.ObjectNode
     private val mapper = new ObjectMapper() // thread-safe for read/write
 
+    /** Log-format protocol this engine writes and the highest it can
+      * read. A FUTURE format change that old readers cannot safely
+      * ignore (new delta kinds, a different DV coordinate system)
+      * bumps the written number; an old engine then refuses the table
+      * LOUDLY instead of replaying manifests it half-understands into
+      * a silently wrong file list — the lakehouse formats'
+      * reader-version gate. Headers without the field (every log
+      * written before the gate, and the kind-less legacy shape) read
+      * as protocol 1. Purely additive fields do NOT bump it. */
+    val SupportedProtocol = 1
+
     private def entryNode(f: FileEntry): ObjectNode = {
       val n = mapper.createObjectNode()
       n.put("path", f.path)
@@ -284,6 +295,7 @@ object TxTable {
       val sb = new StringBuilder
       val h = mapper.createObjectNode()
       h.put("version", version); h.put("base", base)
+      h.put("protocol", SupportedProtocol)
       h.put("op", op); h.put("kind", kind)
       h.put("ts", System.currentTimeMillis())
       h.put("n_add", adds.size); h.put("n_remove", removes.size)
@@ -347,6 +359,12 @@ object TxTable {
       require(lines.hasNext, s"empty log file: $src")
       val h = mapper.readTree(lines.next())
       require(h.has("version"), s"malformed header in $src")
+      val protocol = Option(h.get("protocol")).map(_.asInt()).getOrElse(1)
+      require(protocol <= SupportedProtocol,
+        s"$src was written at log protocol $protocol; this engine reads " +
+          s"up to $SupportedProtocol — upgrade the engine before touching " +
+          "this table (replaying half-understood manifests would derive " +
+          "a silently wrong file list)")
       // Legacy (pre-kind) manifests: no "kind" in the header, every
       // line a bare full-list entry `{"path":…[,"bucket":…][,"sc":…,
       // "lo":…,"hi":…]}`. They are always full snapshots (the old
@@ -1628,6 +1646,46 @@ object TxTable {
       merged.columns.toSeq)
     commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
       "compact", full = false)
+  }
+
+  /** REORG … APPLY (PURGE): physically materialize the deletion
+    * vectors by rewriting ONLY the files that carry them — finer than
+    * [[compact]] (partition-granular: a partition with one
+    * DV-carrying file among a hundred clean ones rewrites all
+    * hundred) and the minimal-IO hard-delete pass a
+    * right-to-erasure workflow runs: cost ∝ tombstone-carrying
+    * bytes, never the partition, never the table. DV-free files —
+    * including same-partition siblings of purged ones — carry
+    * forward by reference, byte-identical. One atomic,
+    * conflict-detected, content-identical commit (`op = "purge"`).
+    * The erasure completes only once [[vacuum]] retires the versions
+    * that still reference the pre-purge files — same two-step
+    * contract as the lakehouse formats' REORG + VACUUM. */
+  def purgeTombstoned(
+      spark: SparkSession, dir: String,
+      partitionCol: Option[String] = None): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val store = logStoreFactory(fs)
+    val base = latestVersion(spark, dir).getOrElse(
+      sys.error(s"purgeTombstoned needs an initialized table at $dir"))
+    val m = readManifest(spark, dir, base)
+    val (doomed, keep) = m.files.partition(_.dvs.nonEmpty)
+    if (doomed.isEmpty) return base // nothing tombstoned — no-op
+    require(m.files.forall(_.bucket.isEmpty) || partitionCol.isDefined,
+      s"table at $dir is partitioned — pass partitionCol so the purged " +
+        "files keep the bucket dirs partition-pruned merges rely on")
+    // DV-aware read of ONLY the carrying files: tombstoned rows vanish
+    // physically, surviving rows rewrite verbatim
+    val merged = readFiles(spark, root, doomed, m.schemas)
+    val commitDir = newCommitDir(root, base + 1)
+    val writer = merged.write.mode("errorifexists")
+    partitionCol.fold(writer)(c => writer.partitionBy(c))
+      .parquet(commitDir.toString)
+    val fresh = propagateSkipping(spark, root, m,
+      listCommitFiles(fs, root, commitDir, partitionCol),
+      merged.columns.toSeq)
+    commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
+      "purge", full = false)
   }
 
   /** Maintenance POLICY over the manifest alone: run [[compact]] when

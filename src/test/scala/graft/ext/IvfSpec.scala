@@ -20,6 +20,30 @@ class IvfSpec extends SparkSpec {
     assert(cells.count() == emb.count())
   }
 
+  test("degenerate inputs fail LOUD (or exclude) instead of corrupting the index") {
+    // a dimension mismatch against the trained centroids must not
+    // silently drop rows into a NULL cell (the LSH lane's r13 bug class)
+    val mixed = Seq((900001L, Array.fill(3)(1.0), 0)).toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception](Ivf.withCells(mixed, centroids).collect())
+    def all(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") + Option(t.getCause).map(_.getMessage).getOrElse("")
+    assert(all(e).contains("dimension differs"), all(e))
+    // a zero-norm row is EXCLUDED (NULL cell), like every cosine lane
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val withZero = emb.limit(5).select(col("vec_id"), col("embedding"), col("label"))
+      .union(Seq((900002L, Array.fill(dim)(0.0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val cells = Ivf.withCells(withZero, centroids).collect()
+    assert(cells.count(_.isNullAt(cells.head.fieldIndex("cell"))) == 1)
+    // missing / direction-less QUERY ids are named, not NPE'd
+    val eMissing = intercept[IllegalArgumentException](
+      Ivf.topK(emb, -999L, 5, centroids, nProbe = 2))
+    assert(eMissing.getMessage.contains("not found"))
+    val eZero = intercept[IllegalArgumentException](
+      Ivf.topK(withZero, 900002L, 5, centroids, nProbe = 2))
+    assert(eZero.getMessage.contains("zero-norm"))
+  }
+
   test("probing all cells reproduces exact brute-force top-k") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 10)
       .select("vec_id").collect().map(_.getLong(0)).toSeq

@@ -17,6 +17,25 @@ class PqSpec extends SparkSpec {
       "hash-sampled training must be reproducible")
   }
 
+  test("training excludes NULL embeddings and names mixed dimensions loud") {
+    import spark.implicits._
+    // NULLs are excluded (a direction-less row trains nothing) — the
+    // old path NPE'd on the null seq mid-collect
+    val withNull = Seq(
+      (1L, Array.fill(8)(1.0)), (2L, Array.fill(8)(2.0)),
+      (3L, null: Array[Double]))
+      .toDF("vec_id", "embedding")
+    val trained = Pq.train(withNull, m = 2, k = 2, iters = 2)
+    assert(trained.length == 2 && trained.forall(_.forall(_.length == 4)))
+    // mixed dims fail with both lengths named, never an
+    // ArrayIndexOutOfBounds mid-Lloyd
+    val mixed = Seq((1L, Array.fill(8)(1.0)), (2L, Array.fill(6)(1.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Pq.train(mixed, m = 2, k = 2, iters = 2))
+    assert(e.getMessage.contains("mixed embedding dimensions") &&
+      e.getMessage.contains("6") && e.getMessage.contains("8"), e.getMessage)
+  }
+
   test("codes compress the vector 8:1 in arity and reconstruct coarsely") {
     val coded = Pq.withCodes(emb, books)
     val row = coded.select("pq_code").head()

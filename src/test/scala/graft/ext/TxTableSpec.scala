@@ -783,6 +783,26 @@ abstract class TxTableBehaviors extends SparkSpec {
     }
   }
 
+  test("protocol gate: a future-protocol manifest is refused loud; " +
+      "current and pre-gate headers read") {
+    val current = TxTable.ManifestJson.render(
+      3L, 2L, "merge", "delta", Seq(TxTable.FileEntry("data/v3-x/a.parquet", None)),
+      Seq.empty)
+    // the engine writes — and reads back — its own protocol
+    assert(current.linesIterator.next().contains("\"protocol\":1"))
+    assert(TxTable.ManifestJson.parse(current, "self").version === 3L)
+    // a header written by a NEWER engine must be refused with both
+    // numbers named, never half-replayed
+    val future = current.replaceFirst("\"protocol\":1", "\"protocol\":2")
+    val e = intercept[IllegalArgumentException](
+      TxTable.ManifestJson.parse(future, "future-table"))
+    assert(e.getMessage.contains("protocol 2") &&
+      e.getMessage.contains("up to 1"), e.getMessage)
+    // pre-gate headers (no protocol field) read as protocol 1
+    val preGate = current.replaceFirst("\"protocol\":1,", "")
+    assert(TxTable.ManifestJson.parse(preGate, "old").version === 3L)
+  }
+
   test("manifest serializer round-trips exotic paths/buckets (quotes, spaces, backslash)") {
     val entries = Seq(
       TxTable.FileEntry("""data/v1-x/weird "name" with spaces.parquet""", Some("""a\b"c"""),
@@ -1724,6 +1744,57 @@ abstract class TxTableBehaviors extends SparkSpec {
       // and the evolved table still merges/travels: v1 has no note
       assert(!TxTable.read(spark, dir, versionAsOf = Some(1L))
         .columns.contains("note"))
+      // CDC spans the MoR-evolution commit: the feed carries the new
+      // column (NULL on the before side) and round-trips the merge
+      val diff = TxTable.changesBetween(spark, dir, 1L, 2L, "event_id")
+      assert(diff.columns.contains("note"))
+      assert(wide(Cdc.applyChangeSet(snap(12), diff, "event_id", "op",
+        evolveSchema = true)) === wide(got))
+    }
+  }
+
+  test("purgeTombstoned rewrites ONLY DV-carrying files; clean siblings " +
+      "in the same partition stay byte-identical and carried") {
+    inDir { dir =>
+      import spark.implicits._
+      TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
+      // a MoR merge appends a FRESH file into bucket 0 without touching
+      // the original — bucket 0 now holds two files
+      TxTable.mergeChangeSetDv(spark, dir,
+        Seq((100L, "insert", 1.0, 0L)).toDF("event_id", "op", "value", "pbucket"),
+        "event_id", "op", "pbucket")
+      val bytesBefore = dataBytes(dir)
+      // tombstone a row living in bucket 0's ORIGINAL file only
+      TxTable.deleteWhereDv(spark, dir, col("event_id") === 4L)
+      val expected = rows(TxTable.read(spark, dir))
+      val m3 = TxTable.readManifest(spark, dir, 3L)
+      val carrying = m3.files.filter(_.dvs.nonEmpty).map(_.path)
+      assert(carrying.size === 1, s"setup: exactly one DV-carrying file, got $carrying")
+      val v = TxTable.purgeTombstoned(spark, dir, Some("pbucket"))
+      val m4 = TxTable.readManifest(spark, dir, v)
+      assert(m4.files.forall(_.dvs.isEmpty), "purge must materialize every DV")
+      // finer than compact: every CLEAN file — the same-partition
+      // sibling included — carries by reference, and no pre-existing
+      // byte on disk changed
+      (m3.files.map(_.path).toSet - carrying.head).foreach { p =>
+        assert(m4.files.exists(_.path == p), s"clean file must carry: $p")
+      }
+      assert(!m4.files.exists(_.path == carrying.head),
+        "the purged file must leave the manifest")
+      val after = dataBytes(dir)
+      bytesBefore.foreach { case (p, bs) =>
+        assert(after.get(p).contains(bs), s"pre-existing file changed: $p")
+      }
+      // content identical; metadata stays exact; history names the op;
+      // the pre-purge version still time-travels to the deleted row
+      assert(rows(TxTable.read(spark, dir)) === expected)
+      assert(TxTable.metaCount(spark, dir) === expected.size.toLong)
+      assert(TxTable.history(spark, dir).where(col("version") === v)
+        .select("op").collect().head.getString(0) === "purge")
+      assert(rows(TxTable.read(spark, dir, versionAsOf = Some(1L)))
+        .exists(_._1 == 4L))
+      // idempotent: a DV-free table purges to a no-op
+      assert(TxTable.purgeTombstoned(spark, dir, Some("pbucket")) === v)
     }
   }
 
