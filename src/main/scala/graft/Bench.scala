@@ -264,6 +264,13 @@ object Bench {
         java.nio.file.Paths.get("target/bench_full.json"), stamped + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      // ... and the TRACKED copy (target/ is gitignored and dies with a
+      // clean): bench_history.jsonl is committed per round, so "when
+      // did qNNN get slow?" is answerable from git alone
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_history.jsonl"), stamped + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
     spark.stop()
     } finally {

@@ -175,6 +175,17 @@ object GraftExtensions {
         planOf(graft.ext.TxTable.history(
           SparkSession.active, litString(children.head, "tx_history", "dir")))
       }),
+    (FunctionIdentifier("tx_detail"),
+      info("tx_detail",
+        "tx_detail(dir[, version]) - DESCRIBE DETAIL off the manifest alone " +
+          "(files, partitions, bytes, exact DV-adjusted rows, skipping columns)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          s"tx_detail(dir[, version]) takes 1 or 2 arguments, got ${children.size}")
+        planOf(graft.ext.TxTable.detail(SparkSession.active,
+          litString(children.head, "tx_detail", "dir"),
+          versionAsOf = children.lift(1).map(litLong(_, "tx_detail", "version"))))
+      }),
     (FunctionIdentifier("tx_changes"),
       info("tx_changes",
         "tx_changes(dir, vFrom, vTo, keyCol) - net CDC changeset turning version vFrom into vTo"),

@@ -112,13 +112,26 @@ object Graph {
     var inMass = edgesDeg
       .select(col("dst"), expr(s"${Scale}L div outdeg").as("contrib"))
       .groupBy("dst").agg(sum("contrib").as("m"))
+    // each NEW mass checkpoint supersedes the previous one (the cut
+    // frame contains all history), so the prior round's blocks are
+    // dead the moment mat() returns — release them at the RDD level
+    // (same discipline as Components: Dataset.unpersist would be a
+    // no-op on localCheckpoint blocks), or a deep run holds
+    // iterations/2 #nodes-sized block sets until driver GC
+    var prevMassRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 2 to iterations) {
       val next = edgesDeg
         .join(broadcast(inMass.withColumnRenamed("dst", "src")), Seq("src"), "left")
         .select(col("dst"), prOfMass.as("pr"), col("outdeg"))
         .select(col("dst"), expr("pr div outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("m"))
-      inMass = if (i % 2 == 0 && i < iterations) mat(next) else next
+      inMass = if (i % 2 == 0 && i < iterations) {
+        val cut = mat(next)
+        prevMassRdd.foreach(_.unpersist(blocking = false))
+        prevMassRdd =
+          org.apache.spark.sql.GraftCheckpointBridge.checkpointRdd(cut)
+        cut
+      } else next
     }
     nodes
       .join(broadcast(inMass.withColumnRenamed("dst", "node")), Seq("node"), "left")

@@ -170,6 +170,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"SELECT * FROM tx_table('$dir', TIMESTAMP '1994-01-01 00:00:00')").head())
       assert(tooEarly.getMessage.contains("no version at or before"),
         tooEarly.getMessage)
+      // DESCRIBE DETAIL off the manifest alone: exact DV-adjusted rows
+      // at the current version, pre-delete rows at v1
+      val det = spark.sql(
+        s"""SELECT version, n_files, total_rows, n_dv_files
+           |FROM tx_detail('$dir')""".stripMargin).head()
+      assert(det.getLong(0) == 2L && det.getLong(2) == 16L &&
+        det.getLong(3) > 0L)
+      assert(spark.sql(s"SELECT total_rows FROM tx_detail('$dir', 1)")
+        .head().getLong(0) == 20L)
+      val badArity = intercept[Exception](spark.sql(
+        s"SELECT * FROM tx_detail('$dir', 1, 2)").head())
+      assert(badArity.getMessage.contains("1 or 2 arguments"), badArity.getMessage)
     }
   }
 }

@@ -19,6 +19,18 @@ class GraphSpec extends SparkSpec {
     assert(pr(0L) > 3 * leaves.head, s"hub ${pr(0L)} vs leaf ${leaves.head}")
   }
 
+  test("deep runs release superseded mass checkpoints (blocks bounded)") {
+    // a 16-round run cuts lineage ~7 times; each new cut supersedes the
+    // previous, which must be unpersisted at the RDD level — surviving
+    // persistent RDDs: the edge frame plus at most the LAST mass cut
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (1L to 6L).flatMap(i => Seq((i, 0L), (0L, i)))
+    assert(ranks(edges, 16).nonEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 2,
+      s"expected <=2 surviving checkpoint RDDs (edges + last mass cut), got $leaked")
+  }
+
   test("matches a double-arithmetic reference within fixed-point tolerance") {
     val rnd = new scala.util.Random(11)
     val raw = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
