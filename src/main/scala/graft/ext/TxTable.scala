@@ -1688,15 +1688,19 @@ object TxTable {
       "purge", full = false)
   }
 
-  /** Maintenance POLICY over the manifest alone: run [[compact]] when
-    * the layout has decayed past either threshold —
+  /** Maintenance POLICY over the manifest alone: sweep when the layout
+    * has decayed past either threshold, with the CHEAPEST op that
+    * clears it —
     *
     *   - fragmentation: any partition holds more than
     *     `maxFilesPerPartition` live files (streaming sinks and
-    *     trickle-merges create exactly this), or
-    *   - DV debt: tombstoned rows exceed `maxDvRatio` of the
+    *     trickle-merges create exactly this) → [[compact]], which also
+    *     reconciles any DVs in the partitions it rewrites;
+    *   - DV debt alone: tombstoned rows exceed `maxDvRatio` of the
     *     manifest's recorded rows (every merge-on-read DML adds to the
-    *     read side's bitmap probe until a compact reconciles).
+    *     read side's bitmap probe until reconciled) →
+    *     [[purgeTombstoned]], file-granular — only the carrying files
+    *     rewrite.
     *
     * The DECISION reads zero data files — one log read at any scale —
     * and the compact it triggers costs only the affected partitions.
@@ -1725,7 +1729,15 @@ object TxTable {
     val unknownRows = m.files.exists(_.rows < 0)
     val indebted = dvRows > 0 && (unknownRows ||
       (liveRows > 0 && dvRows.toDouble / liveRows > maxDvRatio))
-    if (fragmented || indebted) Some(compact(spark, dir, partitionCol))
+    // the cheapest sweep that clears the crossed budget: fragmentation
+    // needs [[compact]] (partition-granular — it also reconciles any
+    // DVs in the partitions it rewrites), but DV debt ALONE purges at
+    // FILE granularity ([[purgeTombstoned]]) — on a well-compacted
+    // table hit by DML waves, that rewrites only the tombstone-carrying
+    // files instead of every file in every touched partition (at scale
+    // the difference between sweeping the debt and rewriting the table)
+    if (fragmented) Some(compact(spark, dir, partitionCol))
+    else if (indebted) Some(purgeTombstoned(spark, dir, Some(partitionCol)))
     else None
   }
 

@@ -1221,7 +1221,8 @@ abstract class TxTableBehaviors extends SparkSpec {
     }
   }
 
-  test("maintainIfNeeded: manifest-only policy triggers compact on DV debt or fragmentation") {
+  test("maintainIfNeeded: DV debt alone PURGES (file-granular); " +
+      "fragmentation compacts") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(40), Some("pbucket"))
       // fresh single-file-per-partition layout, zero DVs: within budget
@@ -1234,7 +1235,10 @@ abstract class TxTableBehaviors extends SparkSpec {
       val v = TxTable.maintainIfNeeded(spark, dir, "pbucket")
       assert(v.contains(3L), s"20% debt must trigger at the 10% default: $v")
       val m = TxTable.readManifest(spark, dir, 3L)
-      assert(m.files.forall(_.dvs.isEmpty), "compact reconciles the debt")
+      assert(m.files.forall(_.dvs.isEmpty), "the sweep reconciles the debt")
+      // debt WITHOUT fragmentation takes the cheapest sweep: purge
+      assert(TxTable.history(spark, dir).where(col("version") === 3L)
+        .select("op").collect().head.getString(0) === "purge")
       assert(rows(TxTable.read(spark, dir)) === visible)
       // fragmentation face: three appending merges -> >3 files somewhere
       import spark.implicits._
@@ -1243,8 +1247,11 @@ abstract class TxTableBehaviors extends SparkSpec {
           .toDF("event_id", "op", "value", "pbucket")
         TxTable.mergeChangeSet(spark, dir, ins, "event_id", "op", "pbucket")
       }
-      assert(TxTable.maintainIfNeeded(spark, dir, "pbucket",
-        maxFilesPerPartition = 3).isDefined, "4 files in pbucket=0")
+      val v2 = TxTable.maintainIfNeeded(spark, dir, "pbucket",
+        maxFilesPerPartition = 3)
+      assert(v2.isDefined, "4 files in pbucket=0")
+      assert(TxTable.history(spark, dir).where(col("version") === v2.get)
+        .select("op").collect().head.getString(0) === "compact")
       assert(TxTable.maintainIfNeeded(spark, dir, "pbucket",
         maxFilesPerPartition = 3) === None, "post-compact layout is clean")
     }

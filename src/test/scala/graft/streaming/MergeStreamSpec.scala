@@ -215,7 +215,9 @@ class MergeStreamSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected)
       val hist = graft.ext.TxTable.history(spark, table)
         .select("op").collect().map(_.getString(0))
-      assert(hist.contains("compact"),
+      // the cadence picks the cheapest sweep for what actually decayed:
+      // DV debt alone purges (file-granular); fragmentation compacts
+      assert(hist.contains("compact") || hist.contains("purge"),
         s"the cadence must have swept the crossed DV budget: ${hist.toSeq}")
       assert(graft.ext.TxTable.metaCount(spark, table) === expected.size.toLong)
     }
