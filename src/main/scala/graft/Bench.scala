@@ -2,6 +2,56 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Median with the even case averaged (not the upper-middle element:
+    * when one of two repeat runs fails, upper-middle of the 2 surviving
+    * samples is their MAX — biasing exactly the noisy head entries the
+    * repeats exist to de-noise). */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Repo root = nearest ancestor of CWD carrying `.git` — the bench
+    * may be launched from a subdirectory, and the tracked history file
+    * must land at the root either way. None when not in a checkout
+    * (history then goes only to target/ relative to CWD). */
+  private def repoRoot(): Option[java.nio.file.Path] = {
+    var p = java.nio.file.Paths.get("").toAbsolutePath
+    while (p != null && !java.nio.file.Files.isDirectory(p.resolve(".git")))
+      p = p.getParent
+    Option(p)
+  }
+
+  /** HEAD sha without shelling out: loose ref first, then packed-refs
+    * (a `git gc`/`git pack-refs` checkout has NO loose ref file — the
+    * r14 history recorded "unknown" there). Warns instead of silently
+    * swallowing, so a missing sha in the history is diagnosable. */
+  private def headSha(root: java.nio.file.Path): String =
+    try {
+      val gitDir = root.resolve(".git")
+      val head = java.nio.file.Files.readString(gitDir.resolve("HEAD")).trim
+      if (!head.startsWith("ref: ")) head.take(12)
+      else {
+        val ref = head.drop(5)
+        val loose = gitDir.resolve(ref)
+        if (java.nio.file.Files.exists(loose))
+          java.nio.file.Files.readString(loose).trim.take(12)
+        else {
+          // packed-refs line shape: "<sha> <refname>" (peeled "^" lines
+          // and "#" comments skipped)
+          val packed = gitDir.resolve("packed-refs")
+          scala.jdk.CollectionConverters.IteratorHasAsScala(
+              java.nio.file.Files.lines(packed).iterator()).asScala
+            .find(l => !l.startsWith("#") && !l.startsWith("^") &&
+              l.endsWith(" " + ref))
+            .map(_.split(' ')(0).take(12))
+            .getOrElse { System.err.println(s"[bench] $ref not in packed-refs"); "unknown" }
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sha resolution failed: ${e.getMessage}"); "unknown" }
+
   /** Inter-query state hygiene for a long serial run in ONE JVM. Each
     * bench query must pay its own cost and ONLY its own cost — state a
     * finished query leaves behind (terminated-stream state stores,
@@ -174,8 +224,30 @@ object Bench {
       case Some(prefixes) => allQueries.filter { case (n, _) => prefixes.exists(n.startsWith) }
       case None => allQueries
     }
+    // STREAMING-LANE ISOLATION: the micro-batch lanes (3–6 s each of
+    // trigger/checkpoint overhead) dominate both the total and its
+    // run-to-run variance, so a plan regression in the cheap 90% of
+    // queries can hide under streaming jitter. Classify each query at
+    // runtime — a lane is "streaming" iff executing it STARTED at least
+    // one StreamingQuery (onQueryStarted fires synchronously inside
+    // start(), so a before/after counter sample is race-free for this
+    // serial harness) — and report engine vs streaming subtotals.
+    val streamStarts = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = {
+          streamStarts.incrementAndGet(); ()
+        }
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    final case class Timed(name: String, sec: Double, ok: Boolean, stream: Boolean)
     val firstPass = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), idx) =>
+        val s0 = streamStarts.get()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable =>
@@ -183,7 +255,7 @@ object Bench {
                    false }
         val sec = (System.nanoTime() - t0) / 1e9
         interQueryHygiene(spark, idx) // off the per-query clock
-        (name, sec, ok)
+        Timed(name, sec, ok, streamStarts.get() > s0)
     }
     // NOISE-PROOFING THE HEAD OF THE REPORT: a single serial sample of
     // a hot query on a shared box can read 4–6× its steady state (the
@@ -197,9 +269,9 @@ object Bench {
     // the whole cost. SPARK_GRAFT_REPEAT_TOP=0 disables (local quick
     // iteration).
     val repeatTop = sys.env.get("SPARK_GRAFT_REPEAT_TOP").map(_.toInt).getOrElse(10)
-    val slowest = firstPass.filter(_._3).sortBy(-_._2).take(repeatTop).map(_._1).toSet
+    val slowest = firstPass.filter(_.ok).sortBy(-_.sec).take(repeatTop).map(_.name).toSet
     val samples: Map[String, Seq[Double]] = firstPass.collect {
-      case (name, sec, true) if slowest(name) =>
+      case Timed(name, sec, true, _) if slowest(name) =>
         val more = (1 to 2).map { r =>
           val fn = selected(name)
           val t0 = System.nanoTime()
@@ -210,11 +282,10 @@ object Bench {
         }.flatten
         name -> (sec +: more)
     }.toMap
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val results = firstPass.map { case (name, sec, ok) =>
-      samples.get(name) match {
-        case Some(xs) if xs.size >= 2 => (name, median(xs), ok)
-        case _ => (name, sec, ok)
+    val results = firstPass.map { t =>
+      samples.get(t.name) match {
+        case Some(xs) if xs.size >= 2 => t.copy(sec = median(xs))
+        case _ => t
       }
     }
     // failed queries are reported as -1 (NOT a plausible elapsed time)
@@ -225,39 +296,77 @@ object Bench {
     // enough queries the head of this line (holding "value") is cut —
     // the trailing "total_sec" survives any head truncation.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) f3(v) else "-1") }
+    val qs = results.map(t => s"\"" + t.name + "\":" + (if (t.ok) f3(t.sec) else "-1"))
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val failed = results.collect { case t if !t.ok => s"\"${t.name}\"" }.mkString("[", ",", "]")
+    val total = results.collect { case t if t.ok => t.sec }.sum
+    // engine vs streaming subtotals (the r14 finding: streaming/commit-
+    // log lanes are ~all of the run-to-run variance — a regression in
+    // the cheap batch 90% must not hide under their trigger jitter)
+    val engineSec = results.collect { case t if t.ok && !t.stream => t.sec }.sum
+    val streamingSec = results.collect { case t if t.ok && t.stream => t.sec }.sum
+    val nStreaming = results.count(t => t.ok && t.stream)
     // "top" repeats the 25 slowest AFTER the full map: head truncation
     // removes everything alphabetically early (including the whole
     // q1xx block), so the hot spots must also live near the line's
     // END where the driver's tail window keeps them.
-    val top = results.filter(_._3).sortBy(-_._2).take(25)
-      .map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+    val top = results.filter(_.ok).sortBy(-_.sec).take(25)
+      .map(t => s"\"" + t.name + "\":" + f3(t.sec))
       .mkString("{", ",", "}")
     // per-entry [min, median, max] for the repeated head — the spread
     // IS the answer to "plan regression or same-box noise?"
-    val spread = results.filter(r => samples.contains(r._1)).sortBy(-_._2)
-      .map { case (k, _, _) =>
-        val xs = samples(k).sorted
-        s"\"" + k + "\":[" + f3(xs.head) + "," + f3(median(xs)) + "," + f3(xs.last) + "]"
+    val spread = results.filter(t => samples.contains(t.name)).sortBy(-_.sec)
+      .map { t =>
+        val xs = samples(t.name).sorted
+        s"\"" + t.name + "\":[" + f3(xs.head) + "," + f3(median(xs)) + "," + f3(xs.last) + "]"
       }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"spread":$spread,"top":$top,"total_sec":${f3(total)}}"""
+    // MEDIAN-OF-RUNS HEADLINE: the per-entry median fixed entry spikes,
+    // but r14's history showed the RUN TOTAL itself swinging 229–268 s
+    // on identical code — a single-sample total will eventually trip
+    // the 2× gate spuriously. The headline "value" is therefore the
+    // median over this run's total plus prior full-run totals from
+    // bench_history.jsonl: the matching prior runs are the consecutive
+    // TAIL entries with the same sf and the same query population
+    // (n_queries — a registry change redefines what "total" means, so
+    // it auto-invalidates older runs), capped at 4 priors. Their shas
+    // ride along in "run_shas" so provenance is auditable. Skipped for
+    // SPARK_GRAFT_ONLY subset runs (those never touch history).
+    val root = repoRoot()
+    val historyPath = root.map(_.resolve("bench_history.jsonl"))
+    val priorRuns: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else historyPath.filter(java.nio.file.Files.exists(_)).fold(Seq.empty[(String, Double)]) { hp =>
+        try {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val lines = java.nio.file.Files.readAllLines(hp)
+          val parsed = scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala
+            .filter(_.nonEmpty).flatMap { l =>
+              try Some(mapper.readTree(l)) catch { case _: Throwable => None }
+            }.toSeq
+          parsed.reverse.takeWhile { n =>
+            Option(n.get("n_queries")).exists(_.asInt() == results.size) &&
+              Option(n.get("sf")).exists(_.asText() == sfDir) &&
+              Option(n.get("failed")).forall(_.size() == 0)
+          }.take(4).reverse.map { n =>
+            val t = Option(n.get("this_run_sec")).orElse(Option(n.get("total_sec")))
+              .map(_.asDouble()).getOrElse(Double.NaN)
+            (Option(n.get("sha")).map(_.asText()).getOrElse("unknown"), t)
+          }.filterNot(_._2.isNaN)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] history read failed: ${e.getMessage}"); Seq.empty }
+      }
+    val runTotals = priorRuns.map(_._2) :+ total
+    val headline = median(runTotals)
+    val runShas = priorRuns.map(r => s"\"${r._1}\"").mkString("[", ",", "]")
+    val runTotalsJson = runTotals.map(f3).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(headline)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"spread":$spread,"top":$top,"engine_sec":${f3(engineSec)},"streaming_sec":${f3(streamingSec)},"n_streaming":$nStreaming,"this_run_sec":${f3(total)},"n_runs":${runTotals.size},"run_totals":$runTotalsJson,"run_shas":$runShas,"total_sec":${f3(headline)}}"""
     println(line)
     // full, untruncated copy for cross-round diffing (the stdout line
     // is clipped to its tail by the driver): APPEND one record per run
     // — stamped with commit sha and wall time — so "when did q153 get
     // slow?" is answerable from the repo without /tmp archaeology
     try {
-      val sha = try {
-        val head = java.nio.file.Files.readString(
-          java.nio.file.Paths.get(".git/HEAD")).trim
-        if (head.startsWith("ref: "))
-          java.nio.file.Files.readString(
-            java.nio.file.Paths.get(".git/" + head.drop(5))).trim.take(12)
-        else head.take(12)
-      } catch { case _: Throwable => "unknown" }
+      val sha = root.map(headSha).getOrElse("unknown")
       val stamped = s"""{"ts":"${java.time.Instant.now()}","sha":"$sha",${line.drop(1)}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
@@ -266,12 +375,17 @@ object Bench {
         java.nio.file.StandardOpenOption.APPEND)
       // ... and the TRACKED copy (target/ is gitignored and dies with a
       // clean): bench_history.jsonl is committed per round, so "when
-      // did qNNN get slow?" is answerable from git alone
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_history.jsonl"), stamped + "\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-    } catch { case _: Throwable => () }
+      // did qNNN get slow?" is answerable from git alone. Written at
+      // the REPO ROOT regardless of CWD (the r14 ADVICE item: a
+      // non-root CWD silently scattered history files). Subset runs
+      // (SPARK_GRAFT_ONLY) stay out of the cross-run record.
+      if (only.isEmpty) historyPath.foreach { hp =>
+        java.nio.file.Files.writeString(hp, stamped + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] history append failed: ${e.getMessage}") }
     spark.stop()
     } finally {
       // leave no per-run checkpoint base behind on tmpfs (RAM!) even

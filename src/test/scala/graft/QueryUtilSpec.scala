@@ -22,6 +22,15 @@ class QueryUtilSpec extends SparkSpec {
     assert(QueryUtil.localized(big, maxRows = 100).count() === 100)
   }
 
+  test("Bench.median: odd takes the middle, even AVERAGES the middle pair") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    // even n must not return the upper-middle (the r14 ADVICE bias:
+    // with 2 surviving repeat samples, upper-middle = MAX)
+    assert(Bench.median(Seq(4.0, 2.0)) === 3.0)
+    assert(Bench.median(Seq(1.0, 2.0, 3.0, 10.0)) === 2.5)
+    assert(Bench.median(Seq(7.5)) === 7.5)
+  }
+
   test("unpersistLocalCheckpoints releases checkpoint blocks, spares persisted caches") {
     val sc = spark.sparkContext
     val cached = spark.range(1000).toDF("id")
