@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Curation, Dedup, Layout, Packing, TextAnalysis}
+import graft.ext.{Curation, Dedup, Layout, Packing, TextAnalysis, Vocab}
 
 /** Round-6 corpus-operations tranche: weighted sampling, domain quota
   * balancing, cross-doc novelty, incremental (cross-snapshot) dedup,
@@ -610,6 +610,40 @@ object CorpusOpsQueries {
             s.read.parquet(s"$dir/documents.parquet"), "text")
             .select(col("doc_id"), chunks.as("segments")),
           sep = " ")
+        .orderBy("doc_id")
+    },
+
+    // Frozen-vocab tokenization (the asset-apply step between
+    // "tokenized" and "packed"): vocab = top-30 tokens by (count desc,
+    // token asc), ids 0-based in rank order, OOV → -1 (the corpus
+    // holds 31 distinct tokens at every SF, so the OOV path is
+    // genuinely exercised). ENGINE path: the vocab rides as a map
+    // literal into `transform`+`try_element_at` — codegen, zero
+    // shuffle, zero join. ORACLE path: the same mapping replayed
+    // RELATIONALLY (rank the vocab, positional lookup per token) —
+    // same rows, one exchange heavier, which is the point of the
+    // broadcast-asset shape.
+    Q("q184_vocab_apply",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |e AS (SELECT unnest(toks) AS token FROM t),
+        |c AS (SELECT token, count(*) AS cnt FROM e GROUP BY 1),
+        |v AS (SELECT list(token ORDER BY cnt DESC, token) AS vlist
+        |      FROM (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 30)),
+        |j AS (SELECT doc_id, toks,
+        |        list_transform(toks, tok ->
+        |          coalesce(list_position(vlist, tok) - 1, -1)) AS tids
+        |      FROM t, v)
+        |SELECT doc_id, array_to_string(tids, ',') AS ids,
+        |  len(toks) AS n_tokens,
+        |  len(list_filter(tids, x -> x = -1)) AS n_oov
+        |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Vocab.tokenizeWithVocab(s, docs, "text", vocabSize = 30, Vocab.Unk(-1))
+        .select(col("doc_id"),
+          concat_ws(",", col("token_ids")).as("ids"),
+          size(col("token_ids")).as("n_tokens"),
+          size(filter(col("token_ids"), _ === -1)).as("n_oov"))
         .orderBy("doc_id")
     },
 

@@ -523,11 +523,81 @@ object GovernanceQueries {
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
           .orderBy("k"))
       }
+    },
+
+    // Manifest NDV: per-file HyperLogLog register sketches recorded at
+    // commit (same single stats pass as min/max/rowcount), merged by
+    // element-wise max across the live file set — so DISTINCT-count is
+    // an estimate off the LOG ALONE, the input a cost-based
+    // join-order/selectivity decision needs at 100 TB. Structural
+    // proof mirrors q174: compact first (sketches must survive the
+    // rewrite — the lane table property pins the hash), then DELETE
+    // every data file; count and both NDVs still answer. The oracle
+    // recomputes the identical estimates from the data via the q105
+    // md5-lane recipe (exact integer register fold + one double
+    // division; only the linear-counting ln branch needs round(4)).
+    Q("q185_tx_ndv", GovernanceOracles.manifestNdv) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_ndv") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.select(col("event_id"), (col("user_id") % 256).as("uid"),
+            (col("event_id") % 8).as("pbucket")),
+          Some("pbucket"), statsCols = Seq("event_id", "uid"),
+          ndvMirrorable = true)
+        graft.ext.TxTable.compact(s, table, "pbucket")
+        // the structural proof: no data file survives, only the log
+        graft.Fs.deleteTree(java.nio.file.Paths.get(s"$table/data"))
+        import s.implicits._
+        // same rounding bridge as q105: Spark round(_, 4) both here and
+        // in the oracle, so the ln-carrying linear-counting branch
+        // cannot drift in the last ulp
+        Seq((graft.ext.TxTable.metaCount(s, table),
+          graft.ext.TxTable.metaNdv(s, table, "event_id").get,
+          graft.ext.TxTable.metaNdv(s, table, "uid").get))
+          .toDF("n_rows", "ndv_event_id", "ndv_uid")
+          .select(col("n_rows"),
+            round(col("ndv_event_id"), 4).as("ndv_event_id"),
+            round(col("ndv_uid"), 4).as("ndv_uid"))
+      }
     }
   )
 }
 
 object GovernanceOracles {
+
+  /** q185: the manifest-NDV estimates recomputed from the data —
+    * verbatim [[graft.ext.Hll]] md5-lane math (the q105 recipe): 60-bit
+    * hex prefix, register = top 8 bits, rho from bin() length, exact
+    * integer fold, one double division; round(4) bridges the
+    * linear-counting ln branch. The engine answers the SAME numbers
+    * with every data file deleted. */
+  val manifestNdv: String = {
+    val num = graft.ext.Hll.Numerator.toString
+    def est(expr: String, alias: String) =
+      s"""r_$alias AS (
+         |  SELECT (h60 >> 52) AS reg,
+         |    max(CASE WHEN (h60 & ((CAST(1 AS BIGINT) << 52) - 1)) = 0 THEN 53
+         |      ELSE 53 - length(bin(h60 & ((CAST(1 AS BIGINT) << 52) - 1))) END) AS m
+         |  FROM (SELECT CAST(('0x' || substring(md5(CAST($expr AS VARCHAR)), 1, 15))
+         |          AS BIGINT) AS h60 FROM src) GROUP BY 1),
+         |s_$alias AS (
+         |  SELECT CAST(256 - count(*) AS BIGINT) AS v_empty,
+         |    CAST(sum(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT)
+         |      + CAST(256 - count(*) AS BIGINT) * (CAST(1 AS BIGINT) << 53) AS s_total
+         |  FROM r_$alias),
+         |e_$alias AS (
+         |  SELECT round(CASE WHEN v_empty > 0 AND $num / CAST(s_total AS DOUBLE) <= 640.0
+         |    THEN 256.0 * ln(256.0 / v_empty)
+         |    ELSE $num / CAST(s_total AS DOUBLE) END, 4) AS est
+         |  FROM s_$alias)""".stripMargin
+    s"""WITH src AS (SELECT event_id, user_id % 256 AS uid FROM events),
+       |${est("event_id", "e")},
+       |${est("uid", "u")}
+       |SELECT (SELECT count(*) FROM src) AS n_rows,
+       |  (SELECT est FROM e_e) AS ndv_event_id,
+       |  (SELECT est FROM e_u) AS ndv_uid""".stripMargin
+  }
 
   /** The q172 MERGE replayed over a FULL OUTER JOIN with the engine's
     * fixed clause order: delete wins over update on matched rows; a

@@ -23,6 +23,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * No temp files, no rename: a conditional PUT is atomic
   * all-or-nothing server-side, so the staged-then-publish dance
   * [[HadoopLogStore]] needs is simply absent here.
+  *
+  * MIGRATION CONSTRAINT (the Delta LogStore rule): moving a live table
+  * from [[HadoopLogStore]] to this store requires ALL writers to
+  * switch in one step. The pre-adoption guard in [[ObjectStoreLogStore
+  * .writeIfAbsent]] is check-then-act — during a mixed rollout a
+  * legacy writer can rename version N onto the filesystem after this
+  * writer's exists-check but before its CAS, letting both believe they
+  * published N. The post-win re-verify below turns that split-brain
+  * into a LOUD error on the CAS side (the legacy side cannot detect
+  * it), but the only safe deployment is an atomic switch.
   */
 trait ConditionalPutClient {
   /** Atomic whole-object put-if-absent: true iff THIS call created
@@ -50,28 +60,105 @@ trait ConditionalPutClient {
   * (read-after-CAS is guaranteed there) and fall back to the
   * filesystem for objects written before this store was adopted —
   * the migration path from [[HadoopLogStore]].
+  *
+  * Crash-window REPAIR: a winner that dies between its CAS and the
+  * filesystem write-through leaves version N visible only through the
+  * client — correct for every log read (which prefers the client) but
+  * invisible to plain file sources, forever. Any reader that hits
+  * such a client-only entry re-materializes the filesystem copy
+  * itself ([[read]]): the content is immutable and the claim already
+  * decided, so concurrent repairers are harmless (first rename wins,
+  * the rest discard their temp file).
   */
 final class ObjectStoreLogStore(client: ConditionalPutClient, fs: FileSystem)
     extends LogStore {
 
+  import ObjectStoreLogStore.CasNativeMarker
+
   private def key(p: Path): String = fs.makeQualified(p).toUri.toString
 
   override def list(dir: Path): Seq[String] = {
+    val fromClient = client.listPrefix(key(dir) + "/")
+    // CAS-NATIVE SHORT-CIRCUIT: a table whose version 1 was published
+    // through this store (marker set at creation) has never had a
+    // pre-adoption entry, so the client listing is authoritative and
+    // the filesystem LIST — one object-store round-trip per log
+    // listing — buys nothing. Migrated tables (no marker) keep the
+    // union: pre-adoption entries exist ONLY on the filesystem.
     val fromFs =
-      if (!fs.exists(dir)) Seq.empty
+      if (fromClient.contains(CasNativeMarker)) Seq.empty
+      else if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq.map(_.getPath.getName)
     // union, not either-or: a winner that crashed between CAS and
     // write-through is visible ONLY in the client; pre-adoption
     // entries ONLY on the filesystem
-    (client.listPrefix(key(dir) + "/") ++ fromFs).distinct
+    (fromClient.filterNot(_ == CasNativeMarker) ++ fromFs).distinct
   }
 
   override def read(path: Path): String =
-    client.get(key(path)).getOrElse {
-      val in = fs.open(path)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    client.get(key(path)) match {
+      case Some(content) =>
+        // crash-window repair: client-only entry (winner died before
+        // its write-through) → re-materialize for plain file sources.
+        // Off the happy path: one exists() probe only when the client
+        // held the bytes, and on a real object store client==fs so
+        // the probe answers from the same LIST/HEAD the read warmed.
+        if (!fs.exists(path)) materialize(path, content)
+        content
+      case None =>
+        val in = fs.open(path)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
     }
+
+  /** Publish `content` at `path` on the FILESYSTEM side (the claim is
+    * already held): stage dot-prefixed (hidden from Spark file
+    * sources), then publish no-overwrite — hard-link on local fs
+    * (POSIX rename REPLACES silently, [[HadoopLogStore]]'s finding),
+    * exists+rename elsewhere. Losing the publish is then a DETECTED
+    * state, and the loser verifies the occupant:
+    *   - bytes match ours → a concurrent repairer (or earlier repair)
+    *     of the same immutable claim — benign;
+    *   - bytes differ → a legacy [[HadoopLogStore]] writer published
+    *     the same version during a mixed-store rollout (the
+    *     check-then-act window on the pre-adoption guard): the claim
+    *     side and the filesystem side have SPLIT-BRAINED — fail
+    *     loudly naming the constraint, and leave the legacy bytes
+    *     untouched for manual reconciliation. */
+  private def materialize(path: Path, content: String): Unit = {
+    fs.mkdirs(path.getParent)
+    def verifyOccupant(): Unit = {
+      val onFs =
+        try {
+          val in = fs.open(path)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          finally in.close()
+        } catch { case _: java.io.IOException => None }
+      if (!onFs.contains(content)) sys.error(
+        s"SPLIT-BRAIN at $path: this writer holds the CAS claim but the " +
+          "filesystem carries a DIFFERENT object — a legacy HadoopLogStore " +
+          "writer published the same version during a mixed-store rollout. " +
+          "Migration to ObjectStoreLogStore requires ALL writers to switch " +
+          "stores atomically; the filesystem copy must be reconciled by hand.")
+    }
+    if (fs.exists(path)) { verifyOccupant(); return }
+    val tmp = new Path(path.getParent,
+      s".cas-tmp-${java.util.UUID.randomUUID().toString}.json")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+    val published =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(path.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !fs.exists(path) && fs.rename(tmp, path)
+    if (!published || fs.getScheme == "file") fs.delete(tmp, false)
+    if (!published) verifyOccupant()
+  }
 
   override def writeIfAbsent(path: Path, content: String): Boolean = {
     // guard against pre-adoption entries the client has never seen:
@@ -79,24 +166,19 @@ final class ObjectStoreLogStore(client: ConditionalPutClient, fs: FileSystem)
     if (fs.exists(path) && client.get(key(path)).isEmpty) return false
     val won = client.putIfNoneMatch(key(path), content)
     if (won) {
-      // exclusivity is already decided by the CAS — but the
-      // FILESYSTEM copy is read by plain file sources (the change
-      // feed streams the log dir), so it must still appear atomically
-      // there: stage dot-prefixed (hidden from Spark file sources),
-      // then rename. Nobody else can be renaming onto this path — we
-      // hold the claim. A crash between CAS and rename leaves the
-      // entry readable through the client, which read() prefers.
-      fs.mkdirs(path.getParent)
-      val tmp = new Path(path.getParent,
-        s".cas-tmp-${java.util.UUID.randomUUID().toString}.json")
-      val out = fs.create(tmp, false)
-      try out.write(content.getBytes("UTF-8"))
-      finally out.close()
-      if (!fs.rename(tmp, path)) {
-        fs.delete(tmp, false)
-        sys.error(s"CAS winner failed to materialize $path — the claim " +
-          "is held but the filesystem copy could not be published")
+      // first CAS-published entry of a fresh table ⇒ no pre-adoption
+      // entries can ever exist — set the marker that lets list() skip
+      // the filesystem union forever. "Fresh" = the client now holds
+      // exactly this one entry and the filesystem side had no log dir
+      // before materialization.
+      val dirKey = key(path.getParent) + "/"
+      if (!fs.exists(path.getParent) &&
+          client.listPrefix(dirKey).forall(n =>
+            n == path.getName || n == CasNativeMarker)) {
+        client.putIfNoneMatch(dirKey + CasNativeMarker, "")
+        ()
       }
+      materialize(path, content)
     }
     won
   }
@@ -139,6 +221,14 @@ object InMemoryCasClient extends ConditionalPutClient {
 }
 
 object ObjectStoreLogStore {
+  /** Client-side marker object (never materialized to the filesystem,
+    * never returned by [[ObjectStoreLogStore.list]]): present iff the
+    * table's log was BORN through CAS coordination, i.e. no
+    * pre-adoption [[HadoopLogStore]] entry can exist — the license for
+    * the list() filesystem short-circuit. Not a `.json` name, so even
+    * a leak could never parse as a manifest. */
+  private[ext] val CasNativeMarker = "_cas_native"
+
   /** Factory for [[graft.ext.TxTable.withLogStore]]: the CAS-
     * coordinated store over the in-memory double. */
   val inMemoryFactory: FileSystem => LogStore =

@@ -73,19 +73,28 @@ final class DvAcc {
     core(idx) = (core(idx) | (1 << (p & 7).toInt)).toByte
   }
 
-  /** (Re)allocate the core to cover [minPos, maxPos] with geometric
-    * top slack (row_index ascends, so growth extends upward) and
-    * drain the loose buffer into it. Callers have decided it pays. */
+  /** (Re)allocate the core to cover [minPos, maxPos] with SYMMETRIC
+    * geometric slack and drain the loose buffer into it. Symmetric,
+    * not top-only: a scan's positions ascend, but MERGE order after a
+    * shuffle can deliver partials in descending position order, and
+    * top-only slack made that shape reallocate (and copy the whole
+    * core) every ≤64 loose adds — quadratic-ish (the r14 ADVICE
+    * item). With slack on both sides, growth in either direction is
+    * geometric. Callers have decided the flip pays. */
   private def rebuildCore(): Unit = {
-    val lo = minPos >>> 3
-    // the old core's slack may already extend past maxPos' byte — the
-    // new allocation must cover the union or the copy-over overflows
+    val loData = minPos >>> 3
+    // the old core's slack may already extend past maxPos' byte (or
+    // below minPos') — the new allocation must cover the union or the
+    // copy-over overflows
     val hi = math.max(maxPos >>> 3,
       if (core == null) Long.MinValue else coreBase + core.length - 1L)
-    val span = hi - lo + 1L
+    val span = hi - loData + 1L
     val slack = math.max(64L, span >>> 2)
-    DvAcc.requireFits(span + slack, count)
-    val grown = new Array[Byte]((span + slack).toInt)
+    val lo = math.min(math.max(0L, loData - slack),
+      if (core == null) Long.MaxValue else coreBase)
+    val len = hi + slack - lo + 1L
+    DvAcc.requireFits(len, count)
+    val grown = new Array[Byte](len.toInt)
     if (core != null)
       System.arraycopy(core, 0, grown, (coreBase - lo).toInt, core.length)
     core = grown

@@ -63,6 +63,46 @@ object Hll {
   private def xx60(id: Column): Column =
     xxhash64(id.cast("string")).bitwiseAND(lit((1L << 60) - 1))
 
+  /** The 60-bit hash lane as a public column — the input contract of
+    * [[HllRegs]] (the byte-array register aggregate [[graft.ext
+    * .TxTable]] records per file for manifest NDV). Same two lanes as
+    * [[registers]]: md5 prefix when `mirrorable`, xxhash64 otherwise. */
+  def hash60(id: Column, mirrorable: Boolean = false): Column =
+    if (mirrorable) md5Hash60(id) else xx60(id)
+
+  /** Element-wise max — the HLL composition law on the byte-array
+    * register face ([[HllRegs]] output). EXACT: registers are maxima
+    * over rows, so merging per-file sketches of disjoint row sets
+    * yields byte-identical state to sketching the union directly. */
+  def mergeRegisters(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == M && b.length == M,
+      s"register arrays must be $M bytes: ${a.length}, ${b.length}")
+    val out = new Array[Byte](M)
+    var i = 0
+    while (i < M) { out(i) = if (a(i) >= b(i)) a(i) else b(i); i += 1 }
+    out
+  }
+
+  /** [[estimate]]'s math on one byte-array register sketch (driver
+    * side, for manifest-only NDV answers): identical integer fold —
+    * `S = sum(2^(53-M[j]))` with empty registers contributing 2^53 —
+    * then the one double division, plus the linear-counting branch. */
+  def estimateFromRegisters(regs: Array[Byte]): Double = {
+    require(regs.length == M, s"register array must be $M bytes: ${regs.length}")
+    var s = 0L
+    var v = 0
+    var j = 0
+    while (j < M) {
+      val m = regs(j)
+      if (m == 0) { v += 1; s += 1L << (SuffixBits + 1) }
+      else s += 1L << (SuffixBits + 1 - m)
+      j += 1
+    }
+    val raw = Numerator / s.toDouble
+    if (v > 0 && raw <= SmallRange) M.toDouble * math.log(M.toDouble / v)
+    else raw
+  }
+
   /** Per-key register frame: `keys..., reg (0..255), m (1..53)`.
     * This is the mergeable sketch state — persist it, union it with a
     * later snapshot's registers and re-`max`, or feed it straight to

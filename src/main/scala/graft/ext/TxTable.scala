@@ -118,7 +118,16 @@ object TxTable {
       bloom: Option[FileBloom] = None,
       bytes: Long = 0L,
       rows: Long = -1L,
-      dvs: Seq[DvRef] = Seq.empty)
+      dvs: Seq[DvRef] = Seq.empty,
+      /** per-column HyperLogLog register sketches (col → base64 of the
+        * 256-byte register array, [[HllRegs]]) recorded for the same
+        * columns as `stats` — mergeable NDV off the manifest alone
+        * ([[metaNdv]]); absent on pre-upgrade manifests. Like range
+        * stats, sketches stay valid-but-conservative under deletion
+        * vectors (deletes only shrink the value set, so the estimate
+        * can only over-count). Purely additive log field — protocol
+        * unbumped, old readers ignore it. */
+      hll: Map[String, String] = Map.empty)
 
   /** `schemas` maps a commit DATA DIRECTORY (`data/vN-token`) to the
     * read-back schema (StructType JSON, partition column included) of
@@ -270,6 +279,10 @@ object TxTable {
         val bn = n.putObject("bloom")
         bn.put("c", bl.col); bn.put("k", bl.k); bn.put("b", bl.b64)
       }
+      if (f.hll.nonEmpty) {
+        val hn = n.putObject("hll")
+        f.hll.toSeq.sortBy(_._1).foreach { case (c, b64) => hn.put(c, b64) }
+      }
       if (f.bytes != 0L) n.put("sz", f.bytes)
       if (f.rows >= 0L) n.put("rc", f.rows)
       if (f.dvs.nonEmpty) {
@@ -347,11 +360,20 @@ object TxTable {
           val e = arr.get(i); DvRef(e.get("d").asText(), e.get("n").asLong())
         }
       }
+      val hll =
+        if (!node.has("hll")) Map.empty[String, String]
+        else {
+          val hn = node.get("hll")
+          val it = hn.fieldNames()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val c = it.next(); b += c -> hn.get(c).asText() }
+          b.result()
+        }
       FileEntry(node.get("path").asText(),
         Option(node.get("bucket")).map(_.asText()), stats, bloom,
         Option(node.get("sz")).map(_.asLong()).getOrElse(0L),
         Option(node.get("rc")).map(_.asLong()).getOrElse(-1L),
-        dvs)
+        dvs, hll)
     }
 
     def parse(text: String, src: String): ParsedLog = {
@@ -767,109 +789,147 @@ object TxTable {
     new Path(new Path(root, "data"),
       s"v$version-${java.util.UUID.randomUUID().toString.take(8)}")
 
-  /** Per-file min/max of LONG columns AND exact row counts for the
-    * files just written — ONE bounded scan of the commit's own data
-    * (column-pruned to the stats columns; just the count when there
-    * are none), collected as #files rows covering every requested
-    * column at once. The row count is what makes COUNT(*) a
-    * metadata-only query forever after ([[metaCount]]). */
-  private def gatherStats(
+  /** ALL per-file skipping metadata for the files just written in ONE
+    * bounded scan of the commit's own data (column-pruned to the stats
+    * + bloom columns; just the count when there are none), collected
+    * as #files rows:
+    *
+    *   - exact row count — what makes COUNT(*) metadata-only forever
+    *     after ([[metaCount]]);
+    *   - min/max of each LONG stats column ([[readRanges]] pruning);
+    *   - the 256-byte HyperLogLog register sketch of each stats column
+    *     ([[HllRegs]]): sketches merge by element-wise max
+    *     ([[Hll.mergeRegisters]]), so any file subset answers
+    *     DISTINCT-count off the log alone ([[metaNdv]]);
+    *   - optionally a per-file Bloom filter over `bloom`'s
+    *     (col, mBits, numHashes) for [[readPoint]]: [[BloomPack]] ORs
+    *     key positions straight into a fixed mBits/64-long buffer,
+    *     partials combine map-side and merge by OR at the exchange —
+    *     shuffle bytes equal manifest bytes, no explode blow-up, no
+    *     position list, no UDF.
+    *
+    * Every aggregate is partial-mergeable with fixed-size state, so
+    * the pass costs one map-side-combined exchange of #files ×
+    * O(manifest-entry) bytes regardless of row count. A file whose
+    * column is all-NULL records NO stats/bloom for it (the read side's
+    * conservative must-read path) instead of NPE-ing the commit. */
+  private def gatherFileMeta(
       spark: SparkSession, root: Path, entries: Seq[FileEntry],
-      statsCols: Seq[String]): Seq[FileEntry] = {
-    val aggs = count(lit(1)).as("_rc") +: statsCols.flatMap(c => Seq(
+      statsCols: Seq[String],
+      bloom: Option[(String, Int, Int)],
+      ndvMirrorable: Boolean): Seq[FileEntry] = {
+    bloom.foreach { case (_, mBits, _) =>
+      // mirror Bloom.build's contract: a non-multiple-of-64 width would
+      // allocate floor(mBits/64) longs while Bloom.positions yields
+      // positions up to mBits-1 — an executor-side AIOOBE mid-commit
+      require(mBits % 64 == 0 && mBits > 0,
+        s"bloomBits must be a positive multiple of 64: $mBits")
+    }
+    val statAggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"_lo_$c"),
-      max(col(c).cast("long")).as(s"_hi_$c")))
+      max(col(c).cast("long")).as(s"_hi_$c"),
+      HllRegs.agg(Hll.hash60(col(c), mirrorable = ndvMirrorable)).as(s"_hll_$c")))
+    val bloomAgg = bloom.map { case (c, mBits, k) =>
+      BloomPack.agg(col(c).cast("string"), mBits, k).as("_bloom") }.toSeq
+    val aggs = count(lit(1)).as("_rc") +: (statAggs ++ bloomAgg)
+    val bloomIdx = 2 + 3 * statsCols.size
     val byFile = spark.read.parquet(
         entries.map(f => new Path(root, f.path).toString): _*)
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        // a file whose column is all-NULL has NULL min/max: record NO
-        // stats for that column (readRanges' "no stats -> must read"
-        // conservative path) instead of NPE-ing the whole commit
         val m = statsCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(2 + 2 * i) || r.isNullAt(3 + 2 * i)) None
-          else Some(c -> (r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)))
+          if (r.isNullAt(2 + 3 * i) || r.isNullAt(3 + 3 * i)) None
+          else Some(c -> (r.getLong(2 + 3 * i), r.getLong(3 + 3 * i)))
         }.toMap
-        r.getString(0) -> (r.getLong(1), m)
+        val hll = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(4 + 3 * i)) None
+          else Some(c -> java.util.Base64.getEncoder.encodeToString(
+            r.getAs[Array[Byte]](4 + 3 * i)))
+        }.toMap
+        val b64 = bloom.flatMap(_ =>
+          if (r.isNullAt(bloomIdx)) None else Some(r.getString(bloomIdx)))
+        r.getString(0) -> (r.getLong(1), m, hll, b64)
       }.toMap
     entries.map { f =>
       val abs = new Path(root, f.path).toString
       // input_file_name renders a URI; match on suffix to be
       // scheme-normalization-proof
       byFile.collectFirst { case (k, v) if k.endsWith(f.path) || k == abs => v }
-        .fold(f) { case (rc, m) => f.copy(stats = m, rows = rc) }
-    }
-  }
-
-  /** Per-file Bloom filters for the files just written: ONE pass
-    * (column-pruned to `bloomCol`, cast to its canonical string
-    * rendering) computes each row's bit positions; only DISTINCT
-    * (file, position) pairs survive the map-side combine, and the
-    * bits are PACKED to base64 on the executors (a one-row-per-file
-    * UDF — off the hot path by construction), so the driver receives
-    * #files × (mBits/8 base64 bytes), the same order as the manifest
-    * entry it is about to write — never raw position lists and never
-    * row count. */
-  private def gatherBlooms(
-      spark: SparkSession, root: Path, entries: Seq[FileEntry],
-      bloomCol: String, mBits: Int, numHashes: Int): Seq[FileEntry] = {
-    // mirror Bloom.build's contract: a non-multiple-of-64 width would
-    // allocate floor(mBits/64) longs while BloomPositions yields
-    // positions up to mBits-1 — an executor-side AIOOBE mid-commit
-    require(mBits % 64 == 0 && mBits > 0,
-      s"bloomBits must be a positive multiple of 64: $mBits")
-    val posCol = BloomPositions(col(bloomCol).cast("string"), mBits, numHashes)
-    val pack = udf { ps: Seq[Long] =>
-      val bits = new Array[Long](mBits / 64)
-      ps.foreach(p => bits((p >>> 6).toInt) |= (1L << (p & 63L)))
-      val buf = java.nio.ByteBuffer.allocate(bits.length * 8)
-      bits.foreach(buf.putLong)
-      java.util.Base64.getEncoder.encodeToString(buf.array())
-    }
-    val byFile = spark.read.parquet(
-        entries.map(f => new Path(root, f.path).toString): _*)
-      .where(col(bloomCol).isNotNull)
-      .select(input_file_name().as("_f"), explode(posCol).as("_p"))
-      .distinct()
-      .groupBy("_f").agg(pack(collect_list(col("_p"))).as("_b64"))
-      .collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    entries.map { f =>
-      val abs = new Path(root, f.path).toString
-      byFile.collectFirst { case (k, v) if k.endsWith(f.path) || k == abs => v }
-        .fold(f)(b64 => f.copy(bloom = Some(FileBloom(bloomCol, numHashes, b64))))
+        .fold(f) { case (rc, m, hll, b64) =>
+          val withBloom = (bloom, b64) match {
+            case (Some((c, _, k)), Some(bits)) =>
+              f.copy(bloom = Some(FileBloom(c, k, bits)))
+            case _ => f
+          }
+          withBloom.copy(stats = m, rows = rc, hll = hll)
+        }
     }
   }
 
   /** Re-derive the skipping metadata the BASE manifest carried (range
-    * stats columns, the bloom column) for a commit's FRESH files, so
-    * file skipping SURVIVES merges/DML/compaction instead of decaying
-    * to conservative must-read on every rewritten file (a long-lived
-    * table is mostly rewrites — without this, skipping quality halves
-    * with every wave of DML). Cost: one extra column-pruned pass over
-    * the fresh files only. Columns absent from the rewritten schema
-    * (an evolution that dropped them) are skipped. */
+    * stats columns, NDV sketches, the bloom column) for a commit's
+    * FRESH files, so file skipping SURVIVES merges/DML/compaction
+    * instead of decaying to conservative must-read on every rewritten
+    * file (a long-lived table is mostly rewrites — without this,
+    * skipping quality halves with every wave of DML). Cost: one extra
+    * column-pruned pass over the fresh files only. Columns absent from
+    * the rewritten schema (an evolution that dropped them) are
+    * skipped. Row counts ride the same single pass even when no stats
+    * columns propagate — every rewrite keeps COUNT(*) metadata-only.
+    * The NDV hash lane follows the table property the base commit
+    * recorded ([[NdvLaneProp]]): per-file register sketches only
+    * compose when every file hashed the same way, so a rewrite must
+    * never flip lanes. */
   private def propagateSkipping(
       spark: SparkSession, root: Path, base: Manifest,
       fresh: Seq[FileEntry], freshCols: Seq[String]): Seq[FileEntry] = {
     if (fresh.isEmpty) return fresh
     val statsCols = base.files.flatMap(_.stats.keys).distinct.filter(freshCols.contains)
-    // row counts ride the same single pass even when no stats columns
-    // propagate — every rewrite keeps COUNT(*) metadata-only
-    val withStats = gatherStats(spark, root, fresh, statsCols)
-    base.files.flatMap(_.bloom).map(b => (b.col, b.k, b.bits.length * 64))
+    val bloomSpec = base.files.flatMap(_.bloom).map(b => (b.col, b.bits.length * 64, b.k))
       .distinct.headOption
       .filter { case (c, _, _) => freshCols.contains(c) }
-      .fold(withStats) { case (c, k, mBits) =>
-        gatherBlooms(spark, root, withStats, c, mBits, k)
+    gatherFileMeta(spark, root, fresh, statsCols, bloomSpec,
+      ndvMirrorable = base.props.get(NdvLaneProp).contains("md5"))
+  }
+
+  /** Estimated distinct count (NDV) of all sketch-carrying columns at
+    * a version, merged across the manifest's per-file [[HllRegs]]
+    * register sketches — the log-only answer a cost-based join-order /
+    * selectivity decision needs. A column qualifies only when EVERY
+    * live file carries its sketch (a partial merge would silently
+    * under-count); ~6.5 % standard error (m = 256), and an
+    * over-estimate on DV-tombstoned rows (deletes shrink the value
+    * set — documented, same conservativeness as range stats). */
+  private def manifestNdv(m: Manifest): Seq[(String, Double)] = {
+    if (m.files.isEmpty) return Seq.empty
+    m.files.head.hll.keys.toSeq.sorted
+      .filter(c => m.files.forall(_.hll.contains(c)))
+      .map { c =>
+        val merged = m.files.map(f =>
+            java.util.Base64.getDecoder.decode(f.hll(c)))
+          .reduce(Hll.mergeRegisters)
+        c -> Hll.estimateFromRegisters(merged)
       }
+  }
+
+  /** Log-only NDV estimate for one column (see [[manifestNdv]] for the
+    * semantics); None when any live file lacks the sketch. */
+  def metaNdv(
+      spark: SparkSession, dir: String, column: String,
+      versionAsOf: Option[Long] = None): Option[Double] = {
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    manifestNdv(readManifest(spark, dir, v)).collectFirst {
+      case (c, est) if c == column => est
+    }
   }
 
   /** DESCRIBE DETAIL: one row summarizing a version straight off the
     * manifest — no file system access beyond the log (sizes ride the
-    * manifest). */
+    * manifest; `ndv` renders [[metaNdv]]'s merged-sketch estimates as
+    * `col=rounded` pairs for every column all live files sketch). */
   def detail(
       spark: SparkSession, dir: String,
       versionAsOf: Option[Long] = None): DataFrame = {
@@ -887,10 +947,12 @@ object TxTable {
       m.files.flatMap(_.bloom.map(_.col)).distinct.sorted.mkString(","),
       m.schemas.size.toLong,
       m.files.count(_.dvs.nonEmpty).toLong,
-      m.files.flatMap(_.dvs).map(_.rows).sum))
+      m.files.flatMap(_.dvs).map(_.rows).sum,
+      manifestNdv(m).map { case (c, est) => s"$c=${math.round(est)}" }
+        .mkString(",")))
       .toDF("version", "n_files", "n_partitions", "total_bytes", "total_rows",
         "stats_cols", "bloom_cols", "n_commit_dirs", "n_dv_files",
-        "total_dv_rows")
+        "total_dv_rows", "ndv")
   }
 
   /** COUNT(*) answered from the MANIFEST ALONE — zero data files
@@ -957,13 +1019,21 @@ object TxTable {
     * the false-positive rate — size it ~10× the expected distinct
     * keys per file for ~1 % FPP; a production deployment would
     * side-car filters past a few KB instead of inlining them. */
+  /** Table property recording which 60-bit hash lane the per-file NDV
+    * sketches use ("xx" = xxhash64 production default, "md5" = the
+    * SQL-mirrorable oracle lane). Set by every [[commitReplace]] and
+    * honored by every rewrite ([[propagateSkipping]]): registers only
+    * compose across files hashed the same way. */
+  val NdvLaneProp = "graft.ndv.lane"
+
   def commitReplace(
       spark: SparkSession, dir: String, df: DataFrame,
       partitionCol: Option[String] = None,
       statsCols: Seq[String] = Seq.empty,
       bloomCol: Option[String] = None,
       bloomBits: Int = 1 << 16,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      ndvMirrorable: Boolean = false): Long = {
     val (fs, root) = fsOf(spark, dir)
     val store = logStoreFactory(fs)
     val base = latestVersion(spark, dir).getOrElse(0L)
@@ -981,20 +1051,25 @@ object TxTable {
     partitionCol.fold(writer)(c => writer.partitionBy(c))
       .parquet(commitDir.toString)
     val listed = listCommitFiles(fs, root, commitDir, partitionCol)
-    // always runs (even with no stats columns): the same pass records
-    // each file's exact row count in the manifest, which is what makes
-    // COUNT(*) metadata-only ([[metaCount]]) for the table's lifetime
-    val withStats = gatherStats(spark, root, listed, statsCols)
-    val entries = bloomCol.fold(withStats)(c =>
-      gatherBlooms(spark, root, withStats, c, bloomBits, numHashes = 4))
+    // always runs (even with no stats columns): the same SINGLE pass
+    // records each file's exact row count (what makes COUNT(*)
+    // metadata-only, [[metaCount]]), the stats columns' min/max + NDV
+    // registers, and the bloom when requested — one scan per commit,
+    // never two
+    val entries = gatherFileMeta(spark, root, listed, statsCols,
+      bloomCol.map(c => (c, bloomBits, 4)), ndvMirrorable)
     // the REAL base manifest (when one exists), not an empty stand-in:
     // a full commit wipes the file state but the idempotent-writer txn
     // ledger must ride through into this commit's checkpoint
     val baseManifest =
       if (base == 0L) Manifest(0L, Seq.empty) else readManifest(spark, dir, base)
     enforceConstraints(spark, root, baseManifest, entries, Some(df.schema.json))
+    // the lane prop is (re)stated on every full replace — a full
+    // commit DEFINES the file population, so its lane overrides any
+    // earlier one and rewrites propagate it consistently
     commit(store, root, baseManifest, entries,
-      Some(df.schema.json), "replace", full = true, txn = txn)
+      Some(df.schema.json), "replace", full = true, txn = txn,
+      extraProps = Map(NdvLaneProp -> (if (ndvMirrorable) "md5" else "xx")))
   }
 
   /** Bloom-pruned POINT lookup: read only files whose Bloom filter

@@ -50,19 +50,33 @@ object MergeStream {
       published: org.apache.spark.util.LongAccumulator,
       skipped: org.apache.spark.util.LongAccumulator)
 
-  private val metricsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), MaintenanceMetrics]
+  // WEAK-keyed by session: a long-lived process that creates many
+  // sessions must not retain every stopped session (and its registered
+  // accumulators) through this cache forever — a session's entry (and
+  // its per-table inner map) dies with the session's last strong
+  // reference. MaintenanceMetrics holds no session back-reference, so
+  // the weak key is the ONLY thing keeping the entry alive. The outer
+  // map is synchronized (WeakHashMap is not thread-safe); the inner
+  // per-table map is concurrent, so the steady-state lookup contends
+  // only on the brief outer get.
+  private val metricsCache: java.util.Map[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, MaintenanceMetrics]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, MaintenanceMetrics]]())
 
   def maintenanceMetrics(
       spark: SparkSession, tableDir: String): MaintenanceMetrics =
-    metricsCache.computeIfAbsent((spark, tableDir), _ =>
-      MaintenanceMetrics(
-        spark.sparkContext.longAccumulator(
-          s"graft.maintenance.attempted:$tableDir"),
-        spark.sparkContext.longAccumulator(
-          s"graft.maintenance.published:$tableDir"),
-        spark.sparkContext.longAccumulator(
-          s"graft.maintenance.skipped:$tableDir")))
+    metricsCache.computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, MaintenanceMetrics]())
+      .computeIfAbsent(tableDir, _ =>
+        MaintenanceMetrics(
+          spark.sparkContext.longAccumulator(
+            s"graft.maintenance.attempted:$tableDir"),
+          spark.sparkContext.longAccumulator(
+            s"graft.maintenance.published:$tableDir"),
+          spark.sparkContext.longAccumulator(
+            s"graft.maintenance.skipped:$tableDir")))
 
   /** Drain `changesDir` (parquet change files, one micro-batch per
     * file) into the snapshot at `snapshotDir` (parquet partitioned by

@@ -1,0 +1,160 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/** Store-level contract tests for [[ObjectStoreLogStore]] that the
+  * whole-table battery ([[TxTableCasStoreSpec]]) cannot reach: the
+  * crash window between CAS and filesystem write-through, the
+  * reader-side repair of such client-only entries, the CAS-native
+  * list() short-circuit, and the split-brain loud-fail during a mixed
+  * HadoopLogStore/ObjectStoreLogStore rollout. */
+class CasLogStoreSpec extends SparkSpec {
+
+  private def rawFs(dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def keyOf(fs: FileSystem, p: Path): String =
+    fs.makeQualified(p).toUri.toString
+
+  private def fsText(p: Path): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p.toUri.getPath)), "UTF-8")
+
+  /** Counts filesystem LIST calls — the operation the CAS-native
+    * short-circuit exists to save. */
+  private final class CountingFs(underlying: FileSystem)
+      extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
+    val lists = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def listStatus(p: Path): Array[FileStatus] = {
+      lists.incrementAndGet(); super.listStatus(p)
+    }
+    // FilterFileSystem does NOT delegate getScheme (base throws)
+    override def getScheme: String = underlying.getScheme
+  }
+
+  test("writer killed between CAS and materialize: readers still see the version AND repair the fs copy") {
+    graft.QueryUtil.inTempDir("graft_cas_crash") { dir =>
+      val fs = rawFs(dir)
+      val log = new Path(new Path(dir), "_graft_log")
+      val store = new ObjectStoreLogStore(InMemoryCasClient, fs)
+      assert(store.writeIfAbsent(new Path(log, "00000000000000000001.json"), "v1"))
+      // a client that dies AFTER its conditional PUT succeeds — the
+      // exact crash window CasLogStore.scala documents
+      val dying = new ConditionalPutClient {
+        override def putIfNoneMatch(key: String, content: String): Boolean = {
+          val won = InMemoryCasClient.putIfNoneMatch(key, content)
+          if (won) sys.error("killed between CAS and materialize")
+          won
+        }
+        override def get(key: String) = InMemoryCasClient.get(key)
+        override def listPrefix(prefix: String) = InMemoryCasClient.listPrefix(prefix)
+        override def delete(key: String): Unit = InMemoryCasClient.delete(key)
+      }
+      val v2 = new Path(log, "00000000000000000002.json")
+      val crashing = new ObjectStoreLogStore(dying, fs)
+      intercept[RuntimeException] { crashing.writeIfAbsent(v2, "v2") }
+      // claim is held, fs copy missing: the version must be VISIBLE
+      // through list+read on a healthy store...
+      assert(!fs.exists(v2), "precondition: the crash left no fs copy")
+      assert(store.list(log).contains(v2.getName))
+      assert(store.read(v2) === "v2")
+      // ...and the read must have REPAIRED the filesystem copy for
+      // plain file sources (the change feed streams this directory)
+      assert(fs.exists(v2), "reader must re-materialize a client-only entry")
+      assert(fsText(v2) === "v2")
+      // a loser against the crashed claim still loses
+      assert(!store.writeIfAbsent(v2, "usurper"))
+    }
+  }
+
+  test("concurrent repairers of the same client-only entry are harmless") {
+    graft.QueryUtil.inTempDir("graft_cas_repair2") { dir =>
+      val fs = rawFs(dir)
+      val log = new Path(new Path(dir), "_graft_log")
+      val p = new Path(log, "00000000000000000001.json")
+      fs.mkdirs(log)
+      // client-only entry, planted directly (a crashed winner)
+      InMemoryCasClient.putIfNoneMatch(keyOf(fs, p), "content")
+      val store = new ObjectStoreLogStore(InMemoryCasClient, fs)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 4).map(_ => new Thread(() =>
+        try { assert(store.read(p) === "content") }
+        catch { case t: Throwable => errs.add(t) }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"racing repairers must not fail: ${errs.peek()}")
+      assert(fsText(p) === "content")
+      // no stray staging files left behind by the losing repairers
+      assert(fs.listStatus(log).map(_.getPath.getName)
+        .count(_.startsWith(".cas-tmp")) === 0)
+    }
+  }
+
+  test("CAS-native table skips the filesystem LIST; migrated table still unions pre-adoption entries") {
+    graft.QueryUtil.inTempDir("graft_cas_list") { dir =>
+      // CAS-NATIVE: version 1 born through the store → marker set at
+      // creation → list() never pays the fs LIST
+      val nativeLog = new Path(new Path(dir), "native/_graft_log")
+      val counting = new CountingFs(rawFs(dir))
+      val store = new ObjectStoreLogStore(InMemoryCasClient, counting)
+      assert(store.writeIfAbsent(
+        new Path(nativeLog, "00000000000000000001.json"), "v1"))
+      assert(store.writeIfAbsent(
+        new Path(nativeLog, "00000000000000000002.json"), "v2"))
+      counting.lists.set(0)
+      val names = store.list(nativeLog)
+      assert(names.toSet === Set(
+        "00000000000000000001.json", "00000000000000000002.json"),
+        s"marker must never leak into list(): $names")
+      assert(counting.lists.get() === 0,
+        "CAS-native table must answer list() from the client alone")
+
+      // MIGRATED: a pre-adoption entry exists only on the filesystem →
+      // no marker → list() unions, and the entry is visible
+      val migratedLog = new Path(new Path(dir), "migrated/_graft_log")
+      val fs = rawFs(dir)
+      fs.mkdirs(migratedLog)
+      val legacy = new Path(migratedLog, "00000000000000000001.json")
+      val out = fs.create(legacy, false)
+      try out.write("legacy-v1".getBytes("UTF-8")) finally out.close()
+      assert(store.writeIfAbsent(
+        new Path(migratedLog, "00000000000000000002.json"), "v2"))
+      assert(store.list(migratedLog).toSet === Set(
+        "00000000000000000001.json", "00000000000000000002.json"))
+      // pre-adoption version still wins its own number
+      assert(!store.writeIfAbsent(legacy, "usurper"))
+      assert(store.read(legacy) === "legacy-v1")
+    }
+  }
+
+  test("split-brain during a mixed-store rollout fails LOUDLY naming the constraint") {
+    graft.QueryUtil.inTempDir("graft_cas_split") { dir =>
+      val fs = rawFs(dir)
+      val log = new Path(new Path(dir), "_graft_log")
+      fs.mkdirs(log)
+      val p = new Path(log, "00000000000000000002.json")
+      // a legacy HadoopLogStore writer publishes version 2 in the
+      // window between this writer's exists-check and its CAS — the
+      // injection point is the client call itself
+      val racing = new ConditionalPutClient {
+        override def putIfNoneMatch(key: String, content: String): Boolean = {
+          val won = InMemoryCasClient.putIfNoneMatch(key, content)
+          if (won && key.endsWith("00000000000000000002.json")) {
+            val out = fs.create(p, false)
+            try out.write("LEGACY CONTENT".getBytes("UTF-8")) finally out.close()
+          }
+          won
+        }
+        override def get(key: String) = InMemoryCasClient.get(key)
+        override def listPrefix(prefix: String) = InMemoryCasClient.listPrefix(prefix)
+        override def delete(key: String): Unit = InMemoryCasClient.delete(key)
+      }
+      val store = new ObjectStoreLogStore(racing, fs)
+      val e = intercept[RuntimeException] { store.writeIfAbsent(p, "cas content") }
+      assert(e.getMessage.contains("SPLIT-BRAIN"))
+      assert(e.getMessage.contains("switch"), "error must name the migration constraint")
+      // the legacy bytes were NOT clobbered — reconciliation is manual
+      assert(fsText(p) === "LEGACY CONTENT")
+    }
+  }
+}

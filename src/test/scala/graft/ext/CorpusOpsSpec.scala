@@ -629,4 +629,79 @@ class CorpusOpsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  // --- Vocab (frozen-vocabulary tokenization) -------------------------
+
+  test("Vocab.buildVocab: rank-deterministic ids (count desc, token asc), size-bounded") {
+    val docs = Seq("b b b a a c", "a c c d").toDF("text")
+    // counts: a=3 b=3 c=3 d=1 -> ties by token asc: a=0, b=1, c=2
+    val v = Vocab.buildVocab(docs, col("text"), size = 3)
+    assert(v === Seq("a" -> 0, "b" -> 1, "c" -> 2))
+    assert(Vocab.buildVocab(docs, col("text"), size = 100).toMap
+      === Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3),
+      "size past the vocabulary must not invent entries")
+  }
+
+  test("Vocab OOV policies: Unk substitutes, Drop removes, Fail raises naming the token") {
+    val vocab = Map("the" -> 0, "cat" -> 1, "sat" -> 2)
+    val df = Seq(
+      (1L, Seq("the", "cat", "sat")),
+      (2L, Seq("the", "dog", "sat")),
+      (3L, Seq.empty[String])
+    ).toDF("id", "toks")
+    def ids(policy: Vocab.OovPolicy): Map[Long, Seq[Int]] =
+      df.select(col("id"), Vocab.applyIds(col("toks"), vocab, policy).as("ids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val unk = ids(Vocab.Unk(-1))
+    assert(unk(1L) === Seq(0, 1, 2))
+    assert(unk(2L) === Seq(0, -1, 2), "OOV must map to the unk id IN PLACE")
+    assert(unk(3L) === Seq.empty)
+    val drop = ids(Vocab.Drop)
+    assert(drop(2L) === Seq(0, 2), "Drop must remove OOV tokens, preserving order")
+    assert(drop(1L) === Seq(0, 1, 2))
+    // Fail: in-vocab rows pass, an OOV row raises naming the token
+    val ok = df.filter(col("id") === 1L)
+      .select(Vocab.applyIds(col("toks"), vocab, Vocab.Fail).as("ids"))
+      .collect().head.getSeq[Int](0)
+    assert(ok === Seq(0, 1, 2))
+    val e = intercept[Exception] {
+      df.select(Vocab.applyIds(col("toks"), vocab, Vocab.Fail)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dog")),
+      s"Fail must name the offending token: ${messages(e)}")
+  }
+
+  test("Vocab.applyIds refuses a colliding unk id and an empty vocab") {
+    val df = Seq(Seq("a")).toDF("toks")
+    intercept[IllegalArgumentException] {
+      Vocab.applyIds(col("toks"), Map("a" -> 0), Vocab.Unk(0))
+    }
+    intercept[IllegalArgumentException] {
+      Vocab.applyIds(col("toks"), Map.empty, Vocab.Drop)
+    }
+  }
+
+  test("Vocab engine path == relational replay (explode + join + re-collect) on the corpus") {
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val out = Vocab.tokenizeWithVocab(spark, docs, "text", 30, Vocab.Unk(-1))
+      .select(col("doc_id"), col("token_ids"))
+    // relational replay: posexplode -> broadcast-join the vocab frame
+    // -> re-collect ordered by position (the q184 oracle's shape)
+    val vocabDf = Vocab.buildVocab(docs, col("text"), 30)
+      .toDF("token", "tid")
+    val replay = docs
+      .select(col("doc_id"),
+        posexplode_outer(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocabDf), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(expr("sort_array(collect_list(struct(pos, coalesce(tid, -1) AS t)))")
+        .as("ps"))
+      .select(col("doc_id"), expr("transform(ps, x -> x.t)").as("token_ids"))
+    assert(out.exceptAll(replay).isEmpty && replay.exceptAll(out).isEmpty,
+      "map-literal path and join replay must agree row for row")
+    // the corpus really exercises OOV (31 distinct tokens, vocab 30)
+    assert(out.filter(array_contains(col("token_ids"), -1)).count() > 0)
+  }
 }

@@ -47,6 +47,26 @@ class DvPackSpec extends SparkSpec {
     })
   }
 
+  test("descending position stream: correct, and core growth stays geometric (bounded rebuilds)") {
+    // the r14 ADVICE shape: merge order after a shuffle can deliver
+    // positions high-to-low; top-only slack reallocated every ≤64
+    // adds. With symmetric slack the whole descending run must cost
+    // FEW rebuilds — proxied here by wall-clock sanity plus exactness
+    // (the quadratic shape took visibly long on this size).
+    val n = 400000
+    val desc = new DvAcc
+    (n - 1 to 0 by -1).foreach(i => desc.add(i.toLong * 2))  // every other bit
+    val expect = DvBitmap.pack((0 until n).map(_.toLong * 2).toArray)
+    assert(java.util.Arrays.equals(desc.packed(), expect))
+    // interleaved two-sided growth (alternating low/high) stays exact
+    val sides = new DvAcc
+    (0 until n / 2).foreach { i =>
+      sides.add(i.toLong * 2)
+      sides.add((n - 1 - i).toLong * 2)
+    }
+    assert(java.util.Arrays.equals(sides.packed(), expect))
+  }
+
   test("adoption path: merging a dense partial into a FRESH buffer is exact") {
     val dense = new DvAcc
     (100L until 5000L).foreach(dense.add)

@@ -285,6 +285,48 @@ abstract class TxTableBehaviors extends SparkSpec {
     }
   }
 
+  test("manifest NDV: per-file HLL sketches, EXACT merge law across compaction, log-only answers") {
+    inDir { dir =>
+      import spark.implicits._
+      val n = 400
+      val df = (0 until n).map(i => (i.toLong, (i % 37).toLong, (i % 4).toLong))
+        .toDF("event_id", "cat", "pbucket")
+      TxTable.commitReplace(spark, dir, df.repartition(6), Some("pbucket"),
+        statsCols = Seq("event_id", "cat"))
+      val m1 = TxTable.readManifest(spark, dir, 1L)
+      assert(m1.files.forall(_.hll.keySet === Set("event_id", "cat")),
+        "every stats column must carry a register sketch per file")
+      def merged(m: TxTable.Manifest, c: String): Array[Byte] =
+        m.files.map(f => java.util.Base64.getDecoder.decode(f.hll(c)))
+          .reduce(Hll.mergeRegisters)
+      // composition: merged per-file sketches == one sketch of the column
+      val whole = df.agg(HllRegs.agg(Hll.hash60(col("event_id"))))
+        .collect().head.getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(merged(m1, "event_id"), whole),
+        "per-file sketches must merge to the whole-column sketch, byte for byte")
+      // log-only estimates inside HLL's error envelope
+      val estId = TxTable.metaNdv(spark, dir, "event_id").get
+      assert(math.abs(estId - n) / n < 0.2, s"event_id NDV estimate $estId vs $n")
+      val estCat = TxTable.metaNdv(spark, dir, "cat").get
+      assert(math.abs(estCat - 37.0) / 37.0 < 0.2, s"cat NDV estimate $estCat vs 37")
+      assert(TxTable.metaNdv(spark, dir, "nope") === None)
+      // detail surfaces the same rounded estimates, manifest-only
+      val d = TxTable.detail(spark, dir).collect().head
+      assert(d.getAs[String]("ndv") ===
+        s"cat=${math.round(estCat)},event_id=${math.round(estId)}")
+      // compaction rewrites every file; the merged state must be
+      // BYTE-IDENTICAL (same rows, and registers are row-set maxima —
+      // partitioning cannot leak into the sketch)
+      TxTable.compact(spark, dir, "pbucket")
+      val m2 = TxTable.readManifest(spark, dir, 2L)
+      assert(m2.files.map(_.path).toSet !== m1.files.map(_.path).toSet,
+        "setup: compaction must actually rewrite")
+      assert(java.util.Arrays.equals(merged(m2, "event_id"), merged(m1, "event_id")))
+      assert(java.util.Arrays.equals(merged(m2, "cat"), merged(m1, "cat")))
+      assert(TxTable.metaNdv(spark, dir, "cat") === Some(estCat))
+    }
+  }
+
   test("changesBetween inverts mergeChangeSet: apply(read(v1), diff(v1,v3)) == read(v3)") {
     inDir { dir =>
       TxTable.commitReplace(spark, dir, snap(12), Some("pbucket"))
