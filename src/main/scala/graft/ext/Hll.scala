@@ -59,9 +59,18 @@ object Hll {
   private def md5Hash60(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
 
-  /** 60-bit production hash: low 60 bits of xxhash64 (sign-free). */
-  private def xx60(id: Column): Column =
-    xxhash64(id.cast("string")).bitwiseAND(lit((1L << 60) - 1))
+  /** 60-bit production hash: low 60 bits of xxhash64 (sign-free).
+    * NULL-SAFE BY HAND: Spark's `xxhash64(NULL)` is the SEED (42),
+    * not NULL — unguarded, a NULL id would count as one phantom
+    * distinct value in this lane while the md5 lane (whose chain is
+    * null-propagating) ignores it. DISTINCT-count semantics ignore
+    * NULLs (`count(DISTINCT col)` does), so both lanes must too —
+    * found by the r15 edge sweep, regression-locked in HllSpec. */
+  private def xx60(id: Column): Column = {
+    val s = id.cast("string")
+    when(s.isNull, lit(null).cast("long"))
+      .otherwise(xxhash64(s).bitwiseAND(lit((1L << 60) - 1)))
+  }
 
   /** The 60-bit hash lane as a public column — the input contract of
     * [[HllRegs]] (the byte-array register aggregate [[graft.ext
@@ -112,6 +121,10 @@ object Hll {
     val h = if (mirrorable) md5Hash60(id) else xx60(id)
     val withBits = df
       .withColumn("_h60", h)
+      // NULL ids hash to NULL (both lanes) and must not form a
+      // phantom NULL-register group — that would inflate n_regs and
+      // corrupt v_empty/s_total in estimate() (r15 edge sweep)
+      .filter(col("_h60").isNotNull)
       .withColumn("_reg", shiftright(col("_h60"), SuffixBits))
       .withColumn("_suf", col("_h60").bitwiseAND(lit(SuffixMask)))
       // rho = leading zeros in the 52-bit suffix + 1; bin() prints no

@@ -67,6 +67,23 @@ import org.apache.spark.sql.functions._
   * themselves; partition values are rendered as path strings — keys
   * should be integral/simple-string typed (the Spark partition-dir
   * value contract, enforced loud by [[requirePathSafe]]).
+  *
+  * NO multi-table transactions — a deliberate boundary, not an
+  * omission (the major log-per-table formats draw it in the same
+  * place). Cross-table atomicity needs either a shared log (one
+  * serialization point for unrelated tables — the scaling anti-shape)
+  * or gated visibility: manifests published "pending" and flipped by
+  * a coordinator CAS. Gating breaks this design's load-bearing
+  * invariant that a PUBLISHED manifest file IS a durable version —
+  * the change feed and streaming log subscriptions read `_graft_log/`
+  * as a plain file source and would observe uncommitted versions, and
+  * every reader/replayer/vacuum would need gate-resolution logic with
+  * its own failure modes (a crashed coordinator wedging N tables).
+  * The supported composition is per-table atomicity + the
+  * idempotent-writer ledger: a pipeline that must move two tables in
+  * step tags both commits with the same (appId, batchId) and replays
+  * to convergence — eventual cross-table consistency with exactly-once
+  * per table, which is the contract the streaming sinks already prove.
   */
 object TxTable {
 

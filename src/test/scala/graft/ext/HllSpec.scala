@@ -30,6 +30,33 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("NULL ids are ignored in BOTH lanes — no phantom distinct, no phantom register group") {
+    // r15 edge sweep: Spark's xxhash64(NULL) is the SEED (42), not
+    // NULL — unguarded, the production lane counted a NULL id as one
+    // phantom value; and a null hash formed a NULL-register group that
+    // inflated n_regs (corrupting v_empty/s_total) in the md5 lane too
+    val withNulls = Seq(
+      ("g", Some("x")), ("g", Some("y")), ("g", None), ("g", None)
+    ).toDF("g", "id")
+    val clean = Seq(("g", "x"), ("g", "y")).toDF("g", "id")
+    for (lane <- Seq(true, false)) {
+      val a = Hll.distinctEstimate(withNulls, Seq("g"), col("id"), lane)
+        .select("n_regs", "v_empty", "s_total", "est_distinct").collect().head
+      val b = Hll.distinctEstimate(clean, Seq("g"), col("id"), lane)
+        .select("n_regs", "v_empty", "s_total", "est_distinct").collect().head
+      assert(a === b, s"lane mirrorable=$lane: NULL ids must be invisible")
+      assert(a.getAs[Long]("n_regs") <= 2L)
+    }
+    // the aggregate face agrees: HllRegs over the null-bearing frame
+    // equals HllRegs over the clean frame, byte for byte
+    for (lane <- Seq(true, false)) {
+      def sketch(d: org.apache.spark.sql.DataFrame): Array[Byte] =
+        d.agg(HllRegs.agg(Hll.hash60(col("id"), lane)).as("r"))
+          .collect().head.getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(sketch(withNulls), sketch(clean)))
+    }
+  }
+
   test("small-range groups take the linear-counting branch and are near-exact") {
     val c = Hll.distinctEstimate(df, Seq("g"), col("id"), mirrorable = true)
       .filter(col("g") === "c").select("v_empty", "est_distinct")

@@ -143,7 +143,10 @@ abstract class TxTableBehaviors extends SparkSpec {
       val beforeBytes = dataBytes(dir)
       assert(TxTable.addCheckConstraint(spark, dir, "nonneg", "value >= 0") === 2L)
       assert(dataBytes(dir) === beforeBytes)
-      assert(TxTable.tableProperties(spark, dir) === Map("constraint.nonneg" -> "value >= 0"))
+      // (the NDV hash-lane prop is set by every commitReplace — not
+      // part of what this test governs)
+      assert(TxTable.tableProperties(spark, dir) - TxTable.NdvLaneProp ===
+        Map("constraint.nonneg" -> "value >= 0"))
       // a violating merge is rejected with version AND content intact
       val bad = Seq((50L, "insert", -5.0, 2L)).toDF("event_id", "op", "value", "pbucket")
       val e2 = intercept[TxTable.ConstraintViolationException] {
@@ -176,7 +179,7 @@ abstract class TxTableBehaviors extends SparkSpec {
       TxTable.addCheckConstraint(spark, dir, "nonneg", "value >= 0")
       // a full replace must NOT shed governance (constraints/props)
       TxTable.commitReplace(spark, dir, snap(6), Some("pbucket"))
-      assert(TxTable.tableProperties(spark, dir) ===
+      assert(TxTable.tableProperties(spark, dir) - TxTable.NdvLaneProp ===
         Map("owner" -> "pipeline-a", "constraint.nonneg" -> "value >= 0"))
       // the replace wrote a checkpoint; a reader replaying FROM that
       // checkpoint (no earlier manifests needed) still sees the props
