@@ -327,6 +327,15 @@ abstract class TxTableBehaviors extends SparkSpec {
       assert(java.util.Arrays.equals(merged(m2, "event_id"), merged(m1, "event_id")))
       assert(java.util.Arrays.equals(merged(m2, "cat"), merged(m1, "cat")))
       assert(TxTable.metaNdv(spark, dir, "cat") === Some(estCat))
+      // under deletion vectors the sketches are STALE-BUT-CONSERVATIVE
+      // (same contract as range stats: deletes only shrink the value
+      // set, the estimate can only over-count) — metaNdv still answers,
+      // unchanged, instead of throwing like the exactness-contracted
+      // metaRange does
+      TxTable.deleteWhereDv(spark, dir, col("event_id") < 100L)
+      assert(TxTable.metaNdv(spark, dir, "event_id") === Some(estId),
+        "DV deletes must not change (or break) the log-only NDV answer")
+      intercept[RuntimeException] { TxTable.metaRange(spark, dir, "event_id") }
     }
   }
 
