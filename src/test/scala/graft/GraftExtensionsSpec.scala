@@ -123,7 +123,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val dir = s"$tmp/table"
       val base = (0 until 20).map(i => (i.toLong, i * 10.0, (i % 4).toLong))
         .toDF("event_id", "value", "pbucket")
-      graft.ext.TxTable.commitReplace(spark, dir, base, Some("pbucket"))
+      graft.ext.TxTable.commitReplace(spark, dir, base, Some("pbucket"),
+        statsCols = Seq("event_id"))
       graft.ext.TxTable.deleteWhereDv(spark, dir, col("event_id") % 5 === 0)
       // snapshot read applies the DV subtraction, exactly the Scala API
       val viaSql = spark.sql(
@@ -179,6 +180,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         det.getLong(3) > 0L)
       assert(spark.sql(s"SELECT total_rows FROM tx_detail('$dir', 1)")
         .head().getLong(0) == 20L)
+      // manifest NDV surfaces through the TVF — same rounded estimate
+      // as the Scala metaNdv face, near the 20 true distinct ids
+      val ndvSql = spark.sql(s"SELECT ndv FROM tx_detail('$dir')")
+        .head().getString(0)
+      val est = graft.ext.TxTable.metaNdv(spark, dir, "event_id").get
+      assert(ndvSql == s"event_id=${math.round(est)}", ndvSql)
+      assert(math.abs(est - 20.0) <= 3.0, s"estimate $est far from 20")
       val badArity = intercept[Exception](spark.sql(
         s"SELECT * FROM tx_detail('$dir', 1, 2)").head())
       assert(badArity.getMessage.contains("1 or 2 arguments"), badArity.getMessage)
