@@ -83,6 +83,73 @@ class SketchPackSpec extends SparkSpec {
     }
   }
 
+  test("scalacheck: BloomPack under random keys, partial splits, merge orders and ser/de hops == buildLocal") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    val mBits = 512
+    val agg = BloomPack(BoundReference(0, StringType, nullable = true), mBits, 3)
+    val gen = for {
+      n <- Gen.choose(0, 200)
+      keys <- Gen.listOfN(n, Gen.alphaNumStr.map(_.take(12)))
+      cuts <- Gen.choose(1, 5)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (keys, cuts, seed)
+    val prop = Prop.forAllNoShrink(gen) { case (keys, cuts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(keys)
+      val parts = (0 until cuts).map(i =>
+        shuffled.zipWithIndex.collect { case (k, j) if j % cuts == i => k })
+      val partials = parts.map { part =>
+        val buf = agg.createAggregationBuffer()
+        part.foreach(k => agg.update(buf,
+          InternalRow(UTF8String.fromString(k))))
+        // some partials take the shuffle wire hop; NULLs interleave
+        agg.update(buf, InternalRow(null))
+        if (rnd.nextBoolean()) agg.deserialize(agg.serialize(buf)) else buf
+      }
+      val merged = partials.reduceLeft { (a, b) => agg.merge(a, b); a }
+      val expect =
+        if (keys.isEmpty) null
+        else java.util.Base64.getEncoder.encodeToString(
+          BloomPack.toBytes(Bloom.buildLocal(keys, mBits, 3)))
+      String.valueOf(agg.eval(merged)) == String.valueOf(expect)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(120), prop)
+    assert(res.passed, res.toString)
+  }
+
+  test("scalacheck: HllRegs merged across random splits == whole-set sketch, byte for byte") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val agg = HllRegs(BoundReference(0, LongType, nullable = true))
+    // 60-bit hashes like Hll.hash60 produces
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      hs <- Gen.listOfN(n, Gen.choose(0L, (1L << 60) - 1))
+      cuts <- Gen.choose(1, 4)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (hs, cuts, seed)
+    val prop = Prop.forAllNoShrink(gen) { case (hs, cuts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      def sketch(xs: Seq[Long]): Array[Byte] = {
+        val buf = agg.createAggregationBuffer()
+        xs.foreach(h => agg.update(buf, InternalRow(h)))
+        agg.update(buf, InternalRow(null))
+        if (rnd.nextBoolean()) agg.deserialize(agg.serialize(buf)) else buf
+      }
+      val whole = sketch(hs)
+      val parts = rnd.shuffle(hs).grouped(math.max(1, hs.size / cuts)).map(sketch).toSeq
+      val merged = parts.reduceLeft { (a, b) => agg.merge(a, b); a }
+      java.util.Arrays.equals(merged, whole)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(120), prop)
+    assert(res.passed, res.toString)
+  }
+
   test("HllRegs refuses a raw 64-bit hash loudly") {
     import spark.implicits._
     val e = intercept[org.apache.spark.SparkException] {
