@@ -333,6 +333,24 @@ object Bench {
     // SPARK_GRAFT_ONLY subset runs (those never touch history).
     val root = repoRoot()
     val historyPath = root.map(_.resolve("bench_history.jsonl"))
+    // population fingerprint: md5 over the sorted query-name list — two
+    // runs only share a median when they ran the SAME queries (a bare
+    // n_queries match could collide across rounds that happen to end at
+    // the same count)
+    def fingerprint(names: Seq[String]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(names.sorted.mkString("\n").getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+    }
+    val qfp = fingerprint(results.map(_.name))
+    // entries written before the qfp field derive it from their own
+    // queries map — the full name list rides every history record
+    def qfpOf(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+      Option(n.get("qfp")).map(_.asText()).orElse(
+        Option(n.get("queries")).map { q =>
+          fingerprint(scala.jdk.CollectionConverters
+            .IteratorHasAsScala(q.fieldNames()).asScala.toSeq)
+        })
     val priorRuns: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty
       else historyPath.filter(java.nio.file.Files.exists(_)).fold(Seq.empty[(String, Double)]) { hp =>
@@ -344,7 +362,7 @@ object Bench {
               try Some(mapper.readTree(l)) catch { case _: Throwable => None }
             }.toSeq
           parsed.reverse.takeWhile { n =>
-            Option(n.get("n_queries")).exists(_.asInt() == results.size) &&
+            qfpOf(n).contains(qfp) &&
               Option(n.get("sf")).exists(_.asText() == sfDir) &&
               Option(n.get("failed")).forall(_.size() == 0)
           }.take(4).reverse.map { n =>
@@ -359,7 +377,7 @@ object Bench {
     val headline = median(runTotals)
     val runShas = priorRuns.map(r => s"\"${r._1}\"").mkString("[", ",", "]")
     val runTotalsJson = runTotals.map(f3).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(headline)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"spread":$spread,"top":$top,"engine_sec":${f3(engineSec)},"streaming_sec":${f3(streamingSec)},"n_streaming":$nStreaming,"this_run_sec":${f3(total)},"n_runs":${runTotals.size},"run_totals":$runTotalsJson,"run_shas":$runShas,"total_sec":${f3(headline)}}"""
+    val line = s"""{"metric":"total","value":${f3(headline)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"qfp":"$qfp","spread":$spread,"top":$top,"engine_sec":${f3(engineSec)},"streaming_sec":${f3(streamingSec)},"n_streaming":$nStreaming,"this_run_sec":${f3(total)},"n_runs":${runTotals.size},"run_totals":$runTotalsJson,"run_shas":$runShas,"total_sec":${f3(headline)}}"""
     println(line)
     // full, untruncated copy for cross-round diffing (the stdout line
     // is clipped to its tail by the driver): APPEND one record per run
