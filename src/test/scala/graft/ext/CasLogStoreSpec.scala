@@ -127,6 +127,49 @@ class CasLogStoreSpec extends SparkSpec {
     }
   }
 
+  test("change feed across a CAS crash window: the next writer's replay repairs version N; the file source delivers N and N+1 in order") {
+    // A crashed winner leaves version N client-only — invisible to the
+    // PLAIN FILE SOURCE the change feed runs on. The r15 repair makes
+    // this self-healing: the next writer's commit REPLAYS the log
+    // through the store (read() re-materializes N onto the filesystem)
+    // strictly BEFORE it publishes N+1, so the feed can never observe
+    // N+1 without N. Simulated by deleting N's filesystem copy while
+    // the client keeps the claim — the exact post-crash state.
+    TxTable.withLogStore(ObjectStoreLogStore.inMemoryFactory) {
+      graft.QueryUtil.inTempDir("graft_cas_feed") { dir =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val base = (0 until 8).map(i => (i.toLong, i * 10.0, (i % 2).toLong))
+          .toDF("event_id", "value", "pbucket")
+        TxTable.commitReplace(spark, dir, base, Some("pbucket"))
+        val ch2 = Seq((100L, "insert", 1.0, 0L))
+          .toDF("event_id", "op", "value", "pbucket")
+        TxTable.mergeChangeSet(spark, dir, ch2, "event_id", "op", "pbucket")
+        // crash simulation: v2's claim survives, its fs copy does not
+        val fs = rawFs(dir)
+        val v2 = new Path(new Path(dir), "_graft_log/00000000000000000002.json")
+        assert(fs.delete(v2, false), "precondition: fs copy removed")
+        // next writer replays (repairing v2) then publishes v3
+        val ch3 = Seq((101L, "insert", 2.0, 1L))
+          .toDF("event_id", "op", "value", "pbucket")
+        TxTable.mergeChangeSet(spark, dir, ch3, "event_id", "op", "pbucket")
+        assert(fs.exists(v2), "the v3 writer's replay must have repaired v2")
+        // the plain-file change feed sees the full, ordered history
+        val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+        graft.QueryUtil.inTempDir("graft_cas_feed_ckpt") { ckpt =>
+          graft.streaming.ChangeFeedStream.followAvailable(
+            spark, dir, "event_id", s"$ckpt/cp") { (v, changes) =>
+            seen += ((v, changes.select(col("event_id"))
+              .collect().map(_.getLong(0)).toSet))
+          }
+        }
+        assert(seen.map(_._1).toSeq == Seq(2L, 3L),
+          s"feed must deliver every version in order: ${seen.map(_._1)}")
+        assert(seen.toMap.apply(2L) == Set(100L) && seen.toMap.apply(3L) == Set(101L))
+      }
+    }
+  }
+
   test("split-brain during a mixed-store rollout fails LOUDLY naming the constraint") {
     graft.QueryUtil.inTempDir("graft_cas_split") { dir =>
       val fs = rawFs(dir)
