@@ -327,10 +327,11 @@ object Bench {
     // median over this run's total plus prior full-run totals from
     // bench_history.jsonl: the matching prior runs are the consecutive
     // TAIL entries with the same sf and the same query population
-    // (n_queries — a registry change redefines what "total" means, so
-    // it auto-invalidates older runs), capped at 4 priors. Their shas
-    // ride along in "run_shas" so provenance is auditable. Skipped for
-    // SPARK_GRAFT_ONLY subset runs (those never touch history).
+    // (qfp, a fingerprint of the sorted name list — a registry change
+    // redefines what "total" means, so it auto-invalidates older
+    // runs), capped at 4 priors. Their shas ride along in "run_shas"
+    // so provenance is auditable. Skipped for SPARK_GRAFT_ONLY subset
+    // runs (those never touch history).
     val root = repoRoot()
     val historyPath = root.map(_.resolve("bench_history.jsonl"))
     // population fingerprint: md5 over the sorted query-name list — two
