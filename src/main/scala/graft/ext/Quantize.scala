@@ -41,11 +41,23 @@ object Quantize {
     * callers quantizing un-normalized magnitudes past ~1e5 must
     * rescale first or lower the 1e12 error quantum. */
   def int8Report(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
-    val exploded = df.select(
-      col(labelCol).as("label"),
-      array_min(col(vecCol)).cast("double").as("mn"),
-      array_max(col(vecCol)).cast("double").as("mx"),
-      explode(col(vecCol)).as("xf"))
+    // fail LOUD on NULL/empty vectors: explode() generates ZERO rows
+    // for them, so such a vector would silently vanish from the report
+    // (under-counted n_elems, unnoticed — the silent-degradation class
+    // the r13/r14 sweeps kept finding). Same discipline as
+    // [[Similarity.withLshBuckets]]; the guard gates the vector column
+    // itself BEFORE the generate, so it cannot be pruned away and runs
+    // for every input row including the ones explode would drop.
+    val ok = assert_true(col(vecCol).isNotNull && size(col(vecCol)) > 0,
+      lit(s"int8Report: NULL or empty $vecCol — the vector would be " +
+        "silently dropped from the report; filter or impute upstream")).isNull
+    val checked = df.select(col(labelCol).as("label"),
+      when(ok, col(vecCol)).as("_v"))
+    val exploded = checked.select(
+      col("label"),
+      array_min(col("_v")).cast("double").as("mn"),
+      array_max(col("_v")).cast("double").as("mx"),
+      explode(col("_v")).as("xf"))
     val x = col("xf").cast("double")
     val scale = (col("mx") - col("mn")) / lit(255.0)
     val q = when(col("mx") === col("mn"), lit(0L))

@@ -139,6 +139,24 @@ class DataOpsSpec extends SparkSpec {
     assert(err3 >= 0L && err3 < 1000000000000L)
   }
 
+  test("int8 quantization refuses NULL and empty vectors loudly (explode would silently drop them)") {
+    import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val withNull = Seq((1, Some(Seq(1.0f, 2.0f))), (2, None))
+      .toDF("label", "embedding")
+    val e1 = intercept[Exception] {
+      graft.ext.Quantize.int8Report(withNull, "embedding", "label").collect()
+    }
+    assert(messages(e1).exists(_.contains("int8Report")), messages(e1).toString)
+    val withEmpty = Seq((1, Seq(1.0f)), (2, Seq.empty[Float]))
+      .toDF("label", "embedding")
+    val e2 = intercept[Exception] {
+      graft.ext.Quantize.int8Report(withEmpty, "embedding", "label").collect()
+    }
+    assert(messages(e2).exists(_.contains("silently dropped")), messages(e2).toString)
+  }
+
   // ----------------------------------------------------------------- MAD
 
   test("MAD composition: hand-computed medians and deviations") {
