@@ -52,6 +52,45 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sha resolution failed: ${e.getMessage}"); "unknown" }
 
+  /** Headline selection over the cross-run history (the r15 VERDICT
+    * provenance item + both r16 ADVICE entries). Inputs: `priors` are
+    * (sha, total) of earlier CLEAN full runs of the same population;
+    * `headTotals` are THIS invocation's full-run totals at `sha` (two
+    * entries when the confirm pass ran). Rules, in order:
+    *   - a run with FAILED queries never borrows health from history:
+    *     its deflated total is reported raw, no median (ADVICE low #1);
+    *   - with ≥2 samples at the closing sha (prior same-sha runs, or
+    *     the confirm pass), the headline is the median of THOSE — a
+    *     regression introduced at HEAD cannot be outvoted by older-sha
+    *     history (ADVICE medium);
+    *   - otherwise the cross-sha median de-noises as before, and the
+    *     same-sha figure rides alongside as `closing_sha_sec` so the
+    *     gate's number and HEAD's own measurement are both visible.
+    * Returns (headline value, closing-sha-only median). */
+  private[graft] def headlineOf(
+      priors: Seq[(String, Double)], sha: String,
+      headTotals: Seq[Double], anyFailed: Boolean): (Double, Double) = {
+    val atHead = priors.collect { case (s, t) if s == sha => t } ++ headTotals
+    val closingShaSec = median(atHead)
+    val value =
+      if (anyFailed) headTotals.last
+      else if (atHead.size >= 2) closingShaSec
+      else median(priors.map(_._2) ++ headTotals)
+    (value, closingShaSec)
+  }
+
+  /** True when HEAD's single sample is a >20% outlier above the prior
+    * history median with NO other sample at this sha to break the tie —
+    * the one shape where "noise spike" and "regression at the closing
+    * commit" are indistinguishable. The caller answers it by measuring
+    * again (one more full pass), not by voting: two slow HEAD samples
+    * ARE a regression and take the headline; a fast second sample
+    * exposes the first as a window spike. */
+  private[graft] def confirmNeeded(
+      priors: Seq[(String, Double)], sha: String, total: Double): Boolean =
+    priors.nonEmpty && !priors.exists(_._1 == sha) &&
+      total > 1.2 * median(priors.map(_._2))
+
   /** Inter-query state hygiene for a long serial run in ONE JVM. Each
     * bench query must pay its own cost and ONLY its own cost — state a
     * finished query leaves behind (terminated-stream state stores,
@@ -333,6 +372,7 @@ object Bench {
     // so provenance is auditable. Skipped for SPARK_GRAFT_ONLY subset
     // runs (those never touch history).
     val root = repoRoot()
+    val sha = root.map(headSha).getOrElse("unknown")
     val historyPath = root.map(_.resolve("bench_history.jsonl"))
     // population fingerprint: md5 over the sorted query-name list — two
     // runs only share a median when they ran the SAME queries (a bare
@@ -366,26 +406,65 @@ object Bench {
             qfpOf(n).contains(qfp) &&
               Option(n.get("sf")).exists(_.asText() == sfDir) &&
               Option(n.get("failed")).forall(_.size() == 0)
-          }.take(4).reverse.map { n =>
+          }.take(4).reverse.flatMap { n =>
+            val s = Option(n.get("sha")).map(_.asText()).getOrElse("unknown")
             val t = Option(n.get("this_run_sec")).orElse(Option(n.get("total_sec")))
               .map(_.asDouble()).getOrElse(Double.NaN)
-            (Option(n.get("sha")).map(_.asText()).getOrElse("unknown"), t)
-          }.filterNot(_._2.isNaN)
+            // a record whose invocation ran the outlier-confirm pass
+            // carries a SECOND full-run sample at the same sha
+            val c = Option(n.get("confirm_run_sec")).map(_.asDouble())
+            ((s, t) +: c.map(s -> _).toSeq).filterNot(_._2.isNaN)
+          }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] history read failed: ${e.getMessage}"); Seq.empty }
       }
-    val runTotals = priorRuns.map(_._2) :+ total
-    val headline = median(runTotals)
-    val runShas = priorRuns.map(r => s"\"${r._1}\"").mkString("[", ",", "]")
-    val runTotalsJson = runTotals.map(f3).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(headline)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"qfp":"$qfp","spread":$spread,"top":$top,"engine_sec":${f3(engineSec)},"streaming_sec":${f3(streamingSec)},"n_streaming":$nStreaming,"this_run_sec":${f3(total)},"n_runs":${runTotals.size},"run_totals":$runTotalsJson,"run_shas":$runShas,"total_sec":${f3(headline)}}"""
+    val anyFailed = results.exists(!_.ok)
+    // OUTLIER-CONFIRM PASS: when this run's total is a lone >20%
+    // outlier above the prior history median with no other sample at
+    // the closing sha, one more full serial pass decides "window
+    // spike" vs "regression at HEAD" by measurement instead of letting
+    // older-sha history outvote HEAD's only sample (the r15 273 s run
+    // would have triggered this). Skipped for subset runs, failed
+    // runs, and under SPARK_GRAFT_CONFIRM=0.
+    val confirmTotal: Option[Double] =
+      if (anyFailed || only.nonEmpty ||
+          sys.env.get("SPARK_GRAFT_CONFIRM").contains("0") ||
+          !confirmNeeded(priorRuns, sha, total)) None
+      else {
+        System.err.println(s"[bench] ${f3(total)} s is a lone outlier vs " +
+          "prior history — running a confirm pass at the closing sha")
+        var confirmOk = true
+        val t2 = selected.toSeq.sortBy(_._1).zipWithIndex.map {
+          case ((name, fn), idx) =>
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] confirm $name FAILED: ${e.getMessage}")
+              confirmOk = false }
+            val sec = (System.nanoTime() - t0) / 1e9
+            interQueryHygiene(spark, idx)
+            sec
+        }.sum
+        // a failure makes the confirm total non-comparable (deflated):
+        // discard the sample rather than let a broken pass read fast
+        if (confirmOk) Some(t2) else None
+      }
+    val headTotals = total +: confirmTotal.toSeq
+    val (headline, closingShaSec) =
+      headlineOf(priorRuns, sha, headTotals, anyFailed)
+    // run_shas is ALIGNED with run_totals (the r15 off-by-one: the
+    // current run's sha was omitted, leaving 4 shas for 5 totals)
+    val runPairs = priorRuns ++ headTotals.map(sha -> _)
+    val runShas = runPairs.map(r => s"\"${r._1}\"").mkString("[", ",", "]")
+    val runTotalsJson = runPairs.map(r => f3(r._2)).mkString("[", ",", "]")
+    val confirmField = confirmTotal.fold("")(c => s""","confirm_run_sec":${f3(c)}""")
+    val line = s"""{"metric":"total","value":${f3(headline)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"qfp":"$qfp","spread":$spread,"top":$top,"engine_sec":${f3(engineSec)},"streaming_sec":${f3(streamingSec)},"n_streaming":$nStreaming,"this_run_sec":${f3(total)}$confirmField,"closing_sha_sec":${f3(closingShaSec)},"n_runs":${runPairs.size},"run_totals":$runTotalsJson,"run_shas":$runShas,"total_sec":${f3(headline)}}"""
     println(line)
     // full, untruncated copy for cross-round diffing (the stdout line
     // is clipped to its tail by the driver): APPEND one record per run
     // — stamped with commit sha and wall time — so "when did q153 get
     // slow?" is answerable from the repo without /tmp archaeology
     try {
-      val sha = root.map(headSha).getOrElse("unknown")
       val stamped = s"""{"ts":"${java.time.Instant.now()}","sha":"$sha",${line.drop(1)}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(

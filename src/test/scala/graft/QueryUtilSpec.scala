@@ -31,6 +31,46 @@ class QueryUtilSpec extends SparkSpec {
     assert(Bench.median(Seq(7.5)) === 7.5)
   }
 
+  test("Bench.headlineOf: ≥2 closing-sha samples take the headline, HEAD regression unmasked") {
+    val priors = Seq("a" -> 200.0, "b" -> 198.0, "c" -> 202.0, "d" -> 199.0)
+    // lone HEAD sample: cross-sha median de-noises (the r15 behavior)…
+    val (v1, c1) = Bench.headlineOf(priors, "e", Seq(273.0), anyFailed = false)
+    assert(v1 === 200.0)
+    // …but HEAD's own figure rides alongside, never hidden
+    assert(c1 === 273.0)
+    // confirm pass agreed it's slow: 2 HEAD samples OUTVOTE history —
+    // a regression at the closing commit owns the headline
+    val (v2, c2) = Bench.headlineOf(priors, "e", Seq(273.0, 270.0), anyFailed = false)
+    assert(v2 === 271.5 && c2 === 271.5)
+    // confirm pass read fast: the spike is visible but averaged down
+    val (v3, _) = Bench.headlineOf(priors, "e", Seq(273.0, 201.0), anyFailed = false)
+    assert(v3 === 237.0)
+    // prior runs AT the closing sha count as closing-sha samples too
+    val (v4, _) = Bench.headlineOf(
+      Seq("a" -> 200.0, "e" -> 230.0), "e", Seq(232.0), anyFailed = false)
+    assert(v4 === 231.0)
+  }
+
+  test("Bench.headlineOf: a run with failures reports its own total, no median") {
+    // ADVICE low #1: a failed run's deflated total must not vote into
+    // (or borrow from) the cross-run median
+    val priors = Seq("a" -> 200.0, "b" -> 198.0)
+    val (v, _) = Bench.headlineOf(priors, "e", Seq(120.0), anyFailed = true)
+    assert(v === 120.0)
+  }
+
+  test("Bench.confirmNeeded: fires only for a lone >20% outlier above prior history") {
+    val priors = Seq("a" -> 200.0, "b" -> 198.0, "c" -> 202.0)
+    assert(Bench.confirmNeeded(priors, "e", 273.0))
+    assert(!Bench.confirmNeeded(priors, "e", 212.0)) // within 20%
+    assert(!Bench.confirmNeeded(Seq.empty, "e", 273.0)) // no history
+    // a prior run at the SAME sha already breaks the tie — no re-run
+    assert(!Bench.confirmNeeded(priors :+ ("e" -> 205.0), "e", 273.0))
+    // a FAST outlier is not confirmed: it can only deflate the median
+    // it participates in, and the per-entry spreads expose it
+    assert(!Bench.confirmNeeded(priors, "e", 150.0))
+  }
+
   test("unpersistLocalCheckpoints releases checkpoint blocks, spares persisted caches") {
     val sc = spark.sparkContext
     val cached = spark.range(1000).toDF("id")
