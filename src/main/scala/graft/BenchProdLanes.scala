@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * numbers the correctness gate is defined against.
   *
   * NOT part of [[SparkEntry.queries]] — no DuckDB oracle can replay
-  * murmur3/xxhash64, and the driver contract reserves `no_oracle` rows
-  * for genuinely SQL-inexpressible semantics (q06 only). Each lane's
+  * murmur3/xxhash64 (nor the Student-t CDF the `q06_full_prod` lane
+  * carries), and since r16 the registry holds ZERO `no_oracle` rows:
+  * everything SQL-inexpressible lives here, spec-tied. Each lane's
   * CORRECTNESS is spec-tied instead: DedupSpec (banded == brute-force
   * for SimHash64, fast-vs-md5 minhash family properties), CountMinSpec
   * (estimate ≥ exact, ε·n bound), HllSpec (md5 and xxhash lanes within
@@ -75,6 +76,28 @@ object BenchProdLanes {
         .select(col("event_type"), col("n_regs"), col("v_empty"), col("s_total"),
           round(col("est_distinct"), 4).as("est_distinct"))
         .orderBy("event_type")
+    },
+
+    // the COMPLETE before/after report incl. the Student-t products
+    // (CI half-widths, p-value, tri-state verdict) — the face the
+    // registered q06 cannot oracle-check (no SQL engine carries the t
+    // CDF; StudentTSpec/WelchSpec pin the constants against scipy).
+    // q06's registry row now covers the deterministic surface of the
+    // SAME frame; this lane keeps the full report's cost measured.
+    "q06_full_prod" -> { (s: SparkSession, dir: String) =>
+      graft.analysis.CoverageQueries.beforeAfterFull(
+          graft.analysis.EventsFact.fact(s, dir), CoreParityQueries.W)
+        .select(
+          col("country"), col("antigen"), col("n_before"), col("n_after"),
+          round(col("mean_before"), 4).as("mean_before"),
+          round(col("mean_after"), 4).as("mean_after"),
+          round(col("ci_before"), 4).as("ci_before"),
+          round(col("ci_after"), 4).as("ci_after"),
+          round(col("diff"), 4).as("diff"),
+          round(col("t_stat"), 4).as("t_stat"),
+          round(col("p_value"), 6).as("p_value"),
+          col("verdict"),
+        ).orderBy("country", "antigen")
     },
   )
 }

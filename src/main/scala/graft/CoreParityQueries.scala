@@ -105,22 +105,47 @@ object CoreParityQueries {
         ).orderBy("country", "antigen")
     },
 
-    // A7/A8/F8 — full analysis incl. CI half-widths, p-value, and the
-    // tri-state narrative. p-value/CI need the Student-t distribution
-    // (commons-math3) ⇒ no SQL oracle; rows-only check + unit tests.
-    Q.noOracle("q06_before_after_full") { (s, dir) =>
-      val full = CoverageQueries.beforeAfterFull(EventsFact.fact(s, dir), W)
-      full.select(
-        col("country"), col("antigen"), col("n_before"), col("n_after"),
-        round(col("mean_before"), 4).as("mean_before"),
-        round(col("mean_after"), 4).as("mean_after"),
-        round(col("ci_before"), 4).as("ci_before"),
-        round(col("ci_after"), 4).as("ci_after"),
-        round(col("diff"), 4).as("diff"),
-        round(col("t_stat"), 4).as("t_stat"),
-        round(col("p_value"), 6).as("p_value"),
-        col("verdict"),
-      ).orderBy("country", "antigen")
+    // A7/A8/F8 — the full-analysis frame ([[CoverageQueries
+    // .beforeAfterFull]]), oracle-checked on its DETERMINISTIC surface:
+    // every column UP TO the Student-t factor (n, exact means, SEM,
+    // diff, t, Welch df) is bitwise-mirrorable SQL, so the oracle
+    // replays all of them from q05's exact-moment recipe + q101's SEM
+    // — selected from beforeAfterFull's OWN frame, proving the frame
+    // the reference's report actually renders. Only the t-quantile/CDF
+    // products (ci_*, p_value, verdict) are SQL-inexpressible; they
+    // ride the bench-only `q06_full_prod` lane and the spec-carried
+    // commons-math3 constants (StudentTSpec/WelchSpec) — shrinking the
+    // no_oracle surface to zero registry rows (r15 VERDICT task 4).
+    Q("q06_before_after_full",
+      cte(s"""SELECT country, antigen, n_before, n_after,
+             |  mean_before, mean_after, sem_before, sem_after,
+             |  mean_after - mean_before AS diff,
+             |  CASE WHEN n_before > 1 AND n_after > 1 THEN
+             |    (mean_before - mean_after) / sqrt(var_before/n_before + var_after/n_after)
+             |  END AS t_stat,
+             |  CASE WHEN n_before > 1 AND n_after > 1 THEN
+             |    ((var_before/n_before + var_after/n_after) * (var_before/n_before + var_after/n_after)) /
+             |      ((var_before/n_before) * (var_before/n_before) / (n_before-1)
+             |        + (var_after/n_after) * (var_after/n_after) / (n_after-1))
+             |  END AS welch_df
+             |FROM (
+             |  SELECT country, antigen,
+             |    count($beforeCase) AS n_before, count($afterCase) AS n_after,
+             |    ${exactAvgSql(beforeCase)} AS mean_before,
+             |    ${exactAvgSql(afterCase)} AS mean_after,
+             |    ${graft.stats.ExactMoments.exactVarSql(beforeCase)} AS var_before,
+             |    ${graft.stats.ExactMoments.exactVarSql(afterCase)} AS var_after,
+             |    ${graft.stats.ExactMoments.exactStddevSql(beforeCase)} / sqrt(count($beforeCase)) AS sem_before,
+             |    ${graft.stats.ExactMoments.exactStddevSql(afterCase)} / sqrt(count($afterCase)) AS sem_after
+             |  FROM fact GROUP BY country, antigen)
+             |ORDER BY country, antigen""".stripMargin)) { (s, dir) =>
+      CoverageQueries.beforeAfterFull(EventsFact.fact(s, dir), W)
+        .select(
+          col("country"), col("antigen"), col("n_before"), col("n_after"),
+          col("mean_before"), col("mean_after"),
+          col("sem_before"), col("sem_after"),
+          col("diff"), col("t_stat"), col("welch_df"),
+        ).orderBy("country", "antigen")
     },
 
     // A7's SEM lane, split out of q06 as its own oracle row: SEM =
