@@ -3,8 +3,7 @@ package graft.ext
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 
 /** Deletion-vector bitmap codec: the tombstones of ONE data file,
   * packed into a single byte array (the sidecar stores one row per
@@ -22,7 +21,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType,
   *     for scattered point deletes across a wide file.
   *
   * Both probes are O(1)/O(log n) per row with zero allocation, called
-  * statically from [[DvAnyContains]]'s generated code so the scan
+  * statically from [[DvContains]]'s generated code so the scan
   * filter stays inside whole-stage codegen. Positions are parquet
   * `row_index` values: non-negative, unique per file. */
 object DvBitmap {
@@ -103,17 +102,6 @@ object DvBitmap {
     case t => sys.error(s"unknown deletion-vector container tag $t")
   }
 
-  /** Probe a STACK of bitmaps (one per DML commit that tombstoned this
-    * file since the last compact) — the scan-filter entry point. */
-  def containsAny(arr: ArrayData, pos: Long): Boolean = {
-    var i = 0
-    while (i < arr.numElements()) {
-      if (contains(arr.getBinary(i), pos)) return true
-      i += 1
-    }
-    false
-  }
-
   /** Decode back to sorted positions (specs, CDC debugging, and the
     * legacy-sidecar round-trip test). */
   def positions(b: Array[Byte]): Array[Long] = b(0) match {
@@ -138,32 +126,31 @@ object DvBitmap {
   }
 }
 
-/** `containsAny(bitmaps, pos)` as a native expression: TRUE iff any of
-  * the stacked per-file deletion-vector bitmaps tombstones `pos`. Used
-  * as the scan-time DV filter (`TxTable.readFiles`) — a static probe
-  * per row inside whole-stage codegen, replacing the per-tombstone
-  * anti-join a row-form sidecar would need. */
-case class DvAnyContains(left: Expression, right: Expression)
+/** `dv_contains(bitmap, pos)`: membership probe against ONE packed
+  * container — the scan-time DV filter since the read side OR-merges
+  * the per-commit stack into a single bitmap per file ([[DvUnion]]):
+  * one O(1)/O(log n) probe per row inside whole-stage codegen,
+  * regardless of how many DML commits tombstoned the file. */
+case class DvContains(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = BooleanType
-  override def prettyName: String = "dv_any_contains"
-  override def inputTypes =
-    Seq(ArrayType(BinaryType, containsNull = false), LongType)
+  override def prettyName: String = "dv_contains"
+  override def inputTypes = Seq(BinaryType, LongType)
 
-  override def nullSafeEval(bitmaps: Any, pos: Any): Any =
-    DvBitmap.containsAny(bitmaps.asInstanceOf[ArrayData], pos.asInstanceOf[Long])
+  override def nullSafeEval(bitmap: Any, pos: Any): Any =
+    DvBitmap.contains(bitmap.asInstanceOf[Array[Byte]], pos.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, p) => s"graft.ext.DvBitmap.containsAny($a, $p)")
+    defineCodeGen(ctx, ev, (b, p) => s"graft.ext.DvBitmap.contains($b, $p)")
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): DvAnyContains =
+      newLeft: Expression, newRight: Expression): DvContains =
     copy(left = newLeft, right = newRight)
 }
 
-object DvAnyContains {
-  def apply(bitmaps: Column, pos: Column): Column =
-    org.apache.spark.sql.GraftColumnBridge.column(DvAnyContains(
-      org.apache.spark.sql.GraftColumnBridge.expression(bitmaps),
+object DvContains {
+  def apply(bitmap: Column, pos: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(DvContains(
+      org.apache.spark.sql.GraftColumnBridge.expression(bitmap),
       org.apache.spark.sql.GraftColumnBridge.expression(pos)))
 }

@@ -68,22 +68,21 @@ import org.apache.spark.sql.functions._
   * should be integral/simple-string typed (the Spark partition-dir
   * value contract, enforced loud by [[requirePathSafe]]).
   *
-  * NO multi-table transactions — a deliberate boundary, not an
-  * omission (the major log-per-table formats draw it in the same
-  * place). Cross-table atomicity needs either a shared log (one
-  * serialization point for unrelated tables — the scaling anti-shape)
-  * or gated visibility: manifests published "pending" and flipped by
-  * a coordinator CAS. Gating breaks this design's load-bearing
-  * invariant that a PUBLISHED manifest file IS a durable version —
-  * the change feed and streaming log subscriptions read `_graft_log/`
-  * as a plain file source and would observe uncommitted versions, and
-  * every reader/replayer/vacuum would need gate-resolution logic with
-  * its own failure modes (a crashed coordinator wedging N tables).
-  * The supported composition is per-table atomicity + the
-  * idempotent-writer ledger: a pipeline that must move two tables in
-  * step tags both commits with the same (appId, batchId) and replays
-  * to convergence — eventual cross-table consistency with exactly-once
-  * per table, which is the contract the streaming sinks already prove.
+  * Multi-table transactions: NOT by gated visibility — that would
+  * break this design's load-bearing invariant that a PUBLISHED
+  * manifest file IS a durable version (the change feed and streaming
+  * log subscriptions read `_graft_log/` as a plain file source and
+  * would observe uncommitted versions; every reader/replayer/vacuum
+  * would need gate-resolution logic with its own failure modes).
+  * What IS supported (r16): [[PairTxn]] — write-ahead intent +
+  * roll-forward. Both sides are staged to bytes, ONE intent record is
+  * published, then the manifests publish in order as ordinary durable
+  * versions; a crash anywhere is completed by byte replay
+  * ([[PairTxn.recoverPairs]]), so the pair can lag but never diverge,
+  * and no reader ever needs to resolve a gate. The lighter-weight
+  * composition also remains: per-table atomicity + the
+  * idempotent-writer ledger ((appId, batchId) tags replayed to
+  * convergence — the contract the streaming sinks prove).
   */
 object TxTable {
 
@@ -223,21 +222,21 @@ object TxTable {
           "miss — use an integral or simple-string partition key")
     }
 
-  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+  private[ext] def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     (fs, fs.makeQualified(p))
   }
 
-  private def storeOf(spark: SparkSession, dir: String): (LogStore, Path) = {
+  private[ext] def storeOf(spark: SparkSession, dir: String): (LogStore, Path) = {
     val (fs, root) = fsOf(spark, dir)
     (logStoreFactory(fs), root)
   }
 
   private def logDir(root: Path) = new Path(root, "_graft_log")
-  private def manifestPath(root: Path, v: Long) =
+  private[ext] def manifestPath(root: Path, v: Long) =
     new Path(logDir(root), f"$v%020d.json")
-  private def checkpointPath(root: Path, v: Long) =
+  private[ext] def checkpointPath(root: Path, v: Long) =
     new Path(logDir(root), f"_ckpt-$v%020d.json")
 
   private val ManifestName = """(\d{20})\.json""".r
@@ -620,13 +619,22 @@ object TxTable {
     * full. Refuses (and throws [[CommitConflictException]]) if that
     * manifest already exists — the competing writer won; this writer's
     * data files are orphans for [[vacuum]]. */
-  private def commit(
-      store: LogStore, root: Path, baseManifest: Manifest,
+  /** A commit fully RENDERED but not yet published: the version it
+    * targets, the manifest bytes, and the checkpoint bytes when the
+    * cadence (or a full commit) calls for one. Staging is pure — no
+    * log I/O — which is what lets [[PairTxn]] persist both sides of a
+    * cross-table transaction in its intent record BEFORE either
+    * publishes, making roll-forward deterministic byte replay. */
+  private[ext] final case class StagedCommit(
+      version: Long, manifest: String, checkpoint: Option[String])
+
+  private[ext] def stageCommit(
+      baseManifest: Manifest,
       newFiles: Seq[FileEntry], newSchema: Option[String],
       op: String, full: Boolean,
       extraSchemas: Map[String, String] = Map.empty,
       txn: Option[(String, Long)] = None,
-      extraProps: Map[String, String] = Map.empty): Long = {
+      extraProps: Map[String, String] = Map.empty): StagedCommit = {
     val version = baseManifest.version + 1
     val baseFiles = if (full) Seq.empty else baseManifest.files
     val baseByPath = baseFiles.map(f => f.path -> f).toMap
@@ -644,32 +652,52 @@ object TxTable {
       else ManifestJson.render(version, baseManifest.version, op, "delta",
         adds, removes, schema = newSchema, schemas = extraSchemas, txn = txn,
         props = extraProps)
-    if (!store.writeIfAbsent(manifestPath(root, version), content))
-      throw new CommitConflictException(
-        s"version $version already published at ${manifestPath(root, version)} — " +
-          "concurrent writer won; re-read the table and retry the merge " +
-          "against the new base")
-    if (full || version % checkpointInterval == 0) {
-      // derivable artifact: put-if-absent and IGNORE a loss — racing
-      // writers of the same checkpoint render equivalent content
-      // (entries/stats/ledger deterministically ordered; only the
-      // unused header ts can differ), and a missing checkpoint only
-      // costs replay depth, never correctness
-      val liveDirs = newFiles.map(f => dirOf(f.path)).toSet
-      val schemas = (baseManifest.schemas ++ extraSchemas)
-        .view.filterKeys(liveDirs).toMap ++
-        newSchema.flatMap(s => adds.headOption.map(a => dirOf(a.path) -> s))
-      val ledger = txn.fold(baseManifest.txns) { case (app, ver) =>
-        baseManifest.txns + (app ->
-          math.max(ver, baseManifest.txns.getOrElse(app, Long.MinValue)))
-      }
-      store.writeIfAbsent(checkpointPath(root, version),
-        ManifestJson.render(version, version, "checkpoint", "checkpoint",
+    val ckpt =
+      if (full || version % checkpointInterval == 0) {
+        val liveDirs = newFiles.map(f => dirOf(f.path)).toSet
+        val schemas = (baseManifest.schemas ++ extraSchemas)
+          .view.filterKeys(liveDirs).toMap ++
+          newSchema.flatMap(s => adds.headOption.map(a => dirOf(a.path) -> s))
+        val ledger = txn.fold(baseManifest.txns) { case (app, ver) =>
+          baseManifest.txns + (app ->
+            math.max(ver, baseManifest.txns.getOrElse(app, Long.MinValue)))
+        }
+        Some(ManifestJson.render(version, version, "checkpoint", "checkpoint",
           newFiles, Seq.empty, schemas = schemas, txns = ledger,
           props = baseManifest.props ++ extraProps))
-    }
-    version
+      } else None
+    StagedCommit(version, content, ckpt)
   }
+
+  /** Publish a staged commit: the manifest through put-if-absent (the
+    * atomic birth of the version), then the checkpoint as a derivable
+    * artifact — put-if-absent and IGNORE a loss (racing writers of the
+    * same checkpoint render equivalent content; entries/stats/ledger
+    * are deterministically ordered and only the unused header ts can
+    * differ), a missing checkpoint only costs replay depth, never
+    * correctness. */
+  private[ext] def publishStaged(
+      store: LogStore, root: Path, staged: StagedCommit): Long = {
+    if (!store.writeIfAbsent(manifestPath(root, staged.version), staged.manifest))
+      throw new CommitConflictException(
+        s"version ${staged.version} already published at " +
+          s"${manifestPath(root, staged.version)} — " +
+          "concurrent writer won; re-read the table and retry the merge " +
+          "against the new base")
+    staged.checkpoint.foreach(c =>
+      store.writeIfAbsent(checkpointPath(root, staged.version), c))
+    staged.version
+  }
+
+  private def commit(
+      store: LogStore, root: Path, baseManifest: Manifest,
+      newFiles: Seq[FileEntry], newSchema: Option[String],
+      op: String, full: Boolean,
+      extraSchemas: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None,
+      extraProps: Map[String, String] = Map.empty): Long =
+    publishStaged(store, root, stageCommit(baseManifest, newFiles, newSchema,
+      op, full, extraSchemas, txn, extraProps))
 
   /** RESTORE: publish a new version CONTENT-IDENTICAL to an earlier
     * one by carrying that version's file list BY REFERENCE — zero data
@@ -758,7 +786,7 @@ object TxTable {
     * scan grounds that induction. Zero cost when the table has no
     * constraints. A constraint on a column the evolved schema dropped
     * fails analysis here — loud, by design. */
-  private def enforceConstraints(
+  private[ext] def enforceConstraints(
       spark: SparkSession, root: Path, m: Manifest,
       fresh: Seq[FileEntry], schemaJson: Option[String]): Unit = {
     val cs = constraintsOf(m.props)
@@ -781,7 +809,7 @@ object TxTable {
   /** List the parquet files a commit's write produced, as entries
     * relative to the table root, with partition values parsed from the
     * `col=value` directory names when `partitionCol` is set. */
-  private def listCommitFiles(
+  private[ext] def listCommitFiles(
       fs: FileSystem, root: Path, commitDir: Path,
       partitionCol: Option[String]): Seq[FileEntry] = {
     val it = fs.listFiles(commitDir, true)
@@ -802,7 +830,7 @@ object TxTable {
     out.toSeq
   }
 
-  private def newCommitDir(root: Path, version: Long): Path =
+  private[ext] def newCommitDir(root: Path, version: Long): Path =
     new Path(new Path(root, "data"),
       s"v$version-${java.util.UUID.randomUUID().toString.take(8)}")
 
@@ -830,7 +858,7 @@ object TxTable {
     * O(manifest-entry) bytes regardless of row count. A file whose
     * column is all-NULL records NO stats/bloom for it (the read side's
     * conservative must-read path) instead of NPE-ing the commit. */
-  private def gatherFileMeta(
+  private[ext] def gatherFileMeta(
       spark: SparkSession, root: Path, entries: Seq[FileEntry],
       statsCols: Seq[String],
       bloom: Option[(String, Int, Int)],
@@ -899,7 +927,7 @@ object TxTable {
     * recorded ([[NdvLaneProp]]): per-file register sketches only
     * compose when every file hashed the same way, so a rewrite must
     * never flip lanes. */
-  private def propagateSkipping(
+  private[ext] def propagateSkipping(
       spark: SparkSession, root: Path, base: Manifest,
       fresh: Seq[FileEntry], freshCols: Seq[String]): Seq[FileEntry] = {
     if (fresh.isEmpty) return fresh
@@ -1164,6 +1192,77 @@ object TxTable {
     }.reduce(_ && _))
   }
 
+  /** Broadcast election for [[joinOnKey]]'s KEY-ONLY build side,
+    * answered from the MANIFEST ALONE (no data file opened, no Spark
+    * job — the r15 "NDV recorded but consumed by nothing" gap): true
+    * iff EVERY live file sketches `key` and the merged-register NDV
+    * estimate fits `maxKeys`. Conservative in both failure directions:
+    * a missing sketch elects the shuffle plan (never an unsized
+    * broadcast), and deletion vectors only SHRINK the true key set
+    * below the sketch estimate (registers are never decremented), so a
+    * DV-heavy table can at worst shuffle when it could have broadcast
+    * — never broadcast a side bigger than estimated. */
+  private[graft] def electBroadcastKeys(
+      m: Manifest, key: String, maxKeys: Long): Boolean =
+    manifestNdv(m).exists { case (c, est) => c == key && est <= maxKeys }
+
+  /** Broadcast election for a FULL-ROW build side: manifest byte sum
+    * (recorded per file at commit) with 4× headroom for parquet-decode
+    * expansion of the broadcast relation — the same actual-bytes
+    * discipline as the DV side's election in [[readFiles]]. Files
+    * with unrecorded sizes (pre-upgrade manifests) make the election
+    * false, never a guess. */
+  private[graft] def electBroadcastRows(m: Manifest, maxBytes: Long): Boolean =
+    m.files.forall(_.bytes > 0L) && m.files.map(_.bytes).sum * 4 <= maxBytes
+
+  /** Join `left` against this table's snapshot with the BUILD-SIDE
+    * STRATEGY elected from manifest statistics alone — the consumer of
+    * the commit-time sketch pass ([[gatherFileMeta]]): at 100 TB the
+    * difference between a broadcast and a shuffle of the fact side is
+    * the whole query, and this decision costs one log read, zero data
+    * files, zero Spark jobs.
+    *
+    *   - `leftsemi` / `leftanti`: the build side reduces to the
+    *     table's DISTINCT keys, so its size is NDV × key-width — the
+    *     number the manifest's merged HLL registers estimate
+    *     ([[metaNdv]]). Estimate ≤ `maxBroadcastKeys` ⇒ broadcast the
+    *     distinct-key frame (the IN-set plan: one map-side-combined
+    *     distinct, then a broadcast probe with zero fact shuffle);
+    *     otherwise a shuffled semi join. The distinct pre-aggregation
+    *     rides either plan — its exchange output is already hash-
+    *     partitioned on the key, which the shuffled join then reuses.
+    *   - any other join type carries FULL rows, so the election keys
+    *     on recorded file bytes ([[electBroadcastRows]]).
+    *
+    * Correctness is decision-independent: the key frame always reads
+    * through the DV-filtered snapshot ([[read]]), so tombstoned rows
+    * never contribute keys even while the sketch still counts them
+    * (stale-but-conservative — see [[electBroadcastKeys]]). */
+  def joinOnKey(
+      spark: SparkSession, dir: String, left: DataFrame, leftKey: String,
+      txKey: String, joinType: String = "leftsemi",
+      versionAsOf: Option[Long] = None,
+      maxBroadcastKeys: Long = 1L << 20,
+      maxBroadcastBytes: Long = 32L << 20): DataFrame = {
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    val m = readManifest(spark, dir, v)
+    val snapshot = read(spark, dir, versionAsOf = Some(v))
+    val keyOnly = joinType == "leftsemi" || joinType == "leftanti"
+    // reserved name: left-side columns survive a semi/anti join, so the
+    // probe key must not collide with any left column
+    val probeKey = "__graft_join_key"
+    val side =
+      if (keyOnly) snapshot.select(col(txKey).as(probeKey)).distinct()
+      else snapshot.withColumnRenamed(txKey, probeKey)
+    val elected =
+      if (keyOnly) electBroadcastKeys(m, txKey, maxBroadcastKeys)
+      else electBroadcastRows(m, maxBroadcastBytes)
+    val built = if (elected) broadcast(side) else side
+    val joined = left.join(built, col(leftKey) === col(probeKey), joinType)
+    if (keyOnly) joined else joined.withColumnRenamed(probeKey, txKey)
+  }
+
   /** Read entries as one DataFrame. Files are grouped by their commit
     * directory so each group reads with its own `basePath` (restoring
     * the partition column the `col=value` layout encodes); the union
@@ -1268,16 +1367,24 @@ object TxTable {
     * Entries WITHOUT DVs read exactly as before (zero join, zero
     * metadata projection — the common case pays nothing); entries
     * WITH DVs read with (file, pos) row identity, join the per-FILE
-    * bitmap side on the path alone, and drop rows whose position any
-    * stacked bitmap tombstones ([[DvAnyContains]] — a static O(1)
-    * probe inside whole-stage codegen). The bitmap side holds ONE row
-    * per (tombstoned file × DML commit), so it is broadcast-sized by
-    * construction for point DML; the decision still keys on the
-    * sidecars' ACTUAL on-disk bytes with a mass-delete shuffle
-    * fallback. Pre-bitmap sidecars (one (file, pos) row per tombstone)
-    * are packed into the same shape at read time, so tables written
-    * before the bitmap format upgrade keep reading. `withRowId`
-    * additionally exposes [[DvFileCol]]/[[DvPosCol]] to DML writers. */
+    * bitmap side on the path alone, and drop rows whose position the
+    * file's bitmap tombstones ([[DvContains]] — a static O(1) probe
+    * inside whole-stage codegen). The per-commit bitmap STACK is
+    * OR-merged at read into ONE container per file ([[DvUnion]] —
+    * dense partials adopted by reference, never replayed), so a
+    * compaction-starved table hit by N DML waves still carries one
+    * bitmap per file and the scan probes ONE container per row —
+    * exactly the bytes a compact would have reconciled, paid once per
+    * query instead of N times per row. The bitmap side holds ONE row
+    * per tombstoned file, so it is broadcast-sized by construction
+    * for point DML; the decision still keys on the sidecars' ACTUAL
+    * on-disk bytes with a mass-delete shuffle fallback (the merged
+    * side is never LARGER than the stacked sidecar bytes: OR can only
+    * collapse). Pre-bitmap sidecars (one (file, pos) row per
+    * tombstone) are packed into the same shape at read time, so
+    * tables written before the bitmap format upgrade keep reading.
+    * `withRowId` additionally exposes [[DvFileCol]]/[[DvPosCol]] to
+    * DML writers. */
   private def readFiles(
       spark: SparkSession, root: Path, files: Seq[FileEntry],
       schemas: Map[String, String] = Map.empty,
@@ -1299,7 +1406,7 @@ object TxTable {
         }
         val dv = perDir.reduce(_.unionByName(_))
           .groupBy(col("file").as(DvFileCol))
-          .agg(collect_list(col("bits")).as(DvBitsCol))
+          .agg(DvUnion.agg(col("bits")).as(DvBitsCol))
         // broadcast decision on the sidecars' ACTUAL bytes (driver-side
         // FS stat, one RPC per DML commit since the last compact), with
         // headroom for parquet-decode expansion of the bitmap payloads
@@ -1309,7 +1416,7 @@ object TxTable {
         val filtered = rawRead(spark, root, dved, schemas, withRowId = true)
           .join(side, Seq(DvFileCol), "left")
           .where(col(DvBitsCol).isNull ||
-            !DvAnyContains(col(DvBitsCol), col(DvPosCol)))
+            !DvContains(col(DvBitsCol), col(DvPosCol)))
           .drop(DvBitsCol)
         if (withRowId) filtered else filtered.drop(DvFileCol, DvPosCol)
       }).flatten

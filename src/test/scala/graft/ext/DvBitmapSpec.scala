@@ -1,6 +1,5 @@
 package graft.ext
 
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
@@ -58,15 +57,36 @@ class DvBitmapSpec extends AnyFunSuite {
     }
   }
 
-  test("containsAny probes a stack of containers") {
-    val a = DvBitmap.pack(Array(5L, 6L))
-    val b = DvBitmap.pack(Array(1L << 35))
-    val stack = new GenericArrayData(Array[Any](a, b))
-    assert(DvBitmap.containsAny(stack, 5L))
-    assert(DvBitmap.containsAny(stack, 6L))
-    assert(DvBitmap.containsAny(stack, 1L << 35))
-    assert(!DvBitmap.containsAny(stack, 7L))
-    assert(!DvBitmap.containsAny(stack, 0L))
+  test("DvUnion merge law: OR of packed containers == pack of the union, any spans") {
+    // the r16 read-path collapse: stacked per-commit containers of ONE
+    // file OR-merge into bytes IDENTICAL to packing the united
+    // position set — across disjoint sets in every container-shape
+    // combination (dense×dense, dense×sparse, near and far spans)
+    val prop = Prop.forAll(Gen.listOfN(4, posSets)) { sets =>
+      // disjoint-ify: stacked DML refs tombstone distinct positions
+      // (each commit matches only still-visible rows); shift each set
+      // to its own position band so shapes stay diverse
+      val shifted = sets.zipWithIndex.map { case (ps, i) =>
+        ps.map(_ + i * (1L << 22))
+      }
+      val all = shifted.flatten.distinct.sorted.toArray
+      val acc = new DvAcc
+      shifted.filter(_.nonEmpty).foreach(ps =>
+        acc.mergeFrom(DvAcc.from(DvBitmap.pack(ps))))
+      all.isEmpty || java.util.Arrays.equals(acc.packed(), DvBitmap.pack(all))
+    }
+    check("dv-union merge law", prop)
+  }
+
+  test("DvUnion merge law holds for OVERLAPPING containers (repair replays)") {
+    val a = DvBitmap.pack(Array(5L, 6L, 1000L))
+    val b = DvBitmap.pack(Array(6L, 1000L, 1L << 35)) // overlaps a
+    val acc = new DvAcc
+    acc.mergeFrom(DvAcc.from(a))
+    acc.mergeFrom(DvAcc.from(b))
+    val merged = acc.packed()
+    for (p <- Seq(5L, 6L, 1000L, 1L << 35)) assert(DvBitmap.contains(merged, p))
+    for (p <- Seq(0L, 7L, 999L, (1L << 35) + 1)) assert(!DvBitmap.contains(merged, p))
   }
 
   test("pack refuses an empty set; dense/sparse agree at the size tie") {

@@ -1193,6 +1193,143 @@ abstract class TxTableBehaviors extends SparkSpec {
     }
   }
 
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+
+  /** Run with Spark's own size-based auto-broadcast OFF, so the only
+    * thing that can produce a BroadcastHashJoin is [[TxTable.joinOnKey]]'s
+    * manifest-elected hint — at toy spec scale every table sits under
+    * the 10 MB default and Spark would broadcast regardless, masking
+    * the election under test. */
+  private def withAutoBroadcastOff[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("joinOnKey: manifest-NDV broadcast election — plan flips on the sketch, " +
+      "rows never change") {
+    withAutoBroadcastOff { inDir { dir =>
+      import spark.implicits._
+      // dim: 16 distinct keys across 64 rows, sketched at commit
+      val dim = (0 until 64).map(i => ((i % 16).toLong, i.toLong))
+        .toDF("uid", "payload")
+      TxTable.commitReplace(spark, dir, dim, statsCols = Seq("uid"))
+      val fact = (0 until 200).map(i => (i.toLong % 40, i * 2.0)).toDF("k", "v")
+      val expect = fact.where(col("k") < 16).collect().map(_.getLong(0)).sorted
+      // small sketch ⇒ broadcast IN-set plan
+      val bj = TxTable.joinOnKey(spark, dir, fact, "k", "uid")
+      assert(planOf(bj).contains("BroadcastHashJoin"), planOf(bj))
+      assert(bj.collect().map(_.getLong(0)).sorted === expect)
+      assert(bj.columns.toSeq === Seq("k", "v"), "semi join keeps left columns only")
+      // same query under a tiny key budget ⇒ shuffled semi join, same rows
+      val sj = TxTable.joinOnKey(spark, dir, fact, "k", "uid", maxBroadcastKeys = 4)
+      assert(!planOf(sj).contains("BroadcastHashJoin"), planOf(sj))
+      assert(sj.collect().map(_.getLong(0)).sorted === expect)
+      // leftanti: the complement, same election machinery
+      val aj = TxTable.joinOnKey(spark, dir, fact, "k", "uid", joinType = "leftanti")
+      assert(planOf(aj).contains("BroadcastHashJoin"), planOf(aj))
+      assert(aj.collect().map(_.getLong(0)).min === 16L)
+    }
+  } }
+
+  test("joinOnKey: no sketch for the key ⇒ conservative shuffle, never an " +
+      "unsized broadcast") {
+    withAutoBroadcastOff { inDir { dir =>
+      import spark.implicits._
+      // committed WITHOUT statsCols: no HLL registers in the manifest
+      val dim = (0 until 8).map(i => (i.toLong, i.toLong)).toDF("uid", "payload")
+      TxTable.commitReplace(spark, dir, dim)
+      val m = TxTable.readManifest(spark, dir, 1L)
+      assert(!TxTable.electBroadcastKeys(m, "uid", Long.MaxValue))
+      val fact = (0 until 20).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      val j = TxTable.joinOnKey(spark, dir, fact, "k", "uid")
+      assert(!planOf(j).contains("BroadcastHashJoin"), planOf(j))
+      assert(j.count() === 8)
+    }
+  } }
+
+  test("joinOnKey: stale-but-conservative under DVs — the sketch keeps " +
+      "over-counting, the rows read the tombstone-filtered truth") {
+    withAutoBroadcastOff { inDir { dir =>
+      import spark.implicits._
+      val dim = (0 until 64).map(i => ((i % 16).toLong, i.toLong))
+        .toDF("uid", "payload")
+      TxTable.commitReplace(spark, dir, dim, statsCols = Seq("uid"))
+      val estBefore = TxTable.metaNdv(spark, dir, "uid").get
+      // tombstone all but uid ∈ {0,1}: the TRUE key set shrinks to 2…
+      TxTable.deleteWhereDv(spark, dir, col("uid") >= 2L)
+      // …but registers never decrement: the estimate is unchanged —
+      // an over-count, which can only steer toward shuffle, never an
+      // under-sized broadcast
+      assert(TxTable.metaNdv(spark, dir, "uid").get === estBefore)
+      val fact = (0 until 20).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      val j = TxTable.joinOnKey(spark, dir, fact, "k", "uid")
+      assert(planOf(j).contains("BroadcastHashJoin"), planOf(j))
+      assert(j.collect().map(_.getLong(0)).toSet === Set(0L, 1L),
+        "tombstoned keys must not survive into the IN-set")
+    }
+  } }
+
+  test("joinOnKey: full-row join elects broadcast on recorded manifest bytes") {
+    withAutoBroadcastOff { inDir { dir =>
+      import spark.implicits._
+      val dim = (0 until 16).map(i => (i.toLong, s"name_$i")).toDF("uid", "label")
+      TxTable.commitReplace(spark, dir, dim, statsCols = Seq("uid"))
+      val fact = (0 until 40).map(i => (i.toLong % 20, i * 1.0)).toDF("k", "v")
+      val j = TxTable.joinOnKey(spark, dir, fact, "k", "uid", joinType = "inner")
+      assert(planOf(j).contains("BroadcastHashJoin"), planOf(j))
+      assert(j.columns.toSet === Set("k", "v", "uid", "label"),
+        "inner join exposes the table's columns under their own names")
+      assert(j.count() === 32) // k ∈ 0..15 matches, two fact rows each
+      // a 1-byte budget cannot broadcast: the same join shuffles
+      val sj = TxTable.joinOnKey(spark, dir, fact, "k", "uid",
+        joinType = "inner", maxBroadcastBytes = 1L)
+      assert(!planOf(sj).contains("BroadcastHashJoin"), planOf(sj))
+      assert(sj.count() === 32)
+    }
+  } }
+
+  test("compaction-starved table: 50 stacked DV commits read via ONE " +
+      "compact-sized container per file") {
+    inDir { dir =>
+      TxTable.commitReplace(spark, dir, snap(200), Some("pbucket"))
+      // 50 point-DML waves, no maintenance in between — the r15
+      // VERDICT shape where the old collect_list read carried 50
+      // containers per file and probed every one per row
+      (0 until 50).foreach(i =>
+        TxTable.deleteWhereDv(spark, dir, col("event_id") === i.toLong))
+      val expect = snap(200).where(col("event_id") >= 50)
+      assert(rows(TxTable.read(spark, dir)) === rows(expect))
+      assert(TxTable.metaCount(spark, dir) === 150L)
+      val m = TxTable.readManifest(spark, dir,
+        TxTable.latestVersion(spark, dir).get)
+      assert(m.files.map(_.dvs.size).max >= 10,
+        "the scenario must genuinely stack refs (no silent compaction)")
+      // READ-SIDE PAYLOAD BOUND: OR-merging a file's whole stack
+      // (exactly what readFiles' DvUnion does) yields bytes IDENTICAL
+      // to the ONE container compact would write for its tombstone
+      // set — per-file DV payload is bounded by the united position
+      // set, independent of how many DML commits produced it
+      val dvDirs = m.files.flatMap(_.dvs.map(_.dir)).distinct
+      val sidecars = dvDirs.map(d => spark.read.parquet(s"$dir/$d"))
+        .reduce(_.unionByName(_))
+      val posByFile = sidecars.collect()
+        .map(r => r.getAs[String]("file") -> r.getAs[Array[Byte]]("bits"))
+        .groupBy(_._1)
+        .view.mapValues(_.flatMap(e => DvBitmap.positions(e._2))
+          .distinct.sorted).toMap
+      val merged = sidecars.groupBy("file")
+        .agg(DvUnion.agg(col("bits")).as("bits")).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(merged.keySet === posByFile.keySet)
+      merged.foreach { case (f, bytes) =>
+        assert(java.util.Arrays.equals(bytes, DvBitmap.pack(posByFile(f))),
+          s"merged container of $f must be byte-identical to compact's")
+      }
+    }
+  }
+
   test("table root containing a space: DV tombstones attach; COW DML matches") {
     inDir { base =>
       // the scan's _metadata.file_path renders this root URL-ENCODED
