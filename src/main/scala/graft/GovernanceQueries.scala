@@ -560,6 +560,80 @@ object GovernanceQueries {
             round(col("ndv_event_id"), 4).as("ndv_event_id"),
             round(col("ndv_uid"), 4).as("ndv_uid"))
       }
+    },
+
+    // Manifest-NDV-elected semi join (the r15 "recorded but consumed
+    // by nothing" payoff): a fact frame filtered by membership in a
+    // TxTable's key set, with the build-side strategy decided from the
+    // LOG ALONE — the merged HLL sketch says the dim holds ~40
+    // distinct keys, so the distinct-key frame broadcasts and the fact
+    // side never shuffles (the plan every IN-subquery wants at 100 TB
+    // when the IN-set is small). The lane PINS the elected plan (a
+    // regression to a shuffled join fails the require, not just the
+    // golden snapshot); the oracle replays the semi join relationally.
+    // Election conservatism under DVs: TxTableSpec proves a
+    // mass-deleted dim keeps the same (over-)estimate and stays
+    // row-correct.
+    Q("q186_tx_ndv_join", GovernanceOracles.ndvJoin) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_ndvjoin") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.where(col("user_id") % 5 === 0)
+            .select((col("user_id") % 200).as("uid"), col("event_id")),
+          statsCols = Seq("uid"), ndvMirrorable = true)
+        val fact = ev.select((col("user_id") % 200).as("k"), col("value"))
+        val joined = graft.ext.TxTable.joinOnKey(s, table, fact, "k", "uid")
+        require(joined.queryExecution.explainString(
+            org.apache.spark.sql.execution.SimpleMode)
+          .contains("BroadcastHashJoin"),
+          "manifest NDV (~40 keys) must elect the broadcast semi join")
+        localized(joined
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+          .orderBy("k"))
+      }
+    },
+
+    // Multi-table ATOMIC commit (r14/r15 gap closed): a fact table and
+    // its derived summary move under ONE intent-coordinated
+    // transaction ([[graft.ext.PairTxn]]) — seed pair-commit, then a
+    // second pair-commit appending a fact delta while replacing the
+    // summary. The lane PINS the pair invariant (summary read-back ==
+    // re-aggregated fact at the shared post-txn state); PairTxnSpec
+    // kills the writer in every crash-matrix cell and proves
+    // roll-forward. The oracle replays the final summary relationally.
+    Q("q187_tx_pair_commit", GovernanceOracles.pairCommit) { (s, dir) =>
+      import graft.ext.PairTxn
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_pair") { tmp =>
+        val fact = s"$tmp/fact"
+        val summary = s"$tmp/summary"
+        def summarize(df: DataFrame): DataFrame =
+          df.groupBy((col("event_id") % 6).as("k"))
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        val seed = ev.where(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket"))
+        PairTxn.commitPair(s, tmp,
+          PairTxn.PairCommit(fact, seed, replace = true, Some("pbucket")),
+          PairTxn.PairCommit(summary, summarize(seed), replace = true))
+        val delta = ev.where(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("value"), (col("event_id") % 8).as("pbucket"))
+        val (vF, vS) = PairTxn.commitPair(s, tmp,
+          PairTxn.PairCommit(fact, delta, partitionCol = Some("pbucket")),
+          PairTxn.PairCommit(summary, summarize(seed.unionByName(delta)),
+            replace = true))
+        require(vF == 2L && vS == 2L, s"pair must move in step: $vF/$vS")
+        // the pair invariant at the shared post-txn state: the summary
+        // IS the aggregate of the fact it was committed with
+        val fromFact = summarize(graft.ext.TxTable.read(s, fact))
+          .orderBy("k").collect().toSeq
+        val stored = graft.ext.TxTable.read(s, summary)
+          .orderBy("k").collect().toSeq
+        require(fromFact == stored,
+          "summary must equal the re-aggregated fact at the shared version")
+        localized(graft.ext.TxTable.read(s, summary).orderBy("k"))
+      }
     }
   )
 }
@@ -598,6 +672,24 @@ object GovernanceOracles {
        |  (SELECT est FROM e_e) AS ndv_event_id,
        |  (SELECT est FROM e_u) AS ndv_uid""".stripMargin
   }
+
+  /** q187: the pair-committed summary is, by the pair invariant, the
+    * plain aggregate over ALL events (seed ∪ delta = everything). */
+  val pairCommit: String =
+    """SELECT event_id % 6 AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q186: the NDV-elected semi join replayed relationally — the
+    * election changes the PLAN, never the rows, so the oracle is the
+    * plain IN-subquery. */
+  val ndvJoin: String =
+    """SELECT user_id % 200 AS k, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events
+      |WHERE user_id % 200 IN (
+      |  SELECT DISTINCT user_id % 200 FROM events WHERE user_id % 5 = 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The q172 MERGE replayed over a FULL OUTER JOIN with the engine's
     * fixed clause order: delete wins over update on matched rows; a
