@@ -85,6 +85,13 @@ final class ObjectStoreLogStore(client: ConditionalPutClient, fs: FileSystem)
     // the filesystem LIST — one object-store round-trip per log
     // listing — buys nothing. Migrated tables (no marker) keep the
     // union: pre-adoption entries exist ONLY on the filesystem.
+    // CONSTRAINT the marker hardens: a legacy HadoopLogStore writer
+    // joining a CAS-native table publishes filesystem-only versions
+    // this listing will never surface — not merely unsafe but
+    // INVISIBLE. The first CAS writer to target such a squatted
+    // version fails loudly (see writeIfAbsent's split-brain check);
+    // until then those commits are unreadable here by design, which
+    // is why the migration rule is an atomic all-writers switch.
     val fromFs =
       if (fromClient.contains(CasNativeMarker)) Seq.empty
       else if (!fs.exists(dir)) Seq.empty
@@ -103,7 +110,17 @@ final class ObjectStoreLogStore(client: ConditionalPutClient, fs: FileSystem)
         // Off the happy path: one exists() probe only when the client
         // held the bytes, and on a real object store client==fs so
         // the probe answers from the same LIST/HEAD the read warmed.
-        if (!fs.exists(path)) materialize(path, content)
+        // BEST-EFFORT: the reader already HOLDS the bytes, so repair
+        // capability is never a precondition for reading — a client
+        // without filesystem write permission logs and serves the
+        // content (the next privileged reader repairs). Only I/O
+        // failures are absorbed; the SPLIT-BRAIN error inside
+        // materialize stays loud — that is a consistency violation,
+        // not a permission problem.
+        try { if (!fs.exists(path)) materialize(path, content) }
+        catch { case e: java.io.IOException =>
+          System.err.println(s"[caslog] best-effort repair of $path " +
+            s"skipped (${e.getMessage}); serving the client copy") }
         content
       case None =>
         val in = fs.open(path)
@@ -162,8 +179,26 @@ final class ObjectStoreLogStore(client: ConditionalPutClient, fs: FileSystem)
 
   override def writeIfAbsent(path: Path, content: String): Boolean = {
     // guard against pre-adoption entries the client has never seen:
-    // version N published by the old HadoopLogStore must still lose
-    if (fs.exists(path) && client.get(key(path)).isEmpty) return false
+    // version N published by the old HadoopLogStore must still lose —
+    // EXCEPT on a CAS-NATIVE table, where a pre-adoption entry cannot
+    // exist: a filesystem-only object there means a legacy
+    // HadoopLogStore writer is publishing versions CAS readers will
+    // never list (the silent-loss direction of the mixed-rollout
+    // hazard). Losing quietly would also wedge this writer's OCC
+    // retry loop forever (list() never surfaces the squatter, so every
+    // retry re-targets the same occupied version) — fail loudly
+    // naming the constraint instead.
+    if (fs.exists(path) && client.get(key(path)).isEmpty) {
+      if (client.listPrefix(key(path.getParent) + "/").contains(CasNativeMarker))
+        sys.error(
+          s"SPLIT-BRAIN at $path: this table's log is CAS-NATIVE (born under " +
+            "ObjectStoreLogStore) yet the filesystem carries a log object the " +
+            "coordination client never saw — a legacy HadoopLogStore writer is " +
+            "publishing versions that CAS readers will silently never list. " +
+            "Migration requires ALL writers to switch stores atomically; " +
+            "reconcile the filesystem copy by hand.")
+      return false
+    }
     val won = client.putIfNoneMatch(key(path), content)
     if (won) {
       // first CAS-published entry of a fresh table ⇒ no pre-adoption

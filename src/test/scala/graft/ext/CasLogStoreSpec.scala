@@ -170,6 +170,119 @@ class CasLogStoreSpec extends SparkSpec {
     }
   }
 
+  test("read repair is BEST-EFFORT: a reader without fs write permission still gets the bytes") {
+    graft.QueryUtil.inTempDir("graft_cas_ro") { dir =>
+      val fs = rawFs(dir)
+      val log = new Path(new Path(dir), "_graft_log")
+      val p = new Path(log, "00000000000000000001.json")
+      // client-only entry (a crashed winner), read through a store
+      // whose filesystem refuses writes — the r16 ADVICE case: repair
+      // capability must never be a precondition for reading
+      InMemoryCasClient.putIfNoneMatch(keyOf(fs, p), "content")
+      val readOnly = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+        override def getScheme: String = this.fs.getScheme
+        override def mkdirs(f: Path, perm: org.apache.hadoop.fs.permission.FsPermission) =
+          throw new java.io.IOException("read-only filesystem")
+        override def create(f: Path, overwrite: Boolean) =
+          throw new java.io.IOException("read-only filesystem")
+      }
+      val store = new ObjectStoreLogStore(InMemoryCasClient, readOnly)
+      assert(store.read(p) === "content",
+        "a failed repair must not fail the read")
+      assert(!fs.exists(p), "nothing materialized through a read-only fs")
+      // a writable store later repairs the same entry as usual
+      val writable = new ObjectStoreLogStore(InMemoryCasClient, fs)
+      assert(writable.read(p) === "content")
+      assert(fsText(p) === "content")
+    }
+  }
+
+  test("legacy HadoopLogStore writer on a CAS-NATIVE table fails LOUDLY instead of publishing invisible versions") {
+    graft.QueryUtil.inTempDir("graft_cas_legacy_native") { dir =>
+      val fs = rawFs(dir)
+      val log = new Path(new Path(dir), "_graft_log")
+      val store = new ObjectStoreLogStore(InMemoryCasClient, fs)
+      // table BORN through CAS — marker set, list() filesystem-free
+      assert(store.writeIfAbsent(new Path(log, "00000000000000000001.json"), "v1"))
+      // a legacy writer renames version 2 straight onto the filesystem
+      // (the silent-loss direction: CAS readers would never list it)
+      val squatted = new Path(log, "00000000000000000002.json")
+      val out = fs.create(squatted, false)
+      try out.write("LEGACY CONTENT".getBytes("UTF-8")) finally out.close()
+      // the first CAS writer to target that version detects the
+      // squatter and names the constraint — without this it would
+      // return false forever and wedge the OCC retry loop
+      val e = intercept[RuntimeException] { store.writeIfAbsent(squatted, "cas v2") }
+      assert(e.getMessage.contains("CAS-NATIVE"))
+      assert(e.getMessage.contains("silently never list"), e.getMessage)
+      assert(fsText(squatted) === "LEGACY CONTENT", "legacy bytes untouched")
+    }
+  }
+
+  test("chaos property: writers × random kill points × racing repairers → one linear history, fs and client agree") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val writers = 4
+    val versions = 5
+    // kill mode per (version, writer): 0 = healthy, 1 = dies BEFORE its
+    // CAS (no claim), 2 = dies BETWEEN CAS and materialize (client-only
+    // claim) — the generalization of the two hand-written crash specs
+    val gen = Gen.listOfN(versions * writers, Gen.choose(0, 2))
+    val prop = Prop.forAll(gen) { kills =>
+      graft.QueryUtil.inTempDir("graft_cas_chaos") { dir =>
+        val fs = rawFs(dir)
+        val log = new Path(new Path(dir), "_graft_log")
+        def clientWith(mode: Int): ConditionalPutClient = new ConditionalPutClient {
+          override def putIfNoneMatch(key: String, content: String): Boolean = {
+            if (mode == 1) sys.error("killed before CAS")
+            val won = InMemoryCasClient.putIfNoneMatch(key, content)
+            if (won && mode == 2) sys.error("killed between CAS and materialize")
+            won
+          }
+          override def get(key: String) = InMemoryCasClient.get(key)
+          override def listPrefix(prefix: String) = InMemoryCasClient.listPrefix(prefix)
+          override def delete(key: String): Unit = InMemoryCasClient.delete(key)
+        }
+        def pathOf(v: Int) = new Path(log, f"$v%020d.json")
+        for (v <- 1 to versions) {
+          val threads = (0 until writers).map { w =>
+            new Thread(() => {
+              val st = new ObjectStoreLogStore(
+                clientWith(kills((v - 1) * writers + w)), fs)
+              try { st.writeIfAbsent(pathOf(v), s"w$w-v$v"); () }
+              catch { case _: RuntimeException => () } // the kill
+            })
+          }
+          threads.foreach(_.start()); threads.foreach(_.join())
+          // a slot every writer died before claiming is re-driven by a
+          // recovery writer (the OCC retry any real pipeline runs)
+          new ObjectStoreLogStore(InMemoryCasClient, fs)
+            .writeIfAbsent(pathOf(v), s"recovery-v$v")
+        }
+        val store = new ObjectStoreLogStore(InMemoryCasClient, fs)
+        val names = store.list(log)
+        // racing repairers sweep the log concurrently
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val repairers = (1 to 4).map(_ => new Thread(() =>
+          try names.foreach(n => store.read(new Path(log, n)))
+          catch { case t: Throwable => errs.add(t) }))
+        repairers.foreach(_.start()); repairers.foreach(_.join())
+        val linear = names.toSet ==
+          (1 to versions).map(v => f"$v%020d.json").toSet
+        errs.isEmpty && linear && (1 to versions).forall { v =>
+          val p = pathOf(v)
+          val claimed = InMemoryCasClient.get(keyOf(fs, p))
+          // exactly one winner; reads, filesystem and client all agree;
+          // the decided claim can never be re-won
+          claimed.nonEmpty && store.read(p) == claimed.get &&
+            fs.exists(p) && fsText(p) == claimed.get &&
+            !store.writeIfAbsent(p, "late usurper")
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.toString)
+  }
+
   test("split-brain during a mixed-store rollout fails LOUDLY naming the constraint") {
     graft.QueryUtil.inTempDir("graft_cas_split") { dir =>
       val fs = rawFs(dir)
