@@ -617,8 +617,11 @@ object CorpusOpsQueries {
     // "tokenized" and "packed"): vocab = top-30 tokens by (count desc,
     // token asc), ids 0-based in rank order, OOV → -1 (the corpus
     // holds 31 distinct tokens at every SF, so the OOV path is
-    // genuinely exercised). ENGINE path: the vocab rides as a map
-    // literal into `transform`+`try_element_at` — codegen, zero
+    // genuinely exercised). The vocab is a VERSIONED ASSET (r16): the
+    // lane freezes it through a TxTable commit and tokenizes AS OF
+    // that version — the reproducibility contract VocabSpec pins
+    // across corpus appends. ENGINE path: the loaded vocab rides as a
+    // map literal into `transform`+`try_element_at` — codegen, zero
     // shuffle, zero join. ORACLE path: the same mapping replayed
     // RELATIONALLY (rank the vocab, positional lookup per token) —
     // same rows, one exchange heavier, which is the point of the
@@ -639,12 +642,20 @@ object CorpusOpsQueries {
         |  len(list_filter(tids, x -> x = -1)) AS n_oov
         |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      Vocab.tokenizeWithVocab(s, docs, "text", vocabSize = 30, Vocab.Unk(-1))
-        .select(col("doc_id"),
-          concat_ws(",", col("token_ids")).as("ids"),
-          size(col("token_ids")).as("n_tokens"),
-          size(filter(col("token_ids"), _ === -1)).as("n_oov"))
-        .orderBy("doc_id")
+      graft.QueryUtil.inTempDir("graft_vocab_asset") { tmp =>
+        val asset = s"$tmp/vocab"
+        val v = Vocab.freeze(s, docs, col("text"), vocabSize = 30, asset)
+        // the returned frame is STILL the zero-shuffle map-literal plan
+        // over the corpus alone: loadAsOf collected the asset into the
+        // literal, so nothing lazy references the temp dir
+        Vocab.tokenizeWithFrozenVocab(s, docs, "text", asset,
+            versionAsOf = Some(v), Vocab.Unk(-1))
+          .select(col("doc_id"),
+            concat_ws(",", col("token_ids")).as("ids"),
+            size(col("token_ids")).as("n_tokens"),
+            size(filter(col("token_ids"), _ === -1)).as("n_oov"))
+          .orderBy("doc_id")
+      }
     },
 
     // Z-order (Morton) curve index over (user bucket, value bucket) —

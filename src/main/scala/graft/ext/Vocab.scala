@@ -82,12 +82,72 @@ object Vocab {
 
   /** Whole-table convenience over `documents`-shaped input: tokenize
     * `textCol` (whitespace, the corpus-wide recipe) and apply a vocab
-    * built from the corpus itself at `vocabSize` — the q184 lane. */
+    * built from the corpus itself at `vocabSize`. */
   def tokenizeWithVocab(
       spark: SparkSession, docs: DataFrame, textCol: String,
       vocabSize: Int, oov: OovPolicy): DataFrame = {
     val vocab = buildVocab(docs, col(textCol), vocabSize).toMap
     docs.withColumn("token_ids",
       applyIds(TextAnalysis.tokens(col(textCol)), vocab, oov))
+  }
+
+  /** FREEZE a vocab as a versioned [[TxTable]] asset: build from
+    * `docs`, publish the (token, id) frame as a commit at `assetDir`,
+    * return the version. A real pipeline tokenizes against a frozen
+    * asset, not against whatever the corpus currently counts — the
+    * asset's version is what makes token ids REPRODUCIBLE across
+    * corpus recomputes (append more documents, re-run tokenization AS
+    * OF the frozen version: every old id is bit-identical, new
+    * surface shows up as OOV instead of silently renumbering the
+    * world). Each freeze is one more version of the same asset table:
+    * time travel IS the vocab registry. */
+  def freeze(
+      spark: SparkSession, docs: DataFrame, textCol: Column,
+      vocabSize: Int, assetDir: String): Long = {
+    import spark.implicits._
+    val vocabDf = buildVocab(docs, textCol, vocabSize).toDF("token", "id")
+    TxTable.commitReplace(spark, assetDir, vocabDf)
+  }
+
+  /** Load a frozen vocab AS OF a version (latest when None) back into
+    * the broadcast-asset map. Bounded by construction — the asset IS a
+    * chosen vocab — and validated: duplicate tokens or ids in the
+    * stored frame fail loud rather than silently shadowing mappings. */
+  def loadAsOf(
+      spark: SparkSession, assetDir: String,
+      versionAsOf: Option[Long] = None): Map[String, Int] = {
+    val rows = TxTable.read(spark, assetDir, versionAsOf)
+      .select(col("token").cast("string"), col("id").cast("int"))
+      .collect()
+    val vocab = rows.map(r => r.getString(0) -> r.getInt(1)).toMap
+    require(vocab.size == rows.length,
+      s"frozen vocab at $assetDir carries duplicate tokens")
+    require(rows.map(_.getInt(1)).distinct.length == rows.length,
+      s"frozen vocab at $assetDir carries duplicate ids")
+    vocab
+  }
+
+  /** Tokenize against the FROZEN asset at `assetDir` (AS OF `version`
+    * when given): [[loadAsOf]] + [[applyIds]] — the engine path of a
+    * pipeline whose vocab is a published artifact. */
+  def tokenizeWithFrozenVocab(
+      spark: SparkSession, docs: DataFrame, textCol: String,
+      assetDir: String, versionAsOf: Option[Long], oov: OovPolicy): DataFrame =
+    docs.withColumn("token_ids",
+      applyIds(TextAnalysis.tokens(col(textCol)),
+        loadAsOf(spark, assetDir, versionAsOf), oov))
+
+  /** Per-row OOV rate of `tokens` under `vocab` (0.0 on an empty
+    * array) — the drift metric a frozen-vocab pipeline watches: a
+    * rising corpus-level average means the asset no longer covers the
+    * surface and needs a re-freeze. Same map-literal probe as
+    * [[applyIds]]: codegen, zero shuffle. */
+  def oovRate(tokens: Column, vocab: Map[String, Int]): Column = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    val m = typedlit(vocab)
+    when(size(tokens) === 0, lit(0.0))
+      .otherwise(
+        size(filter(tokens, t => try_element_at(m, t).isNull)).cast("double") /
+          size(tokens).cast("double"))
   }
 }

@@ -704,4 +704,56 @@ class CorpusOpsSpec extends SparkSpec {
     // the corpus really exercises OOV (31 distinct tokens, vocab 30)
     assert(out.filter(array_contains(col("token_ids"), -1)).count() > 0)
   }
+
+  test("Vocab.freeze/loadAsOf: token ids PINNED across a corpus append; " +
+      "oovRate surfaces the drift") {
+    graft.QueryUtil.inTempDir("graft_vocab_frozen") { tmp =>
+      val asset = s"$tmp/vocab"
+      val corpusA = Seq("the cat sat", "the cat ran", "the end").toDF("text")
+      // ids at freeze time: the=0 cat=1, then ties by token asc
+      val v1 = Vocab.freeze(spark, corpusA, col("text"), vocabSize = 10, asset)
+      assert(v1 === 1L)
+      val frozen = Vocab.loadAsOf(spark, asset, Some(v1))
+      assert(frozen === Map("the" -> 0, "cat" -> 1, "end" -> 2, "ran" -> 3, "sat" -> 4))
+      // the corpus grows with a token that OUTRANKS everything — a
+      // naive rebuild would renumber the world
+      val corpusB = corpusA
+        .union(Seq("zebra zebra zebra zebra zebra quokka").toDF("text"))
+      val v2 = Vocab.freeze(spark, corpusB, col("text"), vocabSize = 10, asset)
+      assert(v2 === 2L)
+      // the re-frozen head DOES renumber (that's what freezing is for)…
+      val head = Vocab.loadAsOf(spark, asset, None)
+      assert(head("zebra") === 0 && head("the") === 1)
+      // …while AS OF v1 every original id is bit-identical forever
+      assert(Vocab.loadAsOf(spark, asset, Some(1L)) === frozen)
+      // tokenizing the APPENDED corpus AS OF v1: old docs keep their
+      // exact ids; the new surface shows up as OOV, never as a renumber
+      val ids = Vocab.tokenizeWithFrozenVocab(
+          spark, corpusB, "text", asset, Some(1L), Vocab.Unk(-1))
+        .select(col("text"), col("token_ids")).collect()
+        .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+      assert(ids("the cat sat") === Seq(0, 1, 4))
+      assert(ids("zebra zebra zebra zebra zebra quokka") === Seq.fill(6)(-1))
+      // the drift metric: 0.0 on covered docs, 1.0 on the new surface
+      val rates = corpusB
+        .select(col("text"),
+          Vocab.oovRate(TextAnalysis.tokens(col("text")), frozen).as("r"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(rates("the cat sat") === 0.0)
+      assert(rates("zebra zebra zebra zebra zebra quokka") === 1.0)
+    }
+  }
+
+  test("Vocab.loadAsOf refuses a corrupt asset (duplicate tokens or ids)") {
+    graft.QueryUtil.inTempDir("graft_vocab_corrupt") { tmp =>
+      val dupTok = s"$tmp/dup_tok"
+      TxTable.commitReplace(spark, dupTok,
+        Seq(("a", 0), ("a", 1)).toDF("token", "id"))
+      intercept[IllegalArgumentException](Vocab.loadAsOf(spark, dupTok))
+      val dupId = s"$tmp/dup_id"
+      TxTable.commitReplace(spark, dupId,
+        Seq(("a", 0), ("b", 0)).toDF("token", "id"))
+      intercept[IllegalArgumentException](Vocab.loadAsOf(spark, dupId))
+    }
+  }
 }
