@@ -191,7 +191,11 @@ object PairTxn {
   def commitPair(
       spark: SparkSession, coordDir: String,
       a: PairCommit, b: PairCommit): (Long, Long) = {
-    require(a.dir != b.dir,
+    // compare NORMALIZED roots, not raw strings: "/x/t" and "/x/t/"
+    // alias one table, and a raw compare would let both sides stage
+    // the same version slot — side A publishes, side B then dies with
+    // a misleading STRANDED error blaming a foreign writer
+    require(TxTable.fsOf(spark, a.dir)._2 != TxTable.fsOf(spark, b.dir)._2,
       "commitPair coordinates two DISTINCT tables; same-table multi-writes " +
         "are one ordinary commit")
     recoverPairs(spark, coordDir)

@@ -1252,6 +1252,15 @@ object TxTable {
     // reserved name: left-side columns survive a semi/anti join, so the
     // probe key must not collide with any left column
     val probeKey = "__graft_join_key"
+    require(!left.columns.contains(probeKey),
+      s"left frame carries the reserved join column '$probeKey'")
+    // a row-carrying join renames the probe back to txKey afterwards:
+    // a left frame ALREADY holding a txKey-named column would end up
+    // with two identical names and fail only on first reference —
+    // refuse upfront (the silent-degradation class this repo bans)
+    require(keyOnly || !left.columns.contains(txKey),
+      s"left frame already carries a column named '$txKey'; rename it " +
+        s"(or the table key) before a row-carrying $joinType join")
     val side =
       if (keyOnly) snapshot.select(col(txKey).as(probeKey)).distinct()
       else snapshot.withColumnRenamed(txKey, probeKey)

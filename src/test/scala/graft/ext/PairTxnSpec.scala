@@ -182,4 +182,23 @@ class PairTxnSpec extends SparkSpec {
       assert(e.getMessage.contains("DISTINCT"))
     }
   }
+
+  test("commitPair refuses ALIASED same-table dirs (trailing slash), " +
+      "before staging anything") {
+    inDir { tmp =>
+      val f = fact(6)
+      // a raw string compare would admit this pair; both sides would
+      // then stage the SAME version slot and die mid-publish with a
+      // misleading foreign-writer STRANDED error
+      val e = intercept[IllegalArgumentException] {
+        PairTxn.commitPair(spark, tmp,
+          PairTxn.PairCommit(s"$tmp/t", f, replace = true),
+          PairTxn.PairCommit(s"$tmp/t/", f, replace = true))
+      }
+      assert(e.getMessage.contains("DISTINCT"))
+      // refused UPFRONT: no version published, no orphan staged commit
+      assert(TxTable.latestVersion(spark, s"$tmp/t").isEmpty)
+      assert(!new java.io.File(s"$tmp/t/data").exists())
+    }
+  }
 }

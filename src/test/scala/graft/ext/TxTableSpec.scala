@@ -1290,6 +1290,34 @@ abstract class TxTableBehaviors extends SparkSpec {
     }
   } }
 
+  test("joinOnKey: reserved/colliding left columns are refused upfront, " +
+      "not surfaced as an ambiguous-reference or silent duplicate name") {
+    inDir { dir =>
+      import spark.implicits._
+      val dim = (0 until 8).map(i => (i.toLong, s"n$i")).toDF("uid", "label")
+      TxTable.commitReplace(spark, dir, dim, statsCols = Seq("uid"))
+      // the reserved probe name in the left frame would make the join
+      // condition ambiguous
+      val reserved = (0 until 4).map(i => (i.toLong, i.toLong))
+        .toDF("k", "__graft_join_key")
+      val e1 = intercept[IllegalArgumentException] {
+        TxTable.joinOnKey(spark, dir, reserved, "k", "uid")
+      }
+      assert(e1.getMessage.contains("__graft_join_key"))
+      // a row-carrying join renames the probe back to txKey: a left
+      // frame already holding `uid` would end up with TWO `uid`
+      // columns that fail only on first reference downstream
+      val carrying = (0 until 4).map(i => (i.toLong, i.toLong)).toDF("k", "uid")
+      val e2 = intercept[IllegalArgumentException] {
+        TxTable.joinOnKey(spark, dir, carrying, "k", "uid", joinType = "inner")
+      }
+      assert(e2.getMessage.contains("uid"))
+      // …while the key-only shapes keep accepting it (left columns
+      // pass through untouched, no rename happens)
+      assert(TxTable.joinOnKey(spark, dir, carrying, "k", "uid").count() === 4)
+    }
+  }
+
   test("compaction-starved table: 50 stacked DV commits read via ONE " +
       "compact-sized container per file") {
     inDir { dir =>
