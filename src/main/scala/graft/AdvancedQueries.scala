@@ -168,6 +168,28 @@ object AdvancedQueries {
       graft.ext.Ivf.topKExactCached(emb, dir, 7L, 20, centroids, radii, nProbe0 = 3)
     },
 
+    // IVF index as a VERSIONED ASSET (the vocab-freeze pattern, q184,
+    // applied to the ANN index): centroids train once, freeze as a
+    // TxTable version, and the query loads them AS OF that version —
+    // so search behavior is reproducible across corpus recomputes and
+    // retrains instead of depending on whatever the session last
+    // trained. Radii re-measure against the live corpus (the exactness
+    // bound needs them current — Ivf.freeze scaladoc); the bound makes
+    // the rows PROVABLY the exact top-k, so the oracle stays plain
+    // brute-force cosine SQL. IvfSpec pins byte-identical reload and
+    // old-version stability across a corpus append.
+    Q("q188_ann_frozen_index", ExtensionOracles.cosineTopKSql(11L, 20)) { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      QueryUtil.inTempDir("graft_ivf_asset") { tmp =>
+        val asset = s"$tmp/ivf"
+        val v = graft.ext.Ivf.freeze(s, emb, k = 8, iters = 3, asset)
+        val centroids = graft.ext.Ivf.loadAsOf(s, asset, Some(v))
+        val radii = graft.ext.Ivf.radiiFor(emb, dir, centroids)
+        graft.ext.Ivf.topKExactCached(emb, dir, 11L, 20, centroids, radii,
+          nProbe0 = 3)
+      }
+    },
+
     // Grouped top-k via the custom LogicalPlan/Strategy/SparkPlan
     // operator (bounded per-key heaps — no per-group sort). Same
     // semantics as q19's window formulation, same DuckDB oracle shape:

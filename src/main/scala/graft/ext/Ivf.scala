@@ -305,6 +305,56 @@ object Ivf {
     (result, probes)
   }
 
+  /** FREEZE a trained centroid matrix as a versioned [[TxTable]]
+    * asset (the [[Vocab.freeze]] pattern for the ANN index): train on
+    * `emb`, publish the (cell, centroid) frame as a commit at
+    * `assetDir`, return the version. An ANN index at 100 TB is a
+    * SHIPPED ARTIFACT — queries must route through the same cell
+    * boundaries across corpus recomputes and retrains, or cached cell
+    * assignments, probe plans and downstream evaluations silently
+    * disagree. Each retrain freezes one more version of the same
+    * asset: time travel is the index registry, and loading AS OF a
+    * version reproduces the exact search behavior of that deploy.
+    *
+    * Radii are deliberately NOT frozen: [[topKExact]]'s exactness
+    * bound needs radii measured against the LIVE corpus (a vector
+    * appended outside a frozen radius would break the triangle bound
+    * and silently drop true neighbours) — re-measure via [[radiiFor]]
+    * per corpus snapshot; that pass is one map-side-combined scan. */
+  def freeze(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+             k: Int, iters: Int, assetDir: String): Long = {
+    import spark.implicits._
+    val cents = trainCentroids(emb, k, iters)
+    val df = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    TxTable.commitReplace(spark, assetDir, df)
+  }
+
+  /** Load a frozen centroid matrix AS OF a version (latest when None)
+    * back into the driver-held k×dim shape every probe API takes.
+    * Bounded by construction (k rows) and validated LOUD: duplicate or
+    * non-contiguous cell ids, ragged dimensions and NULL rows are
+    * corrupt-asset states, not inputs to guess around. */
+  def loadAsOf(spark: org.apache.spark.sql.SparkSession, assetDir: String,
+               versionAsOf: Option[Long] = None): Array[Array[Double]] = {
+    val rows = TxTable.read(spark, assetDir, versionAsOf)
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, s"frozen IVF asset at $assetDir is empty")
+    val byCell = rows.map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"frozen IVF asset at $assetDir carries a NULL cell or centroid")
+      r.getInt(0) -> r.getSeq[Double](1).toArray
+    }
+    require(byCell.map(_._1).sorted.toSeq == (0 until rows.length),
+      s"frozen IVF asset at $assetDir: cell ids must be exactly 0..${rows.length - 1}")
+    val dims = byCell.map(_._2.length).distinct
+    require(dims.length == 1,
+      s"frozen IVF asset at $assetDir carries ragged centroid dimensions: " +
+        dims.sorted.mkString(","))
+    byCell.sortBy(_._1).map(_._2)
+  }
+
   /** ANN top-k: exact cosine, restricted to the `nProbe` cells whose
     * centroids are closest to the query vector. nProbe = k degenerates
     * to exact brute force. */

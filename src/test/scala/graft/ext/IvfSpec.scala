@@ -157,4 +157,50 @@ class IvfSpec extends SparkSpec {
     val recall = (ann & brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall@10 with 3/8 probes was $recall")
   }
+
+  test("frozen index: freeze/load round-trips byte-identical, old versions " +
+      "survive a corpus change, corrupt assets are refused") {
+    graft.QueryUtil.inTempDir("graft_ivf_freeze") { tmp =>
+      val asset = s"$tmp/ivf"
+      val v1 = Ivf.freeze(spark, emb, k = 8, iters = 3, asset)
+      val loaded = Ivf.loadAsOf(spark, asset, Some(v1))
+      // training is deterministic and load is exact: the doubles round-
+      // trip through the asset table bit-for-bit
+      assert(loaded.length == centroids.length)
+      loaded.zip(centroids).foreach { case (a, b) =>
+        assert(a.toSeq == b.toSeq, "frozen centroids must reload bit-identical")
+      }
+      // corpus changes; a retrain freezes as a NEW version of the same
+      // asset, and AS OF v1 still serves the original matrix — search
+      // behavior at the old deploy stays reproducible
+      val grown = emb.unionByName(
+        emb.limit(3).select(col("vec_id") + 900000L, col("embedding"), col("label"))
+          .toDF("vec_id", "embedding", "label"))
+      val v2 = Ivf.freeze(spark, grown, k = 8, iters = 3, asset)
+      assert(v2 == v1 + 1)
+      val reloadedV1 = Ivf.loadAsOf(spark, asset, Some(v1))
+      reloadedV1.zip(loaded).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+      assert(Ivf.loadAsOf(spark, asset).length == 8, "latest = v2, still k rows")
+      // the frozen matrix feeds the exact-probe path unchanged: provably
+      // brute-force rows through asset-loaded centroids
+      val radii = Ivf.cellRadii(emb, reloadedV1)
+      val viaAsset = Ivf.topKExact(emb, 0L, 10, reloadedV1, radii)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(viaAsset == brute)
+      // corrupt-asset states are refused loud, never guessed around
+      import spark.implicits._
+      val ragged = s"$tmp/ragged"
+      TxTable.commitReplace(spark, ragged,
+        Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0))).toDF("cell", "centroid"))
+      val e1 = intercept[IllegalArgumentException](Ivf.loadAsOf(spark, ragged))
+      assert(e1.getMessage.contains("ragged"), e1.getMessage)
+      val gapped = s"$tmp/gapped"
+      TxTable.commitReplace(spark, gapped,
+        Seq((0, Seq(1.0)), (2, Seq(0.5))).toDF("cell", "centroid"))
+      val e2 = intercept[IllegalArgumentException](Ivf.loadAsOf(spark, gapped))
+      assert(e2.getMessage.contains("cell ids"), e2.getMessage)
+    }
+  }
 }
