@@ -341,10 +341,14 @@ object AdvancedOracles {
        |       sqrt(${dotSql("b.embedding", "b.embedding")})) AS sim
        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
        |r AS (
-       |  SELECT block, a_id, b_id, sim,
-       |    row_number() OVER (PARTITION BY block ORDER BY sim DESC, a_id, b_id) AS rn,
+       |  -- rank on the ROUNDED sim, mirroring the engine: duplicate
+       |  -- vectors tie at 1.0 after rounding and the tie breaks by id,
+       |  -- instead of hanging the winner on last-ulp float-sum noise
+       |  SELECT block, a_id, b_id, round(sim, 6) AS sim,
+       |    row_number() OVER (PARTITION BY block
+       |      ORDER BY round(sim, 6) DESC, a_id, b_id) AS rn,
        |    count(*) OVER (PARTITION BY block) AS n_pairs
        |  FROM p)
-       |SELECT block, a_id, b_id, round(sim, 6) AS sim, n_pairs
+       |SELECT block, a_id, b_id, sim, n_pairs
        |FROM r WHERE rn = 1 ORDER BY block""".stripMargin
 }

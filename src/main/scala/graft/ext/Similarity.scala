@@ -205,15 +205,22 @@ object Similarity {
     nearDupPairs(emb, blockCol, minCosine = -1.0, idCol, vecCol)
       .groupBy("block")
       .agg(
-        // deterministic argmax: exact-sim ties (duplicated vectors)
-        // break to the lowest (a_id, b_id), matching the q43 oracle's
-        // ORDER BY sim DESC, a_id, b_id — structs compare field-by-field
-        max_by(struct(col("a_id"), col("b_id"), col("sim")),
-          struct(col("sim"), (-col("a_id")).as("na"), (-col("b_id")).as("nb"))).as("best"),
+        // deterministic argmax: rank on the 6 dp-ROUNDED sim (the
+        // knnJoin discipline) so exact-duplicate plateaus — N copies
+        // of one vector make MANY pairs whose unrounded sims differ
+        // only in the last ulp between evaluation orders/engines —
+        // collapse into one tie, broken to the lowest (a_id, b_id)
+        // exactly like the q43 oracle's ORDER BY. Ranking unrounded
+        // hung the winner on float noise: invisible while every
+        // block's best pair was unique by a margin, caught by the sf1
+        // sweep the first time the corpus carried true duplicates.
+        max_by(struct(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim")),
+          struct(round(col("sim"), 6).as("rs"),
+            (-col("a_id")).as("na"), (-col("b_id")).as("nb"))).as("best"),
         count(lit(1)).as("n_pairs"))
       .select(col("block"), col("best.a_id").as("a_id"),
-        col("best.b_id").as("b_id"),
-        round(col("best.sim"), 6).as("sim"), col("n_pairs"))
+        col("best.b_id").as("b_id"), col("best.sim").as("sim"),
+        col("n_pairs"))
 
   /** Batch k-NN join: EVERY query row gets its `k` nearest corpus rows
     * (cosine) within the same block — the bulk retrieval shape

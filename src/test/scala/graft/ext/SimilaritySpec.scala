@@ -220,6 +220,27 @@ class SimilaritySpec extends SparkSpec {
     assert(best.getAs[Long]("n_pairs") == 3L)
   }
 
+  test("closest pair: a NEAR-tie plateau (equal at 6 dp, apart in the last " +
+      "ulps) ranks on the rounded sim, not on float noise — the sf1 q43 bug") {
+    // pair (5,6) is exactly 1.0 (identical vectors); pair (1,2) is a
+    // hair under but rounds to 1.0 at 6 dp. Ranking UNROUNDED sims
+    // would pick (5,6) here, and on a replicated corpus whichever
+    // clone-pair's evaluation order produced the largest last-ulp sum
+    // — which is what diverged engine-vs-oracle at sf1. The contract
+    // (rank rounded, break by id) must pick (1, 2).
+    val emb = Seq(
+      ("b0", 1L, Array(1.0, 2.0)),
+      ("b0", 2L, Array(1.0 + 1e-9, 2.0)),
+      ("b0", 5L, Array(3.0, 4.0)),
+      ("b0", 6L, Array(3.0, 4.0)),
+    ).toDF("blk", "vec_id", "embedding")
+    val best = Similarity.closestPairPerBlock(emb, "blk").head()
+    assert((best.getAs[Long]("a_id"), best.getAs[Long]("b_id")) == (1L, 2L),
+      s"rounded-rank must break the 6 dp plateau to the lowest ids, got $best")
+    assert(best.getAs[Double]("sim") == 1.0)
+    assert(best.getAs[Long]("n_pairs") == 6L)
+  }
+
   test("hyperplanes are deterministic across calls") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)
