@@ -309,9 +309,22 @@ object Bench {
     // iteration).
     val repeatTop = sys.env.get("SPARK_GRAFT_REPEAT_TOP").map(_.toInt).getOrElse(10)
     val slowest = firstPass.filter(_.ok).sortBy(-_.sec).take(repeatTop).map(_.name).toSet
+    // RE-RUN ISOLATION: every pass after the first gets its OWN
+    // checkpoint namespace. Streaming lanes that rely on the session
+    // default checkpointLocation derive a deterministic per-queryName
+    // dir under it — a re-run in the same namespace tries to RESUME
+    // the first pass's offset log, and the modes that don't support
+    // recovery (stream-stream interval joins, flatMapGroups gates)
+    // abort. This silently discarded the confirm pass the first time
+    // it fired for real (both q63/q67 "failed", confirmOk=false, the
+    // sample was dropped exactly when the 300 s outlier needed it).
+    def freshCkptNamespace(tag: String): Unit = ckptBase.foreach(p =>
+      spark.conf.set("spark.sql.streaming.checkpointLocation",
+        s"$p/$tag"))
     val samples: Map[String, Seq[Double]] = firstPass.collect {
       case Timed(name, sec, true, _) if slowest(name) =>
         val more = (1 to 2).map { r =>
+          freshCkptNamespace(s"repeat$r-$name")
           val fn = selected(name)
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
@@ -433,6 +446,7 @@ object Bench {
       else {
         System.err.println(s"[bench] ${f3(total)} s is a lone outlier vs " +
           "prior history — running a confirm pass at the closing sha")
+        freshCkptNamespace("confirm")
         var confirmOk = true
         val t2 = selected.toSeq.sortBy(_._1).zipWithIndex.map {
           case ((name, fn), idx) =>

@@ -71,6 +71,35 @@ class QueryUtilSpec extends SparkSpec {
     assert(!Bench.confirmNeeded(priors, "e", 150.0))
   }
 
+  test("streaming lane re-runs need a FRESH checkpoint namespace under the " +
+      "session default location — the silently-discarded confirm pass") {
+    // Bench sets spark.sql.streaming.checkpointLocation once per JVM,
+    // which makes every default-location streaming lane derive a
+    // DETERMINISTIC per-queryName dir — a second run in the same
+    // namespace tries to RESUME the first run's offset log, and
+    // stream-stream interval joins refuse recovery. This is exactly
+    // how the first real outlier-confirm pass lost its sample (q63/
+    // q67 "failed" on the re-run, confirmOk=false, sample dropped).
+    val lane = SparkEntry.queries("q63_stream_interval_join")
+    QueryUtil.inTempDir("graft_ckpt_ns") { tmp =>
+      val prev = spark.conf.getOption("spark.sql.streaming.checkpointLocation")
+      try {
+        spark.conf.set("spark.sql.streaming.checkpointLocation", s"$tmp/p0")
+        assert(lane(spark, sf()).count() >= 0)
+        // same namespace ⇒ resume attempt ⇒ refused (the failure mode)
+        val e = intercept[Exception](lane(spark, sf()).count())
+        assert(e.getMessage != null &&
+          e.getMessage.contains("recovering from checkpoint"), e.getMessage)
+        // a fresh per-pass namespace is the whole fix
+        spark.conf.set("spark.sql.streaming.checkpointLocation", s"$tmp/p1")
+        assert(lane(spark, sf()).count() >= 0)
+      } finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.checkpointLocation", p)
+        case None => spark.conf.unset("spark.sql.streaming.checkpointLocation")
+      }
+    }
+  }
+
   test("unpersistLocalCheckpoints releases checkpoint blocks, spares persisted caches") {
     val sc = spark.sparkContext
     val cached = spark.range(1000).toDF("id")
