@@ -4,47 +4,54 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** MULTI-TABLE atomic commit over [[TxTable]] — the r14/r15 gap: a
-  * fact table and its derived summary must move in step, and a crash
-  * between their two publishes must never strand the pair
-  * inconsistent.
+  * fact table and its derived views must move in step, and a crash
+  * between their publishes must never strand the group inconsistent.
+  * r16 shipped the two-table form; r17 lifts the public API to the N
+  * tables the intent record always carried (`Intent.sides` is a Seq —
+  * a fact plus TWO derived views is the first real pipeline shape
+  * that needs it).
   *
   * Shape: WRITE-AHEAD INTENT + ROLL-FORWARD (the lakehouse analog of
   * primary-lock commit protocols, reduced to the two-phase core):
   *
-  *   1. STAGE both sides completely — data files written into their
+  *   1. STAGE every side completely — data files written into their
   *      own immutable commit dirs, manifests + cadence checkpoints
   *      RENDERED to bytes ([[TxTable.stageCommit]] is pure). Nothing
-  *      is visible yet; a crash here leaves only vacuum-able orphans.
-  *   2. Publish ONE intent record carrying both staged manifests
+  *      is visible yet; a crash here leaves only vacuum-able orphans
+  *      ([[TxTable.vacuum]] reclaims them — no manifest ever names
+  *      these files, so they age out past the retention window).
+  *   2. Publish ONE intent record carrying all staged manifests
   *      verbatim (put-if-absent under `_graft_pairtxn/`). This is the
-  *      transaction's durability point: from here the pair ALWAYS
+  *      transaction's durability point: from here the group ALWAYS
   *      completes — any reader/writer/recovery that finds the intent
   *      can finish the publishes by byte replay, no recomputation.
-  *   3. Execute: publish table A's manifest, then table B's, then the
-  *      `.done` marker — each step idempotent (a replayer that finds
-  *      the slot occupied verifies the occupant IS the staged bytes
-  *      and moves on), so the writer and any number of concurrent
-  *      [[recoverPairs]] calls can race harmlessly.
+  *   3. Execute: publish each table's manifest in intent order, then
+  *      the `.done` marker — each step idempotent (a replayer that
+  *      finds the slot occupied verifies the occupant IS the staged
+  *      bytes and moves on), so the writer and any number of
+  *      concurrent [[recoverPairs]] calls can race harmlessly.
   *
-  * Crash matrix: before the intent → nothing visible, orphan data
-  * files; between intent and A → roll-forward publishes both; between
-  * A and B → table A is visible alone ONLY until the next
-  * [[recoverPairs]] (the documented roll-forward window), which
-  * completes B from the intent's bytes; after B → recovery just adds
-  * the marker. All-or-nothing is therefore eventual-forward: the pair
-  * can lag, it can never diverge.
+  * Crash matrix (N sides ⇒ N+1 kill windows around the publishes):
+  * before the intent → nothing visible, orphan data files; after the
+  * intent, before side k → sides 1..k−1 visible alone ONLY until the
+  * next [[recoverPairs]] (the documented roll-forward window), which
+  * completes every remaining side from the intent's bytes; after the
+  * last side → recovery just adds the marker. All-or-nothing is
+  * therefore eventual-forward: a PREFIX of the group can lag, it can
+  * never diverge — and no non-prefix subset is ever visible.
   *
   * CONTENTION CONTRACT (documented, loud): the coordinator assumes
-  * the PAIR WRITER owns both tables while a pair commit is in flight
-  * — the single-pipeline shape the fact+summary use case has. A
-  * foreign writer stealing table A's version slot before anything
+  * the GROUP WRITER owns all its tables while a commit is in flight —
+  * the single-pipeline shape the fact+views use case has. A foreign
+  * writer stealing the FIRST side's version slot before anything
   * published aborts the whole transaction cleanly
   * ([[TxTable.CommitConflictException]], `.aborted` marker, nothing
-  * visible). A foreign writer stealing table B's slot AFTER table A
-  * published is the one genuinely stranded state two-phase commit
-  * without locks cannot repair — it fails loudly naming both tables
-  * for manual reconciliation instead of silently leaving the pair
-  * diverged. Specs cover every cell of this matrix.
+  * visible). A foreign writer stealing a LATER side's slot after an
+  * earlier side published is the one genuinely stranded state
+  * two-phase commit without locks cannot repair — it fails loudly
+  * naming the tables for manual reconciliation instead of silently
+  * leaving the group diverged. Specs cover every cell of this matrix
+  * at N=2 and N=3.
   *
   * Visibility note: published manifests stay REAL versions (the
   * change feed and plain-file log subscribers need no gate-resolution
@@ -54,8 +61,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PairTxn {
 
-  /** One side of a pair commit: `replace=false` APPENDS `df` as a
-    * delta commit (fresh files added, carried entries kept — skipping
+  /** One side of a multi-table commit: `replace=false` APPENDS `df` as
+    * a delta commit (fresh files added, carried entries kept — skipping
     * metadata re-derived per the base manifest's recipe);
     * `replace=true` publishes a full-replace commit recording
     * `statsCols` sketches, [[TxTable.commitReplace]]'s semantics. */
@@ -142,7 +149,7 @@ object PairTxn {
     * the same log bytes. Throws [[TxTable.CommitConflictException]]
     * when a foreign occupant squats the FIRST side's slot (clean
     * abort, marker written, nothing of this txn visible); fails loudly
-    * when a later side's slot is foreign while an earlier side already
+    * when a later side's slot is foreign while earlier sides already
     * published (the stranded cell of the contention matrix). */
   private def execute(
       spark: SparkSession, coordStore: LogStore, coordRoot: Path,
@@ -160,18 +167,21 @@ object PairTxn {
             // dead, which is a completed recovery, not its failure.
             coordStore.writeIfAbsent(abortPath(coordRoot, intent.id), "")
             if (owner) throw new TxTable.CommitConflictException(
-              s"pair txn ${intent.id}: version ${side.version} of " +
+              s"txn ${intent.id}: version ${side.version} of " +
                 s"${side.dir} taken by a concurrent writer — transaction " +
                 "aborted before publishing anything; retry against the new base")
             return
           } else sys.error(
-            s"pair txn ${intent.id} STRANDED: ${intent.sides.head.dir} " +
-              s"published its side but version ${side.version} of " +
-              s"${side.dir} was taken by a foreign writer. The pair-commit " +
-              "contract requires the pair writer to own both tables while " +
-              "a transaction is in flight; reconcile the second table by " +
-              "hand (re-derive it from the first), then mark the intent " +
-              s"done or aborted under ${txnDir(coordRoot)}")
+            s"txn ${intent.id} STRANDED: the first $idx of " +
+              s"${intent.sides.size} sides (${
+                intent.sides.take(idx).map(_.dir).mkString(", ")
+              }) published, but version ${side.version} of " +
+              s"${side.dir} was taken by a foreign writer. The multi-table " +
+              "commit contract requires the group writer to own all its " +
+              "tables while a transaction is in flight; reconcile the " +
+              "remaining tables by hand (re-derive them from the published " +
+              "ones), then mark the intent done or aborted under " +
+              s"${txnDir(coordRoot)}")
         }
       }
       side.checkpoint.foreach(c =>
@@ -181,41 +191,54 @@ object PairTxn {
     ()
   }
 
-  /** Commit `a` then `b` atomically-in-effect (see the object doc's
-    * crash matrix): returns the versions published on each table.
-    * `coordDir` holds the intent log — any durable location both
-    * writers and recovery agree on (conventionally the pipeline's own
-    * directory, beside the tables). Open intents found under it are
-    * ROLLED FORWARD first, so a previous crash can never make this
-    * writer stage against a half-committed base. */
-  def commitPair(
+  /** Commit all of `commits` atomically-in-effect (see the object
+    * doc's crash matrix): returns the version published on each table,
+    * in input order. `coordDir` holds the intent log — any durable
+    * location all writers and recovery agree on (conventionally the
+    * pipeline's own directory, beside the tables). Open intents found
+    * under it are ROLLED FORWARD first, so a previous crash can never
+    * make this writer stage against a half-committed base. */
+  def commitAll(
       spark: SparkSession, coordDir: String,
-      a: PairCommit, b: PairCommit): (Long, Long) = {
+      commits: Seq[PairCommit]): Seq[Long] = {
+    require(commits.size >= 2,
+      s"commitAll coordinates at least two tables (got ${commits.size}); " +
+        "a single table is one ordinary TxTable commit")
     // compare NORMALIZED roots, not raw strings: "/x/t" and "/x/t/"
     // alias one table, and a raw compare would let both sides stage
-    // the same version slot — side A publishes, side B then dies with
-    // a misleading STRANDED error blaming a foreign writer
-    require(TxTable.fsOf(spark, a.dir)._2 != TxTable.fsOf(spark, b.dir)._2,
-      "commitPair coordinates two DISTINCT tables; same-table multi-writes " +
+    // the same version slot — the earlier side publishes, the later
+    // one then dies with a misleading STRANDED error blaming a
+    // foreign writer
+    val roots = commits.map(c => TxTable.fsOf(spark, c.dir)._2)
+    require(roots.distinct.size == roots.size,
+      "commitAll coordinates DISTINCT tables; same-table multi-writes " +
         "are one ordinary commit")
     recoverPairs(spark, coordDir)
     val (coordStore, coordRoot) = TxTable.storeOf(spark, coordDir)
-    val stagedA = stage(spark, a)
-    val stagedB = stage(spark, b)
+    val staged = commits.map(stage(spark, _))
     val id = java.util.UUID.randomUUID().toString
-    val intent = Intent(id, Seq(stagedA, stagedB))
-    // durability point: from here the pair always completes
+    val intent = Intent(id, staged)
+    // durability point: from here the group always completes
     require(coordStore.writeIfAbsent(
       intentPath(coordRoot, id), renderIntent(intent)),
       s"intent $id collided — UUIDs must not collide")
     execute(spark, coordStore, coordRoot, intent, owner = true)
-    (stagedA.version, stagedB.version)
+    staged.map(_.version)
+  }
+
+  /** Two-table convenience over [[commitAll]] — the fact+summary shape
+    * most pipelines start with. */
+  def commitPair(
+      spark: SparkSession, coordDir: String,
+      a: PairCommit, b: PairCommit): (Long, Long) = {
+    val vs = commitAll(spark, coordDir, Seq(a, b))
+    (vs(0), vs(1))
   }
 
   /** Roll forward every OPEN intent under `coordDir` (no `.done`, no
     * `.aborted`); returns how many were resolved (completed or
     * recorded aborted). A pipeline holds at most ONE open intent —
-    * [[commitPair]] only returns after its marker lands and rolls
+    * [[commitAll]] only returns after its marker lands and rolls
     * forward any predecessor before staging — so order is
     * deterministic-but-immaterial. Safe
     * to call concurrently with writers and other recoverers — every
@@ -235,5 +258,94 @@ object PairTxn {
       execute(spark, coordStore, coordRoot, intent, owner = false)
     }
     open.size
+  }
+
+  /** Reclaim what RESOLVED transactions left behind — the coordinator-
+    * side face of [[TxTable.vacuum]]'s orphan discipline:
+    *
+    *   - an `.aborted` intent's staged commit dirs hold data files no
+    *     manifest will ever name (abort happens strictly before the
+    *     first publish, so NO side of an aborted txn is visible) —
+    *     delete each staged dir after verifying its manifest slot is
+    *     NOT occupied by this txn's bytes (belt and braces; it never
+    *     is for an abort);
+    *   - `.done` and `.aborted` intent RECORDS older than the window
+    *     are retired (the done txn's bytes live on as real published
+    *     manifests; the record is replay bookkeeping).
+    *
+    * OPEN intents are never touched — not their records, not their
+    * staged files: an open intent is a live transaction that
+    * [[recoverPairs]] will complete. Staged dirs from a crash BEFORE
+    * the intent belong to no intent at all; those are exactly the
+    * unreferenced-parquet orphans [[TxTable.vacuum]] reclaims on each
+    * table, behind the same age guard.
+    *
+    * `retentionMs` gates on the intent record's resolution age (the
+    * marker file's mtime): a just-aborted txn's OWNER may still be
+    * inspecting its staged state. Pass 0 only when no writer can be
+    * active (tests, decommission). Returns the number of staged data
+    * files deleted. */
+  def vacuumTxns(
+      spark: SparkSession, coordDir: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val (coordStore, coordRoot) = TxTable.storeOf(spark, coordDir)
+    val (coordFs, _) = TxTable.fsOf(spark, coordDir)
+    val names = coordStore.list(txnDir(coordRoot))
+    val done = names.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
+    val aborted =
+      names.filter(_.endsWith(".aborted")).map(_.stripSuffix(".aborted")).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    def resolvedBefore(marker: Path): Boolean =
+      try coordFs.getFileStatus(marker).getModificationTime <= cutoff
+      catch { case _: Exception => false }
+    var n = 0
+    aborted.toSeq.sorted.foreach { id =>
+      val marker = abortPath(coordRoot, id)
+      if (resolvedBefore(marker)) {
+        val ip = intentPath(coordRoot, id)
+        val intent = parseIntent(coordStore.read(ip))
+        intent.sides.foreach { side =>
+          val (fs, root) = TxTable.fsOf(spark, side.dir)
+          val (store, _) = TxTable.storeOf(spark, side.dir)
+          val mp = TxTable.manifestPath(root, side.version)
+          val published =
+            try store.read(mp) == side.manifest catch { case _: Exception => false }
+          if (!published) {
+            // the staged dirs are exactly the adds of the never-
+            // published manifest (an append's carried entries live in
+            // OTHER commits' dirs and stay untouched). Belt and braces:
+            // only this txn's OWN version-named dirs qualify — an add
+            // that modifies an entry in an older commit's dir (the DV
+            // stacking shape, which PairTxn never stages) can never
+            // drag that dir into the sweep.
+            val parsed = TxTable.ManifestJson.parse(side.manifest, s"intent $id")
+            parsed.adds.map(_.path.split('/').take(2).mkString("/"))
+              .distinct
+              .filter(_.startsWith(s"data/v${side.version}-"))
+              .foreach { rel =>
+                val dir = new Path(root, rel)
+                if (fs.exists(dir)) {
+                  val files = fs.listFiles(dir, true)
+                  var k = 0
+                  while (files.hasNext) {
+                    if (files.next().getPath.getName.endsWith(".parquet")) k += 1
+                  }
+                  if (fs.delete(dir, true)) n += k
+                }
+              }
+          }
+        }
+        coordStore.delete(ip)
+        coordStore.delete(marker)
+      }
+    }
+    done.toSeq.sorted.foreach { id =>
+      val marker = donePath(coordRoot, id)
+      if (resolvedBefore(marker)) {
+        coordStore.delete(intentPath(coordRoot, id))
+        coordStore.delete(marker)
+      }
+    }
+    n
   }
 }

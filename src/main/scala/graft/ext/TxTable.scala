@@ -1206,14 +1206,59 @@ object TxTable {
       m: Manifest, key: String, maxKeys: Long): Boolean =
     manifestNdv(m).exists { case (c, est) => c == key && est <= maxKeys }
 
-  /** Broadcast election for a FULL-ROW build side: manifest byte sum
-    * (recorded per file at commit) with 4× headroom for parquet-decode
-    * expansion of the broadcast relation — the same actual-bytes
-    * discipline as the DV side's election in [[readFiles]]. Files
-    * with unrecorded sizes (pre-upgrade manifests) make the election
-    * false, never a guess. */
-  private[graft] def electBroadcastRows(m: Manifest, maxBytes: Long): Boolean =
-    m.files.forall(_.bytes > 0L) && m.files.map(_.bytes).sum * 4 <= maxBytes
+  /** Broadcast election for a FULL-ROW build side, answered from the
+    * manifest alone — rows, bytes AND the log-carried schema combined
+    * (r16 shipped a flat `bytes × 4` decode-expansion guess; columnar
+    * encodings make that headroom meaningless in both directions: a
+    * delta-encoded narrow table decodes 20× its parquet bytes and a
+    * stored-near-raw blob barely 1×). The in-memory hash relation
+    * costs, per row, its UnsafeRow STRUCTURE — one 8-byte slot per
+    * field plus the null bitset words — plus ~32 B of hash-map entry
+    * bookkeeping; that part is exact from (rows, schema), no
+    * compression guess at all. Only the VARIABLE-WIDTH payload
+    * (strings/binaries/nested) still needs a decode-expansion factor
+    * over the recorded compressed bytes (4×, the old headroom, now
+    * scoped to the var region only) — a table of fixed-width columns
+    * elects on a fully principled size. Conservative refusals, never
+    * a guess: unrecorded bytes or rows (pre-upgrade manifests) or a
+    * live dir without a log-carried schema elect the shuffle plan;
+    * DV'd rows stay counted (deletes only shrink the true build
+    * side). */
+  private[graft] def electBroadcastRows(m: Manifest, maxBytes: Long): Boolean = {
+    if (m.files.isEmpty) return true
+    val recorded = m.files.forall(f => f.bytes > 0L && f.rows >= 0L)
+    val liveDirs = m.files.map(f => dirOf(f.path)).distinct
+    if (!recorded || !liveDirs.forall(m.schemas.contains)) return false
+    def isVarWidth(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.BooleanType |
+           _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.FloatType |
+           _: org.apache.spark.sql.types.DoubleType |
+           _: org.apache.spark.sql.types.DateType |
+           _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType |
+           _: org.apache.spark.sql.types.DayTimeIntervalType |
+           _: org.apache.spark.sql.types.YearMonthIntervalType => false
+      case d: org.apache.spark.sql.types.DecimalType => d.precision > 18
+      case _ => true // string/binary/array/map/struct/wide decimal
+    }
+    val perSchema = liveDirs.map { d =>
+      val st = org.apache.spark.sql.types.DataType.fromJson(m.schemas(d))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val structural = 8L * ((st.size + 63) / 64) + 8L * st.size
+      (structural, st.fields.exists(f => isVarWidth(f.dataType)))
+    }
+    val rows = m.files.map(_.rows).sum
+    val hashEntryOverhead = 32L
+    val structuralBytes =
+      rows * (perSchema.map(_._1).max + hashEntryOverhead)
+    val varPayload =
+      if (perSchema.exists(_._2)) m.files.map(_.bytes).sum * 4 else 0L
+    structuralBytes + varPayload <= maxBytes
+  }
 
   /** Join `left` against this table's snapshot with the BUILD-SIDE
     * STRATEGY elected from manifest statistics alone — the consumer of
@@ -1250,15 +1295,23 @@ object TxTable {
     val snapshot = read(spark, dir, versionAsOf = Some(v))
     val keyOnly = joinType == "leftsemi" || joinType == "leftanti"
     // reserved name: left-side columns survive a semi/anti join, so the
-    // probe key must not collide with any left column
+    // probe key must not collide with any left column. Collision is
+    // checked the way Spark RESOLVES names — case-insensitively unless
+    // spark.sql.caseSensitive — or a left column named 'UID' would slip
+    // past a sensitive compare and still hit the ambiguous-reference
+    // failure downstream (r16 ADVICE)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def collides(name: String): Boolean = left.columns.exists(c =>
+      if (caseSensitive) c == name else c.equalsIgnoreCase(name))
     val probeKey = "__graft_join_key"
-    require(!left.columns.contains(probeKey),
+    require(!collides(probeKey),
       s"left frame carries the reserved join column '$probeKey'")
     // a row-carrying join renames the probe back to txKey afterwards:
     // a left frame ALREADY holding a txKey-named column would end up
     // with two identical names and fail only on first reference —
     // refuse upfront (the silent-degradation class this repo bans)
-    require(keyOnly || !left.columns.contains(txKey),
+    require(keyOnly || !collides(txKey),
       s"left frame already carries a column named '$txKey'; rename it " +
         s"(or the table key) before a row-carrying $joinType join")
     val side =
@@ -1270,6 +1323,63 @@ object TxTable {
     val built = if (elected) broadcast(side) else side
     val joined = left.join(built, col(leftKey) === col(probeKey), joinType)
     if (keyOnly) joined else joined.withColumnRenamed(probeKey, txKey)
+  }
+
+  /** Partial-aggregation election for a groupBy on `key`, answered
+    * from the manifest alone — the SECOND consumer of the commit-time
+    * NDV sketches (r16's [[joinOnKey]] was the first): true iff the
+    * merged-sketch estimate says the key is NEAR-UNIQUE (NDV ≥
+    * `highNdvRatio` × recorded rows), i.e. map-side partial
+    * aggregation would emit ~one row per input row — pure hash-table
+    * churn and spill exposure bought for no shuffle reduction.
+    * Conservative: a missing sketch or unrecorded row counts keep the
+    * default partial-heavy plan (never a surprise raw-row shuffle).
+    * Rows are the RAW recorded counts, not DV-adjusted — tombstones
+    * shrink both the true row count and the true key set, so neither
+    * ratio direction is knowable from the log; a heavily-DV'd table
+    * should compact before its plan statistics are trusted, same
+    * caveat as [[metaRange]]. */
+  private[graft] def electSkipPartial(
+      m: Manifest, key: String, highNdvRatio: Double): Boolean = {
+    if (m.files.isEmpty || !m.files.forall(_.rows >= 0L)) return false
+    val rows = m.files.map(_.rows).sum
+    rows > 0L && manifestNdv(m).exists { case (c, est) =>
+      c == key && est >= highNdvRatio * rows
+    }
+  }
+
+  /** GroupBy-aggregate over this table's snapshot with the PARTIAL-
+    * AGGREGATION strategy elected from manifest statistics alone
+    * ([[electSkipPartial]]); same decision discipline as [[joinOnKey]]
+    * — one log read, zero data files, zero Spark jobs spent deciding.
+    *
+    *   - key near-unique (sketch estimate ≥ `highNdvRatio` of rows):
+    *     pre-partition the RAW rows on the key and aggregate after the
+    *     exchange — the map-side combine is skipped where it could
+    *     only have rewritten every input row into a doomed hash table
+    *     (the classic high-cardinality aggregation pathology: partial
+    *     output ≈ partial input, paid for with build + spill).
+    *   - otherwise (or no sketch — conservative): the default plan,
+    *     whose map-side partial collapses each task's rows to ~NDV
+    *     before the wire — at 100 TB the shuffle shrinks by orders of
+    *     magnitude, which is why it stays the default.
+    *
+    * Result rows are identical either way — the election moves the
+    * exchange, not the semantics. */
+  def aggOnKey(
+      spark: SparkSession, dir: String, key: String,
+      aggs: Seq[org.apache.spark.sql.Column],
+      versionAsOf: Option[Long] = None,
+      highNdvRatio: Double = 0.8): DataFrame = {
+    require(aggs.nonEmpty, "aggOnKey needs at least one aggregate")
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    val m = readManifest(spark, dir, v)
+    val snapshot = read(spark, dir, versionAsOf = Some(v))
+    val shaped =
+      if (electSkipPartial(m, key, highNdvRatio)) snapshot.repartition(col(key))
+      else snapshot
+    shaped.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Read entries as one DataFrame. Files are grouped by their commit
@@ -2497,7 +2607,16 @@ object TxTable {
     val (fs, root) = fsOf(spark, dir)
     val store = logStoreFactory(fs)
     val (manifestVs, ckptVs) = listLog(store, root)
-    if (manifestVs.isEmpty) return 0
+    val live = scala.collection.mutable.HashSet.empty[String]
+    val liveDv = scala.collection.mutable.HashSet.empty[String]
+    // A table with NO published version ("never born": a writer
+    // crashed between writing its first commit's data files and the
+    // manifest publish) has an EMPTY live set — every data file under
+    // it is a staged orphan, reclaimed behind the same age guard. The
+    // pre-r17 early-return here left first-commit crash debris
+    // unreclaimable forever (PairTxn's stage-then-intent protocol made
+    // the window real).
+    if (manifestVs.nonEmpty) {
     val dropped = keepVersions match {
       case Some(k) if manifestVs.size > k => manifestVs.dropRight(k)
       case _ => Seq.empty
@@ -2525,14 +2644,13 @@ object TxTable {
     }
     dropped.foreach(v => store.delete(manifestPath(root, v)))
     ckptVs.filter(_ < horizon).foreach(v => store.delete(checkpointPath(root, v)))
-    val live = scala.collection.mutable.HashSet.empty[String]
-    val liveDv = scala.collection.mutable.HashSet.empty[String]
     horizonState.files.foreach { f =>
       live += f.path; f.dvs.foreach(liveDv += _.dir)
     }
     retained.drop(1).foreach { v =>
       ManifestJson.parse(store.read(manifestPath(root, v)), s"manifest $v")
         .adds.foreach { a => live += a.path; a.dvs.foreach(liveDv += _.dir) }
+    }
     }
     val cutoff = System.currentTimeMillis() - retentionMs
     val rootStr = root.toString + "/"

@@ -171,6 +171,178 @@ class PairTxnSpec extends SparkSpec {
     }
   }
 
+  // ---- N-table generalization (r17): fact + two derived views ----
+
+  private def view2(df: DataFrame): DataFrame =
+    df.groupBy((col("event_id") % 2).as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+
+  private def commit3(tmp: String, n: Int): Seq[PairTxn.PairCommit] = {
+    val f = fact(n)
+    Seq(PairTxn.PairCommit(s"$tmp/fact", f, replace = true),
+      PairTxn.PairCommit(s"$tmp/va", summarize(f), replace = true),
+      PairTxn.PairCommit(s"$tmp/vb", view2(f), replace = true))
+  }
+
+  test("3-table txn killed at EVERY publish point: prefix-only visibility, " +
+      "roll-forward completes the remainder from the intent's bytes") {
+    inDir { tmp =>
+      val tables = Seq("fact", "va", "vb")
+      assert(PairTxn.commitAll(spark, tmp, commit3(tmp, 6)) === Seq(1L, 1L, 1L))
+      // kill window k = dying ON table k's publish: tables 0..k-1
+      // visible at the new version, k..2 lagging — never a gap
+      tables.zipWithIndex.foreach { case (victim, k) =>
+        val before = tables.map(t =>
+          TxTable.latestVersion(spark, s"$tmp/$t").get)
+        val next = before.head + 1
+        val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val e = intercept[RuntimeException] {
+          TxTable.withLogStore(killingFactory(s"/$victim/_graft_log", alive)) {
+            PairTxn.commitAll(spark, tmp, commit3(tmp, 6 + k))
+          }
+        }
+        assert(e.getMessage.contains("killed"), e.getMessage)
+        val seen = tables.map(t => TxTable.latestVersion(spark, s"$tmp/$t").get)
+        assert(seen === tables.indices.map(i => if (i < k) next else next - 1),
+          s"kill window $k must expose exactly the $k-prefix")
+        alive.set(false)
+        assert(PairTxn.recoverPairs(spark, tmp) === 1)
+        tables.foreach(t =>
+          assert(TxTable.latestVersion(spark, s"$tmp/$t") === Some(next)))
+        // group invariant at the recovered state
+        val f = TxTable.read(spark, s"$tmp/fact")
+        assert(rows(TxTable.read(spark, s"$tmp/va")) === rows(summarize(f)))
+        assert(rows(TxTable.read(spark, s"$tmp/vb")) === rows(view2(f)))
+      }
+    }
+  }
+
+  test("commitAll refuses fewer than two tables and any duplicate dir") {
+    inDir { tmp =>
+      val f = fact(4)
+      val e1 = intercept[IllegalArgumentException] {
+        PairTxn.commitAll(spark, tmp,
+          Seq(PairTxn.PairCommit(s"$tmp/only", f, replace = true)))
+      }
+      assert(e1.getMessage.contains("at least two"))
+      val e2 = intercept[IllegalArgumentException] {
+        PairTxn.commitAll(spark, tmp, Seq(
+          PairTxn.PairCommit(s"$tmp/a", f, replace = true),
+          PairTxn.PairCommit(s"$tmp/b", f, replace = true),
+          PairTxn.PairCommit(s"$tmp/a/", f, replace = true)))
+      }
+      assert(e2.getMessage.contains("DISTINCT"))
+    }
+  }
+
+  // ---- orphan vacuum (r17): every resolution path reclaims to zero ----
+
+  private def parquetCount(dir: String): Int = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) 0
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+  }
+
+  test("killed BEFORE the intent: staged files are orphans of NO txn — " +
+      "age-guarded vacuum reclaims both never-born tables to zero parquet") {
+    inDir { tmp =>
+      val (a, b) = pair(tmp, 12)
+      val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val e = intercept[RuntimeException] {
+        // the intent record lives under _graft_pairtxn/<id>.json — dying
+        // on ITS publish is the crash window after staging, before the
+        // durability point
+        TxTable.withLogStore(killingFactory("_graft_pairtxn", alive)) {
+          PairTxn.commitPair(spark, tmp, a, b)
+        }
+      }
+      assert(e.getMessage.contains("killed"), e.getMessage)
+      alive.set(false)
+      // nothing visible, no intent — recovery correctly finds no work
+      assert(TxTable.latestVersion(spark, s"$tmp/fact").isEmpty)
+      assert(TxTable.latestVersion(spark, s"$tmp/summary").isEmpty)
+      assert(PairTxn.recoverPairs(spark, tmp) === 0)
+      assert(parquetCount(s"$tmp/fact") > 0, "staged debris must exist")
+      // retention guard: fresh debris is indistinguishable from an
+      // in-flight first commit — spared
+      assert(TxTable.vacuum(spark, s"$tmp/fact") === 0)
+      assert(parquetCount(s"$tmp/fact") > 0)
+      // past the window (0 = decommission/test), the never-born table
+      // sweeps clean — the pre-r17 early-return left this forever
+      assert(TxTable.vacuum(spark, s"$tmp/fact", retentionMs = 0L) > 0)
+      assert(TxTable.vacuum(spark, s"$tmp/summary", retentionMs = 0L) > 0)
+      assert(parquetCount(s"$tmp/fact") === 0)
+      assert(parquetCount(s"$tmp/summary") === 0)
+    }
+  }
+
+  test("vacuumTxns reclaims an ABORTED txn's staged files and retires the " +
+      "record; published/foreign data untouched; idempotent") {
+    inDir { tmp =>
+      val (a, b) = pair(tmp, 12)
+      PairTxn.commitPair(spark, tmp, a, b) // seed v1 (also leaves a .done record)
+      val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      intercept[RuntimeException] {
+        TxTable.withLogStore(killingFactory("/fact/_graft_log", alive)) {
+          PairTxn.commitPair(spark, tmp,
+            PairTxn.PairCommit(s"$tmp/fact", fact(20).where(col("event_id") >= 12)),
+            PairTxn.PairCommit(s"$tmp/summary", summarize(fact(20)), replace = true))
+        }
+      }
+      alive.set(false)
+      TxTable.commitReplace(spark, s"$tmp/fact", fact(5)) // foreign steals v2
+      assert(PairTxn.recoverPairs(spark, tmp) === 1) // abort recorded
+      val factBefore = parquetCount(s"$tmp/fact")
+      val sumBefore = parquetCount(s"$tmp/summary")
+      // retention guard: a fresh abort is spared (its owner may be
+      // inspecting the staged state)
+      assert(PairTxn.vacuumTxns(spark, tmp) === 0)
+      val reclaimed = PairTxn.vacuumTxns(spark, tmp, retentionMs = 0L)
+      assert(reclaimed > 0, "the aborted txn staged files on both sides")
+      assert(parquetCount(s"$tmp/fact") < factBefore)
+      assert(parquetCount(s"$tmp/summary") < sumBefore)
+      // every PUBLISHED version still reads intact
+      assert(TxTable.read(spark, s"$tmp/fact").count() === 5L)
+      assert(rows(TxTable.read(spark, s"$tmp/summary")) ===
+        rows(summarize(fact(12))))
+      // records retired (the seed's .done too), second sweep is a no-op
+      assert(new java.io.File(s"$tmp/_graft_pairtxn").listFiles()
+        .count(f => !f.getName.startsWith(".")) === 0)
+      assert(PairTxn.vacuumTxns(spark, tmp, retentionMs = 0L) === 0)
+    }
+  }
+
+  test("vacuumTxns never touches an OPEN intent — record and staged files " +
+      "survive, roll-forward still completes from them") {
+    inDir { tmp =>
+      val (a, b) = pair(tmp, 12)
+      PairTxn.commitPair(spark, tmp, a, b) // seed v1
+      val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      intercept[RuntimeException] {
+        TxTable.withLogStore(killingFactory("/summary/_graft_log", alive)) {
+          PairTxn.commitPair(spark, tmp,
+            PairTxn.PairCommit(s"$tmp/fact", fact(20).where(col("event_id") >= 12)),
+            PairTxn.PairCommit(s"$tmp/summary", summarize(fact(20)), replace = true))
+        }
+      }
+      alive.set(false)
+      // even at retention 0, the open intent is live work: untouched
+      assert(PairTxn.vacuumTxns(spark, tmp, retentionMs = 0L) === 0)
+      assert(new java.io.File(s"$tmp/_graft_pairtxn").listFiles()
+        .exists(_.getName.endsWith(".json")), "open intent record must survive")
+      // the staged bytes it references still roll forward
+      assert(PairTxn.recoverPairs(spark, tmp) === 1)
+      assert(TxTable.latestVersion(spark, s"$tmp/summary") === Some(2L))
+      assert(rows(TxTable.read(spark, s"$tmp/summary")) ===
+        rows(summarize(TxTable.read(spark, s"$tmp/fact"))))
+    }
+  }
+
   test("commitPair refuses a same-table pair") {
     inDir { tmp =>
       val f = fact(6)

@@ -1290,6 +1290,96 @@ abstract class TxTableBehaviors extends SparkSpec {
     }
   } }
 
+  test("electBroadcastRows: rows × log-carried schema structure beats the " +
+      "old bytes-only guess — wide compressed rows refused, budgets that " +
+      "truly fit elect, every unrecorded input stays conservative") {
+    import org.apache.spark.sql.types._
+    // 200 fixed-width columns × 50k rows: delta/RLE parquet compresses
+    // this to ~100 KB on disk, but the hash relation costs ~83 MB of
+    // UnsafeRow structure (50k × (8×200 slots + 32 null-bitset + 32
+    // map overhead)). The pre-r17 bytes-only election (100 KB × 4 ≤
+    // 32 MB) would have broadcast it — the wide-row mis-elect.
+    val wide = StructType((0 until 200).map(i => StructField(s"c$i", LongType)))
+    val m = TxTable.Manifest(1L,
+      Seq(TxTable.FileEntry("data/v1-aa/f.parquet", None,
+        bytes = 100L << 10, rows = 50000L)),
+      schemas = Map("data/v1-aa" -> wide.json))
+    assert(!TxTable.electBroadcastRows(m, 32L << 20),
+      "structural row cost must refuse what compressed bytes would admit")
+    assert(TxTable.electBroadcastRows(m, 128L << 20),
+      "the same table elects under a budget it actually fits")
+    // conservatism: every missing log input elects the shuffle plan
+    assert(!TxTable.electBroadcastRows(
+      m.copy(schemas = Map.empty), Long.MaxValue), "no schema ⇒ refuse")
+    assert(!TxTable.electBroadcastRows(
+      m.copy(files = m.files.map(_.copy(rows = -1L))), Long.MaxValue),
+      "no row counts ⇒ refuse")
+    assert(!TxTable.electBroadcastRows(
+      m.copy(files = m.files.map(_.copy(bytes = 0L))), Long.MaxValue),
+      "no byte counts ⇒ refuse")
+    // var-width columns: the 4× decode headroom applies to the
+    // compressed payload ON TOP of the exact structural cost
+    val varSchema = StructType(Seq(
+      StructField("id", LongType), StructField("blob", StringType)))
+    val mv = TxTable.Manifest(1L,
+      Seq(TxTable.FileEntry("data/v1-bb/f.parquet", None,
+        bytes = 8L << 20, rows = 1000L)),
+      schemas = Map("data/v1-bb" -> varSchema.json))
+    assert(!TxTable.electBroadcastRows(mv, 32L << 20),
+      "8 MB of compressed strings × 4 + structure exceeds 32 MB")
+    assert(TxTable.electBroadcastRows(mv, 40L << 20))
+  }
+
+  test("aggOnKey: manifest-NDV partial-aggregation election — near-unique " +
+      "key skips the map-side partial, low-NDV keeps it, missing sketch " +
+      "stays conservative; rows identical either way") {
+    import spark.implicits._
+    // printed tree is root-first: final HashAggregate, then either the
+    // Exchange (default plan: partial below the wire) or the partial
+    // HashAggregate (skip plan: raw rows exchanged first)
+    def shape(df: DataFrame): (Int, Int, Int) = {
+      val p = planOf(df)
+      val h1 = p.indexOf("HashAggregate")
+      val h2 = p.indexOf("HashAggregate", h1 + 1)
+      val ex = p.indexOf("Exchange")
+      assert(h1 >= 0 && h2 > h1 && ex >= 0, p)
+      (h1, h2, ex)
+    }
+    val aggs = Seq(count(lit(1)).as("n"))
+    inDir { dir =>
+      // every key distinct: sketch estimate ≈ rows ⇒ skip the partial
+      TxTable.commitReplace(spark, dir,
+        (0 until 512).map(i => (i.toLong, i * 2.0)).toDF("id", "v"),
+        statsCols = Seq("id"))
+      val a = TxTable.aggOnKey(spark, dir, "id", aggs)
+      val (_, h2, ex) = shape(a)
+      assert(ex > h2, s"near-unique key must shuffle raw rows first:\n${planOf(a)}")
+      assert(a.count() === 512 && a.select(max("n")).head.getLong(0) === 1L)
+    }
+    inDir { dir =>
+      // 8 distinct keys over 512 rows ⇒ the partial combine earns its keep
+      TxTable.commitReplace(spark, dir,
+        (0 until 512).map(i => ((i % 8).toLong, i * 2.0)).toDF("id", "v"),
+        statsCols = Seq("id"))
+      val a = TxTable.aggOnKey(spark, dir, "id", aggs)
+      val (h1, h2, ex) = shape(a)
+      assert(ex > h1 && ex < h2, s"low-NDV key keeps the default plan:\n${planOf(a)}")
+      assert(a.count() === 8 && a.select(min("n")).head.getLong(0) === 64L)
+    }
+    inDir { dir =>
+      // same near-unique data committed WITHOUT sketches: the election
+      // must not guess — default plan, never a surprise raw-row shuffle
+      TxTable.commitReplace(spark, dir,
+        (0 until 512).map(i => (i.toLong, i * 2.0)).toDF("id", "v"))
+      assert(!TxTable.electSkipPartial(
+        TxTable.readManifest(spark, dir, 1L), "id", 0.8))
+      val a = TxTable.aggOnKey(spark, dir, "id", aggs)
+      val (h1, h2, ex) = shape(a)
+      assert(ex > h1 && ex < h2, s"no sketch ⇒ conservative default:\n${planOf(a)}")
+      assert(a.count() === 512)
+    }
+  }
+
   test("joinOnKey: reserved/colliding left columns are refused upfront, " +
       "not surfaced as an ambiguous-reference or silent duplicate name") {
     inDir { dir =>
@@ -1315,6 +1405,15 @@ abstract class TxTableBehaviors extends SparkSpec {
       // …while the key-only shapes keep accepting it (left columns
       // pass through untouched, no rename happens)
       assert(TxTable.joinOnKey(spark, dir, carrying, "k", "uid").count() === 4)
+      // collision is checked the way Spark RESOLVES names: 'UID' vs
+      // 'uid' collides under the default case-insensitive resolution
+      // (r16 ADVICE — a sensitive compare slipped it past the guard
+      // into the downstream ambiguous-name failure)
+      val upper = (0 until 4).map(i => (i.toLong, i.toLong)).toDF("k", "UID")
+      val e3 = intercept[IllegalArgumentException] {
+        TxTable.joinOnKey(spark, dir, upper, "k", "uid", joinType = "inner")
+      }
+      assert(e3.getMessage.contains("uid"))
     }
   }
 
