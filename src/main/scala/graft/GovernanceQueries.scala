@@ -634,6 +634,118 @@ object GovernanceQueries {
           "summary must equal the re-aggregated fact at the shared version")
         localized(graft.ext.TxTable.read(s, summary).orderBy("k"))
       }
+    },
+
+    // N-TABLE atomic commit (r17: the [[PairTxn.commitAll]] lift of
+    // q187's pair) — a fact and TWO derived views move under ONE
+    // intent: seed txn replaces all three, the second txn appends a
+    // fact delta while replacing both views. The lane pins the
+    // group invariant (each view's read-back == re-aggregation of the
+    // fact at the shared post-txn state) and that versions move in
+    // step; PairTxnSpec kills the writer at every publish point of
+    // the 3-table matrix and proves prefix-only visibility +
+    // roll-forward. The oracle replays the SECOND view relationally
+    // (q187 already oracle-covers the first's shape).
+    Q("q190_tx_multi_commit", GovernanceOracles.multiCommit) { (s, dir) =>
+      import graft.ext.PairTxn
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_multi") { tmp =>
+        val fact = s"$tmp/fact"
+        val byK = s"$tmp/by_k"
+        val byU = s"$tmp/by_u"
+        def viewK(df: DataFrame): DataFrame =
+          df.groupBy((col("event_id") % 6).as("k"))
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        def viewU(df: DataFrame): DataFrame =
+          df.groupBy((col("user_id") % 7).as("u"))
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        val seed = ev.where(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"), col("value"),
+            (col("event_id") % 8).as("pbucket"))
+        PairTxn.commitAll(s, tmp, Seq(
+          PairTxn.PairCommit(fact, seed, replace = true, Some("pbucket")),
+          PairTxn.PairCommit(byK, viewK(seed), replace = true),
+          PairTxn.PairCommit(byU, viewU(seed), replace = true)))
+        val delta = ev.where(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("value"),
+            (col("event_id") % 8).as("pbucket"))
+        val all = seed.unionByName(delta)
+        val vs = PairTxn.commitAll(s, tmp, Seq(
+          PairTxn.PairCommit(fact, delta, partitionCol = Some("pbucket")),
+          PairTxn.PairCommit(byK, viewK(all), replace = true),
+          PairTxn.PairCommit(byU, viewU(all), replace = true)))
+        require(vs == Seq(2L, 2L, 2L), s"group must move in step: $vs")
+        // the group invariant at the shared post-txn state: each view
+        // IS the aggregate of the fact it was committed with
+        val factNow = graft.ext.TxTable.read(s, fact)
+        require(viewK(factNow).orderBy("k").collect().toSeq ==
+          graft.ext.TxTable.read(s, byK).orderBy("k").collect().toSeq,
+          "view byK must equal the re-aggregated fact at the shared version")
+        require(viewU(factNow).orderBy("u").collect().toSeq ==
+          graft.ext.TxTable.read(s, byU).orderBy("u").collect().toSeq,
+          "view byU must equal the re-aggregated fact at the shared version")
+        localized(graft.ext.TxTable.read(s, byU).orderBy("u"))
+      }
+    },
+
+    // Manifest-NDV-elected AGGREGATION strategy (the sketches' second
+    // plan consumer, after q186's join election): groupBy on a
+    // NEAR-UNIQUE key (sketch estimate ≈ recorded rows) elects the
+    // SKIP-PARTIAL plan — raw rows exchange first, aggregate once
+    // after — because a map-side combine there emits ~one row per
+    // input row (hash-table churn + spill exposure bought for zero
+    // shuffle reduction); a low-NDV key keeps the default
+    // partial-heavy plan whose combine collapses each task to ~NDV
+    // rows before the wire. Both decisions are read off the LOG ALONE
+    // and PINNED via the printed operator order (a plan regression
+    // fails the require, not just a golden); rows are
+    // decision-independent, which is what the shared oracle checks.
+    // Missing-sketch conservatism (default plan, never a surprise
+    // raw-row shuffle) is TxTableSpec's cell.
+    Q("q191_tx_agg_ndv", GovernanceOracles.aggNdv) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_aggndv") { tmp =>
+        import org.apache.spark.sql.execution.SimpleMode
+        // operator order in the printed tree (root first): the final
+        // HashAggregate always leads; DEFAULT plan = Exchange between
+        // the two aggregates (partial below the wire), SKIP-PARTIAL
+        // plan = Exchange below BOTH (raw rows shuffled once)
+        def planShape(df: DataFrame): (Int, Int, Int) = {
+          val p = df.queryExecution.explainString(SimpleMode)
+          val h1 = p.indexOf("HashAggregate")
+          val h2 = p.indexOf("HashAggregate", h1 + 1)
+          val ex = p.indexOf("Exchange")
+          require(h1 >= 0 && h2 > h1 && ex >= 0, s"unexpected plan:\n$p")
+          (h1, h2, ex)
+        }
+        val hi = s"$tmp/hi"
+        graft.ext.TxTable.commitReplace(s, hi,
+          ev.select(col("event_id"), col("value")),
+          statsCols = Seq("event_id"))
+        val hiAgg = graft.ext.TxTable.aggOnKey(s, hi, "event_id",
+          Seq(count(lit(1)).as("n"), dsum(col("value")).as("value_sum")))
+        locally { val (_, h2, ex) = planShape(hiAgg)
+          require(ex > h2, "near-unique key (NDV≈rows from the manifest " +
+            "sketch) must elect the skip-partial plan") }
+        val lo = s"$tmp/lo"
+        graft.ext.TxTable.commitReplace(s, lo,
+          ev.select((col("user_id") % 16).as("k"), col("value")),
+          statsCols = Seq("k"))
+        val loAgg = graft.ext.TxTable.aggOnKey(s, lo, "k",
+          Seq(count(lit(1)).as("n"), dsum(col("value")).as("value_sum")))
+        locally { val (h1, h2, ex) = planShape(loAgg)
+          require(ex > h1 && ex < h2, "low-NDV key (16 ≪ rows) must keep " +
+            "the default partial-heavy plan") }
+        // rows are decision-independent: both elected plans feed one
+        // result (the near-unique side re-bucketed to stay compact)
+        localized(hiAgg
+          .groupBy((col("event_id") % 10).as("k"))
+          .agg(sum(col("n")).as("n"), dsum(col("value_sum")).as("value_sum"))
+          .withColumn("side", lit("hi"))
+          .unionByName(loAgg.withColumn("side", lit("lo")))
+          .select("side", "k", "n", "value_sum")
+          .orderBy("side", "k"))
+      }
     }
   )
 }
@@ -690,6 +802,31 @@ object GovernanceOracles {
       |WHERE user_id % 200 IN (
       |  SELECT DISTINCT user_id % 200 FROM events WHERE user_id % 5 = 0)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q190: the second derived view of the 3-table txn is, by the
+    * group invariant, the plain per-user aggregate over ALL events
+    * (seed ∪ delta = everything). */
+  val multiCommit: String =
+    """SELECT user_id % 7 AS u, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q191: both NDV-elected aggregation plans replayed relationally —
+    * the election moves the exchange, never the rows, so each side is
+    * the plain groupBy (the near-unique side re-bucketed mod 10 the
+    * way the engine compacts it). */
+  val aggNdv: String =
+    """WITH hi AS (
+      |  SELECT 'hi' AS side, event_id % 10 AS k, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  FROM events GROUP BY 2),
+      |lo AS (
+      |  SELECT 'lo' AS side, user_id % 16 AS k, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  FROM events GROUP BY 2)
+      |SELECT side, k, n, value_sum FROM hi
+      |UNION ALL SELECT side, k, n, value_sum FROM lo
+      |ORDER BY side, k""".stripMargin
 
   /** The q172 MERGE replayed over a FULL OUTER JOIN with the engine's
     * fixed clause order: delete wins over update on matched rows; a

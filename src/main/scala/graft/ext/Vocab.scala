@@ -137,6 +137,32 @@ object Vocab {
       applyIds(TextAnalysis.tokens(col(textCol)),
         loadAsOf(spark, assetDir, versionAsOf), oov))
 
+  /** Session-memoized frozen-vocab asset over the `documents` corpus
+    * at `dir` — the serving-state tier of the tokenize path, the same
+    * build-once discipline as [[Ivf.centroidsFor]] / the dedup
+    * signature caches: a pipeline freezes its vocab ONCE per corpus
+    * snapshot and every downstream stage tokenizes through the frozen
+    * version. First call freezes top-`vocabSize` tokens of
+    * `documents.text` into a session-scoped asset table and returns
+    * (assetDir, version); later calls return the same asset, so a
+    * query through it measures APPLY cost, not build cost (the r16
+    * q184 finding: an in-lane freeze buried the zero-shuffle tokenize
+    * path under 3× of build; the freeze cost is q189's own lane). */
+  def assetFor(
+      spark: SparkSession, dir: String, vocabSize: Int = 30): (String, Long) =
+    assetCache.getOrElseUpdate((spark, dir, vocabSize), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vocab_asset")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => graft.Fs.deleteTree(tmp)))
+      val assetDir = s"$tmp/vocab"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val v = freeze(spark, docs, col("text"), vocabSize, assetDir)
+      (assetDir, v)
+    })
+
+  private val assetCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (String, Long)]
+
   /** Per-row OOV rate of `tokens` under `vocab` (0.0 on an empty
     * array) — the drift metric a frozen-vocab pipeline watches: a
     * rising corpus-level average means the asset no longer covers the
