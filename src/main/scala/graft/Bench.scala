@@ -151,15 +151,20 @@ object Bench {
     // are fsync'd per micro-batch; the default temp location is the
     // disk-backed /tmp. A bench-run checkpoint is throwaway by
     // construction (AvailableNow queries never resume), so durability
-    // buys nothing — put the per-run base on tmpfs when available.
-    // Unique per JVM so a rerun can never resume a stale offset log.
-    val ckptBase: Option[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-        Some(java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get("/dev/shm"), "graft_bench_ckpt"))
-      else None
-    ckptBase.foreach(p =>
-      spark.conf.set("spark.sql.streaming.checkpointLocation", p.toString))
+    // buys nothing — put the per-run base on tmpfs when available,
+    // java.io.tmpdir otherwise (r16 ADVICE: the base must EXIST on
+    // every box, because the re-run isolation below — fresh namespace
+    // per repeat/confirm pass — hangs off it; a None base would make
+    // that isolation silently depend on no session default ever being
+    // set). Unique per JVM so a rerun can never resume a stale offset
+    // log.
+    val ckptBase: java.nio.file.Path =
+      java.nio.file.Files.createTempDirectory(
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          java.nio.file.Paths.get("/dev/shm")
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+        "graft_bench_ckpt")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", ckptBase.toString)
     try {
     // Warm the JVM/codegen/scan paths once so the first measured query
     // doesn't absorb ~5 s of one-time session cost, and materialize the
@@ -201,6 +206,10 @@ object Bench {
     graft.ext.Ivf.radiiFor(emb, sfDir, ivfCentroids)
     graft.ext.Ivf.cellsFor(emb, sfDir, ivfCentroids).count()
     graft.ext.Pq.codebooksFor(emb, sfDir)
+    // the frozen-vocab asset is the same build-once serving tier
+    // (memoized per (session, dir)) — freeze it here so q184 times the
+    // zero-shuffle APPLY, not the one-time freeze (q189 times that)
+    graft.ext.Vocab.assetFor(spark, sfDir)
     // (A toy-graph warm-up for the iterative lanes was tried and
     // REVERTED: whole-stage codegen units span the scan+join
     // pipelines, which differ between a toy frame and the real edge
@@ -318,9 +327,9 @@ object Bench {
     // abort. This silently discarded the confirm pass the first time
     // it fired for real (both q63/q67 "failed", confirmOk=false, the
     // sample was dropped exactly when the 300 s outlier needed it).
-    def freshCkptNamespace(tag: String): Unit = ckptBase.foreach(p =>
+    def freshCkptNamespace(tag: String): Unit =
       spark.conf.set("spark.sql.streaming.checkpointLocation",
-        s"$p/$tag"))
+        s"$ckptBase/$tag")
     val samples: Map[String, Seq[Double]] = firstPass.collect {
       case Timed(name, sec, true, _) if slowest(name) =>
         val more = (1 to 2).map { r =>
@@ -466,13 +475,19 @@ object Bench {
     val headTotals = total +: confirmTotal.toSeq
     val (headline, closingShaSec) =
       headlineOf(priorRuns, sha, headTotals, anyFailed)
+    // how many full-run samples stand behind closing_sha_sec — the
+    // round-close convention (r16 verdict): a round must not end on a
+    // single-sample closing measurement, so ≥2 here (run the bench
+    // again at the final sha until it is) is part of closing a round
+    val closingShaRuns =
+      priorRuns.count(_._1 == sha) + headTotals.size
     // run_shas is ALIGNED with run_totals (the r15 off-by-one: the
     // current run's sha was omitted, leaving 4 shas for 5 totals)
     val runPairs = priorRuns ++ headTotals.map(sha -> _)
     val runShas = runPairs.map(r => s"\"${r._1}\"").mkString("[", ",", "]")
     val runTotalsJson = runPairs.map(r => f3(r._2)).mkString("[", ",", "]")
     val confirmField = confirmTotal.fold("")(c => s""","confirm_run_sec":${f3(c)}""")
-    val line = s"""{"metric":"total","value":${f3(headline)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"qfp":"$qfp","spread":$spread,"top":$top,"engine_sec":${f3(engineSec)},"streaming_sec":${f3(streamingSec)},"n_streaming":$nStreaming,"this_run_sec":${f3(total)}$confirmField,"closing_sha_sec":${f3(closingShaSec)},"n_runs":${runPairs.size},"run_totals":$runTotalsJson,"run_shas":$runShas,"total_sec":${f3(headline)}}"""
+    val line = s"""{"metric":"total","value":${f3(headline)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"qfp":"$qfp","spread":$spread,"top":$top,"engine_sec":${f3(engineSec)},"streaming_sec":${f3(streamingSec)},"n_streaming":$nStreaming,"this_run_sec":${f3(total)}$confirmField,"closing_sha_sec":${f3(closingShaSec)},"closing_sha_runs":$closingShaRuns,"n_runs":${runPairs.size},"run_totals":$runTotalsJson,"run_shas":$runShas,"total_sec":${f3(headline)}}"""
     println(line)
     // full, untruncated copy for cross-round diffing (the stdout line
     // is clipped to its tail by the driver): APPEND one record per run
@@ -502,7 +517,7 @@ object Bench {
     } finally {
       // leave no per-run checkpoint base behind on tmpfs (RAM!) even
       // when a warm-up stream or a query path throws
-      ckptBase.foreach(p => graft.Fs.deleteTree(p))
+      graft.Fs.deleteTree(ckptBase)
     }
   }
 }

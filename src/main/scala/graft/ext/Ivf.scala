@@ -334,12 +334,21 @@ object Ivf {
     * back into the driver-held k×dim shape every probe API takes.
     * Bounded by construction (k rows) and validated LOUD: duplicate or
     * non-contiguous cell ids, ragged dimensions and NULL rows are
-    * corrupt-asset states, not inputs to guess around. */
+    * corrupt-asset states, not inputs to guess around. The bound is
+    * ENFORCED before the collect (r16 ADVICE): pointed at a wrong or
+    * huge table, a bare collect would OOM the driver before any "k
+    * rows" expectation fired — `maxCells` caps the read first. */
   def loadAsOf(spark: org.apache.spark.sql.SparkSession, assetDir: String,
-               versionAsOf: Option[Long] = None): Array[Array[Double]] = {
-    val rows = TxTable.read(spark, assetDir, versionAsOf)
+               versionAsOf: Option[Long] = None,
+               maxCells: Int = 65536): Array[Array[Double]] = {
+    val frame = TxTable.read(spark, assetDir, versionAsOf)
       .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
-      .collect()
+    // bounded probe: limit(maxCells+1) can never pull more than the
+    // cap plus one witness row to the driver, whatever the table is
+    val rows = frame.limit(maxCells + 1).collect()
+    require(rows.length <= maxCells,
+      s"frozen IVF asset at $assetDir holds more than $maxCells rows — " +
+        "not a centroid asset (or raise maxCells deliberately)")
     require(rows.nonEmpty, s"frozen IVF asset at $assetDir is empty")
     val byCell = rows.map { r =>
       require(!r.isNullAt(0) && !r.isNullAt(1),

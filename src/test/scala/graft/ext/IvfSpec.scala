@@ -164,11 +164,19 @@ class IvfSpec extends SparkSpec {
       val asset = s"$tmp/ivf"
       val v1 = Ivf.freeze(spark, emb, k = 8, iters = 3, asset)
       val loaded = Ivf.loadAsOf(spark, asset, Some(v1))
-      // training is deterministic and load is exact: the doubles round-
-      // trip through the asset table bit-for-bit
+      // vs a SEPARATE training run, equality is only approximate: the
+      // centroid update is a distributed avg() whose float summation
+      // order is deterministic only under identical partitioning — a
+      // parallelism/split change may move the last ulps (r16 ADVICE).
+      // Bit-exactness is asserted below where it is actually promised:
+      // reloading the SAME frozen version.
       assert(loaded.length == centroids.length)
       loaded.zip(centroids).foreach { case (a, b) =>
-        assert(a.toSeq == b.toSeq, "frozen centroids must reload bit-identical")
+        assert(a.length == b.length)
+        a.zip(b).foreach { case (x, y) =>
+          assert(math.abs(x - y) <= 1e-9,
+            s"frozen centroids must match the training run: $x vs $y")
+        }
       }
       // corpus changes; a retrain freezes as a NEW version of the same
       // asset, and AS OF v1 still serves the original matrix — search
