@@ -746,6 +746,36 @@ object GovernanceQueries {
           .select("side", "k", "n", "value_sum")
           .orderBy("side", "k"))
       }
+    },
+
+    // Manifest-stats TOP-K file skipping (the third plan consumer of
+    // commit-time statistics, after q186's join election and q191's
+    // aggregation election): on a range-clustered layout, "largest 50
+    // by user_id" derives a value bound from per-file (min, max, live
+    // rows) in the LOG ALONE and opens only the files that can hold a
+    // qualifying row — at 100 TB the whole table but one or two files
+    // skips before any footer I/O. The lane PINS the pruning (≤2 of
+    // ≥8 files survive, a layout/bound regression fails the require);
+    // the oracle is the plain ORDER BY ... LIMIT with the same
+    // tiebreak. TxTableSpec carries the DV-shifted-boundary and
+    // missing-stats conservatism cells.
+    Q("q192_tx_topk_skipping", GovernanceOracles.topkSkipping) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_topk") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.select(col("event_id"), col("user_id"))
+            .repartitionByRange(8, col("user_id"))
+            .sortWithinPartitions("user_id"),
+          statsCols = Seq("user_id"))
+        val m = graft.ext.TxTable.readManifest(s, table, 1L)
+        val hit = graft.ext.TxTable.topKCandidates(m, "user_id", 50)
+        require(m.files.size >= 8 && hit.size <= 2,
+          s"range-clustered layout must prune top-50 to ≤2 of " +
+            s"${m.files.size} files; got ${hit.size}")
+        localized(graft.ext.TxTable
+          .readTopK(s, table, "user_id", 50, tieBreak = "event_id"))
+      }
     }
   )
 }
@@ -827,6 +857,13 @@ object GovernanceOracles {
       |SELECT side, k, n, value_sum FROM hi
       |UNION ALL SELECT side, k, n, value_sum FROM lo
       |ORDER BY side, k""".stripMargin
+
+  /** q192: top-k file skipping replayed relationally — the bound
+    * changes which FILES open, never which rows win, so the oracle is
+    * the plain ordered head with the same tiebreak. */
+  val topkSkipping: String =
+    """SELECT event_id, user_id FROM events
+      |ORDER BY user_id DESC, event_id LIMIT 50""".stripMargin
 
   /** The q172 MERGE replayed over a FULL OUTER JOIN with the engine's
     * fixed clause order: delete wins over update on matched rows; a

@@ -180,8 +180,8 @@ object PairTxn {
               "commit contract requires the group writer to own all its " +
               "tables while a transaction is in flight; reconcile the " +
               "remaining tables by hand (re-derive them from the published " +
-              "ones), then mark the intent done or aborted under " +
-              s"${txnDir(coordRoot)}")
+              s"ones), then resolveStranded(\"${intent.id}\", ...) to " +
+              "record the outcome")
         }
       }
       side.checkpoint.foreach(c =>
@@ -260,15 +260,50 @@ object PairTxn {
     open.size
   }
 
+  /** Record the operator's verdict on a STRANDED transaction — the API
+    * face of the contention contract's manual-reconciliation step (the
+    * stranded error names the id and points here). A stranded txn is
+    * an OPEN intent whose roll-forward keeps failing because a foreign
+    * writer took a later side's slot after an earlier side published;
+    * no automatic step is sound, so the operator re-derives the
+    * un-published tables by hand and then either:
+    *
+    *   - `abort = false` (DONE): asserts the group state is reconciled
+    *     — the intent stops replaying, its record retires on the next
+    *     [[vacuumTxns]] sweep;
+    *   - `abort = true` (ABORTED): asserts the txn's effects are
+    *     rolled back/superseded — additionally, [[vacuumTxns]] then
+    *     reclaims the staged dirs of every side whose manifest was
+    *     NEVER published (the per-side published check keeps the
+    *     sides that DID land untouched — aborting a stranded txn
+    *     never deletes live data).
+    *
+    * Refuses an unknown id and an already-resolved txn — the verdict
+    * is recorded at most once. */
+  def resolveStranded(
+      spark: SparkSession, coordDir: String, id: String,
+      abort: Boolean): Unit = {
+    val (coordStore, coordRoot) = TxTable.storeOf(spark, coordDir)
+    val names = coordStore.list(txnDir(coordRoot))
+    require(names.contains(s"$id.json"),
+      s"no intent '$id' under ${txnDir(coordRoot)}")
+    require(!names.contains(s"$id.done") && !names.contains(s"$id.aborted"),
+      s"txn '$id' is already resolved")
+    coordStore.writeIfAbsent(
+      if (abort) abortPath(coordRoot, id) else donePath(coordRoot, id), "")
+    ()
+  }
+
   /** Reclaim what RESOLVED transactions left behind — the coordinator-
     * side face of [[TxTable.vacuum]]'s orphan discipline:
     *
     *   - an `.aborted` intent's staged commit dirs hold data files no
-    *     manifest will ever name (abort happens strictly before the
-    *     first publish, so NO side of an aborted txn is visible) —
-    *     delete each staged dir after verifying its manifest slot is
-    *     NOT occupied by this txn's bytes (belt and braces; it never
-    *     is for an abort);
+    *     manifest will ever name — a contention abort happens strictly
+    *     before the first publish (NO side visible), and an operator
+    *     abort of a STRANDED txn ([[resolveStranded]]) may follow a
+    *     published prefix, so each side's staged dir is deleted only
+    *     after verifying its manifest slot is NOT occupied by this
+    *     txn's bytes (published sides stay untouched);
     *   - `.done` and `.aborted` intent RECORDS older than the window
     *     are retired (the done txn's bytes live on as real published
     *     manifests; the record is replay bookkeeping).

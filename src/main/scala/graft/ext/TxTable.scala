@@ -1192,6 +1192,70 @@ object TxTable {
     }.reduce(_ && _))
   }
 
+  /** The file set that can contain a top-`k`-by-`statsCol` row,
+    * decided from the manifest alone (the pruning kernel of
+    * [[readTopK]]). Bound derivation: walk stats-carrying files in
+    * descending file-max order, accumulating LIVE row counts (rows
+    * minus recorded DV tombstones) until ≥ k — those files alone hold
+    * ≥ k live values, each ≥ its own file min, so the k-th largest
+    * value overall is ≥ the MINIMUM of the walked files' mins. Any
+    * file whose max is strictly below that bound holds only values
+    * strictly smaller than the k-th largest and can never contribute.
+    * Conservative everywhere: a file without stats or row counts is
+    * always read AND never contributes to the bound; fewer than k
+    * known-live rows ⇒ read everything. Valid under deletion vectors:
+    * tombstones shrink live counts (walked) but a surviving row is
+    * still ≥ its file min, and a pruned file's max only
+    * over-approximates what it still holds. */
+  private[graft] def topKCandidates(
+      m: Manifest, statsCol: String, k: Int): Seq[FileEntry] = {
+    val known = m.files.filter(f => f.stats.contains(statsCol) && f.rows >= 0L)
+    val ordered = known.sortBy(f => -f.stats(statsCol)._2)
+    var cum = 0L
+    val walked = ordered.takeWhile { f =>
+      val need = cum < k
+      cum += math.max(0L, f.rows - f.dvs.map(_.rows).sum)
+      need
+    }
+    if (cum < k) m.files
+    else {
+      val bound = walked.map(_.stats(statsCol)._1).min
+      m.files.filter(f => f.stats.get(statsCol).forall(_._2 >= bound))
+    }
+  }
+
+  /** Top-k rows by a manifest-stats column with FILE PRUNING decided
+    * from the log alone — the third plan consumer of commit-time
+    * statistics (after [[joinOnKey]]'s build-side election and
+    * [[aggOnKey]]'s partial-aggregation election): on a
+    * range-clustered layout ([[Layout.zOrderBy]] /
+    * repartitionByRange + sortWithinPartitions — the same layouts
+    * that make [[readRanges]] bite) a "latest / largest k" query
+    * opens the one or two files that can hold the answer and skips
+    * the rest of a 100 TB table before any footer I/O. The scan that
+    * remains is the ordinary TakeOrderedAndProject (per-file top-k,
+    * merged at the driver — never a global sort).
+    *
+    * Contract: `statsCol` must be long-valued and NON-NULL (enforce
+    * with a table CHECK constraint) — per-file min/max ignore NULLs,
+    * so a NULL-holding file could satisfy the cumulative row count
+    * with rows that carry no value, voiding the bound. `tieBreak`
+    * makes the k-th-place cut deterministic (the q43 lesson: a
+    * plateau without a total order hands the cut to noise). */
+  def readTopK(
+      spark: SparkSession, dir: String, statsCol: String, k: Int,
+      tieBreak: String, versionAsOf: Option[Long] = None): DataFrame = {
+    require(k > 0, s"top-k needs k > 0: $k")
+    val (_, root) = fsOf(spark, dir)
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    val m = readManifest(spark, dir, v)
+    val hit = topKCandidates(m, statsCol, k)
+    sliceOrEmpty(spark, root, hit, m.files, m.schemas)
+      .orderBy(col(statsCol).cast("long").desc, col(tieBreak))
+      .limit(k)
+  }
+
   /** Broadcast election for [[joinOnKey]]'s KEY-ONLY build side,
     * answered from the MANIFEST ALONE (no data file opened, no Spark
     * job — the r15 "NDV recorded but consumed by nothing" gap): true

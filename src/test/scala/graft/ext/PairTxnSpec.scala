@@ -343,6 +343,50 @@ class PairTxnSpec extends SparkSpec {
     }
   }
 
+  test("resolveStranded records the operator verdict exactly once; an " +
+      "aborted stranded txn vacuums ONLY its unpublished sides") {
+    inDir { tmp =>
+      val (a, b) = pair(tmp, 12)
+      PairTxn.commitPair(spark, tmp, a, b) // seed v1
+      val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      intercept[RuntimeException] {
+        TxTable.withLogStore(killingFactory("/summary/_graft_log", alive)) {
+          PairTxn.commitPair(spark, tmp,
+            PairTxn.PairCommit(s"$tmp/fact", fact(20).where(col("event_id") >= 12)),
+            PairTxn.PairCommit(s"$tmp/summary", summarize(fact(20)), replace = true))
+        }
+      }
+      alive.set(false)
+      // contention-contract violation strands the txn: fact published
+      // v2, a foreign writer then takes the summary's v2 slot
+      TxTable.commitReplace(spark, s"$tmp/summary", summarize(fact(3)))
+      val e = intercept[RuntimeException] { PairTxn.recoverPairs(spark, tmp) }
+      val id = """txn (\S+) STRANDED""".r.findFirstMatchIn(e.getMessage)
+        .map(_.group(1)).getOrElse(fail(s"no id in: ${e.getMessage}"))
+      assert(e.getMessage.contains("resolveStranded"), e.getMessage)
+      // unknown ids and double-resolution are refused
+      val e1 = intercept[IllegalArgumentException] {
+        PairTxn.resolveStranded(spark, tmp, "no-such-txn", abort = true)
+      }
+      assert(e1.getMessage.contains("no intent"))
+      PairTxn.resolveStranded(spark, tmp, id, abort = true)
+      val e2 = intercept[IllegalArgumentException] {
+        PairTxn.resolveStranded(spark, tmp, id, abort = false)
+      }
+      assert(e2.getMessage.contains("already resolved"))
+      // the verdict ends the replay loop: nothing open any more
+      assert(PairTxn.recoverPairs(spark, tmp) === 0)
+      // vacuum reclaims the never-published summary side's staged dir,
+      // and ONLY that: the fact's PUBLISHED v2 keeps every byte
+      val n = PairTxn.vacuumTxns(spark, tmp, retentionMs = 0L)
+      assert(n > 0, "the stranded txn staged an unpublished summary commit")
+      assert(TxTable.read(spark, s"$tmp/fact").count() === 20L,
+        "the published side of the aborted stranded txn must survive")
+      assert(rows(TxTable.read(spark, s"$tmp/summary")) ===
+        rows(summarize(fact(3))), "the foreign commit owns the summary")
+    }
+  }
+
   test("commitPair refuses a same-table pair") {
     inDir { tmp =>
       val f = fact(6)

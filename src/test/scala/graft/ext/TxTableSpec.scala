@@ -1380,6 +1380,53 @@ abstract class TxTableBehaviors extends SparkSpec {
     }
   }
 
+  test("readTopK: manifest-stats file pruning — bound from (min, max, live " +
+      "rows); DVs shift the walk, missing stats or tiny tables read all") {
+    import spark.implicits._
+    inDir { dir =>
+      // 4 files with EXACT ranges [0,63][64,127][128,191][192,255]:
+      // parallelize slices a local seq into contiguous even chunks, so
+      // the per-file stats are exactly the quartile ranges
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(
+        (0 until 256).map(i => (i.toLong, s"r$i")), 4)).toDF("id", "tag")
+      TxTable.commitReplace(spark, dir, df, statsCols = Seq("id"))
+      val m = TxTable.readManifest(spark, dir, 1L)
+      assert(m.files.size === 4)
+      // top-10 lives entirely in the last file: 64 live rows ≥ 10 ⇒
+      // bound = 192 ⇒ one candidate
+      assert(TxTable.topKCandidates(m, "id", 10).size === 1)
+      assert(TxTable.readTopK(spark, dir, "id", 10, tieBreak = "tag")
+        .collect().map(_.getLong(0)).toSeq ===
+        (246L to 255L).reverse)
+      // k = 100 needs two files (64 + 64 ≥ 100 ⇒ bound = 128)
+      assert(TxTable.topKCandidates(m, "id", 100).size === 2)
+      // more rows than the table holds: every file must be read
+      assert(TxTable.topKCandidates(m, "id", 10000).size === 4)
+      // tombstone the top 70 values: the last file's LIVE count drops
+      // to 0, the walk continues into file 3, and the true top-10
+      // shifts below the deleted range — rows stay correct while the
+      // bound stays conservative (the emptied file's max still admits
+      // it as a candidate)
+      TxTable.deleteWhereDv(spark, dir, col("id") >= 186L)
+      val v2 = TxTable.latestVersion(spark, dir).get
+      val m2 = TxTable.readManifest(spark, dir, v2)
+      assert(TxTable.topKCandidates(m2, "id", 10).size === 2)
+      assert(TxTable.readTopK(spark, dir, "id", 10, tieBreak = "tag")
+        .collect().map(_.getLong(0)).toSeq ===
+        (176L to 185L).reverse)
+    }
+    inDir { dir =>
+      // committed WITHOUT stats: no pruning, same rows (conservative)
+      val df = (0 until 64).map(i => (i.toLong, s"r$i")).toDF("id", "tag")
+        .repartition(4)
+      TxTable.commitReplace(spark, dir, df)
+      val m = TxTable.readManifest(spark, dir, 1L)
+      assert(TxTable.topKCandidates(m, "id", 5).size === m.files.size)
+      assert(TxTable.readTopK(spark, dir, "id", 5, tieBreak = "tag")
+        .collect().map(_.getLong(0)).toSeq === (59L to 63L).reverse)
+    }
+  }
+
   test("joinOnKey: reserved/colliding left columns are refused upfront, " +
       "not surfaced as an ambiguous-reference or silent duplicate name") {
     inDir { dir =>
