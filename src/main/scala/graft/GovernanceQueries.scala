@@ -776,6 +776,108 @@ object GovernanceQueries {
         localized(graft.ext.TxTable
           .readTopK(s, table, "user_id", 50, tieBreak = "event_id"))
       }
+    },
+
+    // The ASCENDING face of manifest-stats top-k skipping ("oldest k"
+    // is as common a maintenance query as "latest k") on a NULLABLE
+    // stats column — the r17 contract hole closed and exercised in one
+    // lane: commit-time stats now record per-file NULL counts, the
+    // candidate walk counts only VALUED live rows (a NULL-holding file
+    // can no longer satisfy the cumulative count with rows that carry
+    // no value), and the read pins NULLS LAST in both directions so
+    // the bound's "values beat NULLs" argument holds. The lane PINS
+    // both the pruning (≤2 of ≥8 files survive the smallest-50 walk)
+    // and that NULLs were genuinely present (a file with a nonzero
+    // recorded null count), so a regression to the old rows-only walk
+    // fails the require before the oracle even runs.
+    Q("q193_tx_topk_asc", GovernanceOracles.topkAsc) { (s, dir) =>
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_topk_asc") { tmp =>
+        val table = s"$tmp/table"
+        graft.ext.TxTable.commitReplace(s, table,
+          ev.select(col("event_id"),
+              when(col("user_id") % 89 === 0, lit(null))
+                .otherwise(col("user_id")).as("uid"))
+            .repartitionByRange(8, col("uid"))
+            .sortWithinPartitions("uid"),
+          statsCols = Seq("uid"))
+        val m = graft.ext.TxTable.readManifest(s, table, 1L)
+        require(m.files.exists(_.nulls.get("uid").exists(_ > 0)),
+          "lane must exercise the null-count walk: no file recorded a " +
+            "nonzero NULL count for uid")
+        val hit = graft.ext.TxTable.topKCandidates(m, "uid", 50, desc = false)
+        require(m.files.size >= 8 && hit.size <= 2,
+          s"range-clustered layout must prune smallest-50 to ≤2 of " +
+            s"${m.files.size} files; got ${hit.size}")
+        localized(graft.ext.TxTable
+          .readTopK(s, table, "uid", 50, tieBreak = "event_id",
+            desc = false))
+      }
+    },
+
+    // Merge-on-read DML under the MULTI-TABLE intent (r18): a fact at
+    // trickle-upsert cadence and its derived view move in ONE
+    // transaction — the changeset's deletes/updates become tombstone
+    // sidecars (ZERO fact files rewritten; the carried entries are
+    // byte-identical, pinned below), the update images and inserts
+    // ride fresh files, and the view replaces, all under one intent so
+    // a crash at any publish point rolls forward (PairTxnSpec's
+    // extended matrix covers the sidecar window). The oracle replays
+    // the merge relationally; the lane additionally `require`s the
+    // group invariant (view == aggregate of the merged fact) and the
+    // MoR shape (stacked DV refs, no rewritten entry).
+    Q("q194_tx_mor_multi_commit", GovernanceOracles.morMultiCommit) { (s, dir) =>
+      import graft.ext.{PairTxn, TxTable}
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      def viewOf(df: DataFrame): DataFrame =
+        df.groupBy(col("pb"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      inTempDir("graft_mor_txn") { tmp =>
+        val fact = s"$tmp/fact"; val view = s"$tmp/view"
+        val base = ev.select(col("event_id"), col("user_id"), col("value"),
+          (col("user_id") % 4).as("pb"))
+        PairTxn.commitAll(s, tmp, Seq(
+          PairTxn.PairCommit(fact, base, replace = true,
+            partitionCol = Some("pb")),
+          PairTxn.PairCommit(view, viewOf(base), replace = true)))
+        val updates = base.where(col("user_id") % 5 === 0)
+          .select(col("event_id"), col("user_id"),
+            (col("value") + 1000).as("value"), col("pb"), lit("update").as("op"))
+        val deletes = base.where(col("user_id") % 5 =!= 0 &&
+            col("event_id") % 7 === 3)
+          .select(col("event_id"), col("user_id"), col("value"), col("pb"),
+            lit("delete").as("op"))
+        val inserts = base.where(col("event_id") % 11 === 0)
+          .select((-col("event_id") - 1).as("event_id"), col("user_id"),
+            col("value"), col("pb"), lit("insert").as("op"))
+        val changes = updates.unionByName(deletes).unionByName(inserts)
+        val merged = base
+          .where(col("user_id") % 5 =!= 0 && col("event_id") % 7 =!= 3)
+          .unionByName(updates.drop("op"))
+          .unionByName(inserts.drop("op"))
+        val carriedBefore = TxTable.readManifest(s, fact, 1L)
+          .files.map(_.path).toSet
+        val vs = PairTxn.commitAll(s, tmp, Seq(
+          PairTxn.MergeDvCommit(fact, changes, "event_id", "op", "pb"),
+          PairTxn.PairCommit(view, viewOf(merged), replace = true)))
+        require(vs == Seq(2L, 2L),
+          s"fact and view must move in step under one intent: $vs")
+        val m2 = TxTable.readManifest(s, fact, 2L)
+        require(m2.files.exists(_.dvs.nonEmpty),
+          "MoR merge must stack deletion vectors, not rewrite")
+        require(carriedBefore.subsetOf(m2.files.map(_.path).toSet),
+          "MoR merge must carry every base file by reference")
+        // group invariant at the committed state
+        val viewRows = TxTable.read(s, view)
+          .select("pb", "n", "value_sum").collect().toSet
+        val factAgg = viewOf(TxTable.read(s, fact))
+          .select("pb", "n", "value_sum").collect().toSet
+        require(viewRows == factAgg,
+          "the committed view must equal the aggregate of the merged fact")
+        localized(TxTable.read(s, view)
+          .select("pb", "n", "value_sum").orderBy("pb"))
+      }
     }
   )
 }
@@ -864,6 +966,36 @@ object GovernanceOracles {
   val topkSkipping: String =
     """SELECT event_id, user_id FROM events
       |ORDER BY user_id DESC, event_id LIMIT 50""".stripMargin
+
+  /** q193: the ascending (smallest-k) face over a nullable column —
+    * the walk changes which FILES open, never which rows win; NULLS
+    * LAST is pinned on both engines (the engine sorts
+    * asc_nulls_last, DuckDB's ASC default is already NULLS LAST). */
+  val topkAsc: String =
+    """SELECT event_id,
+      |  CASE WHEN user_id % 89 = 0 THEN NULL ELSE user_id END AS uid
+      |FROM events
+      |ORDER BY uid ASC, event_id LIMIT 50""".stripMargin
+
+  /** q194: the MoR changeset replayed relationally — survivors keep
+    * their rows, updated keys carry the +1000 image, inserts mint
+    * negative ids (collision-free against the non-negative id
+    * surface); the intent changes WHEN the group becomes visible,
+    * never what it holds. */
+  val morMultiCommit: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, value, user_id % 4 AS pb FROM events),
+      |merged AS (
+      |  SELECT * FROM base WHERE user_id % 5 <> 0 AND event_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT event_id, user_id, value + 1000 AS value, pb
+      |  FROM base WHERE user_id % 5 = 0
+      |  UNION ALL
+      |  SELECT -event_id - 1 AS event_id, user_id, value, pb
+      |  FROM base WHERE event_id % 11 = 0)
+      |SELECT pb, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The q172 MERGE replayed over a FULL OUTER JOIN with the engine's
     * fixed clause order: delete wins over update on matched rows; a

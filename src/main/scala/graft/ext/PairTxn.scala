@@ -61,15 +61,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PairTxn {
 
-  /** One side of a multi-table commit: `replace=false` APPENDS `df` as
-    * a delta commit (fresh files added, carried entries kept — skipping
+  /** One side of a multi-table commit — sealed so [[commitAll]]'s
+    * staging dispatch is total. */
+  sealed trait SideCommit { def dir: String }
+
+  /** Append/replace side: `replace=false` APPENDS `df` as a delta
+    * commit (fresh files added, carried entries kept — skipping
     * metadata re-derived per the base manifest's recipe);
     * `replace=true` publishes a full-replace commit recording
     * `statsCols` sketches, [[TxTable.commitReplace]]'s semantics. */
   final case class PairCommit(
       dir: String, df: DataFrame, replace: Boolean = false,
       partitionCol: Option[String] = None,
-      statsCols: Seq[String] = Seq.empty)
+      statsCols: Seq[String] = Seq.empty) extends SideCommit
+
+  /** Merge-on-read DML side (r18): apply `changes` (an op-column
+    * changeset, [[TxTable.mergeChangeSetDv]]'s semantics — updates and
+    * deletes become tombstone-sidecar deletion vectors, inserts and
+    * update images ride fresh files; ZERO target files rewritten)
+    * under the SAME intent as the group's other sides — the
+    * fact-at-trickle-upsert-cadence + derived-views pipeline shape.
+    * The staged sidecar and data dirs are version-prefixed like every
+    * staged commit, so the open-intent sentinel spares them from
+    * table-level vacuum and [[vacuumTxns]] reclaims them on abort. A
+    * changeset with NO effect still advances the side by an empty
+    * delta commit: the group's versions move in step by contract. */
+  final case class MergeDvCommit(
+      dir: String, changes: DataFrame, keyCol: String, opCol: String,
+      partitionCol: String) extends SideCommit
 
   private final case class StagedSide(
       dir: String, version: Long, manifest: String, checkpoint: Option[String])
@@ -85,6 +104,28 @@ object PairTxn {
     new Path(txnDir(coordRoot), s"$id.done")
   private def abortPath(coordRoot: Path, id: String) =
     new Path(txnDir(coordRoot), s"$id.aborted")
+
+  /** Resolution markers carry the wall-clock of the moment the verdict
+    * was recorded IN THEIR BYTES — [[vacuumTxns]]'s retention ages a
+    * txn by this stamp, not the marker file's mtime (object stores do
+    * not all preserve mtimes, and a copied/touched marker must not age
+    * a just-aborted txn instantly). Legacy empty markers fall back to
+    * mtime. */
+  private def markerStamp(): String = System.currentTimeMillis().toString
+
+  /** Open-intent sentinel under a TABLE root (`_graft_intent/v{N}`):
+    * written at stage time BEFORE any data file, deleted after the
+    * side's manifest publishes. While a sentinel names a txn that is
+    * still open (intent record present, no resolution marker),
+    * [[TxTable.vacuum]] spares that version's staged `data/v{N}-*`
+    * dirs REGARDLESS of age — a table-level vacuum cannot otherwise
+    * see the coordinator's intent log, and an intent left open past
+    * the vacuum retention would have its staged files reclaimed and
+    * then roll-forward would publish a manifest naming deleted files
+    * (the r17 ADVICE exposure). Content is line-oriented:
+    * `txn\n<coordDir>\n<id>\n<stagedAtMs>`. */
+  private[ext] def sentinelPath(tableRoot: Path, version: Long) =
+    new Path(new Path(tableRoot, TxTable.IntentSentinelDir), s"v$version")
 
   private def renderIntent(i: Intent): String = {
     val n = mapper.createObjectNode()
@@ -113,34 +154,60 @@ object PairTxn {
   }
 
   /** Stage one side: write the data files, derive per-file metadata,
-    * enforce constraints, render the manifest — NO publish. */
-  private def stage(spark: SparkSession, p: PairCommit): StagedSide = {
-    val (fs, root) = TxTable.fsOf(spark, p.dir)
-    val base = TxTable.latestVersion(spark, p.dir).getOrElse(0L)
-    val baseManifest =
-      if (base == 0L) TxTable.Manifest(0L, Seq.empty)
-      else TxTable.readManifest(spark, p.dir, base)
-    val commitDir = TxTable.newCommitDir(root, base + 1)
-    val writer = p.df.write.mode("errorifexists")
-    p.partitionCol.fold(writer)(c => writer.partitionBy(c))
-      .parquet(commitDir.toString)
-    val listed = TxTable.listCommitFiles(fs, root, commitDir, p.partitionCol)
-    val entries =
-      if (p.replace)
-        TxTable.gatherFileMeta(spark, root, listed, p.statsCols, None,
-          ndvMirrorable = false)
-      else
-        TxTable.propagateSkipping(spark, root, baseManifest, listed,
-          p.df.columns.toSeq)
-    TxTable.enforceConstraints(spark, root, baseManifest, entries,
-      Some(p.df.schema.json))
-    val newFiles = if (p.replace) entries else baseManifest.files ++ entries
-    val extraProps =
-      if (p.replace && p.statsCols.nonEmpty) Map(TxTable.NdvLaneProp -> "xx")
-      else Map.empty[String, String]
-    val staged = TxTable.stageCommit(baseManifest, newFiles,
-      Some(p.df.schema.json), if (p.replace) "pairreplace" else "pairappend",
-      full = p.replace, extraProps = extraProps)
+    * enforce constraints, render the manifest — NO publish. The
+    * version's open-intent sentinel is stamped BEFORE the first data
+    * byte, so there is no window in which [[TxTable.vacuum]] could
+    * mistake this txn's staged files for ordinary aged orphans. */
+  private def stage(
+      spark: SparkSession, c: SideCommit,
+      coordRoot: Path, id: String): StagedSide = {
+    val (fs, root) = TxTable.fsOf(spark, c.dir)
+    val base = TxTable.latestVersion(spark, c.dir).getOrElse(0L)
+    val (tblStore, _) = TxTable.storeOf(spark, c.dir)
+    // the sentinel lands BEFORE the first data byte (no window for
+    // vacuum to mistake this txn's staged files for aged orphans);
+    // tolerate an existing one (an OCC retry restages the same
+    // version slot): the protection logic only needs SOME open txn's
+    // claim on the slot, and a stale claim resolves as stale
+    tblStore.delete(sentinelPath(root, base + 1))
+    tblStore.writeIfAbsent(sentinelPath(root, base + 1),
+      s"txn\n$coordRoot\n$id\n${System.currentTimeMillis()}")
+    val staged = c match {
+      case p: PairCommit =>
+        val baseManifest =
+          if (base == 0L) TxTable.Manifest(0L, Seq.empty)
+          else TxTable.readManifest(spark, p.dir, base)
+        val commitDir = TxTable.newCommitDir(root, base + 1)
+        val writer = p.df.write.mode("errorifexists")
+        p.partitionCol.fold(writer)(c => writer.partitionBy(c))
+          .parquet(commitDir.toString)
+        val listed = TxTable.listCommitFiles(fs, root, commitDir, p.partitionCol)
+        val entries =
+          if (p.replace)
+            TxTable.gatherFileMeta(spark, root, listed, p.statsCols, None,
+              ndvMirrorable = false)
+          else
+            TxTable.propagateSkipping(spark, root, baseManifest, listed,
+              p.df.columns.toSeq)
+        TxTable.enforceConstraints(spark, root, baseManifest, entries,
+          Some(p.df.schema.json))
+        val newFiles = if (p.replace) entries else baseManifest.files ++ entries
+        val extraProps =
+          if (p.replace && p.statsCols.nonEmpty) Map(TxTable.NdvLaneProp -> "xx")
+          else Map.empty[String, String]
+        TxTable.stageCommit(baseManifest, newFiles,
+          Some(p.df.schema.json), if (p.replace) "pairreplace" else "pairappend",
+          full = p.replace, extraProps = extraProps)
+      case mdv: MergeDvCommit =>
+        TxTable.stageMergeDv(spark, mdv.dir, mdv.changes, mdv.keyCol,
+          mdv.opCol, mdv.partitionCol).getOrElse {
+          // no-op changeset: the group's versions still move in step —
+          // stage an empty delta carrying the base state forward
+          val m = TxTable.readManifest(spark, mdv.dir, base)
+          TxTable.stageCommit(m, m.files, newSchema = None,
+            op = "merge-cs-dv", full = false)
+        }
+    }
     StagedSide(root.toString, staged.version, staged.manifest, staged.checkpoint)
   }
 
@@ -165,7 +232,8 @@ object PairTxn {
             // OWNER throws so its OCC retry restages against the new
             // base; a RECOVERER just records the abort — the txn is
             // dead, which is a completed recovery, not its failure.
-            coordStore.writeIfAbsent(abortPath(coordRoot, intent.id), "")
+            coordStore.writeIfAbsent(
+              abortPath(coordRoot, intent.id), markerStamp())
             if (owner) throw new TxTable.CommitConflictException(
               s"txn ${intent.id}: version ${side.version} of " +
                 s"${side.dir} taken by a concurrent writer — transaction " +
@@ -186,8 +254,12 @@ object PairTxn {
       }
       side.checkpoint.foreach(c =>
         store.writeIfAbsent(TxTable.checkpointPath(root, side.version), c))
+      // the side is durably published: its open-intent sentinel has
+      // done its job (idempotent — a recoverer replaying a published
+      // side deletes an already-absent path)
+      store.delete(sentinelPath(root, side.version))
     }
-    coordStore.writeIfAbsent(donePath(coordRoot, intent.id), "")
+    coordStore.writeIfAbsent(donePath(coordRoot, intent.id), markerStamp())
     ()
   }
 
@@ -200,7 +272,7 @@ object PairTxn {
     * make this writer stage against a half-committed base. */
   def commitAll(
       spark: SparkSession, coordDir: String,
-      commits: Seq[PairCommit]): Seq[Long] = {
+      commits: Seq[SideCommit]): Seq[Long] = {
     require(commits.size >= 2,
       s"commitAll coordinates at least two tables (got ${commits.size}); " +
         "a single table is one ordinary TxTable commit")
@@ -215,8 +287,10 @@ object PairTxn {
         "are one ordinary commit")
     recoverPairs(spark, coordDir)
     val (coordStore, coordRoot) = TxTable.storeOf(spark, coordDir)
-    val staged = commits.map(stage(spark, _))
+    // the id exists BEFORE staging so every side's open-intent
+    // sentinel can name it from the first staged byte
     val id = java.util.UUID.randomUUID().toString
+    val staged = commits.map(stage(spark, _, coordRoot, id))
     val intent = Intent(id, staged)
     // durability point: from here the group always completes
     require(coordStore.writeIfAbsent(
@@ -290,7 +364,8 @@ object PairTxn {
     require(!names.contains(s"$id.done") && !names.contains(s"$id.aborted"),
       s"txn '$id' is already resolved")
     coordStore.writeIfAbsent(
-      if (abort) abortPath(coordRoot, id) else donePath(coordRoot, id), "")
+      if (abort) abortPath(coordRoot, id) else donePath(coordRoot, id),
+      markerStamp())
     ()
   }
 
@@ -315,11 +390,26 @@ object PairTxn {
     * unreferenced-parquet orphans [[TxTable.vacuum]] reclaims on each
     * table, behind the same age guard.
     *
-    * `retentionMs` gates on the intent record's resolution age (the
-    * marker file's mtime): a just-aborted txn's OWNER may still be
-    * inspecting its staged state. Pass 0 only when no writer can be
-    * active (tests, decommission). Returns the number of staged data
-    * files deleted. */
+    * `retentionMs` gates on the intent record's resolution age — the
+    * wall-clock STAMPED INTO the marker's bytes at resolution time
+    * (mtime is only the legacy fallback: object stores do not all
+    * preserve mtimes, and a touched/copied marker must not age a
+    * just-aborted txn instantly): a just-aborted txn's OWNER may
+    * still be inspecting its staged state. Pass 0 only when no writer
+    * can be active (tests, decommission). Returns the number of
+    * staged data files deleted.
+    *
+    * "Published" is decided CONSERVATIVELY (the r17 ADVICE fix): a
+    * side is treated as published unless the evidence proves
+    * otherwise — a readable manifest slot holding FOREIGN bytes, or
+    * an unreadable slot on a table whose latest version never reached
+    * it (versions are dense, so that slot was never filled). An
+    * unreadable slot AT OR BELOW the table's latest version means
+    * version retention retired a once-published manifest — deleting
+    * its dirs on a failed read was the data-loss hole: later append
+    * commits may still carry those files live. Belt and braces on top:
+    * a dir the table's CURRENT manifest references is never deleted,
+    * whatever the slot says. */
   def vacuumTxns(
       spark: SparkSession, coordDir: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
@@ -330,53 +420,118 @@ object PairTxn {
     val aborted =
       names.filter(_.endsWith(".aborted")).map(_.stripSuffix(".aborted")).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
-    def resolvedBefore(marker: Path): Boolean =
-      try coordFs.getFileStatus(marker).getModificationTime <= cutoff
-      catch { case _: Exception => false }
+    def resolvedBefore(marker: Path): Boolean = {
+      val stamped =
+        try coordStore.read(marker).trim.toLongOption
+        catch { case _: Exception => None }
+      val at = stamped.orElse(
+        try Some(coordFs.getFileStatus(marker).getModificationTime)
+        catch { case _: Exception => None })
+      at.exists(_ <= cutoff)
+    }
+    // a marker whose intent record is already gone is the crash window
+    // between the sweep's two deletes: the dirs were handled before the
+    // record was deleted, so the dangling marker just retires — without
+    // this, one crashed sweep wedged every subsequent sweep on the
+    // record read (the r17 ADVICE hole)
+    def readIntent(id: String): Option[Intent] =
+      (try Some(coordStore.read(intentPath(coordRoot, id)))
+       catch { case _: Exception => None }).map(parseIntent)
     var n = 0
     aborted.toSeq.sorted.foreach { id =>
       val marker = abortPath(coordRoot, id)
       if (resolvedBefore(marker)) {
-        val ip = intentPath(coordRoot, id)
-        val intent = parseIntent(coordStore.read(ip))
-        intent.sides.foreach { side =>
-          val (fs, root) = TxTable.fsOf(spark, side.dir)
-          val (store, _) = TxTable.storeOf(spark, side.dir)
-          val mp = TxTable.manifestPath(root, side.version)
-          val published =
-            try store.read(mp) == side.manifest catch { case _: Exception => false }
-          if (!published) {
-            // the staged dirs are exactly the adds of the never-
-            // published manifest (an append's carried entries live in
-            // OTHER commits' dirs and stay untouched). Belt and braces:
-            // only this txn's OWN version-named dirs qualify — an add
-            // that modifies an entry in an older commit's dir (the DV
-            // stacking shape, which PairTxn never stages) can never
-            // drag that dir into the sweep.
-            val parsed = TxTable.ManifestJson.parse(side.manifest, s"intent $id")
-            parsed.adds.map(_.path.split('/').take(2).mkString("/"))
-              .distinct
-              .filter(_.startsWith(s"data/v${side.version}-"))
-              .foreach { rel =>
-                val dir = new Path(root, rel)
-                if (fs.exists(dir)) {
-                  val files = fs.listFiles(dir, true)
-                  var k = 0
-                  while (files.hasNext) {
-                    if (files.next().getPath.getName.endsWith(".parquet")) k += 1
-                  }
-                  if (fs.delete(dir, true)) n += k
+        readIntent(id) match {
+          case None => coordStore.delete(marker)
+          case Some(intent) =>
+            intent.sides.foreach { side =>
+              val (fs, root) = TxTable.fsOf(spark, side.dir)
+              val (store, _) = TxTable.storeOf(spark, side.dir)
+              val mp = TxTable.manifestPath(root, side.version)
+              val latest = TxTable.latestVersion(spark, side.dir)
+              val published =
+                try store.read(mp) == side.manifest
+                catch { case _: Exception =>
+                  // unreadable slot: retired-after-publish unless the
+                  // table provably never reached this version
+                  latest.exists(_ >= side.version)
                 }
+              if (!published) {
+                // the staged dirs are exactly the adds of the never-
+                // published manifest (an append's carried entries live in
+                // OTHER commits' dirs and stay untouched). Belt and braces:
+                // only this txn's OWN version-named dirs qualify — an add
+                // that modifies an entry in an older commit's dir (the DV
+                // stacking shape, whose sidecars ride [[DvSide]]'s own
+                // staging) can never drag that dir into the sweep — and a
+                // dir the CURRENT manifest still references is untouchable
+                // whatever the slot evidence said.
+                val (currentLive, currentLiveDv): (Set[String], Set[String]) =
+                  latest match {
+                    case Some(lv) =>
+                      val fs0 = TxTable.readManifest(spark, side.dir, lv).files
+                      (fs0.map(_.path.split('/').take(2).mkString("/")).toSet,
+                        fs0.flatMap(_.dvs.map(_.dir)).toSet)
+                    case None => (Set.empty, Set.empty)
+                  }
+                val parsed = TxTable.ManifestJson.parse(side.manifest, s"intent $id")
+                parsed.adds.map(_.path.split('/').take(2).mkString("/"))
+                  .distinct
+                  .filter(_.startsWith(s"data/v${side.version}-"))
+                  .filterNot(currentLive.contains)
+                  .foreach { rel =>
+                    val dir = new Path(root, rel)
+                    if (fs.exists(dir)) {
+                      val files = fs.listFiles(dir, true)
+                      var k = 0
+                      while (files.hasNext) {
+                        if (files.next().getPath.getName.endsWith(".parquet")) k += 1
+                      }
+                      if (fs.delete(dir, true)) n += k
+                    }
+                  }
+                // a staged MoR side ([[MergeDvCommit]]) also wrote its
+                // tombstone sidecar — same version-prefix belt, same
+                // never-published guarantee (a published manifest's DV
+                // refs are in the CURRENT live set's entries, and this
+                // branch only runs for a never-published side)
+                parsed.adds.flatMap(_.dvs.map(_.dir)).distinct
+                  .filter(_.startsWith(s"dv/v${side.version}-"))
+                  .filterNot(currentLiveDv.contains)
+                  .foreach { rel =>
+                    val dir = new Path(root, rel)
+                    if (fs.exists(dir)) {
+                      val files = fs.listFiles(dir, true)
+                      var k = 0
+                      while (files.hasNext) {
+                        if (files.next().getPath.getName.endsWith(".parquet")) k += 1
+                      }
+                      if (fs.delete(dir, true)) n += k
+                    }
+                  }
               }
-          }
+              // the txn is resolved: its open-intent claim on the slot
+              // is over either way
+              store.delete(sentinelPath(root, side.version))
+            }
+            coordStore.delete(intentPath(coordRoot, id))
+            coordStore.delete(marker)
         }
-        coordStore.delete(ip)
-        coordStore.delete(marker)
       }
     }
     done.toSeq.sorted.foreach { id =>
       val marker = donePath(coordRoot, id)
       if (resolvedBefore(marker)) {
+        // a done txn's bytes live on as real published manifests; only
+        // the replay bookkeeping retires. Sentinels of sides published
+        // by roll-forward are already gone; a hand-reconciled stranded
+        // txn marked done may have left claims on never-published
+        // slots — release them so table vacuum can age the debris out.
+        readIntent(id).foreach(_.sides.foreach { side =>
+          val (_, root) = TxTable.fsOf(spark, side.dir)
+          val (store, _) = TxTable.storeOf(spark, side.dir)
+          store.delete(sentinelPath(root, side.version))
+        })
         coordStore.delete(intentPath(coordRoot, id))
         coordStore.delete(marker)
       }

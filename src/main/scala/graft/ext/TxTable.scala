@@ -143,7 +143,17 @@ object TxTable {
         * vectors (deletes only shrink the value set, so the estimate
         * can only over-count). Purely additive log field — protocol
         * unbumped, old readers ignore it. */
-      hll: Map[String, String] = Map.empty)
+      hll: Map[String, String] = Map.empty,
+      /** per-column NULL counts (col → exact count of rows whose cast
+        * value is NULL in this file) recorded for the same columns as
+        * `stats` — the field that makes [[topKCandidates]]' live-row
+        * walk valid on NULLABLE columns: min/max ignore NULLs, so the
+        * walk must count only rows that CARRY a value, and a recorded
+        * zero is knowledge ("this file proves 64 valued rows") while
+        * an ABSENT key is ignorance (pre-upgrade manifests) that the
+        * walk treats as contributing nothing. Purely additive log
+        * field — protocol unbumped, old readers ignore it. */
+      nulls: Map[String, Long] = Map.empty)
 
   /** `schemas` maps a commit DATA DIRECTORY (`data/vN-token`) to the
     * read-back schema (StructType JSON, partition column included) of
@@ -185,6 +195,15 @@ object TxTable {
     * checkpoint write amplification ≤ 1/10 of a full manifest per
     * commit (amortized). */
   @volatile var checkpointInterval: Int = 10
+
+  /** Directory under a table root where [[PairTxn]] stamps open-intent
+    * sentinels (`v{N}` files claiming version N's staged dirs).
+    * [[vacuum]] honors a claim that names a STILL-OPEN multi-table
+    * txn regardless of file age — the coordinator's intent log is
+    * otherwise invisible to a table-level vacuum, and reclaiming an
+    * open intent's staged files would make its roll-forward publish a
+    * manifest naming deleted data. */
+  private[ext] val IntentSentinelDir = "_graft_intent"
 
   /** The [[LogStore]] seam: all commit-log I/O resolves its store
     * through this factory. Deployments targeting object stores install
@@ -299,6 +318,10 @@ object TxTable {
         val hn = n.putObject("hll")
         f.hll.toSeq.sortBy(_._1).foreach { case (c, b64) => hn.put(c, b64) }
       }
+      if (f.nulls.nonEmpty) {
+        val nn = n.putObject("nn")
+        f.nulls.toSeq.sortBy(_._1).foreach { case (c, v) => nn.put(c, v) }
+      }
       if (f.bytes != 0L) n.put("sz", f.bytes)
       if (f.rows >= 0L) n.put("rc", f.rows)
       if (f.dvs.nonEmpty) {
@@ -385,11 +408,20 @@ object TxTable {
           while (it.hasNext) { val c = it.next(); b += c -> hn.get(c).asText() }
           b.result()
         }
+      val nulls =
+        if (!node.has("nn")) Map.empty[String, Long]
+        else {
+          val nn = node.get("nn")
+          val it = nn.fieldNames()
+          val b = Map.newBuilder[String, Long]
+          while (it.hasNext) { val c = it.next(); b += c -> nn.get(c).asLong() }
+          b.result()
+        }
       FileEntry(node.get("path").asText(),
         Option(node.get("bucket")).map(_.asText()), stats, bloom,
         Option(node.get("sz")).map(_.asLong()).getOrElse(0L),
         Option(node.get("rc")).map(_.asLong()).getOrElse(-1L),
-        dvs, hll)
+        dvs, hll, nulls)
     }
 
     def parse(text: String, src: String): ParsedLog = {
@@ -873,11 +905,17 @@ object TxTable {
     val statAggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"_lo_$c"),
       max(col(c).cast("long")).as(s"_hi_$c"),
-      HllRegs.agg(Hll.hash60(col(c), mirrorable = ndvMirrorable)).as(s"_hll_$c")))
+      HllRegs.agg(Hll.hash60(col(c), mirrorable = ndvMirrorable)).as(s"_hll_$c"),
+      // non-NULL count AFTER the same cast the min/max lane applies, so
+      // rows - valued = the exact NULL count [[topKCandidates]] must
+      // subtract from a file's live-row contribution (min/max ignore
+      // NULLs; the same rule makes an uncastable string a NULL here
+      // and a NULL in the stats, never a disagreement between lanes)
+      count(col(c).cast("long")).as(s"_nn_$c")))
     val bloomAgg = bloom.map { case (c, mBits, k) =>
       BloomPack.agg(col(c).cast("string"), mBits, k).as("_bloom") }.toSeq
     val aggs = count(lit(1)).as("_rc") +: (statAggs ++ bloomAgg)
-    val bloomIdx = 2 + 3 * statsCols.size
+    val bloomIdx = 2 + 4 * statsCols.size
     val byFile = spark.read.parquet(
         entries.map(f => new Path(root, f.path).toString): _*)
       .groupBy(input_file_name().as("_f"))
@@ -885,30 +923,33 @@ object TxTable {
       .collect()
       .map { r =>
         val m = statsCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(2 + 3 * i) || r.isNullAt(3 + 3 * i)) None
-          else Some(c -> (r.getLong(2 + 3 * i), r.getLong(3 + 3 * i)))
+          if (r.isNullAt(2 + 4 * i) || r.isNullAt(3 + 4 * i)) None
+          else Some(c -> (r.getLong(2 + 4 * i), r.getLong(3 + 4 * i)))
         }.toMap
         val hll = statsCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(4 + 3 * i)) None
+          if (r.isNullAt(4 + 4 * i)) None
           else Some(c -> java.util.Base64.getEncoder.encodeToString(
-            r.getAs[Array[Byte]](4 + 3 * i)))
+            r.getAs[Array[Byte]](4 + 4 * i)))
+        }.toMap
+        val nn = statsCols.zipWithIndex.map { case (c, i) =>
+          c -> (r.getLong(1) - r.getLong(5 + 4 * i))
         }.toMap
         val b64 = bloom.flatMap(_ =>
           if (r.isNullAt(bloomIdx)) None else Some(r.getString(bloomIdx)))
-        r.getString(0) -> (r.getLong(1), m, hll, b64)
+        r.getString(0) -> (r.getLong(1), m, hll, nn, b64)
       }.toMap
     entries.map { f =>
       val abs = new Path(root, f.path).toString
       // input_file_name renders a URI; match on suffix to be
       // scheme-normalization-proof
       byFile.collectFirst { case (k, v) if k.endsWith(f.path) || k == abs => v }
-        .fold(f) { case (rc, m, hll, b64) =>
+        .fold(f) { case (rc, m, hll, nn, b64) =>
           val withBloom = (bloom, b64) match {
             case (Some((c, _, k)), Some(bits)) =>
               f.copy(bloom = Some(FileBloom(c, k, bits)))
             case _ => f
           }
-          withBloom.copy(stats = m, rows = rc, hll = hll)
+          withBloom.copy(stats = m, rows = rc, hll = hll, nulls = nn)
         }
     }
   }
@@ -1194,33 +1235,48 @@ object TxTable {
 
   /** The file set that can contain a top-`k`-by-`statsCol` row,
     * decided from the manifest alone (the pruning kernel of
-    * [[readTopK]]). Bound derivation: walk stats-carrying files in
-    * descending file-max order, accumulating LIVE row counts (rows
-    * minus recorded DV tombstones) until ≥ k — those files alone hold
-    * ≥ k live values, each ≥ its own file min, so the k-th largest
-    * value overall is ≥ the MINIMUM of the walked files' mins. Any
-    * file whose max is strictly below that bound holds only values
-    * strictly smaller than the k-th largest and can never contribute.
-    * Conservative everywhere: a file without stats or row counts is
-    * always read AND never contributes to the bound; fewer than k
-    * known-live rows ⇒ read everything. Valid under deletion vectors:
-    * tombstones shrink live counts (walked) but a surviving row is
-    * still ≥ its file min, and a pruned file's max only
-    * over-approximates what it still holds. */
+    * [[readTopK]]). Bound derivation (descending face; the ascending
+    * face mirrors every comparison): walk stats-carrying files in
+    * descending file-max order, accumulating live VALUED row counts
+    * (rows minus recorded DV tombstones minus the file's recorded
+    * NULL count for `statsCol` — min/max ignore NULLs, so only rows
+    * that carry a value may vouch for the bound) until ≥ k — those
+    * files alone hold ≥ k live values, each ≥ its own file min, so
+    * the k-th largest value overall is ≥ the MINIMUM of the walked
+    * files' mins. Any file whose max is strictly below that bound
+    * holds only values strictly smaller than the k-th largest and can
+    * never contribute (its NULL rows can't either: ≥ k values exist,
+    * and NULLs order after every value under the read's
+    * nulls-last sort). Conservative everywhere: a file without stats,
+    * row counts, OR a recorded null count (pre-upgrade manifests) is
+    * always read AND never contributes to the walk — ignorance reads,
+    * it never prunes; fewer than k known live valued rows ⇒ read
+    * everything. Valid under deletion vectors: tombstones shrink the
+    * walked counts by their full size even when they deleted NULL
+    * rows (the subtraction can only UNDER-count a file's valued rows,
+    * walking further and weakening the bound — never past it). */
   private[graft] def topKCandidates(
-      m: Manifest, statsCol: String, k: Int): Seq[FileEntry] = {
-    val known = m.files.filter(f => f.stats.contains(statsCol) && f.rows >= 0L)
-    val ordered = known.sortBy(f => -f.stats(statsCol)._2)
+      m: Manifest, statsCol: String, k: Int,
+      desc: Boolean = true): Seq[FileEntry] = {
+    val known = m.files.filter(f =>
+      f.stats.contains(statsCol) && f.rows >= 0L && f.nulls.contains(statsCol))
+    val ordered =
+      if (desc) known.sortBy(f => -f.stats(statsCol)._2)
+      else known.sortBy(f => f.stats(statsCol)._1)
     var cum = 0L
     val walked = ordered.takeWhile { f =>
       val need = cum < k
-      cum += math.max(0L, f.rows - f.dvs.map(_.rows).sum)
+      cum += math.max(0L,
+        f.rows - f.dvs.map(_.rows).sum - f.nulls(statsCol))
       need
     }
     if (cum < k) m.files
-    else {
+    else if (desc) {
       val bound = walked.map(_.stats(statsCol)._1).min
       m.files.filter(f => f.stats.get(statsCol).forall(_._2 >= bound))
+    } else {
+      val bound = walked.map(_.stats(statsCol)._2).max
+      m.files.filter(f => f.stats.get(statsCol).forall(_._1 <= bound))
     }
   }
 
@@ -1234,25 +1290,38 @@ object TxTable {
     * opens the one or two files that can hold the answer and skips
     * the rest of a 100 TB table before any footer I/O. The scan that
     * remains is the ordinary TakeOrderedAndProject (per-file top-k,
-    * merged at the driver — never a global sort).
+    * merged at the driver — never a global sort). `desc = false`
+    * mirrors the walk for the SMALLEST k ("oldest k" is as common a
+    * maintenance query as "latest k"): files walk in ascending
+    * file-min order, the bound is the max of the walked maxes, and a
+    * file whose min exceeds it is skipped.
     *
-    * Contract: `statsCol` must be long-valued and NON-NULL (enforce
-    * with a table CHECK constraint) — per-file min/max ignore NULLs,
-    * so a NULL-holding file could satisfy the cumulative row count
-    * with rows that carry no value, voiding the bound. `tieBreak`
-    * makes the k-th-place cut deterministic (the q43 lesson: a
-    * plateau without a total order hands the cut to noise). */
+    * NULL contract is ENFORCED BY THE WALK, not by operator
+    * discipline: commit-time stats record each file's per-column NULL
+    * count and [[topKCandidates]] subtracts it, so a NULL-holding
+    * file vouches only for its valued rows and the bound stays valid
+    * on nullable columns. Ordering pins NULLS LAST in BOTH
+    * directions (matching ANSI `ORDER BY ... DESC` defaults and
+    * making asc/desc faces agree that values beat NULLs) — a NULL
+    * row can reach the result only when the table holds fewer than k
+    * values, which is exactly the read-everything branch of the walk.
+    * `tieBreak` makes the k-th-place cut deterministic (the q43
+    * lesson: a plateau without a total order hands the cut to
+    * noise). */
   def readTopK(
       spark: SparkSession, dir: String, statsCol: String, k: Int,
-      tieBreak: String, versionAsOf: Option[Long] = None): DataFrame = {
+      tieBreak: String, versionAsOf: Option[Long] = None,
+      desc: Boolean = true): DataFrame = {
     require(k > 0, s"top-k needs k > 0: $k")
     val (_, root) = fsOf(spark, dir)
     val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
       sys.error(s"no committed version at $dir"))
     val m = readManifest(spark, dir, v)
-    val hit = topKCandidates(m, statsCol, k)
+    val hit = topKCandidates(m, statsCol, k, desc)
+    val key = if (desc) col(statsCol).cast("long").desc_nulls_last
+              else col(statsCol).cast("long").asc_nulls_last
     sliceOrEmpty(spark, root, hit, m.files, m.schemas)
-      .orderBy(col(statsCol).cast("long").desc, col(tieBreak))
+      .orderBy(key, col(tieBreak))
       .limit(k)
   }
 
@@ -1795,14 +1864,37 @@ object TxTable {
       spark: SparkSession, dir: String, changes: DataFrame,
       keyCol: String, opCol: String, partitionCol: String,
       evolveSchema: Boolean = false,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None): Long =
+    stageMergeDv(spark, dir, changes, keyCol, opCol, partitionCol,
+      evolveSchema, txn) match {
+      case None => latestVersion(spark, dir).getOrElse(
+        sys.error(s"mergeChangeSetDv needs an initialized table at $dir"))
+      case Some(staged) =>
+        val (store, root) = storeOf(spark, dir)
+        publishStaged(store, root, staged)
+    }
+
+  /** [[mergeChangeSetDv]]'s WRITE PHASE factored out (r18): tombstone
+    * sidecar and fresh data files land on disk exactly as the ordinary
+    * path writes them, the manifest is RENDERED but not published —
+    * which is what lets [[PairTxn]] carry a DV-writing fact side
+    * inside a multi-table intent (the rendered bytes ride the intent
+    * record; roll-forward replays them verbatim, sidecars included).
+    * Returns None when the commit would have NO effect (an
+    * already-recorded idempotent-writer txn, or a changeset that
+    * tombstones nothing and inserts nothing) — any just-written
+    * sidecar/commit debris is already deleted on that path. */
+  private[ext] def stageMergeDv(
+      spark: SparkSession, dir: String, changes: DataFrame,
+      keyCol: String, opCol: String, partitionCol: String,
+      evolveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Option[StagedCommit] = {
     val (fs, root) = fsOf(spark, dir)
-    val store = logStoreFactory(fs)
     val base = latestVersion(spark, dir).getOrElse(
       sys.error(s"mergeChangeSetDv needs an initialized table at $dir"))
     val m = readManifest(spark, dir, base)
     if (txn.exists { case (app, ver) => m.txns.get(app).exists(_ >= ver) })
-      return base
+      return None
     // bounded driver collect: ≤ #partition values by definition
     val touched = changes.select(col(partitionCol)).distinct()
       .collect().map(r => String.valueOf(r.get(0))).toSet
@@ -1838,7 +1930,7 @@ object TxTable {
       listCommitFiles(fs, root, commitDir, Some(partitionCol)),
       added.columns.toSeq)
     if (counts.isEmpty && fresh.isEmpty) {
-      fs.delete(dvPath, true); fs.delete(commitDir, true); return base
+      fs.delete(dvPath, true); fs.delete(commitDir, true); return None
     }
     if (counts.isEmpty) fs.delete(dvPath, true)
     enforceConstraints(spark, root, m, fresh, Some(added.schema.json))
@@ -1848,11 +1940,11 @@ object TxTable {
         case None => f
       }
     }
-    commit(store, root, m, updated ++ fresh, newSchema = None,
+    Some(stageCommit(m, updated ++ fresh, newSchema = None,
       op = "merge-cs-dv", full = false,
       extraSchemas = fresh.headOption
         .map(f => dirOf(f.path) -> added.schema.json).toMap,
-      txn = txn)
+      txn = txn))
   }
 
   /** The standard multi-writer optimistic-concurrency loop, usable
@@ -2719,6 +2811,44 @@ object TxTable {
     val cutoff = System.currentTimeMillis() - retentionMs
     val rootStr = root.toString + "/"
     var n = 0
+    // Open-intent sentinels ([[PairTxn]]): a version whose sentinel
+    // names a txn that is STILL OPEN (intent record present, no
+    // resolution marker) keeps its staged `data/v{N}-*` dirs whatever
+    // their age — roll-forward will publish them. A sentinel whose txn
+    // is resolved (marker present) or retired (no record) protects
+    // only within the retention window (the pre-intent crash shape),
+    // then it is itself debris and deletes here. An unreadable claim
+    // protects within retention — never a guess past it.
+    val protectedVs: Set[Long] = {
+      val sDir = new Path(root, IntentSentinelDir)
+      if (!fs.exists(sDir)) Set.empty
+      else fs.listStatus(sDir).flatMap { st =>
+        val v = st.getPath.getName.stripPrefix("v").toLongOption
+        if (v.isEmpty || !st.getPath.getName.startsWith("v")) None
+        else {
+          val lines =
+            try store.read(st.getPath).linesIterator.toSeq
+            catch { case _: Exception => Seq.empty }
+          val withinRetention = lines.lift(3).flatMap(_.toLongOption)
+            .getOrElse(st.getModificationTime) > cutoff
+          val protect = lines.headOption match {
+            case Some("txn") if lines.size >= 3 =>
+              try {
+                val (cs, cr) = storeOf(spark, lines(1))
+                val coordNames = cs.list(new Path(cr, "_graft_pairtxn"))
+                val id = lines(2)
+                if (coordNames.contains(s"$id.done") ||
+                    coordNames.contains(s"$id.aborted")) false
+                else if (coordNames.contains(s"$id.json")) true
+                else withinRetention
+              } catch { case _: Exception => withinRetention }
+            case _ => withinRetention
+          }
+          if (!protect) fs.delete(st.getPath, false)
+          if (protect) v else None
+        }
+      }.toSet
+    }
     val dataDir = new Path(root, "data")
     if (fs.exists(dataDir)) {
       val it = fs.listFiles(dataDir, true)
@@ -2726,8 +2856,10 @@ object TxTable {
       while (it.hasNext) {
         val st = it.next()
         val rel = st.getPath.toString.stripPrefix(rootStr)
+        val claimed = protectedVs.nonEmpty &&
+          protectedVs.exists(v => rel.startsWith(s"data/v$v-"))
         if (st.isFile && rel.endsWith(".parquet") && !live(rel) &&
-          st.getModificationTime <= cutoff) doomed += st.getPath
+          !claimed && st.getModificationTime <= cutoff) doomed += st.getPath
       }
       doomed.foreach { p => if (fs.delete(p, false)) n += 1 }
     }
@@ -2741,7 +2873,12 @@ object TxTable {
     if (fs.exists(dvRoot)) {
       fs.listStatus(dvRoot).foreach { st =>
         val rel = "dv/" + st.getPath.getName
-        if (st.isDirectory && !liveDv(rel)) {
+        // an open intent's staged MoR side has its tombstone sidecar on
+        // disk before any manifest names it — the same sentinel claim
+        // that spares data/v{N}-* spares dv/v{N}-*
+        val claimed = protectedVs.nonEmpty &&
+          protectedVs.exists(v => st.getPath.getName.startsWith(s"v$v-"))
+        if (st.isDirectory && !liveDv(rel) && !claimed) {
           val members = fs.listStatus(st.getPath)
           val newest =
             if (members.isEmpty) st.getModificationTime

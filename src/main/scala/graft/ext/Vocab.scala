@@ -150,18 +150,35 @@ object Vocab {
     * path under 3× of build; the freeze cost is q189's own lane). */
   def assetFor(
       spark: SparkSession, dir: String, vocabSize: Int = 30): (String, Long) =
-    assetCache.getOrElseUpdate((spark, dir, vocabSize), {
+    assetCache.getOrElseUpdate((dir, vocabSize), {
       val tmp = java.nio.file.Files.createTempDirectory("graft_vocab_asset")
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => graft.Fs.deleteTree(tmp)))
+      tempDirs.add(tmp)
       val assetDir = s"$tmp/vocab"
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val v = freeze(spark, docs, col("text"), vocabSize, assetDir)
       (assetDir, v)
     })
 
+  /** Keyed on the CORPUS location alone, not the SparkSession: the
+    * frozen asset is a path + version on local disk, readable through
+    * any session, and a session-keyed strong reference pinned dead
+    * sessions, their temp dirs and one shutdown hook each for the
+    * process lifetime (the r17 ADVICE leak). ASSUMPTION (documented,
+    * same as every `*For` serving cache here): the corpus at `dir` is
+    * immutable for the process lifetime — a rewritten corpus needs a
+    * fresh process or an explicit [[freeze]] to a caller-owned asset
+    * dir. */
   private val assetCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), (String, Long)]
+    .empty[(String, Int), (String, Long)]
+
+  /** ONE process-wide shutdown hook draining a registry of asset temp
+    * dirs — not one hook per entry. */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var p = tempDirs.poll()
+    while (p != null) { graft.Fs.deleteTree(p); p = tempDirs.poll() }
+  }))
 
   /** Per-row OOV rate of `tokens` under `vocab` (0.0 on an empty
     * array) — the drift metric a frozen-vocab pipeline watches: a

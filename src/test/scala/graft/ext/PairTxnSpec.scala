@@ -387,6 +387,308 @@ class PairTxnSpec extends SparkSpec {
     }
   }
 
+  test("open-intent sentinel: table-level vacuum at retention 0 spares an " +
+      "OPEN txn's staged files; after resolution the claim is stale debris") {
+    inDir { tmp =>
+      val (a, b) = pair(tmp, 12)
+      PairTxn.commitPair(spark, tmp, a, b) // seed v1
+      val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      intercept[RuntimeException] {
+        // dies on the FACT publish: intent durable, nothing published —
+        // every staged file is invisible to both tables' manifests
+        TxTable.withLogStore(killingFactory("/fact/_graft_log", alive)) {
+          PairTxn.commitPair(spark, tmp,
+            PairTxn.PairCommit(s"$tmp/fact", fact(20).where(col("event_id") >= 12)),
+            PairTxn.PairCommit(s"$tmp/summary", summarize(fact(20)), replace = true))
+        }
+      }
+      alive.set(false)
+      val factBefore = parquetCount(s"$tmp/fact")
+      // the r17 exposure: an aggressive table-level vacuum cannot see
+      // the coordinator's intent log — the sentinel under the table
+      // root is what keeps roll-forward's bytes alive
+      assert(TxTable.vacuum(spark, s"$tmp/fact", retentionMs = 0L) === 0,
+        "an open intent's staged files must survive vacuum at ANY age")
+      assert(TxTable.vacuum(spark, s"$tmp/summary", retentionMs = 0L) === 0)
+      assert(parquetCount(s"$tmp/fact") === factBefore)
+      // roll-forward publishes the spared bytes
+      assert(PairTxn.recoverPairs(spark, tmp) === 1)
+      assert(TxTable.read(spark, s"$tmp/fact").count() === 20L)
+      assert(rows(TxTable.read(spark, s"$tmp/summary")) ===
+        rows(summarize(fact(20))))
+      // published sides dropped their claims; a second vacuum finds
+      // only live data and no sentinel debris
+      assert(TxTable.vacuum(spark, s"$tmp/fact", retentionMs = 0L) === 0)
+      assert(TxTable.read(spark, s"$tmp/fact").count() === 20L)
+      val sDir = new java.io.File(s"$tmp/fact/_graft_intent")
+      assert(!sDir.exists() || sDir.listFiles().isEmpty,
+        "published sides must not leave sentinel claims behind")
+    }
+  }
+
+  test("vacuumTxns ages a txn by the RESOLUTION STAMP in the marker's " +
+      "bytes, not the marker file's mtime") {
+    inDir { tmp =>
+      val (a, b) = pair(tmp, 12)
+      PairTxn.commitPair(spark, tmp, a, b)
+      val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      intercept[RuntimeException] {
+        TxTable.withLogStore(killingFactory("/fact/_graft_log", alive)) {
+          PairTxn.commitPair(spark, tmp,
+            PairTxn.PairCommit(s"$tmp/fact", fact(20).where(col("event_id") >= 12)),
+            PairTxn.PairCommit(s"$tmp/summary", summarize(fact(20)), replace = true))
+        }
+      }
+      alive.set(false)
+      TxTable.commitReplace(spark, s"$tmp/fact", fact(5)) // foreign steals v2
+      assert(PairTxn.recoverPairs(spark, tmp) === 1)      // abort recorded NOW
+      // a fresh abort is spared under an hour's retention
+      assert(PairTxn.vacuumTxns(spark, tmp, retentionMs = 3600_000L) === 0)
+      // rewrite the marker with a two-hour-old STAMP; the file's mtime
+      // is brand new (exactly the touched/copied-marker shape object
+      // stores produce) — the recorded resolution time must win
+      val coordFs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+      val markers = new java.io.File(s"$tmp/_graft_pairtxn").listFiles()
+        .filter(_.getName.endsWith(".aborted"))
+      assert(markers.length === 1)
+      val old = (System.currentTimeMillis() - 7200_000L).toString
+      java.nio.file.Files.write(markers.head.toPath, old.getBytes("UTF-8"))
+      assert(PairTxn.vacuumTxns(spark, tmp, retentionMs = 3600_000L) > 0,
+        "a marker stamped two hours ago must age out of a 1h window " +
+          "even with a fresh mtime")
+      assert(coordFs != null) // fs handle used only to pin local scheme
+    }
+  }
+
+  test("a dangling resolution marker (record already retired) is tolerated " +
+      "and cleaned, never a wedged sweep") {
+    inDir { tmp =>
+      val (a, b) = pair(tmp, 12)
+      PairTxn.commitPair(spark, tmp, a, b)
+      val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      intercept[RuntimeException] {
+        TxTable.withLogStore(killingFactory("/fact/_graft_log", alive)) {
+          PairTxn.commitPair(spark, tmp,
+            PairTxn.PairCommit(s"$tmp/fact", fact(20).where(col("event_id") >= 12)),
+            PairTxn.PairCommit(s"$tmp/summary", summarize(fact(20)), replace = true))
+        }
+      }
+      alive.set(false)
+      TxTable.commitReplace(spark, s"$tmp/fact", fact(5))
+      assert(PairTxn.recoverPairs(spark, tmp) === 1) // abort recorded
+      // simulate the crash window between the sweep's record delete and
+      // marker delete: the record vanishes, the marker survives
+      new java.io.File(s"$tmp/_graft_pairtxn").listFiles()
+        .filter(_.getName.endsWith(".json")).foreach(_.delete())
+      // r17 behavior: parseIntent(read(ip)) threw on every sweep forever
+      assert(PairTxn.vacuumTxns(spark, tmp, retentionMs = 0L) === 0)
+      assert(new java.io.File(s"$tmp/_graft_pairtxn").listFiles()
+        .count(f => !f.getName.startsWith(".")) === 0,
+        "the dangling marker must retire on the tolerant sweep")
+      assert(PairTxn.vacuumTxns(spark, tmp, retentionMs = 0L) === 0)
+    }
+  }
+
+  test("vacuumTxns treats an UNREADABLE manifest slot on a reachable " +
+      "version as published — version retention must never reclassify " +
+      "landed data as staged (the r17 data-loss hole)") {
+    inDir { tmp =>
+      val (a, b) = pair(tmp, 12)
+      PairTxn.commitPair(spark, tmp, a, b) // seed v1
+      val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      intercept[RuntimeException] {
+        TxTable.withLogStore(killingFactory("/summary/_graft_log", alive)) {
+          PairTxn.commitPair(spark, tmp,
+            PairTxn.PairCommit(s"$tmp/fact", fact(20).where(col("event_id") >= 12)),
+            PairTxn.PairCommit(s"$tmp/summary", summarize(fact(20)), replace = true))
+        }
+      }
+      alive.set(false)
+      // strand: fact published v2 (append), foreign writer takes the
+      // summary slot; the operator aborts the txn
+      TxTable.commitReplace(spark, s"$tmp/summary", summarize(fact(3)))
+      val e = intercept[RuntimeException] { PairTxn.recoverPairs(spark, tmp) }
+      val id = """txn (\S+) STRANDED""".r.findFirstMatchIn(e.getMessage)
+        .map(_.group(1)).getOrElse(fail(s"no id in: ${e.getMessage}"))
+      PairTxn.resolveStranded(spark, tmp, id, abort = true)
+      // the fact keeps moving: v3 appends, CARRYING v2's files live
+      PairTxn.commitPair(spark, tmp,
+        PairTxn.PairCommit(s"$tmp/fact", fact(24).where(col("event_id") >= 20)),
+        PairTxn.PairCommit(s"$tmp/summary", summarize(fact(24)), replace = true))
+      // version retention retires the v2 manifest FILE — the published
+      // bytes vacuumTxns used to compare against are gone
+      TxTable.vacuum(spark, s"$tmp/fact", keepVersions = Some(1),
+        retentionMs = 0L)
+      val before = TxTable.read(spark, s"$tmp/fact").count()
+      assert(before === 24L)
+      // r17 behavior: read(v2 manifest) threw → published=false → the
+      // v2 data dir (still live in v3!) was deleted
+      PairTxn.vacuumTxns(spark, tmp, retentionMs = 0L)
+      assert(TxTable.read(spark, s"$tmp/fact").count() === before,
+        "aborting a stranded txn must never delete data a later " +
+          "version still carries")
+    }
+  }
+
+  // ---- MoR side under the multi-table intent (r18) ----
+
+  private def factP(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, i * 10.0, i % 2)).toDF("event_id", "value", "pb")
+  }
+
+  private def mergedP(n: Int): DataFrame = {
+    import spark.implicits._
+    // changeset below: update id 1 → 111.0, delete id 2, insert id 100
+    ((0 until n).filterNot(i => i == 1 || i == 2)
+      .map(i => (i.toLong, i * 10.0, i % 2)) ++
+      Seq((1L, 111.0, 1), (100L, 1000.0, 0)))
+      .toDF("event_id", "value", "pb")
+  }
+
+  private def changesP(): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "update", 111.0, 1),
+      (2L, "delete", 0.0, 0),
+      (100L, "insert", 1000.0, 0)).toDF("event_id", "op", "value", "pb")
+  }
+
+  private def factRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Double, Long)] =
+    df.select(col("event_id"), col("value"), col("pb").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+
+  private def morSeed(tmp: String): Unit =
+    PairTxn.commitAll(spark, tmp, Seq(
+      PairTxn.PairCommit(s"$tmp/fact", factP(12), replace = true,
+        partitionCol = Some("pb")),
+      PairTxn.PairCommit(s"$tmp/view", summarize(factP(12)), replace = true)))
+
+  private def morTxn(tmp: String): Seq[PairTxn.SideCommit] = Seq(
+    PairTxn.MergeDvCommit(s"$tmp/fact", changesP(), "event_id", "op", "pb"),
+    PairTxn.PairCommit(s"$tmp/view", summarize(mergedP(12)), replace = true))
+
+  private def dvCount(dir: String): Int = {
+    val root = new java.io.File(s"$dir/dv")
+    if (!root.exists()) 0 else root.listFiles().count(_.isDirectory)
+  }
+
+  test("MergeDvCommit side: a DV-writing fact and a replaced view move " +
+      "under ONE intent; killed at EVERY window including the sidecar " +
+      "stage, the merge applies exactly once or not at all") {
+    // happy path first: MoR shape + group invariant
+    inDir { tmp =>
+      morSeed(tmp)
+      val before = TxTable.readManifest(spark, s"$tmp/fact", 1L)
+        .files.map(_.path).toSet
+      assert(PairTxn.commitAll(spark, tmp, morTxn(tmp)) === Seq(2L, 2L))
+      val m2 = TxTable.readManifest(spark, s"$tmp/fact", 2L)
+      assert(m2.files.exists(_.dvs.nonEmpty), "tombstones must be DVs")
+      assert(before.subsetOf(m2.files.map(_.path).toSet),
+        "zero fact files rewritten")
+      assert(factRows(TxTable.read(spark, s"$tmp/fact")) === factRows(mergedP(12)))
+      assert(rows(TxTable.read(spark, s"$tmp/view")) ===
+        rows(summarize(mergedP(12))))
+    }
+    // killed ON the intent publish — sidecar + fresh files staged but
+    // the txn never became durable: NOTHING visible (tombstones are
+    // invisible until their manifest names them), recovery finds no
+    // work, the debris vacuums
+    inDir { tmp =>
+      morSeed(tmp)
+      val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val e = intercept[RuntimeException] {
+        TxTable.withLogStore(killingFactory("_graft_pairtxn", alive)) {
+          PairTxn.commitAll(spark, tmp, morTxn(tmp))
+        }
+      }
+      assert(e.getMessage.contains("killed"), e.getMessage)
+      alive.set(false)
+      assert(dvCount(s"$tmp/fact") === 1, "the staged sidecar exists")
+      assert(factRows(TxTable.read(spark, s"$tmp/fact")) === factRows(factP(12)),
+        "an unpublished tombstone sidecar must not apply")
+      assert(PairTxn.recoverPairs(spark, tmp) === 0)
+      // decommission sweep reclaims the sidecar and the staged commit
+      assert(TxTable.vacuum(spark, s"$tmp/fact", retentionMs = 0L) > 0)
+      assert(dvCount(s"$tmp/fact") === 0, "the orphan sidecar must vacuum")
+      assert(factRows(TxTable.read(spark, s"$tmp/fact")) === factRows(factP(12)))
+    }
+    // killed ON the fact publish — intent durable: roll-forward
+    // publishes the SAME staged bytes, merge applied exactly once
+    inDir { tmp =>
+      morSeed(tmp)
+      val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      intercept[RuntimeException] {
+        TxTable.withLogStore(killingFactory("/fact/_graft_log", alive)) {
+          PairTxn.commitAll(spark, tmp, morTxn(tmp))
+        }
+      }
+      alive.set(false)
+      assert(factRows(TxTable.read(spark, s"$tmp/fact")) === factRows(factP(12)))
+      // the open intent's staged sidecar + files survive vacuum at ANY
+      // age (the sentinel claim covers the MoR shape too)
+      assert(TxTable.vacuum(spark, s"$tmp/fact", retentionMs = 0L) === 0)
+      assert(dvCount(s"$tmp/fact") === 1)
+      assert(PairTxn.recoverPairs(spark, tmp) === 1)
+      assert(factRows(TxTable.read(spark, s"$tmp/fact")) === factRows(mergedP(12)))
+      assert(rows(TxTable.read(spark, s"$tmp/view")) ===
+        rows(summarize(mergedP(12))))
+    }
+    // killed ON the view publish — the documented prefix window: the
+    // merged fact is visible alone until recovery completes the view
+    inDir { tmp =>
+      morSeed(tmp)
+      val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      intercept[RuntimeException] {
+        TxTable.withLogStore(killingFactory("/view/_graft_log", alive)) {
+          PairTxn.commitAll(spark, tmp, morTxn(tmp))
+        }
+      }
+      alive.set(false)
+      assert(factRows(TxTable.read(spark, s"$tmp/fact")) === factRows(mergedP(12)))
+      assert(TxTable.latestVersion(spark, s"$tmp/view") === Some(1L))
+      assert(PairTxn.recoverPairs(spark, tmp) === 1)
+      assert(rows(TxTable.read(spark, s"$tmp/view")) ===
+        rows(summarize(mergedP(12))))
+    }
+    // aborted MoR txn: vacuumTxns reclaims the never-published sidecar
+    // AND staged data dir; the foreign winner keeps every byte
+    inDir { tmp =>
+      morSeed(tmp)
+      val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+      intercept[RuntimeException] {
+        TxTable.withLogStore(killingFactory("/fact/_graft_log", alive)) {
+          PairTxn.commitAll(spark, tmp, morTxn(tmp))
+        }
+      }
+      alive.set(false)
+      TxTable.commitReplace(spark, s"$tmp/fact", factP(5)) // foreign steals v2
+      assert(PairTxn.recoverPairs(spark, tmp) === 1)       // abort recorded
+      assert(PairTxn.vacuumTxns(spark, tmp, retentionMs = 0L) > 0)
+      assert(dvCount(s"$tmp/fact") === 0,
+        "the aborted txn's staged sidecar must reclaim")
+      assert(factRows(TxTable.read(spark, s"$tmp/fact")) === factRows(factP(5)))
+    }
+  }
+
+  test("MergeDvCommit with a NO-OP changeset still moves the group's " +
+      "versions in step (an empty delta, nothing tombstoned)") {
+    inDir { tmp =>
+      import spark.implicits._
+      morSeed(tmp)
+      // deletes of keys the fact never held: no tombstones, no inserts
+      val noop = Seq((555L, "delete", 0.0, 1))
+        .toDF("event_id", "op", "value", "pb")
+      val vs = PairTxn.commitAll(spark, tmp, Seq(
+        PairTxn.MergeDvCommit(s"$tmp/fact", noop, "event_id", "op", "pb"),
+        PairTxn.PairCommit(s"$tmp/view", summarize(factP(12)), replace = true)))
+      assert(vs === Seq(2L, 2L), "versions move in step even for a no-op side")
+      assert(factRows(TxTable.read(spark, s"$tmp/fact")) === factRows(factP(12)))
+      assert(TxTable.readManifest(spark, s"$tmp/fact", 2L).files
+        .forall(_.dvs.isEmpty))
+    }
+  }
+
   test("commitPair refuses a same-table pair") {
     inDir { tmp =>
       val f = fact(6)

@@ -1427,6 +1427,49 @@ abstract class TxTableBehaviors extends SparkSpec {
     }
   }
 
+  test("readTopK: NULL contract is enforced by the walk — a file whose " +
+      "cumulative rows are NULL-valued cannot vouch for the bound; " +
+      "ascending face mirrors; pre-upgrade manifests read everything") {
+    inDir { dir =>
+      // 4 exact files over seq 0..255; v = seq in files 0-2, but file 3
+      // holds only THREE values (200, 201, 202 at seq 192-194) and 61
+      // NULLs. The r17 walk counted file 3's 64 rows, derived bound
+      // 200 from it alone, pruned everything else, and top-10 came
+      // back as 3 values + 7 NULLs — the silent wrong answer this
+      // cell pins against.
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(
+          (0 until 256).map(i => (i.toLong, s"r$i")), 4)).toDF("seq", "tag")
+        .withColumn("v",
+          when(col("seq") >= 195, lit(null).cast("long"))
+            .otherwise(when(col("seq").between(192, 194), col("seq") + 8)
+              .otherwise(col("seq"))))
+      TxTable.commitReplace(spark, dir, df, statsCols = Seq("v"))
+      val m = TxTable.readManifest(spark, dir, 1L)
+      assert(m.files.size === 4)
+      // the NULL-heavy file recorded its ignorance precisely
+      assert(m.files.exists(_.nulls.get("v").contains(61L)))
+      assert(m.files.count(_.nulls.get("v").contains(0L)) === 3)
+      // file 3 vouches for only 3 values, so the walk continues into
+      // file 2 (bound 128): exactly those two files are candidates
+      assert(TxTable.topKCandidates(m, "v", 10).size === 2)
+      assert(TxTable.readTopK(spark, dir, "v", 10, tieBreak = "tag")
+        .collect().map(_.getLong(2)).toSeq ===
+        (Seq(202L, 201L, 200L) ++ (185L to 191L).reverse))
+      // ascending face: smallest-10 lives entirely in file 0 (64
+      // values ≥ 10 ⇒ bound 63 ⇒ one candidate; the NULL file's min
+      // of 200 prunes it)
+      assert(TxTable.topKCandidates(m, "v", 10, desc = false).size === 1)
+      assert(TxTable.readTopK(spark, dir, "v", 10, tieBreak = "tag",
+          desc = false)
+        .collect().map(_.getLong(2)).toSeq === (0L to 9L))
+      // a pre-upgrade manifest (stats but no null counts) must not
+      // prune: ignorance reads, it never vouches
+      val legacy = m.copy(files = m.files.map(_.copy(nulls = Map.empty)))
+      assert(TxTable.topKCandidates(legacy, "v", 10).size === 4)
+      assert(TxTable.topKCandidates(legacy, "v", 10, desc = false).size === 4)
+    }
+  }
+
   test("joinOnKey: reserved/colliding left columns are refused upfront, " +
       "not surfaced as an ambiguous-reference or silent duplicate name") {
     inDir { dir =>
