@@ -91,6 +91,15 @@ object Bench {
     priors.nonEmpty && !priors.exists(_._1 == sha) &&
       total > 1.2 * median(priors.map(_._2))
 
+  /** max/min ratio of same-sha full-run totals (1.0 below two samples)
+    * — the spread-gate criterion: a closing PAIR spanning more than
+    * 1.3× has not pinned a number (the r17 close averaged 413.7 and
+    * 252.2 s), so the harness runs a tie-break pass instead of
+    * averaging and the final ratio rides the JSON as
+    * `closing_sha_spread`. */
+  private[graft] def spreadOf(xs: Seq[Double]): Double =
+    if (xs.size < 2) 1.0 else xs.max / xs.min
+
   /** Inter-query state hygiene for a long serial run in ONE JVM. Each
     * bench query must pay its own cost and ONLY its own cost — state a
     * finished query leaves behind (terminated-stream state stores,
@@ -414,9 +423,10 @@ object Bench {
           fingerprint(scala.jdk.CollectionConverters
             .IteratorHasAsScala(q.fieldNames()).asScala.toSeq)
         })
-    val priorRuns: Seq[(String, Double)] =
+    val matchedHistory: Seq[com.fasterxml.jackson.databind.JsonNode] =
       if (only.nonEmpty) Seq.empty
-      else historyPath.filter(java.nio.file.Files.exists(_)).fold(Seq.empty[(String, Double)]) { hp =>
+      else historyPath.filter(java.nio.file.Files.exists(_))
+        .fold(Seq.empty[com.fasterxml.jackson.databind.JsonNode]) { hp =>
         try {
           val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
           val lines = java.nio.file.Files.readAllLines(hp)
@@ -428,19 +438,52 @@ object Bench {
             qfpOf(n).contains(qfp) &&
               Option(n.get("sf")).exists(_.asText() == sfDir) &&
               Option(n.get("failed")).forall(_.size() == 0)
-          }.take(4).reverse.flatMap { n =>
-            val s = Option(n.get("sha")).map(_.asText()).getOrElse("unknown")
-            val t = Option(n.get("this_run_sec")).orElse(Option(n.get("total_sec")))
-              .map(_.asDouble()).getOrElse(Double.NaN)
-            // a record whose invocation ran the outlier-confirm pass
-            // carries a SECOND full-run sample at the same sha
-            val c = Option(n.get("confirm_run_sec")).map(_.asDouble())
-            ((s, t) +: c.map(s -> _).toSeq).filterNot(_._2.isNaN)
-          }
+          }.take(4).reverse
         } catch { case e: Throwable =>
           System.err.println(s"[bench] history read failed: ${e.getMessage}"); Seq.empty }
       }
+    val priorRuns: Seq[(String, Double)] = matchedHistory.flatMap { n =>
+      val s = Option(n.get("sha")).map(_.asText()).getOrElse("unknown")
+      val t = Option(n.get("this_run_sec")).orElse(Option(n.get("total_sec")))
+        .map(_.asDouble()).getOrElse(Double.NaN)
+      // a record whose invocation ran the outlier-confirm or the
+      // spread-gate pass carries EXTRA full-run samples at the same sha
+      val extra = Seq("confirm_run_sec", "spread_run_sec")
+        .flatMap(k => Option(n.get(k)).map(_.asDouble()))
+      ((s, t) +: extra.map(s -> _)).filterNot(_._2.isNaN)
+    }
+    // per-lane values of the matched prior runs — what "is this lane
+    // actually slow?" must be answered against (the r17 verdict: the
+    // single-run top/spread maps printed one noisy run's 52 s for a
+    // lane whose cross-run median is 4.9 s, inviting false regression
+    // hunts from the JSON alone)
+    val priorQueries: Seq[Map[String, Double]] = matchedHistory.flatMap { n =>
+      Option(n.get("queries")).map { q =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(q.fields()).asScala
+          .map(e => e.getKey -> e.getValue.asDouble())
+          .filter(_._2 > 0).toMap
+      }
+    }
     val anyFailed = results.exists(!_.ok)
+    // One full serial pass (shared by the outlier-confirm and the
+    // spread-gate runs); a failure makes the total non-comparable
+    // (deflated), so the sample is discarded rather than read fast.
+    def fullPass(tag: String): Option[Double] = {
+      freshCkptNamespace(tag)
+      var okAll = true
+      val t2 = selected.toSeq.sortBy(_._1).zipWithIndex.map {
+        case ((name, fn), idx) =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $tag $name FAILED: ${e.getMessage}")
+            okAll = false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          interQueryHygiene(spark, idx)
+          sec
+      }.sum
+      if (okAll) Some(t2) else None
+    }
     // OUTLIER-CONFIRM PASS: when this run's total is a lone >20%
     // outlier above the prior history median with no other sample at
     // the closing sha, one more full serial pass decides "window
@@ -455,24 +498,26 @@ object Bench {
       else {
         System.err.println(s"[bench] ${f3(total)} s is a lone outlier vs " +
           "prior history — running a confirm pass at the closing sha")
-        freshCkptNamespace("confirm")
-        var confirmOk = true
-        val t2 = selected.toSeq.sortBy(_._1).zipWithIndex.map {
-          case ((name, fn), idx) =>
-            val t0 = System.nanoTime()
-            try fn(spark, sfDir).count()
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] confirm $name FAILED: ${e.getMessage}")
-              confirmOk = false }
-            val sec = (System.nanoTime() - t0) / 1e9
-            interQueryHygiene(spark, idx)
-            sec
-        }.sum
-        // a failure makes the confirm total non-comparable (deflated):
-        // discard the sample rather than let a broken pass read fast
-        if (confirmOk) Some(t2) else None
+        fullPass("confirm")
       }
-    val headTotals = total +: confirmTotal.toSeq
+    // SPREAD GATE (r17 verdict: the closing pair read 413.7/252.2 s —
+    // 1.64× apart — and the convention happily averaged them): when
+    // the same-sha samples span more than 1.3×, two runs have not
+    // pinned a number — run a THIRD full pass automatically so the
+    // median stands on something. Same skips as the confirm pass.
+    val preAtHead = priorRuns.collect { case (s, t) if s == sha => t } ++
+      (total +: confirmTotal.toSeq)
+    val spreadTotal: Option[Double] =
+      if (anyFailed || only.nonEmpty ||
+          sys.env.get("SPARK_GRAFT_CONFIRM").contains("0") ||
+          preAtHead.size < 2 || spreadOf(preAtHead) <= 1.3) None
+      else {
+        System.err.println(s"[bench] same-sha samples span " +
+          f"${spreadOf(preAtHead)}%.2f× — a pair that wide pins nothing; " +
+          "running a tie-break pass at the closing sha")
+        fullPass("spread-confirm")
+      }
+    val headTotals = (total +: confirmTotal.toSeq) ++ spreadTotal.toSeq
     val (headline, closingShaSec) =
       headlineOf(priorRuns, sha, headTotals, anyFailed)
     // how many full-run samples stand behind closing_sha_sec — the
@@ -481,13 +526,31 @@ object Bench {
     // again at the final sha until it is) is part of closing a round
     val closingShaRuns =
       priorRuns.count(_._1 == sha) + headTotals.size
+    // how wide the same-sha samples ACTUALLY span after any tie-break
+    // pass — the auditable face of the spread gate: a closing record
+    // with closing_sha_spread > 1.3 and closing_sha_runs == 2 means
+    // the gate was disabled or a pass failed, never that the
+    // convention silently averaged a wide pair
+    val closingShaSpread = spreadOf(
+      priorRuns.collect { case (s, t) if s == sha => t } ++ headTotals)
+    // per-lane CROSS-RUN medians for the same 25 lanes "top" shows —
+    // the number a regression hunt should start from. "top"/"spread"
+    // keep their single-run samples (a spike should be visible AS a
+    // spike); this map says what the lane costs across the matched
+    // history plus this run's own (repeat-medianed) sample.
+    val topMedian = results.filter(_.ok).sortBy(-_.sec).take(25)
+      .map { t =>
+        val hist = priorQueries.flatMap(_.get(t.name))
+        s"\"" + t.name + "\":" + f3(median(hist :+ t.sec))
+      }.mkString("{", ",", "}")
     // run_shas is ALIGNED with run_totals (the r15 off-by-one: the
     // current run's sha was omitted, leaving 4 shas for 5 totals)
     val runPairs = priorRuns ++ headTotals.map(sha -> _)
     val runShas = runPairs.map(r => s"\"${r._1}\"").mkString("[", ",", "]")
     val runTotalsJson = runPairs.map(r => f3(r._2)).mkString("[", ",", "]")
     val confirmField = confirmTotal.fold("")(c => s""","confirm_run_sec":${f3(c)}""")
-    val line = s"""{"metric":"total","value":${f3(headline)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"qfp":"$qfp","spread":$spread,"top":$top,"engine_sec":${f3(engineSec)},"streaming_sec":${f3(streamingSec)},"n_streaming":$nStreaming,"this_run_sec":${f3(total)}$confirmField,"closing_sha_sec":${f3(closingShaSec)},"closing_sha_runs":$closingShaRuns,"n_runs":${runPairs.size},"run_totals":$runTotalsJson,"run_shas":$runShas,"total_sec":${f3(headline)}}"""
+    val spreadField = spreadTotal.fold("")(c => s""","spread_run_sec":${f3(c)}""")
+    val line = s"""{"metric":"total","value":${f3(headline)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"qfp":"$qfp","spread":$spread,"top":$top,"top_median":$topMedian,"engine_sec":${f3(engineSec)},"streaming_sec":${f3(streamingSec)},"n_streaming":$nStreaming,"this_run_sec":${f3(total)}$confirmField$spreadField,"closing_sha_sec":${f3(closingShaSec)},"closing_sha_runs":$closingShaRuns,"closing_sha_spread":${f3(closingShaSpread)},"n_runs":${runPairs.size},"run_totals":$runTotalsJson,"run_shas":$runShas,"total_sec":${f3(headline)}}"""
     println(line)
     // full, untruncated copy for cross-round diffing (the stdout line
     // is clipped to its tail by the driver): APPEND one record per run

@@ -878,6 +878,53 @@ object GovernanceQueries {
         localized(TxTable.read(s, view)
           .select("pb", "n", "value_sum").orderBy("pb"))
       }
+    },
+
+    // Post-shuffle WIDTH elected from manifest NDV (the FOURTH stats
+    // consumer, after q186's join build side, q191's aggregation
+    // strategy and q192's top-k file set): a groupBy can never emit
+    // more rows than the key's NDV, so when the sketch says 3 groups
+    // under a 32-partition shuffle width, 29 reduce tasks are provably
+    // empty — folded away STATICALLY (`Coalesce w` above the final
+    // aggregate; no extra exchange, map-side combine untouched) from
+    // the log alone, zero runtime statistics — what AQE discovers at
+    // runtime, answered before any job launches. The lane pins BOTH
+    // faces: the sketched side's plan carries the elected width, the
+    // sketch-free twin keeps the default; rows are width-independent,
+    // so one plain groupBy oracles both.
+    Q("q195_tx_agg_width", GovernanceOracles.aggWidth) { (s, dir) =>
+      import graft.ext.TxTable
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_aggwidth") { tmp =>
+        import org.apache.spark.sql.execution.SimpleMode
+        def planOf(df: DataFrame): String =
+          df.queryExecution.explainString(SimpleMode)
+        val aggs = Seq(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+        val sk = s"$tmp/sketched"
+        TxTable.commitReplace(s, sk,
+          ev.select((col("user_id") % 3).as("k"), col("value")),
+          statsCols = Seq("k"))
+        val m = TxTable.readManifest(s, sk, 1L)
+        val default = s.sessionState.conf.numShufflePartitions
+        val w = TxTable.electAggWidth(m, "k", default)
+        require(w.exists(_ < default),
+          s"3-group sketch must elect a width under $default: $w")
+        val elected = TxTable.aggOnKey(s, sk, "k", aggs)
+        require(planOf(elected).contains(s"Coalesce ${w.get}"),
+          s"the log-elected width must pin the plan:\n${planOf(elected)}")
+        val bare = s"$tmp/bare"
+        TxTable.commitReplace(s, bare,
+          ev.select((col("user_id") % 3).as("k"), col("value")))
+        val conservative = TxTable.aggOnKey(s, bare, "k", aggs)
+        require(!planOf(conservative).contains("Coalesce"),
+          s"no sketch must keep the default width:\n${planOf(conservative)}")
+        // rows are width-independent: both sides feed one result
+        localized(elected.withColumn("side", lit("elected"))
+          .unionByName(conservative.withColumn("side", lit("bare")))
+          .select("side", "k", "n", "value_sum")
+          .orderBy("side", "k"))
+      }
     }
   )
 }
@@ -996,6 +1043,18 @@ object GovernanceOracles {
       |SELECT pb, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q195: the width election moves the number of reduce tasks, never
+    * the rows — both sides are the same plain groupBy. */
+  val aggWidth: String =
+    """WITH g AS (
+      |  SELECT user_id % 3 AS k, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |  FROM events GROUP BY 1)
+      |SELECT side, k, n, value_sum
+      |FROM (SELECT 'elected' AS side, * FROM g
+      |      UNION ALL SELECT 'bare' AS side, * FROM g)
+      |ORDER BY side, k""".stripMargin
 
   /** The q172 MERGE replayed over a FULL OUTER JOIN with the engine's
     * fixed clause order: delete wins over update on matched rows; a

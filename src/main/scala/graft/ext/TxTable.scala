@@ -1481,6 +1481,39 @@ object TxTable {
     }
   }
 
+  /** Post-shuffle WIDTH election for [[aggOnKey]]'s final aggregate,
+    * answered from the manifest alone — the FOURTH plan consumer of
+    * commit-time statistics (after [[joinOnKey]]'s build side,
+    * [[electSkipPartial]]'s aggregation strategy and [[readTopK]]'s
+    * file set): a groupBy can never emit more rows than the key's
+    * NDV, so when the sketch estimate is BELOW the session's shuffle
+    * width, `defaultParts − round(NDV)` of the reduce tasks are
+    * provably empty — pure scheduler overhead, the tail cost AQE's runtime
+    * coalescing exists to claw back, decided here STATICALLY from the
+    * log with zero runtime statistics. Applied as `coalesce(w)` above
+    * the aggregate: the final-aggregate stage then LAUNCHES w tasks
+    * (each draining several map-output partitions in place — no extra
+    * exchange, map-side combine untouched), and downstream operators
+    * inherit w sensible partitions instead of a mostly-empty default.
+    * Conservative: a missing sketch, unrecorded rows, or an estimate
+    * at/above the default elect None — the default width, never a
+    * narrowed guess. The 6.5 % sketch error can under-size w by a
+    * task or two (a group lands beside a neighbor — correctness
+    * unaffected); a single HOT group dominates its task at any width,
+    * the same skew caveat as every hash aggregate. */
+  private[graft] def electAggWidth(
+      m: Manifest, key: String, defaultParts: Int): Option[Int] = {
+    if (m.files.isEmpty || !m.files.forall(_.rows >= 0L)) return None
+    // ROUND the estimate, don't ceil: linear counting reads 3 distinct
+    // as ~3.02, and a sizing decision tolerates a group landing beside
+    // a neighbor (see the error caveat above) — a width of NDV+1 for
+    // every small key would just keep one provably-empty task around
+    manifestNdv(m).collectFirst {
+      case (c, est) if c == key && math.rint(est) < defaultParts.toDouble =>
+        math.max(1, math.rint(est).toInt)
+    }
+  }
+
   /** GroupBy-aggregate over this table's snapshot with the PARTIAL-
     * AGGREGATION strategy elected from manifest statistics alone
     * ([[electSkipPartial]]); same decision discipline as [[joinOnKey]]
@@ -1512,7 +1545,11 @@ object TxTable {
     val shaped =
       if (electSkipPartial(m, key, highNdvRatio)) snapshot.repartition(col(key))
       else snapshot
-    shaped.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    val agged = shaped.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    // fourth stats consumer: fold provably-empty reduce tasks away
+    // when the log already knows the group count ([[electAggWidth]])
+    electAggWidth(m, key,
+      spark.sessionState.conf.numShufflePartitions).fold(agged)(agged.coalesce)
   }
 
   /** Read entries as one DataFrame. Files are grouped by their commit

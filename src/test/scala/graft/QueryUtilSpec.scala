@@ -71,6 +71,18 @@ class QueryUtilSpec extends SparkSpec {
     assert(!Bench.confirmNeeded(priors, "e", 150.0))
   }
 
+  test("Bench.spreadOf: the spread gate's criterion — a wide same-sha pair " +
+      "reads as its max/min ratio, fewer than two samples as 1.0") {
+    assert(Bench.spreadOf(Seq.empty) === 1.0)
+    assert(Bench.spreadOf(Seq(252.2)) === 1.0)
+    // the r17 closing pair: 413.7/252.2 spans 1.64× — the gate fires
+    assert(Bench.spreadOf(Seq(413.7, 252.2)) > 1.3)
+    // a tight pair passes
+    assert(Bench.spreadOf(Seq(260.0, 252.2)) < 1.3)
+    // order-free
+    assert(Bench.spreadOf(Seq(252.2, 413.7)) === Bench.spreadOf(Seq(413.7, 252.2)))
+  }
+
   test("streaming lane re-runs need a FRESH checkpoint namespace under the " +
       "session default location — the silently-discarded confirm pass") {
     // Bench sets spark.sql.streaming.checkpointLocation once per JVM,

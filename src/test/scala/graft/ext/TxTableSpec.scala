@@ -1380,6 +1380,47 @@ abstract class TxTableBehaviors extends SparkSpec {
     }
   }
 
+  test("aggOnKey: manifest-NDV post-shuffle WIDTH election — a key whose " +
+      "sketch says fewer groups than the shuffle width folds the empty " +
+      "reduce tasks away; missing sketch or NDV ≥ width keep the default") {
+    import spark.implicits._
+    val aggs = Seq(count(lit(1)).as("n"))
+    inDir { dir =>
+      // 3 groups, 4 shuffle partitions (the suite's width): one reduce
+      // task is provably empty — the log knows it before any job runs
+      TxTable.commitReplace(spark, dir,
+        (0 until 512).map(i => ((i % 3).toLong, i * 2.0)).toDF("k", "v"),
+        statsCols = Seq("k"))
+      val m = TxTable.readManifest(spark, dir, 1L)
+      val w = TxTable.electAggWidth(m, "k", 4)
+      assert(w.exists(x => x >= 3 && x < 4), s"3-group sketch must elect: $w")
+      val a = TxTable.aggOnKey(spark, dir, "k", aggs)
+      assert(planOf(a).contains(s"Coalesce ${w.get}"),
+        s"the elected width must pin the plan:\n${planOf(a)}")
+      assert(a.count() === 3)
+      assert(a.orderBy("k").collect().map(_.getLong(1)).sum === 512L)
+    }
+    inDir { dir =>
+      // NDV (8) at/above the width (4): None — never a narrowed guess
+      TxTable.commitReplace(spark, dir,
+        (0 until 512).map(i => ((i % 8).toLong, i * 2.0)).toDF("k", "v"),
+        statsCols = Seq("k"))
+      val m = TxTable.readManifest(spark, dir, 1L)
+      assert(TxTable.electAggWidth(m, "k", 4).isEmpty)
+      assert(!planOf(TxTable.aggOnKey(spark, dir, "k", aggs))
+        .contains("Coalesce"))
+    }
+    inDir { dir =>
+      // no sketch: conservative None even at tiny true NDV
+      TxTable.commitReplace(spark, dir,
+        (0 until 512).map(i => ((i % 3).toLong, i * 2.0)).toDF("k", "v"))
+      val m = TxTable.readManifest(spark, dir, 1L)
+      assert(TxTable.electAggWidth(m, "k", 4).isEmpty)
+      assert(!planOf(TxTable.aggOnKey(spark, dir, "k", aggs))
+        .contains("Coalesce"))
+    }
+  }
+
   test("readTopK: manifest-stats file pruning — bound from (min, max, live " +
       "rows); DVs shift the walk, missing stats or tiny tables read all") {
     import spark.implicits._
