@@ -925,6 +925,116 @@ object GovernanceQueries {
           .select("side", "k", "n", "value_sum")
           .orderBy("side", "k"))
       }
+    },
+
+    // NULL-ness predicate file skipping from the manifest (the second
+    // consumer of r18's per-file null counts, after q193's top-k
+    // walk): on a nullness-clustered layout (here a partition column
+    // derived from nullness — the ingest shape that segregates
+    // incomplete records) `IS NULL` opens only the null-carrying
+    // files and `IS NOT NULL` skips the all-null mass entirely, both
+    // decided from the log before any footer I/O. The lane PINS both
+    // prunings via the scan's input files; the oracle replays the two
+    // faces relationally — pruning changes which files open, never
+    // which rows return.
+    Q("q196_tx_null_skipping", GovernanceOracles.nullSkipping) { (s, dir) =>
+      import graft.ext.TxTable
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_nullskip") { tmp =>
+        val table = s"$tmp/table"
+        TxTable.commitReplace(s, table,
+          ev.select(col("event_id"),
+              when(col("user_id") % 89 === 0, lit(null))
+                .otherwise(col("user_id")).as("uid"))
+            .withColumn("side",
+              when(col("uid").isNull, lit("n")).otherwise(lit("x"))),
+          partitionCol = Some("side"), statsCols = Seq("uid"))
+        val nulls = TxTable.readNullness(s, table, "uid", wantNull = true)
+        val valued = TxTable.readNullness(s, table, "uid", wantNull = false)
+        require(nulls.inputFiles.nonEmpty &&
+            nulls.inputFiles.forall(_.contains("side=n")),
+          "IS NULL must open only the null-carrying partition's files")
+        require(valued.inputFiles.nonEmpty &&
+            valued.inputFiles.forall(_.contains("side=x")),
+          "IS NOT NULL must skip the all-null partition's files")
+        // the log-only answer agrees with the data before any file opens
+        require(TxTable.metaNullCount(s, table, "uid") == nulls.count(),
+          "metaNullCount must equal the scanned IS NULL count")
+        localized(
+          nulls.agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+            .withColumn("face", lit("null"))
+          .unionByName(
+            valued.agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+              .withColumn("face", lit("valued")))
+          .select("face", "n", "s").orderBy("face"))
+      }
+    },
+
+    // The streaming face of the multi-table intent (r18): a change
+    // feed drained micro-batch by micro-batch, each non-empty batch
+    // ONE intent — the fact moves at merge-on-read economics
+    // (MergeDvCommit: tombstone sidecars, zero rewrites) and its
+    // derived view replaces over the post-batch state, so no reader
+    // ever catches the view lagging the fact past the roll-forward
+    // window. Exactly-once under at-least-once foreachBatch: the fact
+    // side rides the (appId, batchId) ledger, the view recompute is
+    // idempotent by construction (anti-join keys out, union images
+    // back) — the lane REPLAYS the whole feed on a REBUILT checkpoint
+    // (the strongest replay: every batch re-fires) and requires the
+    // view bit-identical while versions keep moving in step.
+    // DELIBERATELY q138/q179's oracle: same final state, third
+    // economics (partition rewrite → one-table MoR → fact+view txn).
+    Q("q197_tx_stream_pair", DataOpsOracles.streamMerge) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      import graft.ext.{PairTxn, TxTable}
+      val ev = graft.analysis.EventsFact.events(s, dir)
+      inTempDir("graft_txsp") { tmp =>
+        val fact = s"$tmp/fact"; val view = s"$tmp/view"
+        def viewOf(df: DataFrame): DataFrame = df
+          .groupBy((col("event_id") % 7).as("k"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        val seed = ev.where(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("value"),
+            (col("event_id") % 8).as("pbucket"))
+        PairTxn.commitAll(s, tmp, Seq(
+          PairTxn.PairCommit(fact, seed, replace = true,
+            partitionCol = Some("pbucket")),
+          PairTxn.PairCommit(view, viewOf(seed), replace = true)))
+        ev.where(col("event_id") % 3 === 0)
+          .select(col("event_id"),
+            when(col("event_id") % 2 =!= 0, "insert")
+              .when(col("event_id") % 12 === 0, "delete")
+              .otherwise("update").as("op"),
+            (col("value") + 500).as("value"),
+            (col("event_id") % 8).as("pbucket"))
+          .repartition(3, col("pbucket"))
+          .write.parquet(s"$tmp/changes")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("op", StringType),
+          StructField("value", DoubleType), StructField("pbucket", LongType)))
+        graft.streaming.MergeStream.pairAvailable(
+          s, tmp, fact, view, s"$tmp/changes", schema, s"$tmp/ckpt", viewOf)
+        val afterFirst = (TxTable.latestVersion(s, fact).get,
+          TxTable.latestVersion(s, view).get)
+        require(afterFirst._1 == afterFirst._2,
+          s"fact and view must move in step: $afterFirst")
+        val viewRows = TxTable.read(s, view).orderBy("k").collect().toSeq
+        // REBUILT checkpoint: every batch replays — the ledger no-ops
+        // the fact, the idempotent recompute republishes the same view
+        graft.streaming.MergeStream.pairAvailable(
+          s, tmp, fact, view, s"$tmp/changes", schema, s"$tmp/ckpt2", viewOf)
+        require(TxTable.read(s, view).orderBy("k").collect().toSeq == viewRows,
+          "a full replay must republish the identical view")
+        require(TxTable.read(s, fact).count() ==
+          viewRows.map(_.getLong(1)).sum,
+          "the committed view must aggregate the merged fact")
+        val afterReplay = (TxTable.latestVersion(s, fact).get,
+          TxTable.latestVersion(s, view).get)
+        require(afterReplay._1 == afterReplay._2 &&
+            afterReplay._1 > afterFirst._1,
+          s"replayed batches still move the group in step: $afterReplay")
+        localized(TxTable.read(s, view).orderBy("k"))
+      }
     }
   )
 }
@@ -1043,6 +1153,22 @@ object GovernanceOracles {
       |SELECT pb, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q196: both nullness faces replayed relationally — skipping
+    * changes which FILES open, never which rows return. */
+  val nullSkipping: String =
+    """WITH t AS (
+      |  SELECT event_id,
+      |    CASE WHEN user_id % 89 = 0 THEN NULL ELSE user_id END AS uid
+      |  FROM events)
+      |SELECT 'null' AS face, count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS s
+      |FROM t WHERE uid IS NULL
+      |UNION ALL
+      |SELECT 'valued' AS face, count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS s
+      |FROM t WHERE uid IS NOT NULL
+      |ORDER BY face""".stripMargin
 
   /** q195: the width election moves the number of reduce tasks, never
     * the rows — both sides are the same plain groupBy. */

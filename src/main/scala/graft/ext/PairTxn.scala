@@ -85,10 +85,15 @@ object PairTxn {
     * staged commit, so the open-intent sentinel spares them from
     * table-level vacuum and [[vacuumTxns]] reclaims them on abort. A
     * changeset with NO effect still advances the side by an empty
-    * delta commit: the group's versions move in step by contract. */
+    * delta commit: the group's versions move in step by contract —
+    * including a REPLAYED idempotent-writer batch (`txn` = (appId,
+    * batchId), [[TxTable]]'s ledger): an at-least-once producer
+    * (foreachBatch crash-replay) re-applies nothing, but the group
+    * still moves together. */
   final case class MergeDvCommit(
       dir: String, changes: DataFrame, keyCol: String, opCol: String,
-      partitionCol: String) extends SideCommit
+      partitionCol: String,
+      txn: Option[(String, Long)] = None) extends SideCommit
 
   private final case class StagedSide(
       dir: String, version: Long, manifest: String, checkpoint: Option[String])
@@ -200,9 +205,11 @@ object PairTxn {
           full = p.replace, extraProps = extraProps)
       case mdv: MergeDvCommit =>
         TxTable.stageMergeDv(spark, mdv.dir, mdv.changes, mdv.keyCol,
-          mdv.opCol, mdv.partitionCol).getOrElse {
-          // no-op changeset: the group's versions still move in step —
-          // stage an empty delta carrying the base state forward
+          mdv.opCol, mdv.partitionCol, txn = mdv.txn).getOrElse {
+          // no-op changeset (nothing tombstoned/inserted, or an
+          // already-recorded idempotent-writer replay): the group's
+          // versions still move in step — stage an empty delta
+          // carrying the base state forward
           val m = TxTable.readManifest(spark, mdv.dir, base)
           TxTable.stageCommit(m, m.files, newSchema = None,
             op = "merge-cs-dv", full = false)

@@ -1090,6 +1090,36 @@ object TxTable {
     Some((ranges.map(_._1).min, ranges.map(_._2).max))
   }
 
+  /** Exact NULL count of `column` at a version, answered from the log
+    * alone — the meta* family member the r18 per-file null counts
+    * complete ([[metaCount]] rows, [[metaNdv]] distincts, [[metaRange]]
+    * extrema, this one unvalued rows: the data-quality number a
+    * 100 TB ingest monitors per snapshot, for free). Per-file counts
+    * add exactly. Same loud contracts as [[metaRange]]: every live
+    * file must carry the count (commit with statsCols including
+    * `column`, or rewrite to propagate), and deletion vectors refuse —
+    * a tombstone's nullness is not recorded, so the log cannot adjust
+    * the sum; an approximation from an exact-sounding API is the
+    * silent-degradation class this repo refuses. NULL-ness is in the
+    * stats pass's cast domain (cast(long)), matching [[readNullness]].
+    */
+  def metaNullCount(
+      spark: SparkSession, dir: String, column: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    val m = readManifest(spark, dir, v)
+    m.files.find(_.dvs.nonEmpty).foreach(f => sys.error(
+      s"metaNullCount: ${f.path} carries deletion vectors — recorded " +
+        "null counts predate the tombstones; compact first, or " +
+        "aggregate the data"))
+    m.files.map { f =>
+      f.nulls.getOrElse(column, sys.error(
+        s"metaNullCount: ${f.path} has no '$column' null count — commit " +
+          s"with statsCols including '$column' (or rewrite to propagate)"))
+    }.sum
+  }
+
   /** Publish `df` as the COMPLETE next version (full replace; also the
     * init path for version 1). Partitioned layout when `partitionCol`
     * is set — required later for [[mergeChangeSet]]'s pruning.
@@ -1231,6 +1261,44 @@ object TxTable {
     base.where(ranges.map { case (c, lo, hi) =>
       col(c).cast("long").between(lo, hi)
     }.reduce(_ && _))
+  }
+
+  /** NULL-ness predicate file skipping from the manifest alone — the
+    * second consumer of the per-file null counts ([[readTopK]]'s walk
+    * is the first): `wantNull = true` (the `IS NULL` face — audit
+    * queries hunting rows that never got a value) skips every file
+    * whose recorded null count is ZERO; `wantNull = false` (`IS NOT
+    * NULL`) skips every file recorded ALL-NULL (nulls == rows; on a
+    * layout that clusters the null rows — e.g. a partition column
+    * derived from nullness, or ingest streams that segregate
+    * incomplete records — that is the whole unvalued mass of a 100 TB
+    * table skipped before any footer I/O). Valid under deletion
+    * vectors in BOTH directions: tombstones only remove rows — a file
+    * with no null rows cannot grow one, and an all-null file's
+    * survivors are still null. Conservative: a file without a
+    * recorded null count (pre-upgrade manifests), or without a row
+    * count on the all-null face, is always read. NULL-ness is in the
+    * CAST domain the stats pass records (`cast(long)` — an uncastable
+    * string IS a recorded null), and the exact filter applies on top
+    * in the same domain, so pruning and filter can never disagree. */
+  def readNullness(
+      spark: SparkSession, dir: String, statsCol: String, wantNull: Boolean,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val v = versionAsOf.orElse(latestVersion(spark, dir)).getOrElse(
+      sys.error(s"no committed version at $dir"))
+    val m = readManifest(spark, dir, v)
+    val hit = m.files.filter { f =>
+      f.nulls.get(statsCol) match {
+        case None => true // unrecorded -> must read
+        case Some(nn) =>
+          if (wantNull) nn > 0L
+          else f.rows < 0L || nn < f.rows
+      }
+    }
+    val base = sliceOrEmpty(spark, root, hit, m.files, m.schemas)
+    val c = col(statsCol).cast("long")
+    base.where(if (wantNull) c.isNull else c.isNotNull)
   }
 
   /** The file set that can contain a top-`k`-by-`statsCol` row,

@@ -316,4 +316,88 @@ object MergeStream {
     q.awaitTermination()
     committed.get()
   }
+
+  /** Streaming fact + derived view moving IN STEP (r18): each
+    * non-empty micro-batch commits ONE multi-table intent —
+    * [[graft.ext.PairTxn.MergeDvCommit]] applies the batch to the
+    * fact at merge-on-read economics (tombstone sidecars + fresh
+    * rows, zero rewrites) and a replace side publishes the view over
+    * the post-batch state — so a reader NEVER sees a fact the view
+    * lags behind past the roll-forward window, at any crash point
+    * (the [[graft.ext.PairTxn]] matrix; `commitAll` rolls forward any
+    * predecessor before staging, so the stream self-heals).
+    *
+    * Exactly-once under at-least-once foreachBatch: the fact side
+    * carries the (appId, batchId) ledger tag — a replayed batch
+    * re-applies NOTHING (it stages an empty delta; the group still
+    * moves in step) — and the view content is derived IDEMPOTENTLY
+    * from the current fact: anti-join the batch's keys out, union
+    * the batch's insert/update images back. When the fact already
+    * holds the batch (the replay case) that recompute is the
+    * identity, so the replayed view replace publishes the same
+    * frame. Same canonical-URI appId derivation as
+    * [[mergeAvailableVersioned]].
+    *
+    * `viewOf` maps the post-batch fact frame to the view's content —
+    * the pipeline's own aggregate. Returns the number of intents
+    * committed. */
+  def pairAvailable(
+      spark: SparkSession,
+      coordDir: String,
+      factDir: String,
+      viewDir: String,
+      changesDir: String,
+      changesSchema: org.apache.spark.sql.types.StructType,
+      checkpoint: String,
+      viewOf: DataFrame => DataFrame,
+      keyCol: String = "event_id",
+      opCol: String = "op",
+      partitionCol: String = "pbucket",
+      txnAppId: String = null): Long = {
+    Seq(keyCol, opCol, partitionCol).foreach { c =>
+      require(changesSchema.fieldNames.contains(c),
+        s"changesSchema must carry '$c': ${changesSchema.fieldNames.mkString(", ")}")
+    }
+    val appId = Option(txnAppId).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(changesDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      s"pair-stream:${fs.makeQualified(p).toUri}"
+    }
+    val committed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream
+      .schema(changesSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(changesDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (changes: DataFrame, batchId: Long) =>
+        if (!changes.isEmpty) {
+          // roll forward any crashed predecessor BEFORE reading the
+          // fact: TxTable.read pins its version eagerly, and a view
+          // derived from a pre-recovery snapshot would silently miss
+          // the recovered batch (commitAll recovers too, but only
+          // after this read would have happened)
+          graft.ext.PairTxn.recoverPairs(spark, coordDir)
+          val cur = graft.ext.TxTable.read(spark, factDir)
+          val images = changes
+            .where(col(opCol).isin("insert", "update"))
+            .select(cur.columns.map(col).toSeq: _*)
+          val applied = cur
+            .join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+            .unionByName(images)
+          graft.ext.PairTxn.commitAll(spark, coordDir, Seq(
+            graft.ext.PairTxn.MergeDvCommit(factDir, changes, keyCol,
+              opCol, partitionCol, txn = Some((appId, batchId))),
+            graft.ext.PairTxn.PairCommit(viewDir, viewOf(applied),
+              replace = true)))
+          committed.incrementAndGet()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    committed.get()
+  }
 }

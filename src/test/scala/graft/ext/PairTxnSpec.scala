@@ -671,6 +671,61 @@ class PairTxnSpec extends SparkSpec {
     }
   }
 
+  test("a LEDGERED MergeDvCommit replay re-applies nothing while the " +
+      "group still moves in step — the at-least-once foreachBatch shape") {
+    inDir { tmp =>
+      morSeed(tmp)
+      def txn(b: Long) = Seq(
+        PairTxn.MergeDvCommit(s"$tmp/fact", changesP(), "event_id", "op",
+          "pb", txn = Some(("feed", b))),
+        PairTxn.PairCommit(s"$tmp/view", summarize(mergedP(12)), replace = true))
+      assert(PairTxn.commitAll(spark, tmp, txn(0L)) === Seq(2L, 2L))
+      assert(factRows(TxTable.read(spark, s"$tmp/fact")) === factRows(mergedP(12)))
+      val dvsAfter = TxTable.readManifest(spark, s"$tmp/fact", 2L)
+        .files.map(_.dvs.size).sum
+      // the REPLAY: same (appId, batchId) — the ledger no-ops the fact
+      // (an empty delta, no new tombstones, no duplicate inserts); the
+      // idempotent view replace republishes the same frame; versions
+      // move in step regardless
+      assert(PairTxn.commitAll(spark, tmp, txn(0L)) === Seq(3L, 3L))
+      assert(factRows(TxTable.read(spark, s"$tmp/fact")) === factRows(mergedP(12)),
+        "a replayed batch must re-apply nothing")
+      assert(TxTable.readManifest(spark, s"$tmp/fact", 3L)
+        .files.map(_.dvs.size).sum === dvsAfter,
+        "no new tombstones on replay")
+      // a NEW batch id applies normally (delete the inserted row)
+      import spark.implicits._
+      val next = Seq((100L, "delete", 0.0, 0)).toDF("event_id", "op", "value", "pb")
+      PairTxn.commitAll(spark, tmp, Seq(
+        PairTxn.MergeDvCommit(s"$tmp/fact", next, "event_id", "op", "pb",
+          txn = Some(("feed", 1L))),
+        PairTxn.PairCommit(s"$tmp/view",
+          summarize(mergedP(12).where(col("event_id") =!= 100L)), replace = true)))
+      assert(TxTable.read(spark, s"$tmp/fact").count() === 11L)
+    }
+  }
+
+  test("an UNREADABLE/garbage sentinel claim protects only within " +
+      "retention, then retires as debris — never a permanent vacuum block") {
+    inDir { tmp =>
+      val (a, b) = pair(tmp, 12)
+      PairTxn.commitPair(spark, tmp, a, b)
+      // hand-plant a garbage claim beside real table state
+      val sDir = new java.io.File(s"$tmp/fact/_graft_intent")
+      sDir.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(sDir, "v7").toPath, "not a claim".getBytes("UTF-8"))
+      // within retention: conservative — the claim (and data) survive
+      assert(TxTable.vacuum(spark, s"$tmp/fact") === 0)
+      assert(new java.io.File(sDir, "v7").exists())
+      // past retention: the stale claim is itself debris and retires
+      TxTable.vacuum(spark, s"$tmp/fact", retentionMs = 0L)
+      assert(!new java.io.File(sDir, "v7").exists(),
+        "a garbage sentinel must age out, not block vacuum forever")
+      assert(TxTable.read(spark, s"$tmp/fact").count() === 12L)
+    }
+  }
+
   test("MergeDvCommit with a NO-OP changeset still moves the group's " +
       "versions in step (an empty delta, nothing tombstoned)") {
     inDir { tmp =>

@@ -1511,6 +1511,89 @@ abstract class TxTableBehaviors extends SparkSpec {
     }
   }
 
+  test("readNullness: IS NULL reads only null-carrying files, IS NOT NULL " +
+      "skips all-null files; valid under DVs; unrecorded counts read all") {
+    import spark.implicits._
+    inDir { dir =>
+      // same 4-file layout as the topK cell: files 0-2 fully valued,
+      // file 3 = 61 NULLs + 3 values
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(
+          (0 until 256).map(i => (i.toLong, s"r$i")), 4)).toDF("seq", "tag")
+        .withColumn("v",
+          when(col("seq") >= 195, lit(null).cast("long"))
+            .otherwise(when(col("seq").between(192, 194), col("seq") + 8)
+              .otherwise(col("seq"))))
+      TxTable.commitReplace(spark, dir, df, statsCols = Seq("v"))
+      // IS NULL: only the one null-carrying file opens
+      val nullRows = TxTable.readNullness(spark, dir, "v", wantNull = true)
+      assert(nullRows.count() === 61L)
+      assert(nullRows.inputFiles.length === 1,
+        "zero-null files must be skipped for IS NULL")
+      // IS NOT NULL: file 3 is MIXED (3 values), so all 4 files read —
+      // pruning may over-admit, never over-skip
+      assert(TxTable.readNullness(spark, dir, "v", wantNull = false)
+        .count() === 195L)
+      // tombstone every VALUE in the null-carrying file: its null
+      // count still admits it for IS NULL (over-admit), rows stay right
+      TxTable.deleteWhereDv(spark, dir, col("v") >= 200L)
+      assert(TxTable.readNullness(spark, dir, "v", wantNull = true)
+        .count() === 61L)
+      assert(TxTable.readNullness(spark, dir, "v", wantNull = false)
+        .count() === 192L)
+    }
+    inDir { dir =>
+      // nullness-clustered layout (a partition column derived from
+      // nullness): the IS NOT NULL face skips the ALL-NULL partition's
+      // files entirely
+      val df = (0 until 128).map { i =>
+        (i.toLong, if (i % 4 == 0) None else Some(i.toLong))
+      }.toDF("seq", "v")
+        .withColumn("side", when(col("v").isNull, lit("n")).otherwise(lit("x")))
+      TxTable.commitReplace(spark, dir, df, partitionCol = Some("side"),
+        statsCols = Seq("v"))
+      val valued = TxTable.readNullness(spark, dir, "v", wantNull = false)
+      assert(valued.count() === 96L)
+      assert(valued.inputFiles.forall(_.contains("side=x")),
+        "the all-null partition's files must be skipped for IS NOT NULL")
+      assert(TxTable.readNullness(spark, dir, "v", wantNull = true)
+        .inputFiles.forall(_.contains("side=n")))
+    }
+    inDir { dir =>
+      // committed WITHOUT stats: no null counts recorded — both faces
+      // read every file (conservative), rows still exact
+      import spark.implicits._
+      val df = (0 until 64).map { i =>
+        (i.toLong, if (i % 2 == 0) None else Some(i.toLong))
+      }.toDF("seq", "v").repartition(4)
+      TxTable.commitReplace(spark, dir, df)
+      val nulls = TxTable.readNullness(spark, dir, "v", wantNull = true)
+      assert(nulls.count() === 32L)
+      assert(nulls.inputFiles.length === 4, "unrecorded counts must read all")
+      // metaNullCount fails LOUD on the missing counts, never guesses
+      val e = intercept[RuntimeException] {
+        TxTable.metaNullCount(spark, dir, "v")
+      }
+      assert(e.getMessage.contains("no 'v' null count"), e.getMessage)
+    }
+  }
+
+  test("metaNullCount: exact from the log alone; refuses DV'd tables") {
+    import spark.implicits._
+    inDir { dir =>
+      val df = (0 until 200).map { i =>
+        (i.toLong, if (i % 5 == 0) None else Some(i.toLong))
+      }.toDF("seq", "v").repartition(4)
+      TxTable.commitReplace(spark, dir, df, statsCols = Seq("v"))
+      assert(TxTable.metaNullCount(spark, dir, "v") === 40L)
+      // deletion vectors void the recorded counts: refuse, don't drift
+      TxTable.deleteWhereDv(spark, dir, col("seq") < 10L)
+      val e = intercept[RuntimeException] {
+        TxTable.metaNullCount(spark, dir, "v")
+      }
+      assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    }
+  }
+
   test("joinOnKey: reserved/colliding left columns are refused upfront, " +
       "not surfaced as an ambiguous-reference or silent duplicate name") {
     inDir { dir =>
