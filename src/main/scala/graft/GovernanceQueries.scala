@@ -1000,29 +1000,46 @@ object GovernanceQueries {
           PairTxn.PairCommit(fact, seed, replace = true,
             partitionCol = Some("pbucket")),
           PairTxn.PairCommit(view, viewOf(seed), replace = true)))
-        ev.where(col("event_id") % 3 === 0)
+        // six BUCKET-CLUSTERED change files + maxFilesPerTrigger=3 pins
+        // the r19 trigger-batching economics IN-LANE: a catch-up drain
+        // pays ceil(6/3) = 2 intents, not 6 — same final state, same
+        // oracle, same replay guarantees, at a third of the commit
+        // traffic. Clustering matters: a round-robin split would put
+        // every pbucket in every file, so each batch's MoR semi-join
+        // would slice the WHOLE fact instead of its own buckets (tried,
+        // measured 1.5x the lane cost — partition locality of the feed
+        // is part of the economics, exactly as a real CDC feed shards
+        // by key).
+        val ch = ev.where(col("event_id") % 3 === 0)
           .select(col("event_id"),
             when(col("event_id") % 2 =!= 0, "insert")
               .when(col("event_id") % 12 === 0, "delete")
               .otherwise("update").as("op"),
             (col("value") + 500).as("value"),
             (col("event_id") % 8).as("pbucket"))
-          .repartition(3, col("pbucket"))
-          .write.parquet(s"$tmp/changes")
+        Seq(Seq(0L), Seq(1L), Seq(2L), Seq(3L), Seq(4L, 5L), Seq(6L, 7L))
+          .foreach { bs =>
+            ch.where(col("pbucket").isin(bs: _*)).coalesce(1)
+              .write.mode("append").parquet(s"$tmp/changes")
+          }
         val schema = StructType(Seq(
           StructField("event_id", LongType), StructField("op", StringType),
           StructField("value", DoubleType), StructField("pbucket", LongType)))
-        graft.streaming.MergeStream.pairAvailable(
-          s, tmp, fact, view, s"$tmp/changes", schema, s"$tmp/ckpt", viewOf)
+        val intents = graft.streaming.MergeStream.pairAvailable(
+          s, tmp, fact, view, s"$tmp/changes", schema, s"$tmp/ckpt", viewOf,
+          maxFilesPerTrigger = 3)
+        require(intents == 2,
+          s"6 change files at maxFilesPerTrigger=3 must drain in 2 intents: $intents")
         val afterFirst = (TxTable.latestVersion(s, fact).get,
           TxTable.latestVersion(s, view).get)
         require(afterFirst._1 == afterFirst._2,
           s"fact and view must move in step: $afterFirst")
         val viewRows = TxTable.read(s, view).orderBy("k").collect().toSeq
         // REBUILT checkpoint: every batch replays — the ledger no-ops
-        // the fact, the idempotent recompute republishes the same view
+        // the fact, the ledger-aware recompute republishes the same view
         graft.streaming.MergeStream.pairAvailable(
-          s, tmp, fact, view, s"$tmp/changes", schema, s"$tmp/ckpt2", viewOf)
+          s, tmp, fact, view, s"$tmp/changes", schema, s"$tmp/ckpt2", viewOf,
+          maxFilesPerTrigger = 3)
         require(TxTable.read(s, view).orderBy("k").collect().toSeq == viewRows,
           "a full replay must republish the identical view")
         require(TxTable.read(s, fact).count() ==

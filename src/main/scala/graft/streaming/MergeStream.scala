@@ -235,7 +235,18 @@ object MergeStream {
     * committed versions (the return stays "batches ingested", the
     * replay-dedup observable), and a cadence tick landing on an EMPTY
     * micro-batch still runs — the sweep is deferred by decay, never by
-    * an idle CDC window. */
+    * an idle CDC window.
+    *
+    * `maxFilesPerTrigger` batches that many change FILES per
+    * micro-batch (default 1 preserves the historical one-file-one-
+    * commit cadence). A consumer catching up on a long feed then pays
+    * one commit per N files instead of per file; correctness is
+    * untouched because the feed contract (at most one change per key
+    * across the WHOLE feed) makes any batching of the files equal to
+    * the one-shot apply, and the (appId, batchId) ledger tag covers a
+    * batch of any width — replay semantics are unchanged (a rebuilt
+    * checkpoint re-plans the same deterministic file order into the
+    * same batches). */
   def mergeAvailableVersioned(
       spark: SparkSession,
       tableDir: String,
@@ -247,7 +258,10 @@ object MergeStream {
       partitionCol: String = "pbucket",
       txnAppId: String = null,
       moR: Boolean = false,
-      maintainEvery: Int = 0): Long = {
+      maintainEvery: Int = 0,
+      maxFilesPerTrigger: Int = 1): Long = {
+    require(maxFilesPerTrigger >= 1,
+      s"maxFilesPerTrigger must be >= 1: $maxFilesPerTrigger")
     Seq(keyCol, opCol, partitionCol).foreach { c =>
       require(changesSchema.fieldNames.contains(c),
         s"changesSchema must carry '$c': ${changesSchema.fieldNames.mkString(", ")}")
@@ -290,7 +304,7 @@ object MergeStream {
     val committed = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = spark.readStream
       .schema(changesSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(changesDir)
       .writeStream
       .outputMode("append")
@@ -330,13 +344,37 @@ object MergeStream {
     * Exactly-once under at-least-once foreachBatch: the fact side
     * carries the (appId, batchId) ledger tag — a replayed batch
     * re-applies NOTHING (it stages an empty delta; the group still
-    * moves in step) — and the view content is derived IDEMPOTENTLY
-    * from the current fact: anti-join the batch's keys out, union
-    * the batch's insert/update images back. When the fact already
-    * holds the batch (the replay case) that recompute is the
-    * identity, so the replayed view replace publishes the same
-    * frame. Same canonical-URI appId derivation as
+    * moves in step) — and the view content is derived from what the
+    * LEDGER says, not from blind recomputation: a batch the ledger
+    * already records is applied IN the current fact, so the view
+    * recompute is literally `viewOf(currentFact)`; a fresh batch
+    * recomputes as anti-join the batch's keys out, union the batch's
+    * insert/update images back — which equals `viewOf` of the
+    * post-merge fact because the INSERT CONTRACT below forbids the
+    * one divergent case. Same canonical-URI appId derivation as
     * [[mergeAvailableVersioned]].
+    *
+    * INSERT CONTRACT (enforced loudly, the r18 ADVICE hole): an
+    * `op = 'insert'` key must be ABSENT from the current fact.
+    * [[graft.ext.TxTable.mergeChangeSetDv]] tombstones only
+    * update/delete keys, so an insert-of-existing-key would DUPLICATE
+    * the row in the committed fact while the view recompute replaced
+    * it — silently breaking the group invariant `view ==
+    * viewOf(fact)`. The batch fails BEFORE anything stages (nothing
+    * of the intent exists yet); the producer re-tags the row as
+    * `update` for upsert semantics. The check is one semi-join
+    * LIMIT 1 against the fact's key column — column-pruned, and only
+    * on the not-yet-applied path (a replayed batch skips it: its
+    * insert keys are in the fact by construction).
+    *
+    * `maxFilesPerTrigger` batches that many change files per intent
+    * (default 1 = one intent per file, the historical cadence) —
+    * same argument as [[mergeAvailableVersioned]]: the feed contract
+    * (at most one change per key across the whole feed) makes any
+    * file batching equal to the one-shot apply, the ledger tag is
+    * per-BATCH, and the view is recomputed from the post-batch fact
+    * either way, so a catch-up consumer pays one intent (two staged
+    * commits + a view recompute) per N files instead of per file.
     *
     * `viewOf` maps the post-batch fact frame to the view's content —
     * the pipeline's own aggregate. Returns the number of intents
@@ -353,11 +391,14 @@ object MergeStream {
       keyCol: String = "event_id",
       opCol: String = "op",
       partitionCol: String = "pbucket",
-      txnAppId: String = null): Long = {
+      txnAppId: String = null,
+      maxFilesPerTrigger: Int = 1): Long = {
     Seq(keyCol, opCol, partitionCol).foreach { c =>
       require(changesSchema.fieldNames.contains(c),
         s"changesSchema must carry '$c': ${changesSchema.fieldNames.mkString(", ")}")
     }
+    require(maxFilesPerTrigger >= 1,
+      s"maxFilesPerTrigger must be >= 1: $maxFilesPerTrigger")
     val appId = Option(txnAppId).getOrElse {
       val p = new org.apache.hadoop.fs.Path(changesDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -366,7 +407,7 @@ object MergeStream {
     val committed = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = spark.readStream
       .schema(changesSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(changesDir)
       .writeStream
       .outputMode("append")
@@ -381,12 +422,33 @@ object MergeStream {
           // after this read would have happened)
           graft.ext.PairTxn.recoverPairs(spark, coordDir)
           val cur = graft.ext.TxTable.read(spark, factDir)
-          val images = changes
-            .where(col(opCol).isin("insert", "update"))
-            .select(cur.columns.map(col).toSeq: _*)
-          val applied = cur
-            .join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-            .unionByName(images)
+          // the LEDGER decides the recompute shape: a batch already
+          // recorded is applied IN `cur`, so anti-join/union would
+          // re-add its insert images (duplicating them in the view's
+          // input) — the identity is the only correct replay recompute
+          val replayed = graft.ext.TxTable.latestVersion(spark, factDir)
+            .map(v => graft.ext.TxTable.readManifest(spark, factDir, v).txns)
+            .exists(_.get(appId).exists(_ >= batchId))
+          val applied =
+            if (replayed) cur
+            else {
+              // insert contract (see the scaladoc): enforced BEFORE
+              // anything stages, so a violating batch leaves no debris
+              val insertKeys = changes.where(col(opCol) === "insert")
+                .select(col(keyCol)).distinct()
+              require(cur.join(insertKeys, Seq(keyCol), "left_semi").isEmpty,
+                s"pairAvailable batch $batchId: an op='insert' key already " +
+                  s"exists in the fact at $factDir — the MoR merge would " +
+                  "duplicate the row while the view recompute replaced it, " +
+                  "breaking view == viewOf(fact); re-tag the change as " +
+                  "op='update' for upsert semantics")
+              val images = changes
+                .where(col(opCol).isin("insert", "update"))
+                .select(cur.columns.map(col).toSeq: _*)
+              cur.join(changes.select(col(keyCol)).distinct(),
+                  Seq(keyCol), "left_anti")
+                .unionByName(images)
+            }
           graft.ext.PairTxn.commitAll(spark, coordDir, Seq(
             graft.ext.PairTxn.MergeDvCommit(factDir, changes, keyCol,
               opCol, partitionCol, txn = Some((appId, batchId))),

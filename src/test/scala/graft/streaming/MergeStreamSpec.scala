@@ -318,6 +318,133 @@ class MergeStreamSpec extends SparkSpec {
     }
   }
 
+  test("pairAvailable enforces the insert contract loudly: an insert " +
+      "whose key exists in the fact fails BEFORE anything stages") {
+    import spark.implicits._
+    inTempDir { tmp =>
+      val fact = s"$tmp/fact"; val view = s"$tmp/view"
+      def viewOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy((col("event_id") % 2).as("k"))
+          .agg(count(lit(1)).as("n"))
+      val seed = (0L until 10L).map(i => (i, i * 1.0, i % 4))
+        .toDF("event_id", "value", "pbucket")
+      graft.ext.PairTxn.commitAll(spark, tmp, Seq(
+        graft.ext.PairTxn.PairCommit(fact, seed, replace = true,
+          partitionCol = Some("pbucket")),
+        graft.ext.PairTxn.PairCommit(view, viewOf(seed), replace = true)))
+      // key 4 ALREADY EXISTS in the fact — an op='insert' for it would
+      // duplicate the fact row while the view recompute replaced it
+      Seq((4L, "insert", 999.0, 0L))
+        .toDF("event_id", "op", "value", "pbucket")
+        .coalesce(1).write.parquet(s"$tmp/changes")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        MergeStream.pairAvailable(spark, tmp, fact, view, s"$tmp/changes",
+          changesSchema, s"$tmp/ckpt", viewOf)
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+      assert(chain.exists(_.contains("op='insert'")),
+        s"failure must name the insert contract: $chain")
+      // nothing of the batch committed: both tables still at the seed
+      assert(graft.ext.TxTable.latestVersion(spark, fact) === Some(1L))
+      assert(graft.ext.TxTable.latestVersion(spark, view) === Some(1L))
+      assert(graft.ext.TxTable.read(spark, fact).count() == 10L)
+    }
+  }
+
+  test("pairAvailable maxFilesPerTrigger: ceil(files/N) intents, final " +
+      "state equals the batch apply, replay on a rebuilt checkpoint is " +
+      "identity — including re-added insert keys (the ledger-aware " +
+      "recompute, not blind anti-join/union)") {
+    import spark.implicits._
+    inTempDir { tmp =>
+      val fact = s"$tmp/fact"; val view = s"$tmp/view"
+      def viewOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy((col("event_id") % 3).as("k"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      val seed = (0L until 20L).map(i => (i, i * 1.0, i % 4))
+        .toDF("event_id", "value", "pbucket")
+      graft.ext.PairTxn.commitAll(spark, tmp, Seq(
+        graft.ext.PairTxn.PairCommit(fact, seed, replace = true,
+          partitionCol = Some("pbucket")),
+        graft.ext.PairTxn.PairCommit(view, viewOf(seed), replace = true)))
+      // 5 change files (keys cover every %5 residue so no file is
+      // empty), one change per key across the whole feed
+      val changes = Seq(
+        (0L, "delete", 0.0, 0L), (13L, "update", 999.0, 1L),
+        (21L, "insert", 21.0, 1L), (9L, "update", 888.0, 1L),
+        (22L, "insert", 22.0, 2L))
+        .toDF("event_id", "op", "value", "pbucket")
+      (0 until 5).foreach { i =>
+        changes.where(col("event_id") % 5 === i).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/changes")
+      }
+      val intents = MergeStream.pairAvailable(spark, tmp, fact, view,
+        s"$tmp/changes", changesSchema, s"$tmp/ckpt", viewOf,
+        maxFilesPerTrigger = 2)
+      assert(intents == 3, s"5 files at N=2 must drain in 3 intents: $intents")
+      val expected = graft.ext.Cdc.applyChangeSet(
+          seed, changes, "event_id", "op")
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = graft.ext.TxTable.read(spark, fact)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expected)
+      val viewRows = graft.ext.TxTable.read(spark, view)
+        .orderBy("k").collect().toSeq
+      // REBUILT checkpoint: every batch re-fires. The fact side no-ops
+      // via the ledger; the view recompute must be the IDENTITY — with
+      // the old blind anti-join/union it would re-union the replayed
+      // insert images (21, 22) into the view's input
+      val replayIntents = MergeStream.pairAvailable(spark, tmp, fact, view,
+        s"$tmp/changes", changesSchema, s"$tmp/ckpt2", viewOf,
+        maxFilesPerTrigger = 2)
+      assert(replayIntents == 3)
+      assert(graft.ext.TxTable.read(spark, fact)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected,
+        "a replayed feed must not re-apply")
+      assert(graft.ext.TxTable.read(spark, view)
+        .orderBy("k").collect().toSeq == viewRows,
+        "the replayed view must be bit-identical")
+      // the group still moved in step through the replay
+      assert(graft.ext.TxTable.latestVersion(spark, fact) ===
+        graft.ext.TxTable.latestVersion(spark, view))
+    }
+  }
+
+  test("versioned merge maxFilesPerTrigger: ceil(files/N) commits, same " +
+      "final state as one-file-per-trigger") {
+    import spark.implicits._
+    inTempDir { tmp =>
+      val table = s"$tmp/table"
+      val snapshot = (0L until 12L).map(i => (i, i * 1.0, i % 3))
+        .toDF("event_id", "value", "pbucket")
+      graft.ext.TxTable.commitReplace(spark, table, snapshot, Some("pbucket"))
+      // keys cover every %3 residue so no change file is empty
+      val changes = Seq(
+        (0L, "delete", 0.0, 0L), (1L, "update", 101.0, 1L),
+        (14L, "insert", 14.0, 2L))
+        .toDF("event_id", "op", "value", "pbucket")
+      (0 until 3).foreach { i =>
+        changes.where(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/changes")
+      }
+      val committed = MergeStream.mergeAvailableVersioned(
+        spark, table, s"$tmp/changes", changesSchema, s"$tmp/ckpt",
+        maxFilesPerTrigger = 2)
+      assert(committed == 2, s"3 files at N=2 must commit twice: $committed")
+      val expected = graft.ext.Cdc.applyChangeSet(
+          snapshot, changes, "event_id", "op")
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(graft.ext.TxTable.read(spark, table)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected)
+    }
+  }
+
   test("an empty change feed leaves the snapshot untouched (0 batches)") {
     import spark.implicits._
     inTempDir { tmp =>
