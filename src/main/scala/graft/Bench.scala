@@ -52,6 +52,51 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sha resolution failed: ${e.getMessage}"); "unknown" }
 
+  /** CODE identity: md5 over every file under `src/` plus `build.sbt`
+    * (relative path + content bytes, path-sorted) — the r18 verdict's
+    * convention leak: closing-run identity was keyed on the COMMIT
+    * sha, so a docs-only commit after the close orphaned the closing
+    * samples (BENCH_r18 read `closing_sha_runs: 1` for a close that
+    * ran 3 passes). The tree of `src/` + `build.sbt` IS what the
+    * bench measures; metadata commits leave it unchanged, so samples
+    * keyed on it survive them. 12 hex chars, same width as the sha. */
+  private[graft] def codeFingerprint(root: java.nio.file.Path): String =
+    try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val srcs = {
+        val s = root.resolve("src")
+        val walked =
+          if (java.nio.file.Files.isDirectory(s))
+            scala.jdk.CollectionConverters.IteratorHasAsScala(
+                java.nio.file.Files.walk(s).iterator()).asScala
+              .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+          else Seq.empty
+        walked ++ Some(root.resolve("build.sbt"))
+          .filter(java.nio.file.Files.isRegularFile(_))
+      }
+      srcs.map(p => root.relativize(p).toString.replace('\\', '/') -> p)
+        .sortBy(_._1)
+        .foreach { case (rel, p) =>
+          md.update(rel.getBytes("UTF-8")); md.update(0.toByte)
+          md.update(java.nio.file.Files.readAllBytes(p)); md.update(0.toByte)
+        }
+      md.digest().take(6).map("%02x".format(_)).mkString
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] code fingerprint failed: ${e.getMessage}")
+      "unknown"
+    }
+
+  /** The identity a history record's samples are keyed under for
+    * closing-run matching: its own `code_fp` when recorded; a LEGACY
+    * record (pre-code_fp) at the SAME commit sha as this run is the
+    * same code by construction and adopts this run's fingerprint;
+    * any other legacy record keeps its sha (never matches a
+    * fingerprint). */
+  private[graft] def codeIdentOf(
+      recSha: String, recFp: Option[String],
+      sha: String, fp: String): String =
+    recFp.getOrElse(if (recSha == sha && sha != "unknown") fp else recSha)
+
   /** Headline selection over the cross-run history (the r15 VERDICT
     * provenance item + both r16 ADVICE entries). Inputs: `priors` are
     * (sha, total) of earlier CLEAN full runs of the same population;
@@ -404,6 +449,12 @@ object Bench {
     // runs (those never touch history).
     val root = repoRoot()
     val sha = root.map(headSha).getOrElse("unknown")
+    // closing-run identity: the CODE fingerprint, not the commit sha —
+    // metadata commits (round notes, history appends) must not orphan
+    // closing samples (r18 verdict). Falls back to the sha when the
+    // fingerprint cannot be computed.
+    val codeFp = root.map(codeFingerprint).getOrElse("unknown")
+    val selfIdent = if (codeFp != "unknown") codeFp else sha
     val historyPath = root.map(_.resolve("bench_history.jsonl"))
     // population fingerprint: md5 over the sorted query-name list — two
     // runs only share a median when they ran the SAME queries (a bare
@@ -442,16 +493,22 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] history read failed: ${e.getMessage}"); Seq.empty }
       }
-    val priorRuns: Seq[(String, Double)] = matchedHistory.flatMap { n =>
+    // (sha, code identity, total) per prior full-run sample — the sha
+    // stays for run_shas provenance; closing/confirm matching keys on
+    // the code identity ([[codeIdentOf]])
+    val priorRuns: Seq[(String, String, Double)] = matchedHistory.flatMap { n =>
       val s = Option(n.get("sha")).map(_.asText()).getOrElse("unknown")
+      val ident = codeIdentOf(
+        s, Option(n.get("code_fp")).map(_.asText()), sha, selfIdent)
       val t = Option(n.get("this_run_sec")).orElse(Option(n.get("total_sec")))
         .map(_.asDouble()).getOrElse(Double.NaN)
       // a record whose invocation ran the outlier-confirm or the
       // spread-gate pass carries EXTRA full-run samples at the same sha
       val extra = Seq("confirm_run_sec", "spread_run_sec")
         .flatMap(k => Option(n.get(k)).map(_.asDouble()))
-      ((s, t) +: extra.map(s -> _)).filterNot(_._2.isNaN)
+      ((s, ident, t) +: extra.map(x => (s, ident, x))).filterNot(_._3.isNaN)
     }
+    val priorIdents: Seq[(String, Double)] = priorRuns.map(p => (p._2, p._3))
     // per-lane values of the matched prior runs — what "is this lane
     // actually slow?" must be answered against (the r17 verdict: the
     // single-run top/spread maps printed one noisy run's 52 s for a
@@ -494,7 +551,7 @@ object Bench {
     val confirmTotal: Option[Double] =
       if (anyFailed || only.nonEmpty ||
           sys.env.get("SPARK_GRAFT_CONFIRM").contains("0") ||
-          !confirmNeeded(priorRuns, sha, total)) None
+          !confirmNeeded(priorIdents, selfIdent, total)) None
       else {
         System.err.println(s"[bench] ${f3(total)} s is a lone outlier vs " +
           "prior history — running a confirm pass at the closing sha")
@@ -505,7 +562,7 @@ object Bench {
     // the same-sha samples span more than 1.3×, two runs have not
     // pinned a number — run a THIRD full pass automatically so the
     // median stands on something. Same skips as the confirm pass.
-    val preAtHead = priorRuns.collect { case (s, t) if s == sha => t } ++
+    val preAtHead = priorIdents.collect { case (s, t) if s == selfIdent => t } ++
       (total +: confirmTotal.toSeq)
     val spreadTotal: Option[Double] =
       if (anyFailed || only.nonEmpty ||
@@ -519,20 +576,20 @@ object Bench {
       }
     val headTotals = (total +: confirmTotal.toSeq) ++ spreadTotal.toSeq
     val (headline, closingShaSec) =
-      headlineOf(priorRuns, sha, headTotals, anyFailed)
+      headlineOf(priorIdents, selfIdent, headTotals, anyFailed)
     // how many full-run samples stand behind closing_sha_sec — the
     // round-close convention (r16 verdict): a round must not end on a
     // single-sample closing measurement, so ≥2 here (run the bench
     // again at the final sha until it is) is part of closing a round
     val closingShaRuns =
-      priorRuns.count(_._1 == sha) + headTotals.size
+      priorIdents.count(_._1 == selfIdent) + headTotals.size
     // how wide the same-sha samples ACTUALLY span after any tie-break
     // pass — the auditable face of the spread gate: a closing record
     // with closing_sha_spread > 1.3 and closing_sha_runs == 2 means
     // the gate was disabled or a pass failed, never that the
     // convention silently averaged a wide pair
     val closingShaSpread = spreadOf(
-      priorRuns.collect { case (s, t) if s == sha => t } ++ headTotals)
+      priorIdents.collect { case (s, t) if s == selfIdent => t } ++ headTotals)
     // per-lane CROSS-RUN medians for the same 25 lanes "top" shows —
     // the number a regression hunt should start from. "top"/"spread"
     // keep their single-run samples (a spike should be visible AS a
@@ -545,12 +602,12 @@ object Bench {
       }.mkString("{", ",", "}")
     // run_shas is ALIGNED with run_totals (the r15 off-by-one: the
     // current run's sha was omitted, leaving 4 shas for 5 totals)
-    val runPairs = priorRuns ++ headTotals.map(sha -> _)
+    val runPairs = priorRuns.map(p => (p._1, p._3)) ++ headTotals.map(sha -> _)
     val runShas = runPairs.map(r => s"\"${r._1}\"").mkString("[", ",", "]")
     val runTotalsJson = runPairs.map(r => f3(r._2)).mkString("[", ",", "]")
     val confirmField = confirmTotal.fold("")(c => s""","confirm_run_sec":${f3(c)}""")
     val spreadField = spreadTotal.fold("")(c => s""","spread_run_sec":${f3(c)}""")
-    val line = s"""{"metric":"total","value":${f3(headline)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"qfp":"$qfp","spread":$spread,"top":$top,"top_median":$topMedian,"engine_sec":${f3(engineSec)},"streaming_sec":${f3(streamingSec)},"n_streaming":$nStreaming,"this_run_sec":${f3(total)}$confirmField$spreadField,"closing_sha_sec":${f3(closingShaSec)},"closing_sha_runs":$closingShaRuns,"closing_sha_spread":${f3(closingShaSpread)},"n_runs":${runPairs.size},"run_totals":$runTotalsJson,"run_shas":$runShas,"total_sec":${f3(headline)}}"""
+    val line = s"""{"metric":"total","value":${f3(headline)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"qfp":"$qfp","code_fp":"$codeFp","spread":$spread,"top":$top,"top_median":$topMedian,"engine_sec":${f3(engineSec)},"streaming_sec":${f3(streamingSec)},"n_streaming":$nStreaming,"this_run_sec":${f3(total)}$confirmField$spreadField,"closing_sha_sec":${f3(closingShaSec)},"closing_sha_runs":$closingShaRuns,"closing_sha_spread":${f3(closingShaSpread)},"n_runs":${runPairs.size},"run_totals":$runTotalsJson,"run_shas":$runShas,"total_sec":${f3(headline)}}"""
     println(line)
     // full, untruncated copy for cross-round diffing (the stdout line
     // is clipped to its tail by the driver): APPEND one record per run

@@ -31,6 +31,39 @@ class QueryUtilSpec extends SparkSpec {
     assert(Bench.median(Seq(7.5)) === 7.5)
   }
 
+  test("Bench.codeIdentOf: fp records match on fp, legacy same-sha " +
+      "records adopt the run's fingerprint, other legacy records keep " +
+      "their sha (never match a fingerprint)") {
+    // fp-carrying record: its own fp, whatever the shas say
+    assert(Bench.codeIdentOf("a", Some("fp1"), "z", "fpZ") === "fp1")
+    // legacy record at the SAME sha: same code by construction
+    assert(Bench.codeIdentOf("z", None, "z", "fpZ") === "fpZ")
+    // legacy record at another sha: keeps its sha
+    assert(Bench.codeIdentOf("a", None, "z", "fpZ") === "a")
+    // unknown shas never alias each other into one identity
+    assert(Bench.codeIdentOf("unknown", None, "unknown", "fpZ") === "unknown")
+  }
+
+  test("Bench.codeFingerprint: invariant under non-code changes (the " +
+      "metadata-commit shape that orphaned r18's closing samples), " +
+      "moves with src content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp")
+    try {
+      java.nio.file.Files.createDirectories(dir.resolve("src/main"))
+      java.nio.file.Files.writeString(dir.resolve("src/main/A.scala"), "object A")
+      java.nio.file.Files.writeString(dir.resolve("build.sbt"), "name := \"x\"")
+      val fp1 = Bench.codeFingerprint(dir)
+      assert(fp1 !== "unknown")
+      // a docs-only change leaves the code identity alone
+      java.nio.file.Files.writeString(dir.resolve("NOTES.md"), "docs only")
+      assert(Bench.codeFingerprint(dir) === fp1)
+      // a source change moves it
+      java.nio.file.Files.writeString(
+        dir.resolve("src/main/A.scala"), "object A { val x = 1 }")
+      assert(Bench.codeFingerprint(dir) !== fp1)
+    } finally graft.Fs.deleteTree(dir)
+  }
+
   test("Bench.headlineOf: ≥2 closing-sha samples take the headline, HEAD regression unmasked") {
     val priors = Seq("a" -> 200.0, "b" -> 198.0, "c" -> 202.0, "d" -> 199.0)
     // lone HEAD sample: cross-sha median de-noises (the r15 behavior)…
