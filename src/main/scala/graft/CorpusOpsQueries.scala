@@ -566,7 +566,13 @@ object CorpusOpsQueries {
          |  CAST(n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
          |FROM sh JOIN sz sa ON sa.src = src_a JOIN sz sb ON sb.src = src_b
          |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
-      Dedup.sourceOverlap(s.read.parquet(s"$dir/documents.parquet"))
+      // single-file parquet = ONE scan partition (the q132 NOTES
+      // lesson): the tokenize + 8-gram + array_distinct work is the
+      // lane's whole cost and would serialize on one core — fan the raw
+      // (source, text) rows out BEFORE the gram explode multiplies them
+      // (guide §3: shuffle the un-exploded rows, never the grams)
+      Dedup.sourceOverlap(s.read.parquet(s"$dir/documents.parquet")
+          .repartition(s.sessionState.conf.numShufflePartitions))
         .orderBy("src_a", "src_b")
     },
 

@@ -295,7 +295,16 @@ object PipelineQueries {
          |    / count(quality) / 1000000.0 AS avg_quality
          |FROM mixed GROUP BY lang ORDER BY lang""".stripMargin
     }) { (s, dir) =>
+      // single-file parquet = ONE scan partition (the q132 NOTES
+      // lesson): every downstream stage of this lane is per-row text
+      // compute (quality/lang-id regexes on canon, 8-gram explode on
+      // both decontamination sides, token counts on the final agg) and
+      // broadcast joins preserve partitioning, so without a fan-out the
+      // whole pipeline serializes on one core — measured three ~1.0 s
+      // single-task jobs at sf0.1 on 32 cores. One shuffle of the raw
+      // (doc_id, text, ...) rows before anything heavy or exploding.
       val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sessionState.conf.numShufflePartitions)
       // near-dup clusters over the SAME verified pair query; keep only
       // cluster canonicals (singletons never appear in the pair graph).
       // Pair graph + closure come from the (session, dir) serving

@@ -162,7 +162,15 @@ object ScaleOpsQueries {
     // oracle replays every iteration — integer fixed-point is what
     // makes that possible (see Graph scaladoc).
     Q("q108_pagerank", ScaleOpsOracles.pageRank) { (s, dir) =>
+      // fan the edge build out on the JOIN key: a single-file lineitem
+      // scan splits to ≤ #row-groups tasks (3 at sf0.1 — the 0.6 s map
+      // stage was the lane's hottest job), and the broadcast join +
+      // partial distinct inherit that ceiling. Repartitioning on
+      // l_orderkey is the exchange a non-broadcast plan would insert
+      // anyway (key-aligned, reusable), and it carries two longs per
+      // row — never the payload.
       val pairs = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
         .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck"))

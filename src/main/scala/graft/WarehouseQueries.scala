@@ -128,7 +128,17 @@ object WarehouseQueries {
     // O(E^1.5) regardless of hub skew. Integer end to end — the
     // oracle replays the orientation and the closing join exactly.
     Q("q124_triangles", WarehouseOracles.triangles) { (s, dir) =>
-      val li = t(s, dir, "lineitem")
+      // fan the co-purchase self-join out on its OWN key: the
+      // single-file lineitem scan caps at #row-groups tasks (3 at
+      // sf0.1), and the broadcast self-join + pair explosion + partial
+      // count all inherited that ceiling (one 1.6 s 3-task job was the
+      // lane's hottest). The repartition is the exchange a shuffle join
+      // would need anyway, shared by BOTH sides of the self-join
+      // (exchange reuse), carrying two longs per row.
+      val li0 = t(s, dir, "lineitem")
+      val li = li0.select(col("l_orderkey"), col("l_partkey"))
+        .repartition(li0.sparkSession.sessionState.conf.numShufflePartitions,
+          col("l_orderkey"))
       val edges = li.select(col("l_orderkey"), col("l_partkey"))
         .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")), "l_orderkey")
         .where(col("l_partkey") < col("p2"))
