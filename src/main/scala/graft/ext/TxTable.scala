@@ -1892,6 +1892,36 @@ object TxTable {
     * Partition values must also be path-literal (integral / simple
     * strings) — enforced below, because Spark ESCAPES exotic values in
     * directory names while the manifest carries them raw. */
+  /** Evaluate `changes` ONCE for the whole merge: both merge paths
+    * consume the changeset three times (the touched-partition collect,
+    * the vacating-key side of the anti/semi join, and the
+    * insert/update image projection), and a changeset that is itself a
+    * derived pipeline would execute three times over — the guide's
+    * "don't compute things twice" in its simplest form. A lazy
+    * localCheckpoint (RDD blocks, never CacheManager — the house
+    * materialization pattern) is materialized by the first consumer
+    * and read back by the rest; the blocks are released deterministically
+    * when the merge finishes (success OR failure), so a long-lived
+    * streaming writer never accumulates per-batch blocks. Changesets
+    * are batch-sized by contract, so the blocks are bounded.
+    *
+    * An input that IS already a local checkpoint (a streaming caller
+    * that materialized the batch once for its own pre-merge checks —
+    * [[graft.streaming.MergeStream]]) passes through untouched: its
+    * blocks are the single evaluation, and re-checkpointing would copy
+    * them for nothing. Ownership follows the checkpoint: the caller
+    * that created the blocks releases them. */
+  private[graft] def withMaterializedChanges[T](changes: DataFrame)(
+      body: DataFrame => T): T =
+    if (org.apache.spark.sql.GraftCheckpointBridge.checkpointRdd(changes).isDefined)
+      body(changes)
+    else {
+      val ch = changes.localCheckpoint(eager = false)
+      try body(ch)
+      finally org.apache.spark.sql.GraftCheckpointBridge.checkpointRdd(ch)
+        .foreach(_.unpersist(blocking = false))
+    }
+
   def mergeChangeSet(
       spark: SparkSession, dir: String, changes: DataFrame,
       keyCol: String, opCol: String, partitionCol: String,
@@ -1915,8 +1945,9 @@ object TxTable {
     // would duplicate — applyChangeSet treats them as new keys)
     if (txn.exists { case (app, ver) => m.txns.get(app).exists(_ >= ver) })
       return base
+    withMaterializedChanges(changes) { ch =>
     // bounded driver collect: ≤ #partition values by definition
-    val touched = changes.select(col(partitionCol)).distinct()
+    val touched = ch.select(col(partitionCol)).distinct()
       .collect().map(r => String.valueOf(r.get(0))).toSet
     requirePathSafe(touched, partitionCol)
     val (touchedFiles, keep) = m.files.partition(_.bucket.exists(touched))
@@ -1927,7 +1958,7 @@ object TxTable {
     // schema evolution here touches only the REWRITTEN partitions'
     // files; carried-forward files keep the old shape and read NULL in
     // the new columns through readFiles' allowMissingColumns union
-    val merged = Cdc.applyChangeSet(slice, changes, keyCol, opCol, evolveSchema)
+    val merged = Cdc.applyChangeSet(slice, ch, keyCol, opCol, evolveSchema)
     val commitDir = newCommitDir(root, base + 1)
     merged.write.mode("errorifexists")
       .partitionBy(partitionCol).parquet(commitDir.toString)
@@ -1937,6 +1968,7 @@ object TxTable {
     enforceConstraints(spark, root, m, fresh, Some(merged.schema.json))
     commit(store, root, m, keep ++ fresh, Some(merged.schema.json),
       "merge", full = false, txn = txn)
+    }
   }
 
   /** [[mergeChangeSet]] at MERGE-ON-READ economics — identical content
@@ -2000,8 +2032,9 @@ object TxTable {
     val m = readManifest(spark, dir, base)
     if (txn.exists { case (app, ver) => m.txns.get(app).exists(_ >= ver) })
       return None
+    withMaterializedChanges(changes) { ch =>
     // bounded driver collect: ≤ #partition values by definition
-    val touched = changes.select(col(partitionCol)).distinct()
+    val touched = ch.select(col(partitionCol)).distinct()
       .collect().map(r => String.valueOf(r.get(0))).toSet
     requirePathSafe(touched, partitionCol)
     val touchedFiles = m.files.filter(_.bucket.exists(touched))
@@ -2009,7 +2042,7 @@ object TxTable {
       withRowId = true)
     val targetCols = slice.columns
       .filterNot(c => c == DvFileCol || c == DvPosCol).toSeq
-    val extras = changes.columns.filterNot(c =>
+    val extras = ch.columns.filterNot(c =>
       c == opCol || targetCols.contains(c)).toSeq
     require(extras.isEmpty || evolveSchema,
       s"changeset carries columns the target lacks (${extras.mkString(", ")}) " +
@@ -2017,7 +2050,7 @@ object TxTable {
         "ride the fresh files; carried rows read NULL)")
     // ONE semi-join finds every target row a vacating key claims —
     // tombstones are naturally distinct regardless of changeset dups
-    val gone = changes.where(col(opCol).isin("update", "delete"))
+    val gone = ch.where(col(opCol).isin("update", "delete"))
       .select(col(keyCol))
     val doomed = slice.join(gone, Seq(keyCol), "left_semi")
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -2025,7 +2058,7 @@ object TxTable {
     val dvPath = new Path(root, dvRel)
     val counts = writeDvSidecar(spark, root, dvRel, doomed)
     val tSchema = slice.schema
-    val added = changes.where(col(opCol).isin("insert", "update"))
+    val added = ch.where(col(opCol).isin("insert", "update"))
       .select(targetCols.map(c =>
         col(c).cast(tSchema(c).dataType).as(c)) ++ extras.map(col): _*)
     val commitDir = newCommitDir(root, base + 1)
@@ -2035,21 +2068,25 @@ object TxTable {
       listCommitFiles(fs, root, commitDir, Some(partitionCol)),
       added.columns.toSeq)
     if (counts.isEmpty && fresh.isEmpty) {
-      fs.delete(dvPath, true); fs.delete(commitDir, true); return None
-    }
-    if (counts.isEmpty) fs.delete(dvPath, true)
-    enforceConstraints(spark, root, m, fresh, Some(added.schema.json))
-    val updated = m.files.map { f =>
-      counts.get(f.path) match {
-        case Some(n) => f.copy(dvs = f.dvs :+ DvRef(dvRel, n))
-        case None => f
+      // no tombstones, nothing appended: the commit would be a no-op —
+      // delete the debris and stage nothing
+      fs.delete(dvPath, true); fs.delete(commitDir, true); None
+    } else {
+      if (counts.isEmpty) fs.delete(dvPath, true)
+      enforceConstraints(spark, root, m, fresh, Some(added.schema.json))
+      val updated = m.files.map { f =>
+        counts.get(f.path) match {
+          case Some(n) => f.copy(dvs = f.dvs :+ DvRef(dvRel, n))
+          case None => f
+        }
       }
+      Some(stageCommit(m, updated ++ fresh, newSchema = None,
+        op = "merge-cs-dv", full = false,
+        extraSchemas = fresh.headOption
+          .map(f => dirOf(f.path) -> added.schema.json).toMap,
+        txn = txn))
     }
-    Some(stageCommit(m, updated ++ fresh, newSchema = None,
-      op = "merge-cs-dv", full = false,
-      extraSchemas = fresh.headOption
-        .map(f => dirOf(f.path) -> added.schema.json).toMap,
-      txn = txn))
+    }
   }
 
   /** The standard multi-writer optimistic-concurrency loop, usable

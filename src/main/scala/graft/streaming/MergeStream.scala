@@ -113,7 +113,12 @@ object MergeStream {
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (changes: DataFrame, _: Long) =>
+        .foreachBatch { (rawChanges: DataFrame, _: Long) =>
+          // one evaluation per batch: the touched-partition collect and
+          // the merge below both consume the changeset — materialize it
+          // once (TxTable releases nothing here: the blocks are ours,
+          // freed when the wrapper exits)
+          graft.ext.TxTable.withMaterializedChanges(rawChanges) { changes =>
           // bounded collect: ≤ #partition values by definition.
           // Values must be path-literal (see TxTable.requirePathSafe):
           // the emptied-partition delete below matches the RAW value
@@ -158,6 +163,7 @@ object MergeStream {
               if (fs.exists(dir)) fs.delete(dir, true)
             }
             batches.incrementAndGet()
+          }
           }
           ()
         }
@@ -310,7 +316,12 @@ object MergeStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (changes: DataFrame, batchId: Long) =>
+      .foreachBatch { (rawChanges: DataFrame, batchId: Long) =>
+        // one evaluation per batch: the isEmpty probe and the merge's
+        // three consumptions (touched collect, vacating-key join,
+        // image projection) all read the same materialized blocks —
+        // the merge detects the existing checkpoint and passes through
+        graft.ext.TxTable.withMaterializedChanges(rawChanges) { changes =>
         if (!changes.isEmpty) {
           val before = graft.ext.TxTable.latestVersion(spark, tableDir)
           val after =
@@ -324,6 +335,7 @@ object MergeStream {
         }
         if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
           runMaintenance(spark, tableDir, partitionCol)
+        }
         ()
       }
       .start()
@@ -413,7 +425,14 @@ object MergeStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (changes: DataFrame, batchId: Long) =>
+      .foreachBatch { (rawChanges: DataFrame, batchId: Long) =>
+        // one evaluation per batch: WITHOUT this the changeset is
+        // re-planned and re-scanned by the isEmpty probe, the
+        // insert-contract semi-join, the view recompute's anti-join
+        // keys + images, and the MoR staging's three consumptions —
+        // six-plus executions of the same batch frame. The staged
+        // merge detects the existing checkpoint and passes through.
+        graft.ext.TxTable.withMaterializedChanges(rawChanges) { changes =>
         if (!changes.isEmpty) {
           // roll forward any crashed predecessor BEFORE reading the
           // fact: TxTable.read pins its version eagerly, and a view
@@ -455,6 +474,7 @@ object MergeStream {
             graft.ext.PairTxn.PairCommit(viewDir, viewOf(applied),
               replace = true)))
           committed.incrementAndGet()
+        }
         }
         ()
       }

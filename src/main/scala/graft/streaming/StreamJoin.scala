@@ -96,10 +96,21 @@ object StreamJoin {
       sfDir: String,
       stagingDir: String,
       queryName: String = "purchase_attribution_outer"): DataFrame = {
+    // max(ts) rides the staging write via observe() — the q156
+    // discipline: the sentinel arithmetic needs one scalar, and a
+    // separate agg pass would re-scan the whole feed for it (at 100 TB
+    // a second full read; the accumulator is free in the write pass)
+    val obs = org.apache.spark.sql.Observation()
     val ev = graft.analysis.EventsFact.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .observe(obs, max(col("ts")).as("max_ts"))
     ev.write.mode("overwrite").parquet(stagingDir)
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val maxTs = obs.get("max_ts") match {
+      case t: java.sql.Timestamp => t
+      case null => null // all-NULL ts (or empty feed) observes NULL
+      case other => sys.error( // fail loud, never silently "empty"
+        s"observed max_ts has unexpected type ${other.getClass}: $other")
+    }
     // empty/all-NULL-ts input: the batch LEFT JOIN is empty; starting
     // a stream just to drain nothing (and NPE-ing on the sentinel
     // arithmetic) is wrong on both counts
